@@ -1,0 +1,51 @@
+"""Query registry — the bridge between operator modules and the driver
+contract (``__spark_entry__.py``).
+
+Every implemented operator registers a named query callable
+``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, a DuckDB oracle SQL
+string computing the same result with the same column names (the driver's
+comparison sorts columns by name and hash-compares values — FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` under ``name``, optionally with oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so its ``@register`` calls run."""
+    import distributed_mapreduce_in_docker_rpyc_spark.operators.queries_wordcount  # noqa: F401
+
+    for mod in (
+        "queries_relational",
+        "queries_dedup",
+        "queries_similarity",
+        "queries_text",
+        "queries_events",
+        "queries_multimodal",
+    ):
+        try:
+            __import__(f"distributed_mapreduce_in_docker_rpyc_spark.operators.{mod}")
+        except ImportError:
+            pass

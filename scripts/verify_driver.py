@@ -1,0 +1,120 @@
+"""Driver-contract simulation: exercises __spark_entry__ exactly as the
+round driver does — entry(spark) smoke at sf0.001, then every queries() entry
+at sf0.01 hash-compared against oracle_sql() via DuckDB.
+
+Usage: python scripts/verify_driver.py [--sf-dir DIR] [--only name1,name2]
+Exit 0 = all green; prints one line per query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v, places=6):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, places)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x, places) for x in v)
+    return v
+
+
+def norm_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(norm_cell(r[i]) for i in order) for r in rows), key=repr
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--smoke-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+    from distributed_mapreduce_in_docker_rpyc_spark.session import get_spark
+
+    spark = get_spark("verify-driver")
+
+    # 1. entry() smoke
+    t0 = time.time()
+    df = e.entry(spark)
+    rows = df.collect()
+    print(f"entry(): {len(rows)} rows, schema={df.columns}, {time.time()-t0:.1f}s")
+    assert len(rows) >= 0 and df.columns
+
+    # 2. differential per query
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        p = os.path.join(args.sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = e.queries()
+    oracles = e.oracle_sql()
+    only = {s for s in args.only.split(",") if s}
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle), {time.time()-t0:.1f}s")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle raised {type(ex).__name__}: {ex}")
+            continue
+        ok = (
+            sorted(s_cols) == sorted(o_cols)
+            and len(s_rows) == len(o_rows)
+            and norm_rows(s_rows, s_cols) == norm_rows(o_rows, o_cols)
+        )
+        if ok:
+            print(f"OK    {name}: {len(s_rows)} rows match oracle, {time.time()-t0:.1f}s")
+        else:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: spark cols={s_cols} n={len(s_rows)} vs "
+                f"oracle cols={o_cols} n={len(o_rows)}"
+            )
+            sn, on = norm_rows(s_rows, s_cols), norm_rows(o_rows, o_cols)
+            for a, b in list(zip(sn, on))[:5]:
+                if a != b:
+                    print(f"      spark : {a}\n      oracle: {b}")
+
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} green")
+    if failures:
+        print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
