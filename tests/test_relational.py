@@ -1,0 +1,105 @@
+"""Relational library: oracle differentials at sf0.001 (fast), physical-plan
+shape assertions (broadcast joins, parquet pushdown), pivot equivalence."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.operators.relational import manual_pivot, money
+from distributed_mapreduce_in_docker_rpyc_spark.registry import ORACLES, QUERIES, load_all
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+from tests.oracle import compare
+
+load_all()
+
+RELATIONAL = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "filter_project_pushdown",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "agg_distinct",
+    "agg_stats",
+    "rollup_agg",
+    "cube_agg",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_gap",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "orderby_limit_global",
+    "distinct_projection",
+    "scalar_functions",
+    "pivot_status_by_flag",
+    "scalar_subquery_above_avg",
+    "grouping_sets_sql",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_matches_oracle(spark, sf_dir, name):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_broadcast_join_in_plan(spark, sf_dir):
+    """Dimension joins must not shuffle the fact side."""
+    import re
+
+    plan = _plan(QUERIES["join_broadcast_dim"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # The only shuffle exchange should be for the aggregation, not the join.
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_filter_pushdown_in_plan(spark, sf_dir):
+    """q6's predicates must reach the parquet scan."""
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning_in_plan(spark, sf_dir):
+    """filter_project must read only the needed columns."""
+    plan = _plan(QUERIES["filter_project_pushdown"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_custkey" not in read_schema
+
+
+def test_native_pivot_equals_manual(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    manual = {
+        (r["l_returnflag"], float(r["l_linestatus_O"] or 0), float(r["l_linestatus_F"] or 0))
+        for r in manual_pivot(li, "l_returnflag", "l_linestatus", ["O", "F"], money("l_quantity")).collect()
+    }
+    native = {
+        (r["l_returnflag"], float(r["O"] or 0), float(r["F"] or 0))
+        for r in li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).agg(F.sum(money("l_quantity"))).collect()
+    }
+    assert manual == native
+
+
+def test_topk_limit_is_take_ordered(spark, sf_dir):
+    """Global order-by-limit must compile to TakeOrderedAndProject, not Sort."""
+    plan = _plan(QUERIES["orderby_limit_global"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
