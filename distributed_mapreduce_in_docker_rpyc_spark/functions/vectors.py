@@ -18,17 +18,26 @@ def _c(col: Column | str) -> Column:
 
 
 def dot_col(a: Column | str, b: Column | str) -> Column:
-    """Dot product of two array<numeric> columns."""
+    """Dot product of two array<numeric> columns.
+
+    Elements are cast to double BEFORE multiplying so float32 inputs get
+    IEEE-double products — the same arithmetic any double-based oracle
+    computes, and sequential left-to-right accumulation is deterministic.
+    """
     return F.aggregate(
-        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def norm_col(a: Column | str) -> Column:
-    """L2 norm of an array<numeric> column."""
-    return F.sqrt(F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x * x))
+    """L2 norm of an array<numeric> column (double math, deterministic)."""
+    return F.sqrt(
+        F.aggregate(
+            _c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
 
 
 def cosine_similarity_col(a: Column | str, b: Column | str) -> Column:

@@ -1,0 +1,213 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+Five dedup strategies, all engine-portable (md5-derived hashing so the DuckDB
+oracle computes bit-identical signatures):
+
+  - exact          : sha2-256 content hash, keep min doc_id per hash.
+  - minhash LSH    : 3-token shingles → k=16 md5 minhashes → b=4 bands × r=4
+                     rows → band-bucket self-join → Jaccard verification.
+  - simhash        : 64-bit fingerprint from per-token md5 bit votes; near-dup
+                     = Hamming distance ≤ threshold.
+  - n-gram Jaccard : direct shared-shingle pair join (the exact answer minhash
+                     approximates).
+  - embedding cos  : near-dup pairs by cosine ≥ threshold (see similarity.py).
+
+Scale posture (100 TB): signatures are computed per-row with array expressions
+(NO shuffle, no UDF — everything whole-stage-codegen'd); the only shuffles are
+the band-bucket join (keys are 128-bit hashes → uniform, skew-free) and the
+candidate-verification join, whose input is already reduced to candidate pairs.
+The band join is exactly the "shuffle on a good hash" the reference's MD5
+partitioner did (reference worker/worker.py:10-11) — reused as an LSH bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.functions.text import tokenize_column
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SHINGLE_K = 3
+
+
+def shingles_column(text: Column | str, k: int = SHINGLE_K) -> Column:
+    """k-token shingles as an array<string> — per-row, shuffle-free.
+
+    Mirrors DuckDB ``t[i:i+k-1]`` slicing semantics (1-based, inclusive): docs
+    with < k tokens produce one short shingle, empty docs one '' shingle.
+    """
+    toks = tokenize_column(text)
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_MINHASH) -> Column:
+    """Array of n md5-minhashes (lexicographic min over hex digests).
+
+    Hash family i = md5(f"{i}:" + shingle): independent-enough for LSH, and
+    referee-checkable in any engine with md5. Per-row array math — no shuffle.
+    """
+    uniq = F.array_distinct(shingles)
+    return F.array(
+        *[
+            F.array_min(F.transform(uniq, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def band_signatures(minhash: Column, n_bands: int = N_BANDS, rows: int = ROWS_PER_BAND) -> Column:
+    """Array of n_bands band signatures: md5 of the comma-joined band slice."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws(",", *[minhash[b * rows + r] for r in range(rows)]))
+            for b in range(n_bands)
+        ]
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via sha2-256: one row per distinct content, keeping the
+    smallest id (deterministic winner) and the duplicate count.
+
+    Single shuffle on the 256-bit hash — perfectly uniform keys, no skew."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket."""
+    sigs = df.select(
+        F.col(id_col),
+        F.posexplode(band_signatures(minhash_signature(shingles_column(text_col)))).alias(
+            "band", "sig"
+        ),
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _distinct_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles_column(text_col)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shingle-set Jaccard for candidate pairs (or all shared-shingle pairs).
+
+    ``candidates=None`` is the exact n-gram-Jaccard dedup: the pair space is
+    pruned to pairs sharing ≥1 shingle by the equi-join — never a full cross
+    join. With LSH ``candidates`` it verifies a much smaller set.
+    """
+    shd = _distinct_shingles(df, text_col, id_col)
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    x = shd.alias("x")
+    y = shd.alias("y")
+    inter = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash as a 16-hex-char string (engine-portable construction).
+
+    Per token w with count c, md5(w) supplies 64 bits (16 hex digits × 4);
+    each bit votes ±c; fingerprint bit = 1 iff the vote sum is > 0.  Hex-digit
+    arithmetic (locate in '0123456789abcdef') instead of native 64-bit ints
+    keeps the construction identical in any engine with md5 + string ops.
+
+    Dataflow: token counts (1 shuffle on (doc, word)) → explode 16 digit
+    positions → vote sums (shuffle on (doc, pos)) → assemble. Row width stays
+    tiny; both shuffles are on high-cardinality uniform keys.
+    """
+    counts = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize_column(text_col)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .withColumn("h", F.md5("word"))
+    )
+    # first 16 hex digits of md5 = 64 bits
+    pos = (
+        counts.select(
+            "doc_id",
+            "c",
+            F.posexplode(F.split(F.substring("h", 1, 16), "(?!$)")).alias("k", "digit_ch"),
+        )
+        .filter(F.col("digit_ch") != "")
+        .withColumn("digit", F.expr(f"locate(digit_ch, '{_HEX}') - 1"))
+    )
+    votes = (
+        pos.select(
+            "doc_id",
+            "k",
+            "c",
+            F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+            F.col("digit"),
+        )
+        .withColumn("bit", F.expr("shiftright(digit, b) & 1"))
+        .withColumn("vote", (F.col("bit") * 2 - 1) * F.col("c"))
+        .groupBy("doc_id", "k", "b")
+        .agg(F.sum("vote").alias("s"))
+    )
+    nibbles = (
+        votes.withColumn("bitval", F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(0))
+        .groupBy("doc_id", "k")
+        .agg(F.sum("bitval").alias("nibble"))
+        .withColumn("hex_ch", F.expr(f"substr('{_HEX}', nibble + 1, 1)"))
+    )
+    return nibbles.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "hex_ch"))), lambda s: s["hex_ch"]
+            ),
+            "",
+        ).alias("simhash")
+    )

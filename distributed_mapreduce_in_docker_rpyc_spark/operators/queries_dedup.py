@@ -1,0 +1,203 @@
+"""Registered dedup queries with DuckDB oracles (SURVEY.md §7 M4).
+
+Every strategy except the embedding one (see queries_similarity.py) is
+hash-matched against an oracle computing the identical md5-derived
+construction — the strongest correctness statement available for LSH-style
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_mapreduce_in_docker_rpyc_spark.operators import dedup as dd
+from distributed_mapreduce_in_docker_rpyc_spark.registry import register
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+# Shared oracle CTEs: tokens → shingles → distinct shingles (mirrors
+# dedup.shingles_column semantics exactly, incl. the ≥1-shingle guard).
+_SHINGLE_CTES = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS t
+        FROM documents
+    ),
+    shidx AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM shidx
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: sha2-256 hash-groupBy, deterministic keeper."""
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_SHINGLE_CTES
+    + """,
+    mh AS (
+        SELECT shd.doc_id, g.seed,
+               MIN(md5(g.seed::VARCHAR || ':' || shd.shingle)) AS h
+        FROM shd, generate_series(0, 15) g(seed)
+        GROUP BY shd.doc_id, g.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(h, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shd GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shd x ON x.doc_id = c.doc_a
+        JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup: 16 md5-minhashes over 3-shingles, 4×4 banding,
+    bucket self-join, exact-Jaccard verification at 0.5.
+
+    Signature computation is per-row array math (no shuffle, codegen'd); the
+    oracle reproduces the identical signatures in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(docs)
+    return dd.jaccard_pairs(docs, candidates=cand, threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLE_CTES
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shd GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shd x JOIN shd y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard pairs ≥ 0.3 — the ground truth the
+    LSH variant approximates. Pair space pruned by the shared-shingle
+    equi-join (never a cross join)."""
+    return dd.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
+
+
+_HEX = "0123456789abcdef"
+
+_SIMHASH_CTES = f"""
+    WITH counts AS (
+        SELECT doc_id, word, COUNT(*) AS c, md5(word) AS h
+        FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+    ),
+    pos AS (
+        SELECT doc_id, c,
+               k.k AS k,
+               strpos('{_HEX}', substr(h, k.k + 1, 1)) - 1 AS digit
+        FROM counts, generate_series(0, 15) k(k)
+    ),
+    votes AS (
+        SELECT doc_id, k, b.b AS b,
+               SUM(((digit // (1 << b.b)) % 2 * 2 - 1) * c) AS s
+        FROM pos, generate_series(0, 3) b(b)
+        GROUP BY doc_id, k, b.b
+    ),
+    nibbles AS (
+        SELECT doc_id, k,
+               SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS nibble
+        FROM votes GROUP BY doc_id, k
+    ),
+    fp AS (
+        SELECT doc_id,
+               string_agg(substr('{_HEX}', CAST(nibble + 1 AS INTEGER), 1), '' ORDER BY k) AS simhash
+        FROM nibbles GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_CTES + "SELECT doc_id, simhash FROM fp",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash fingerprint per document (portable md5-bit-vote
+    construction — see dedup.simhash_fingerprint)."""
+    return dd.simhash_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_CTES
+    + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ham.hamming
+    FROM fp a
+    JOIN fp b ON a.doc_id < b.doc_id,
+    LATERAL (
+        SELECT SUM(bit_count(CAST(xor(
+                   strpos('{_HEX}', substr(a.simhash, g.k, 1)) - 1,
+                   strpos('{_HEX}', substr(b.simhash, g.k, 1)) - 1
+               ) AS BIGINT))) AS hamming
+        FROM generate_series(1, 16) g(k)
+    ) ham
+    WHERE ham.hamming <= 14
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance over the 64-bit fingerprints
+    ≤ 14 (loose threshold so the small fixture yields rows)."""
+    from pyspark.sql import functions as F
+
+    fp = dd.simhash_fingerprint(load_table(spark, sf_dir, "documents"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    ham = sum(
+        F.bit_count(
+            F.expr(f"locate(substr(sh_a, {k}, 1), '{_HEX}') - 1").bitwiseXOR(
+                F.expr(f"locate(substr(sh_b, {k}, 1), '{_HEX}') - 1")
+            )
+        )
+        for k in range(1, 17)
+    )
+    return pairs.withColumn("hamming", ham.cast("bigint")).filter(
+        F.col("hamming") <= 14
+    ).select("doc_a", "doc_b", "hamming")

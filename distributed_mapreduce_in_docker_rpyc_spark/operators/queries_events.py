@@ -1,0 +1,145 @@
+"""Event-stream analytics (batch form; SURVEY.md §7 M5's batch oracles).
+
+These are the batch-equivalent queries of the Structured Streaming slice in
+``streaming/`` — tumbling/sliding windows, sessionization, JSON extraction.
+The streaming versions run the same aggregations incrementally; tests assert
+stream ≡ batch on the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.operators.relational import sessionize
+from distributed_mapreduce_in_docker_rpyc_spark.registry import register
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+_VALUE_DEC = "CAST(value AS DECIMAL(30,6))"
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS wstart, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({_VALUE_DEC}) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (batch form of the streaming
+    windowed count)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("wstart"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_sliding_10m_5m",
+    oracle=f"""
+    WITH slid AS (
+        SELECT e.*, time_bucket(INTERVAL '5 minutes', e.ts) - o.o * INTERVAL '5 minutes' AS wstart
+        FROM events e, generate_series(0, 1) o(o)
+    )
+    SELECT wstart, COUNT(*) AS n_events,
+           CAST(SUM({_VALUE_DEC}) AS DOUBLE) AS total_value
+    FROM slid
+    WHERE ts >= wstart AND ts < wstart + INTERVAL '10 minutes'
+    GROUP BY wstart
+    """,
+)
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute length, 5-minute slide): each event lands in
+    2 windows. Spark's window() expands rows exactly like the oracle's
+    generate_series join; both align window origins to an epoch that 5 minutes
+    divides evenly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "n_events", "total_value")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, event_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM x
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS t_start, MAX(ts) AS t_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative break
+    count, then per-session stats. One shuffle on user_id shared by both
+    windows and the final aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column, aggregated per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "events_top_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT 10
+    """,
+)
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most active users (deterministic total order)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )

@@ -1,0 +1,121 @@
+"""Registered similarity-search queries with DuckDB oracles.
+
+The oracle computes cosine with explicit double arithmetic
+(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) so it performs the same IEEE ops as
+the Spark expression path; results are rounded to 6 places on both sides
+before compare/order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as sim
+from distributed_mapreduce_in_docker_rpyc_spark.registry import register
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+_COSINE_CTES = """
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               sqrt((SELECT SUM(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))
+                     FROM generate_series(1, 64) g(i))) AS nrm
+        FROM embeddings
+    )
+"""
+
+
+@register(
+    "sim_cosine_pairs",
+    oracle=_COSINE_CTES
+    + """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND((SELECT SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
+                  FROM generate_series(1, 64) g(i)) / (a.nrm * b.nrm), 6) AS sim
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    WHERE ROUND((SELECT SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
+                 FROM generate_series(1, 64) g(i)) / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 (brute-force baseline)."""
+    return sim.cosine_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=_COSINE_CTES
+    + """
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                      FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                                                  FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
+                                           n.vec_id ASC) AS rank
+        FROM norms q JOIN norms n ON q.vec_id < 5 AND n.vec_id != q.vec_id
+    ) WHERE rank <= 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: top-10 cosine neighbors for query vectors
+    vec_id < 5 (broadcast queries + ranking window)."""
+    return sim.topk_bruteforce(load_table(spark, sf_dir, "embeddings"), query_ids_below=5, k=10)
+
+
+@register(
+    "sim_topk_lsh",
+    oracle=_COSINE_CTES
+    + """,
+    planes AS (
+        SELECT j.j AS j, d.d AS d,
+               CASE WHEN (strpos('0123456789abcdef',
+                                 substr(md5('p' || j.j || ':' || d.d), 1, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM generate_series(0, 17) j(j), generate_series(0, 63) d(d)
+    ),
+    dots AS (
+        SELECT n.vec_id, p.j,
+               SUM(CAST(n.embedding[p.d + 1] AS DOUBLE) * p.s) AS dot
+        FROM norms n, planes p
+        GROUP BY n.vec_id, p.j
+    ),
+    buckets AS (
+        SELECT vec_id, j // 3 AS tbl,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+        FROM dots GROUP BY vec_id, j // 3
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+        FROM buckets qb
+        JOIN buckets nb ON nb.tbl = qb.tbl AND nb.bucket = qb.bucket
+                        AND nb.vec_id != qb.vec_id
+        WHERE qb.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                      FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                                                  FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
+                                           c.neighbor_id ASC) AS rank
+        FROM cand c
+        JOIN norms q ON q.vec_id = c.query_id
+        JOIN norms n ON n.vec_id = c.neighbor_id
+    ) WHERE rank <= 10
+    """,
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: multi-table sign-LSH (6 tables × 3 md5-derived
+    hyperplanes) pruning candidates, exact-cosine rerank — the 100 TB path."""
+    return sim.topk_lsh(load_table(spark, sf_dir, "embeddings"), query_ids_below=5, k=10)
+
+
+@register("sim_topk_vectorized")
+def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy/Arrow mapInPandas brute-force top-k (throughput path).
+
+    No SQL oracle (Python-side BLAS); tests assert it returns the same
+    neighbor sets as the expression path, and the driver records rows-only."""
+    return sim.topk_numpy(load_table(spark, sf_dir, "embeddings"), query_ids_below=5, k=10)

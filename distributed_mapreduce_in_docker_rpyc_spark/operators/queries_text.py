@@ -1,0 +1,167 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7 M4).
+
+Everything is JVM-side expression math over the tokenizer from
+functions/text.py (reference semantics, worker/worker.py:7,18) — no Python
+UDFs in any of these paths, so they run at scan speed on 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.functions.text import tokenize_column
+from distributed_mapreduce_in_docker_rpyc_spark.registry import register
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+# Stopword lists for the language-ID heuristic (tiny, deterministic).
+LANG_STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "les", "et", "des", "un"],
+}
+
+_EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,
+           len(regexp_extract_all(lower(text), '[a-z'']+')) AS n_words,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS avg_token_len,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s'']', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                                t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             / greatest(len(regexp_extract_all(lower(text), '[a-z'']+')), 1) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics: char/token/word counts, average token
+    length, punctuation ratio, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    ws_tokens = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(ws_tokens).alias("n_tokens_ws"),
+        F.size(toks).alias("n_words"),
+        (
+            F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+            / F.greatest(F.size(ws_tokens), F.lit(1))
+        ).alias("avg_token_len"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s']", ""))).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP))).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("stopword_ratio"),
+    )
+
+
+def _lang_scores_spark(toks):
+    def hit_count(words):
+        wlist = list(words)
+        return F.size(F.filter(toks, lambda t: t.isin(*wlist)))
+
+    return {lang: hit_count(words) for lang, words in LANG_STOPWORDS.items()}
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'), t -> t IN ('der','die','das','und','ist'))) AS s_de,
+               len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'), t -> t IN ('the','and','of','to','a'))) AS s_en,
+               len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'), t -> t IN ('el','la','de','y','que'))) AS s_es,
+               len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'), t -> t IN ('le','les','et','des','un'))) AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, s_de, s_en, s_es, s_fr,
+           CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: argmax of per-language stopword hits,
+    ties broken alphabetically, no hits → 'und'. A real pipeline would swap
+    the word lists for character-n-gram profiles — the dataflow (per-row
+    expression scoring, no shuffle) is the part that scales."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    s = _lang_scores_spark(toks)
+    pred = (
+        F.when((s["de"] == 0) & (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0), "und")
+        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        s["de"].alias("s_de"),
+        s["en"].alias("s_en"),
+        s["es"].alias("s_es"),
+        s["fr"].alias("s_fr"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+           length(text) AS n_chars_calc
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: BPE-ish pre-tokenizer regex (letter runs / digit runs /
+    single punctuation) vs whitespace tokens vs chars."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("n_ws_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(regexp_extract_all(lower(text), '[a-z'']+'), ' ')) AS stream_fp,
+           md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z'']+'))), ' ')) AS bag_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of the token stream (order-sensitive) and of
+    the sorted distinct-token bag (order-insensitive) — the cheap first stage
+    of any dedup cascade."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(toks, " ")).alias("stream_fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bag_fp"),
+    )

@@ -1,0 +1,233 @@
+"""Similarity search over embedding columns (SURVEY.md §7 M4).
+
+Three execution strategies for approximate/exact nearest neighbors over
+``array<float>``:
+
+  1. **Brute-force expression path** (`topk_bruteforce`): broadcast the query
+     set, cosine via JVM array expressions (zip_with/aggregate — codegen, no
+     Python), ranking window per query. Exact; O(Q × N). The default when Q is
+     small (the common "probe set vs corpus" shape).
+  2. **LSH-bucketed path** (`lsh_buckets`, `topk_lsh`): random-hyperplane
+     signs → bucket key; candidates restricted to the query's bucket. The
+     100 TB path: bucketing is per-row math, the join is an equi-join on the
+     bucket key (shuffle both sides by bucket, no cross product). Hyperplanes
+     are md5-derived (deterministic, engine-portable, seed-free).
+  3. **Vectorized pandas path** (`topk_numpy`): mapInPandas + NumPy matmul
+     against a broadcast query matrix — Arrow-batched, BLAS throughput when
+     the expression path's per-element codegen becomes the bottleneck (wide
+     vectors × many queries).
+
+All three return the same neighbors (asserted in tests); strategy 1 and 2 are
+oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col, dot_col
+
+DIM = 64
+N_PLANES = 4
+# Multi-table LSH defaults: L tables × k planes. One table of k bits has
+# per-neighbor hit probability (1 - θ/π)^k — too lossy alone; L independent
+# tables lift recall to 1 - (1 - p^k)^L while each table's bucket join still
+# prunes the pair space. 6×3 gives ~0.8 recall at cos≈0.4.
+N_TABLES = 6
+PLANES_PER_TABLE = 3
+
+
+def hyperplane(j: int, dim: int = DIM) -> list[float]:
+    """Deterministic ±1 hyperplane j: sign d = parity of the first hex digit
+    of md5(f"p{j}:{d}") — reproducible in any engine with md5 (no RNG/seed
+    state; identical construction in the SQL oracle)."""
+    return [
+        1.0 if int(hashlib.md5(f"p{j}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for d in range(dim)
+    ]
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES, vec_col: str = "embedding") -> DataFrame:
+    """Add a sign-LSH ``bucket`` column ('0'/'1' per plane, concatenated).
+
+    Per-row expression math — bucketing 100 TB of vectors costs one scan, no
+    shuffle."""
+    bits = []
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(s) for s in hyperplane(j)])
+        dot = dot_col(F.col(vec_col), plane)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return emb.withColumn("bucket", F.concat(*bits))
+
+
+def cosine_pairs(emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine ≥ threshold (brute force, id_a < id_b).
+
+    O(N²) — correct baseline / oracle target. At scale use
+    ``topk_lsh``-style bucketing to prune the pair space first."""
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", F.round(cosine_similarity_col("_va", "_vb"), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def topk_bruteforce(
+    emb: DataFrame,
+    query_ids_below: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (vec_id below the
+    given bound), excluding self. Broadcast the small query side; rank with a
+    per-query window over (sim desc, neighbor asc) — rounded to 6 places so
+    ordering is engine-stable."""
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def lsh_bucket_tables(
+    emb: DataFrame,
+    n_tables: int = N_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) rows for multi-table sign-LSH.
+
+    Table t uses planes t·k … t·k+k-1 from the shared md5-derived family.
+    Per-row expression math + one posexplode — no shuffle; at 100 TB this is
+    one scan emitting L small rows per vector."""
+    per_table = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(planes_per_table):
+            plane = F.array(*[F.lit(s) for s in hyperplane(t * planes_per_table + j)])
+            dot = dot_col(F.col(vec_col), plane)
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        per_table.append(F.concat(*bits))
+    return emb.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(F.array(*per_table)).alias("tbl", "bucket")
+    )
+
+
+def topk_lsh(
+    emb: DataFrame,
+    query_ids_below: int,
+    k: int,
+    n_tables: int = N_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing a bucket with the query
+    in ANY of the L hash tables, exact-cosine reranked.
+
+    The equi-join on (table, bucket) replaces the cross product; distinct
+    candidate pairs before rerank so each pair's cosine is computed once.
+    Recall vs brute force is asserted in tests."""
+    from pyspark.sql import Window
+
+    bucketed = lsh_bucket_tables(emb, n_tables, planes_per_table, id_col, vec_col)
+    q = bucketed.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"), F.col("tbl").alias("_qt"), F.col("bucket").alias("_qb")
+    )
+    n = bucketed.select(F.col(id_col).alias("neighbor_id"), F.col("tbl").alias("_nt"), F.col("bucket").alias("_nb"))
+    cand = (
+        n.join(
+            F.broadcast(q),
+            (F.col("_qt") == F.col("_nt"))
+            & (F.col("_qb") == F.col("_nb"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def topk_numpy(
+    emb: DataFrame,
+    query_ids_below: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force top-k via mapInPandas + NumPy matmul.
+
+    The query matrix is tiny (collected once, captured in the closure and
+    shipped with the task — for very large query sets use a proper broadcast
+    variable); each Arrow batch of corpus vectors computes a (batch × Q) sim
+    matrix with BLAS, emits per-batch top-k, and a final per-query window
+    reduces partial top-ks to global ones — the same partial/final split the
+    reference used for counting (SURVEY.md OP-7/OP-10)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    qrows = emb.filter(F.col(id_col) < query_ids_below).select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            n_ids = pdf[id_col].to_numpy()
+            n_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n_norm = np.linalg.norm(n_mat, axis=1)
+            sims = (n_mat @ q_mat.T) / np.outer(n_norm, q_norm)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = n_ids != qid
+                ids, vals = n_ids[mask], col[mask]
+                if len(ids) > k:
+                    part = np.argpartition(-vals, k)[:k]
+                    ids, vals = ids[part], vals[part]
+                out.append(
+                    pd.DataFrame({"query_id": qid, "neighbor_id": ids, "sim": np.round(vals, 6)})
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        per_batch, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

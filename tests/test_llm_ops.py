@@ -1,0 +1,146 @@
+"""LLM-pipeline operator tests: dedup correctness properties, ANN recall,
+vectorized-path equivalence, multimodal stub features vs Python ground truth."""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.operators import dedup as dd
+from distributed_mapreduce_in_docker_rpyc_spark.operators import multimodal as mm
+from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as sim
+from distributed_mapreduce_in_docker_rpyc_spark.registry import ORACLES, QUERIES, load_all
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+from tests.oracle import compare
+
+load_all()
+
+ORACLE_CHECKED = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "sim_cosine_pairs",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "text_stats",
+    "text_langid",
+    "text_token_count_bpe",
+    "text_fingerprint",
+    "events_tumbling_hourly",
+    "events_sliding_10m_5m",
+    "events_sessionize",
+    "events_json_extract",
+    "events_top_users",
+    "multimodal_meta",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_matches_oracle(spark, sf_dir, name):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique"), (4, "same text")],
+        ["doc_id", "text"],
+    )
+    rows = {(r["keep_doc_id"], r["n_copies"]) for r in dd.exact_dedup(df).collect()}
+    assert rows == {(1, 3), (3, 1)}
+
+
+def test_minhash_flags_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words that share nothing with that sentence at all"
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], ["doc_id", "text"])
+    cand = dd.minhash_lsh_candidates(df)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dd.jaccard_pairs(df, cand, 0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_for_near_texts(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    near = base + "extra"
+    other = "zebra xylophone quartz vex jumble " * 5
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], ["doc_id", "text"])
+    fps = {r["doc_id"]: r["simhash"] for r in dd.simhash_fingerprint(df).collect()}
+
+    def ham(a, b):
+        return sum(bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b))
+
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = sim.topk_bruteforce(emb, 5, 10).collect()
+    lsh = sim.topk_lsh(emb, 5, 10).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3  # 4-bit LSH on 500 vecs
+
+
+def test_numpy_path_equals_expression_path(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    expr_rows = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim.topk_bruteforce(emb, 5, 10).collect()
+    }
+    np_rows = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim.topk_numpy(emb, 5, 10).collect()
+    }
+    assert expr_rows == np_rows
+
+
+def test_multimodal_stub_features_ground_truth(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    feats = {r["doc_id"]: r for r in mm.decode_stub_features(mm.attach_payload(docs)).collect()}
+    for row in docs.collect():
+        raw = row["text"].encode("utf-8")
+        f = feats[row["doc_id"]]
+        assert f["n_bytes"] == len(raw)
+        assert f["crc32"] == zlib.crc32(raw) & 0xFFFFFFFF
+        assert f["head_hex"] == raw[:8].hex()
+
+
+def test_multimodal_decode_image_is_gated():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(None)
+
+
+def test_hyperplane_is_deterministic():
+    p = sim.hyperplane(0)
+    assert p == sim.hyperplane(0) and len(p) == 64 and set(p) <= {1.0, -1.0}
+    expected = 1.0 if int(hashlib.md5(b"p0:0").hexdigest()[0], 16) % 2 == 0 else -1.0
+    assert p[0] == expected
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 100, "2024-01-01 00:00:00"),
+        (2, 100, "2024-01-01 00:10:00"),  # same session (10 min)
+        (3, 100, "2024-01-01 01:00:00"),  # new session (50 min gap)
+        (4, 200, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.relational import sessionize
+
+    out = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
