@@ -46,18 +46,44 @@ def shingles_column(text: Column | str, k: int = SHINGLE_K) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, n_hashes: int = N_MINHASH) -> Column:
-    """Array of n md5-minhashes (lexicographic min over hex digests).
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+) -> DataFrame:
+    """``(doc_id, minhash: array<string>)`` — n md5-minhashes per document
+    (lexicographic min over hex digests of hash family i = md5(f"{i}:" + s)).
 
-    Hash family i = md5(f"{i}:" + shingle): independent-enough for LSH, and
-    referee-checkable in any engine with md5. Per-row array math — no shuffle.
+    Deliberately relational (explode shingles × seeds → md5 → min per
+    (doc, seed) → assemble array) rather than nested array expressions: each
+    value is computed exactly ONCE.  The equivalent per-row array-expression
+    formulation looks shuffle-free but Catalyst inlines the shingle
+    subexpression into all 16 hash lambdas (and again on each side of the
+    LSH self-join), exploding evaluation cost ~200× at sf0.1.  The two
+    shuffles here are on (doc_id, seed) / doc_id — high-cardinality, uniform,
+    skew-free — and the row volume is |distinct shingles| × n_hashes, linear
+    in corpus size.
     """
-    uniq = F.array_distinct(shingles)
-    return F.array(
-        *[
-            F.array_min(F.transform(uniq, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-            for i in range(n_hashes)
-        ]
+    shd = _distinct_shingles(df, text_col, id_col).withColumnRenamed("doc_id", id_col)
+    per_seed = (
+        shd.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+            "shingle",
+        )
+        .select(
+            id_col,
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("h"))
+    )
+    return per_seed.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "h"))), lambda s: s["h"]
+        ).alias("minhash")
     )
 
 
@@ -84,12 +110,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket."""
-    sigs = df.select(
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
+
+    The band self-join keys (band, sig) are md5 digests — uniform, so the
+    shuffle is skew-free; bucket sizes follow the data's true near-dup
+    clustering, which is exactly what LSH is for.
+    """
+    sigs = minhash_signatures(df, text_col, id_col).select(
         F.col(id_col),
-        F.posexplode(band_signatures(minhash_signature(shingles_column(text_col)))).alias(
-            "band", "sig"
-        ),
+        F.posexplode(band_signatures(F.col("minhash"))).alias("band", "sig"),
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -129,13 +158,23 @@ def jaccard_pairs(
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     x = shd.alias("x")
     y = shd.alias("y")
-    inter = (
-        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    if candidates is None:
+        inter = (
+            x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        # Candidate-driven: cost is linear in |candidates| × shingles-per-doc,
+        # NOT the full shared-shingle pair space — this is the whole point of
+        # LSH.  (A semi-join of the full pair join against candidates would
+        # silently pay the quadratic cost anyway.)
+        inter = (
+            candidates.join(x, F.col("x.doc_id") == F.col("doc_a"))
+            .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = (
