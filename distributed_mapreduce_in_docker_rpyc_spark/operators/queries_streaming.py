@@ -1,0 +1,95 @@
+"""Registered streaming queries (SURVEY.md §7 M5).
+
+Each entry RUNS a Structured Streaming job over the events parquet
+(``Trigger.AvailableNow`` → memory sink) and returns the materialized result
+as a batch DataFrame, so the driver hash-compares an actual incremental
+execution against the DuckDB batch oracle — stream ≡ batch ≡ oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.registry import register
+from distributed_mapreduce_in_docker_rpyc_spark.streaming import jobs
+
+_VALUE_DEC = "CAST(value AS DECIMAL(30,6))"
+
+
+def _run(agg, output_mode: str = "complete", checkpoint: bool = False) -> str:
+    table = f"stream_{uuid.uuid4().hex[:12]}"
+    jobs.run_to_memory(
+        agg,
+        table,
+        output_mode=output_mode,
+        checkpoint_dir=tempfile.mkdtemp(prefix="sg-ckpt-") if checkpoint else None,
+    )
+    return table
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS wstart, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({_VALUE_DEC}) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows executed INCREMENTALLY (watermarked streaming
+    aggregation, availableNow backfill) — result must equal the batch SQL."""
+    table = _run(jobs.tumbling_hourly(jobs.events_stream(spark, sf_dir)))
+    return spark.table(table)
+
+
+@register(
+    "stream_sliding_10m_5m",
+    oracle=f"""
+    WITH slid AS (
+        SELECT e.*, time_bucket(INTERVAL '5 minutes', e.ts) - o.o * INTERVAL '5 minutes' AS wstart
+        FROM events e, generate_series(0, 1) o(o)
+    )
+    SELECT wstart, COUNT(*) AS n_events,
+           CAST(SUM({_VALUE_DEC}) AS DOUBLE) AS total_value
+    FROM slid
+    WHERE ts >= wstart AND ts < wstart + INTERVAL '10 minutes'
+    GROUP BY wstart
+    """,
+)
+def stream_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10m/5m windows executed incrementally."""
+    table = _run(jobs.sliding_10m_5m(jobs.events_stream(spark, sf_dir)))
+    return spark.table(table)
+
+
+@register(
+    "stream_stateful_user_totals",
+    oracle="SELECT user_id, COUNT(*) AS n_total FROM events GROUP BY user_id",
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState running counter);
+    final per-user state must equal the batch COUNT(*)."""
+    table = _run(
+        jobs.stateful_user_totals(jobs.events_stream(spark, sf_dir)),
+        output_mode="update",
+        checkpoint=True,
+    )
+    # update mode re-emits per micro-batch; the max is the final state.
+    return (
+        spark.table(table).groupBy("user_id").agg(F.max("n_total").alias("n_total"))
+    )
+
+
+@register("stream_session_windows")
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows (30 min) per user, incrementally.
+    No DuckDB session-window equivalent → rows-only check; the stream≡batch
+    equality is asserted in tests/test_streaming.py instead."""
+    table = _run(jobs.session_windows(jobs.events_stream(spark, sf_dir)))
+    return spark.table(table)

@@ -1,0 +1,154 @@
+"""Structured Streaming slice over the events table (SURVEY.md §7 M5).
+
+The reference is batch-only, run-to-completion (reference README.md:38-39;
+SURVEY.md §2.2 "Streaming: none") — this module is the extended scope a
+modern analytics engine needs: incremental tumbling/sliding/session windows
+with event-time watermarks, plus a custom stateful operator via
+``applyInPandasWithState``.
+
+Stream ≡ batch is the correctness contract: every streaming aggregation here
+has the same shape as its batch twin in ``operators/queries_events.py``, and
+tests drive the SAME parquet through both paths (file-source +
+``Trigger.AvailableNow`` → memory sink) and assert equality.
+
+Scale posture: streaming state lives in the state store keyed by
+(window/session, group keys) — uniform keys, partitioned by the normal
+shuffle; watermarks bound state size (late data beyond the delay is dropped,
+finalized windows are evicted). ``availableNow`` + ``maxFilesPerTrigger``
+gives backfill-sized batches on historical data with the same query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+if TYPE_CHECKING:
+    pass
+
+DEFAULT_WATERMARK = "2 hours"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over ``events.parquet`` (schema from a batch peek;
+    streams require an explicit schema).  Handles the TIMESTAMP(NANOS) →
+    bigint → timestamp conversion exactly like the batch loader
+    (sources/tables.py)."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # events.parquet is a single file; the file stream source wants a
+    # directory, so scan the parent with a glob filter.
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_hourly(stream: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of ``events_tumbling_hourly``: 1-hour tumbling windows
+    per event type, counts + value sums, late data beyond ``watermark``
+    dropped."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_10m_5m(stream: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of ``events_sliding_10m_5m``: 10-minute windows sliding
+    every 5 (each event in 2 windows)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "n_events", "total_value")
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes", watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Native session windows (30-min inactivity gap) per user.
+
+    ``F.session_window`` works identically over batch DataFrames, which is
+    what the stream≡batch test exploits.  (The batch ``events_sessionize``
+    query keeps its lag-based formulation because DuckDB has no session
+    window to oracle this against.)
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("t_start"),
+            F.col("w.end").alias("t_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+USER_TOTALS_OUTPUT = StructType(
+    [StructField("user_id", LongType()), StructField("n_total", LongType())]
+)
+USER_TOTALS_STATE = StructType([StructField("n", LongType())])
+
+
+def _count_events(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_total": [n]})
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event totals via
+    ``applyInPandasWithState`` — the pattern for operators Spark's built-in
+    windows can't express (per-key counters, custom sessionization, CEP).
+    Emits the updated total for each user touched by each micro-batch."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _count_events,
+        USER_TOTALS_OUTPUT,
+        USER_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    agg: DataFrame,
+    table: str,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drive a streaming aggregation over all currently-available input
+    (``Trigger.AvailableNow``) into an in-memory sink table, blocking until
+    the backfill completes."""
+    writer = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()

@@ -1,0 +1,103 @@
+"""M5 streaming tests: stream ≡ batch on the same parquet, watermark
+finalization semantics, and the custom stateful operator."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_events import (
+    events_sliding_10m_5m,
+    events_tumbling_hourly,
+)
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+from distributed_mapreduce_in_docker_rpyc_spark.streaming import jobs
+
+
+def rows_set(df_or_rows):
+    rows = df_or_rows.collect() if hasattr(df_or_rows, "collect") else df_or_rows
+    return {tuple(r) for r in rows}
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    stream = jobs.events_stream(spark, sf_dir)
+    jobs.run_to_memory(jobs.tumbling_hourly(stream), "t_tumbling")
+    got = rows_set(spark.table("t_tumbling"))
+    want = rows_set(events_tumbling_hourly(spark, sf_dir))
+    assert got == want and got
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    stream = jobs.events_stream(spark, sf_dir)
+    jobs.run_to_memory(jobs.sliding_10m_5m(stream), "t_sliding")
+    assert rows_set(spark.table("t_sliding")) == rows_set(events_sliding_10m_5m(spark, sf_dir))
+
+
+def test_session_stream_equals_batch_session_window(spark, sf_dir):
+    stream = jobs.events_stream(spark, sf_dir)
+    jobs.run_to_memory(jobs.session_windows(stream), "t_sessions")
+    got = rows_set(spark.table("t_sessions"))
+    # session_window works identically on a batch DataFrame — same function,
+    # both engines' merge logic, no formulation gap.
+    want = rows_set(jobs.session_windows(load_table(spark, sf_dir, "events")))
+    assert got == want and got
+
+
+def test_stateful_user_totals(spark, sf_dir, tmp_path):
+    stream = jobs.events_stream(spark, sf_dir)
+    jobs.run_to_memory(
+        jobs.stateful_user_totals(stream),
+        "t_user_totals",
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # Update mode re-emits a user's running total each micro-batch; the max
+    # per user is the final state and must equal the batch count.
+    got = rows_set(
+        spark.table("t_user_totals").groupBy("user_id").agg(F.max("n_total").alias("n"))
+    )
+    want = rows_set(load_table(spark, sf_dir, "events").groupBy("user_id").count())
+    assert got == want and got
+
+
+def test_watermark_append_emits_only_finalized_windows(spark, sf_dir, tmp_path):
+    """Split events into time-ordered files, stream one file per micro-batch
+    with a short watermark: append mode must emit only windows closed by the
+    advancing watermark, each matching the batch result exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    stage = str(tmp_path / "staged")
+    # Two single-file writes in time order (oldest modification time first —
+    # the file source's default processing order).
+    first, second = ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    first.coalesce(1).write.parquet(os.path.join(stage, "a"))
+    second.coalesce(1).write.parquet(os.path.join(stage, "b"))
+
+    schema = spark.read.parquet(os.path.join(stage, "a")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "*"))
+    )
+    agg = jobs.tumbling_hourly(stream, watermark="1 minute")
+    (
+        agg.writeStream.format("memory")
+        .queryName("t_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    emitted = rows_set(spark.table("t_append"))
+    full = rows_set(events_tumbling_hourly(spark, sf_dir))
+    assert emitted, "multi-batch run with advancing watermark must finalize windows"
+    assert emitted <= full, "append mode must never emit a partial window"
+
+
+@pytest.mark.parametrize("name", ["tumbling_hourly", "sliding_10m_5m", "session_windows"])
+def test_streaming_plans_are_stateful_streaming(spark, sf_dir, name):
+    agg = getattr(jobs, name)(jobs.events_stream(spark, sf_dir))
+    assert agg.isStreaming
