@@ -120,6 +120,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               sqrt((SELECT SUM(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))
+                     FROM generate_series(1, 64) g(i))) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               ROUND((SELECT SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
+                      FROM generate_series(1, 64) g(i)) / (a.nrm * b.nrm), 6) AS sim
+        FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    )
+    SELECT p.doc_a, p.doc_b, p.sim,
+           da.source AS source_a, db.source AS source_b
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE p.sim >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup on documents: semantic duplicate pairs
+    (cosine ≥ 0.4 over the aligned embeddings table), annotated with each
+    side's source — the semantic-dedup stage of a training-data pipeline.
+    The document joins broadcast (dim-sized) onto the pruned pair set."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as sim
+
+    pairs = sim.cosine_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pairs.withColumnRenamed("vec_a", "doc_a")
+        .withColumnRenamed("vec_b", "doc_b")
+        .join(F.broadcast(docs).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "source_a"), "doc_a")
+        .join(F.broadcast(docs).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "source_b"), "doc_b")
+        .select("doc_a", "doc_b", "sim", "source_a", "source_b")
+    )
+
+
 _HEX = "0123456789abcdef"
 
 _SIMHASH_CTES = f"""
