@@ -112,6 +112,14 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_lsh(load_table(spark, sf_dir, "embeddings"), query_ids_below=5, k=10)
 
 
+@register("sim_topk_ivf")
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans(16) coarse cells, probe the 4 nearest per query,
+    exact-cosine rerank. Python-side model state → rows-only check; recall
+    vs brute force asserted in tests."""
+    return sim.topk_ivf(load_table(spark, sf_dir, "embeddings"), query_ids_below=5, k=10)
+
+
 @register("sim_topk_vectorized")
 def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NumPy/Arrow mapInPandas brute-force top-k (throughput path).

@@ -231,3 +231,85 @@ def topk_numpy(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: KMeans centroids + cluster-assigned vectors.
+
+    Returns ``(assigned, centroids)`` where ``assigned`` is the inverted
+    index (each vector tagged with its nearest centroid's cluster id) and
+    ``centroids`` is a tiny ``(cluster, centroid)`` table.
+
+    Scale posture: centroids are O(n_centroids × dim) — always broadcastable;
+    the inverted index is the corpus repartitioned by cluster, so a probe
+    touches only ``n_probe / n_centroids`` of the data. Train on a sample at
+    100 TB (KMeans converges on far less than the full corpus).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    vec = emb.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_v", predictionCol="cluster").fit(vec)
+    assigned = model.transform(vec).select(id_col, vec_col, "cluster")
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def topk_ivf(
+    emb: DataFrame,
+    query_ids_below: int,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: assign corpus to KMeans cells, probe each
+    query's ``n_probe`` nearest cells, exact-cosine rerank inside them.
+
+    The candidate join is an equi-join on ``cluster`` (query-probes ×
+    inverted lists) — no cross product, and the probed fraction of the corpus
+    is ``n_probe / n_centroids`` regardless of scale. Recall vs brute force
+    is asserted in tests (Python-side KMeans state → no SQL oracle)."""
+    from pyspark.sql import Window
+
+    assigned, centroids = ivf_index(emb, n_centroids, id_col, vec_col)
+    q = assigned.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    # Rank this query's distance to every centroid; keep the n_probe nearest.
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cluster"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with(F.col("_qv").cast("array<double>"), "centroid", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "_qv", "cluster")
+    )
+    n = assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"), "cluster")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        n.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -94,6 +94,21 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.3  # 4-bit LSH on 500 vecs
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf_sets, ivf_sets = {}, {}
+    for r in sim.topk_bruteforce(emb, 5, 10).collect():
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in sim.topk_ivf(emb, 5, 10).collect():
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    # probing 4/16 cells; near neighbors concentrate in the query's cells
+    assert sum(recalls) / len(recalls) >= 0.5
+    assert all(len(s) == 10 for s in ivf_sets.values())
+
+
 def test_numpy_path_equals_expression_path(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     expr_rows = {
