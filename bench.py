@@ -46,7 +46,14 @@ def main() -> None:
 
     registry.load_all()
     spark = get_spark("distributed_mapreduce_in_docker_rpyc_spark-bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # Warm-up: touch the same machinery the queries use (parquet reader,
+    # shuffle, noop sink) so timings measure the engine, not first-touch init.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+        .groupBy("r_name").count()
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -51,9 +51,16 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASH,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """``(doc_id, minhash: array<string>)`` — n md5-minhashes per document
     (lexicographic min over hex digests of hash family i = md5(f"{i}:" + s)).
+
+    Pass ``shingles`` (a precomputed ``_distinct_shingles`` frame, ideally
+    persisted) when the same shingle set feeds multiple consumers: Spark does
+    not dedupe identical subplans across a DAG (no ReusedExchange fired
+    here), so without it the tokenize→shingle pipeline is re-executed once
+    per consumer — 12 redundant parquet scans in the full LSH query.
 
     Deliberately relational (explode shingles × seeds → md5 → min per
     (doc, seed) → assemble array) rather than nested array expressions: each
@@ -65,7 +72,11 @@ def minhash_signatures(
     skew-free — and the row volume is |distinct shingles| × n_hashes, linear
     in corpus size.
     """
-    shd = _distinct_shingles(df, text_col, id_col).withColumnRenamed("doc_id", id_col)
+    shd = (
+        shingles
+        if shingles is not None
+        else _distinct_shingles(df, text_col, id_col)
+    ).withColumnRenamed("doc_id", id_col)
     per_seed = (
         shd.select(
             id_col,
@@ -109,14 +120,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
 
     The band self-join keys (band, sig) are md5 digests — uniform, so the
     shuffle is skew-free; bucket sizes follow the data's true near-dup
     clustering, which is exactly what LSH is for.
     """
-    sigs = minhash_signatures(df, text_col, id_col).select(
+    sigs = minhash_signatures(df, text_col, id_col, shingles=shingles).select(
         F.col(id_col),
         F.posexplode(band_signatures(F.col("minhash"))).alias("band", "sig"),
     )
@@ -147,14 +163,19 @@ def jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Shingle-set Jaccard for candidate pairs (or all shared-shingle pairs).
 
     ``candidates=None`` is the exact n-gram-Jaccard dedup: the pair space is
     pruned to pairs sharing ≥1 shingle by the equi-join — never a full cross
     join. With LSH ``candidates`` it verifies a much smaller set.
+
+    ``shingles``: see ``minhash_signatures`` — the shingle frame feeds three
+    consumers here (sizes, x, y), so passing a persisted one avoids three
+    recomputations of the scan→tokenize→shingle pipeline.
     """
-    shd = _distinct_shingles(df, text_col, id_col)
+    shd = shingles if shingles is not None else _distinct_shingles(df, text_col, id_col)
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     x = shd.alias("x")
     y = shd.alias("y")

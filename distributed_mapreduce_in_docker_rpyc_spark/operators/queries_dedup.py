@@ -91,8 +91,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature computation is per-row array math (no shuffle, codegen'd); the
     oracle reproduces the identical signatures in SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = dd.minhash_lsh_candidates(docs)
-    return dd.jaccard_pairs(docs, candidates=cand, threshold=0.5)
+    # One persisted shingle frame feeds signatures, sizes, and both sides of
+    # the intersection join — without it Spark re-runs the scan→shingle
+    # pipeline 12× (no cross-DAG subplan reuse). ~250 KB/doc-MB cached;
+    # evictable (MEMORY_AND_DISK via persist default) so safe at scale.
+    shd = dd._distinct_shingles(docs, "text", "doc_id").persist()
+    cand = dd.minhash_lsh_candidates(docs, shingles=shd)
+    return dd.jaccard_pairs(docs, candidates=cand, threshold=0.5, shingles=shd)
 
 
 @register(
@@ -117,7 +122,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-shingle) Jaccard pairs ≥ 0.3 — the ground truth the
     LSH variant approximates. Pair space pruned by the shared-shingle
     equi-join (never a cross join)."""
-    return dd.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
+    docs = load_table(spark, sf_dir, "documents")
+    shd = dd._distinct_shingles(docs, "text", "doc_id").persist()
+    return dd.jaccard_pairs(docs, threshold=0.3, shingles=shd)
 
 
 @register(
