@@ -83,3 +83,72 @@ def decode_image(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
             "Use decode_stub_features for the dataflow-equivalent stub."
         )
     raise NotImplementedError("wire PIL decode into the mapInPandas batch loop")
+
+
+FRAME_BYTES = 16
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_hash string"
+RESIZE_SCHEMA = "doc_id long, orig_w long, orig_h long, thumb_w long, thumb_h long"
+
+
+def sample_frames(df: DataFrame, k: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Video frame-sampling pattern: one output row per sampled frame.
+
+    The payload is treated as a fake container of 16-byte "frames"; ``k``
+    evenly-spaced frames are sampled (all of them when the clip is shorter)
+    and fingerprinted with md5 — a deterministic stand-in for an av/ffmpeg
+    keyframe extractor with the identical flatMap dataflow: binary in via
+    Arrow, multiple typed rows out per input. Swap the loop body for real
+    demuxing; the schema, batching and fan-out shape stay."""
+    import hashlib
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[str] = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(len(b) // FRAME_BYTES, 1)
+                kk = min(k, n_frames)
+                for ix in sorted({(j * n_frames) // kk for j in range(kk)}):
+                    ids.append(did)
+                    idxs.append(ix)
+                    hashes.append(
+                        hashlib.md5(b[ix * FRAME_BYTES : (ix + 1) * FRAME_BYTES]).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes})
+
+    return df.select(id_col, "payload").mapInPandas(per_batch, schema=FRAME_SCHEMA)
+
+
+def resize_thumbnail(df: DataFrame, box: int = 64, id_col: str = "doc_id") -> DataFrame:
+    """Image-resize pattern: fit (orig_w, orig_h) into a ``box``×``box``
+    thumbnail preserving aspect ratio, integer math only.
+
+    Original dimensions are derived deterministically from the payload size
+    (no real decoder available); the aspect-fit arithmetic and the
+    NumPy-vectorized Arrow batch path are exactly what a PIL ``thumbnail()``
+    stage would use."""
+    import numpy as np
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            n = pdf["payload"].map(len).to_numpy(dtype="int64")
+            w = 1 + (n * 7) % 640
+            h = 1 + (n * 13) % 480
+            longest = np.maximum(w, h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "orig_w": w,
+                    "orig_h": h,
+                    "thumb_w": np.maximum(1, (w * box) // longest),
+                    "thumb_h": np.maximum(1, (h * box) // longest),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(per_batch, schema=RESIZE_SCHEMA)

@@ -43,3 +43,53 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     check; tests assert features against Python-computed ground truth."""
     docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
     return mm.decode_stub_features(docs)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id, text,
+               greatest(length(text) // 16, 1) AS n_frames,
+               least(4, greatest(length(text) // 16, 1)) AS kk
+        FROM documents
+    ),
+    idx AS (
+        SELECT DISTINCT doc_id, text, (j.j * n_frames) // kk AS frame_idx
+        FROM meta, generate_series(0, 3) j(j)
+        WHERE j.j < kk
+    )
+    SELECT doc_id, frame_idx,
+           md5(substr(text, CAST(frame_idx * 16 + 1 AS INTEGER), 16)) AS frame_hash
+    FROM idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the fake video container: 4 evenly-spaced 16-byte
+    frames per payload, md5-fingerprinted. The mapInPandas fan-out result is
+    hash-checked against the oracle recomputing the same frames from text
+    (payload is UTF-8-encoded ASCII text, so byte math == char math)."""
+    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.sample_frames(docs, k=4)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               1 + (length(text) * 7) % 640 AS orig_w,
+               1 + (length(text) * 13) % 480 AS orig_h
+        FROM documents
+    )
+    SELECT doc_id, orig_w, orig_h,
+           greatest(1, (orig_w * 64) // greatest(orig_w, orig_h)) AS thumb_w,
+           greatest(1, (orig_h * 64) // greatest(orig_w, orig_h)) AS thumb_h
+    FROM dims
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving thumbnail-fit arithmetic over Arrow batches —
+    oracle-checked integer math, PIL-shaped dataflow."""
+    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.resize_thumbnail(docs, box=64)

@@ -159,3 +159,18 @@ def test_sessionize_gap_semantics(spark):
 
     out = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sample_frames_short_payload_edge(spark):
+    from distributed_mapreduce_in_docker_rpyc_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "x" * 40)], ["doc_id", "text"]
+    )
+    rows = mm.sample_frames(mm.attach_payload(df), k=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert by_doc[1] == [0]  # < 16 bytes -> single frame 0
+    # 40 bytes -> 2 frames, k capped to n_frames, evenly spaced, distinct
+    assert by_doc[2] == [0, 1]
