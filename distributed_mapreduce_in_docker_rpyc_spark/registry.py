@@ -43,6 +43,7 @@ def load_all() -> None:
         "queries_similarity",
         "queries_text",
         "queries_events",
+        "queries_temporal",
         "queries_streaming",
         "queries_multimodal",
     ):
