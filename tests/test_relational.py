@@ -103,3 +103,31 @@ def test_topk_limit_is_take_ordered(spark, sf_dir):
     """Global order-by-limit must compile to TakeOrderedAndProject, not Sort."""
     plan = _plan(QUERIES["orderby_limit_global"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.skew import salted_aggregate, salted_join
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = {tuple(r) for r in li.join(o, "l_orderkey").collect()}
+    salted = {tuple(r) for r in salted_join(li, o, on="l_orderkey", n_salts=4).collect()}
+    assert salted == plain
+
+    want = {
+        tuple(r)
+        for r in li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"), F.count("l_quantity").alias("n"))
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in salted_aggregate(
+            li, ["l_orderkey"], {"q": ("sum", "l_quantity"), "n": ("count", "l_quantity")}, 4
+        ).collect()
+    }
+    assert got == want
