@@ -42,6 +42,7 @@ def get_spark(app_name: str = "distributed_mapreduce_in_docker_rpyc_spark", *, s
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/sg-warehouse"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert at load (sources/tables.py).

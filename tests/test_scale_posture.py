@@ -1,0 +1,78 @@
+"""Scale-posture tests: bucketed co-located joins and task-retry fault
+tolerance (SURVEY.md §5 — one smoke test with an injected failing task;
+Spark's own guarantees do the rest)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import textwrap
+import uuid
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Pre-bucketing both fact tables on the join key makes the join
+    shuffle-free — the 100 TB answer to repeated fact-fact joins. Assert the
+    physical plan contains no Exchange (vs 2 for the plain join)."""
+    suffix = uuid.uuid4().hex[:8]
+    li, o = f"li_b_{suffix}", f"o_b_{suffix}"
+    load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable(li)
+    load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(o)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Disable broadcast so the planner must choose between shuffling and
+        # the bucket layout — with both sides bucketed on the key it picks a
+        # shuffle-free sort-merge join.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(li).join(
+            spark.table(o), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {li}")
+        spark.sql(f"DROP TABLE IF EXISTS {o}")
+
+
+def test_task_retry_recovers_injected_failure():
+    """A task that fails on its first attempt must be retried and succeed
+    (reference semantics: timeout + reassignment, reference
+    coordinator/coordinator.py:162-185 → spark.task.maxFailures). Needs a
+    retry-enabled master (local[2,2]), so it runs in its own JVM."""
+    script = textwrap.dedent(
+        """
+        from pyspark.sql import SparkSession
+        from pyspark import TaskContext
+
+        spark = (
+            SparkSession.builder.master("local[2,2]")
+            .appName("retry-smoke").config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+
+        def flaky(it):
+            tc = TaskContext.get()
+            if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+                raise RuntimeError("injected failure, first attempt")
+            return it
+
+        total = spark.sparkContext.parallelize(range(1000), 4).mapPartitions(flaky).sum()
+        assert total == 499500, total
+        print("RETRY_OK")
+        spark.stop()
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert "RETRY_OK" in out.stdout, out.stderr[-2000:]
