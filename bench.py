@@ -31,10 +31,14 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q18_large_volume_customers",
     "window_running_sum",
+    "q9_product_type_profit",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "asof_purchase_click",
     "events_sessionize",
+    "stream_tumbling_hourly",
     "text_stats",
 ]
 
