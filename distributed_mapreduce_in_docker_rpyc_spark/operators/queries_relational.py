@@ -980,3 +980,69 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
         )
     )
+
+
+@register(
+    "window_analytics",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile,
+           first_value(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function family over one totally-ordered window (ties broken
+    by key so percent_rank/ntile/first_value are deterministic): all four
+    share a single shuffle+sort on o_orderstatus."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+@register(
+    "grouped_zscore_pandas",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS zscore
+    FROM events
+    """,
+)
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-pluggable grouped transform via applyInPandas — the general
+    map/reduce UDF surface the reference only gestures at (SURVEY.md §2.2):
+    per-user z-score of event values, Arrow-batched, one shuffle on user_id.
+    pandas mean/std(ddof=1) reproduce AVG/stddev_samp; hash-checked against
+    the SQL window formulation."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": ((v - v.mean()) / v.std(ddof=1)).round(6),
+            }
+        )
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, zscore double")
+    )

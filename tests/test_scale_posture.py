@@ -76,3 +76,21 @@ def test_task_retry_recovers_injected_failure():
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
     )
     assert "RETRY_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
+    """Partition layout must reach the read plan: filtering on the partition
+    column shows PartitionFilters and scans only matching directories."""
+    from distributed_mapreduce_in_docker_rpyc_spark.sources import sinks
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    sinks.write_partitioned(ev, path, ["event_type"], sort_cols=["ts"])
+
+    back = sinks.read_table(spark, path)
+    assert back.count() == ev.count()
+
+    filtered = back.filter(F.col("event_type") == "purchase")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert filtered.count() == ev.filter(F.col("event_type") == "purchase").count()
