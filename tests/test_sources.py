@@ -1,0 +1,54 @@
+"""Source-format breadth: CSV and JSONL round-trips with explicit schemas
+(Spark gives these sources free — assert the engine's loaders keep values
+intact), plus sketch-aggregate sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+
+def _normalized(df):
+    return {
+        tuple(r)
+        for r in df.select("event_id", "user_id", "event_type", "value").collect()
+    }
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    path = str(tmp_path / "events_csv")
+    ev.write.option("header", True).option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(path)
+    back = (
+        spark.read.schema(ev.schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    assert _normalized(back) == _normalized(ev)
+    assert back.select(F.max("ts")).first()[0] == ev.select(F.max("ts")).first()[0]
+
+
+def test_jsonl_round_trip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    path = str(tmp_path / "events_jsonl")
+    ev.write.json(path)  # one JSON object per line — the JSONL contract
+    back = spark.read.schema(ev.schema).json(path)
+    assert _normalized(back) == _normalized(ev)
+    # nested JSON string column survives the trip
+    want = ev.select(F.sum(F.get_json_object("props", "$.k").cast("bigint"))).first()[0]
+    assert back.select(F.sum(F.get_json_object("props", "$.k").cast("bigint"))).first()[0] == want
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """HLL++ sketch (mergeable, constant memory — the 100 TB COUNT DISTINCT)
+    must land within its advertised relative error of the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.count_distinct("l_orderkey")).first()[0]
+    approx = li.select(F.approx_count_distinct("l_orderkey", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact <= 0.05
