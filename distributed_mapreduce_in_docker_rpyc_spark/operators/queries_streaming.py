@@ -93,3 +93,39 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality is asserted in tests/test_streaming.py instead."""
     table = _run(jobs.session_windows(jobs.events_stream(spark, sf_dir)))
     return spark.table(table)
+
+
+@register(
+    "stream_static_join_segments",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM({_VALUE_DEC}) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join executed incrementally: events stream enriched
+    with the customer dim (broadcast per micro-batch), aggregated by market
+    segment — result must equal the batch join."""
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    table = _run(jobs.enriched_counts(jobs.events_stream(spark, sf_dir), dim))
+    return spark.table(table)
+
+
+@register(
+    "stream_dedup_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup: the emitted set of (user_id, event_type)
+    pairs must equal batch DISTINCT."""
+    table = _run(
+        jobs.distinct_user_event_pairs(jobs.events_stream(spark, sf_dir)),
+        output_mode="append",
+        checkpoint=True,
+    )
+    return spark.table(table)

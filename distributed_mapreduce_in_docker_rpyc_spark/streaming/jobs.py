@@ -152,3 +152,36 @@ def run_to_memory(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     writer.start().awaitTermination()
+
+
+def enriched_counts(stream: DataFrame, dim: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension table
+    (broadcast — the static side is planned per micro-batch, no stream-side
+    state), then windowless keyed aggregation per segment.
+
+    At 100 TB the static side is the slowly-changing dim refreshed per
+    batch; stream-stream joins (both sides watermarked + state-store
+    buffered) are the escalation path when the dim itself is a stream."""
+    joined = stream.withWatermark("ts", watermark).join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+    )
+
+
+def distinct_user_event_pairs(stream: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming deduplication: emit each (user_id, event_type) pair once.
+
+    ``dropDuplicates`` keeps per-key state; with a watermark the state is
+    evicted once no earlier duplicate can arrive — the bounded-state form of
+    exact dedup for infinite streams. The emitted SET is deterministic
+    (which physical row represented it is not, so only key columns are
+    projected)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
