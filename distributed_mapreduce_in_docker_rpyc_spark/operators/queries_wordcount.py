@@ -67,3 +67,41 @@ def wordcount_rdd_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the DataFrame path, so the driver hash-checks the reference-paradigm
     surface too."""
     return wc.word_counts_rdd(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "inverted_index_stats",
+    oracle="""
+    SELECT word,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SECOND job on the generic map/reduce core (core/mapreduce.py),
+    proving the user-pluggable surface beyond word count: map emits
+    (word, {doc_id}), reduce is set-union — the classic inverted index.
+    Stats (posting-list size + smallest doc) are emitted rather than the
+    lists so the oracle can hash-match.
+
+    Scale note: set-union values grow with posting-list size; at 100 TB the
+    DataFrame groupBy(count_distinct) form (no per-key materialized set) is
+    preferred — this query exists to exercise the paradigm surface."""
+    from distributed_mapreduce_in_docker_rpyc_spark.core.mapreduce import run_mapreduce
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.text import tokenize_line
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rdd = docs.rdd.map(lambda r: (r[0], r[1]))
+
+    def map_fn(row):
+        doc_id, text = row
+        return ((w, {doc_id}) for w in set(tokenize_line(text or "")))
+
+    postings = run_mapreduce(rdd, map_fn, lambda a, b: a | b)
+    stats = postings.map(lambda kv: (kv[0], len(kv[1]), min(kv[1])))
+    return spark.createDataFrame(stats, "word string, n_docs long, first_doc long")
