@@ -1225,3 +1225,84 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(arm("Brand#1", 1, 10, 1, 20) | arm("Brand#2", 5, 20, 10, 30) | arm("Brand#3", 10, 40, 20, 50))
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        )
+        GROUP BY l.l_suppkey
+        HAVING SUM(l.l_quantity) > 100
+    )
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a nested semi-join chain (suppliers who moved >100
+    units of red parts) — inner IN becomes a broadcast semi join, the HAVING
+    set feeds an outer semi join."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    movers = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT l1.l_suppkey, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+    )
+    GROUP BY l1.l_suppkey
+    """,
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same fact
+    (multi-supplier orders where this supplier shipped last), decorrelated
+    into per-order aggregates joined back — one pass over lineitem computes
+    both existence tests."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    # Per (order, supplier): my latest shipdate. Per order: #suppliers, max shipdate,
+    # #suppliers attaining the max — enough to decide both EXISTS clauses.
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("my_last"))
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.max("my_last").alias("order_last"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .join(per_o, "l_orderkey")
+        .filter(F.col("n_supp") > 1)  # EXISTS: another supplier on the order
+        .groupBy("l_orderkey", "l_suppkey", "order_last", "n_supp")
+        .agg(F.max("l_shipdate").alias("my_last"))
+        # NOT EXISTS: nobody else shipped after me == I attain the order max.
+        # (If another supplier ties at the max, neither has a later shipment,
+        # so both pass — same as the SQL.)
+        .filter(F.col("my_last") == F.col("order_last"))
+        .groupBy("l_suppkey")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )
