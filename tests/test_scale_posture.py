@@ -94,3 +94,25 @@ def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert filtered.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_plan_regression_guard(spark):
+    """Physical-plan contract for the headline join queries at sf0.001:
+    every dim join broadcasts (no sort-merge join anywhere), filters are
+    pushed to the parquet scans, and scans read only referenced columns.
+    Catches silent plan regressions (e.g. a lost broadcast hint or a filter
+    that stopped folding) that correctness tests cannot see."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for name in ["q3_shipping_priority", "q5_local_supplier_volume", "q7_volume_shipping", "q8_market_share"]:
+        plan = QUERIES[name](spark, sf)._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" not in plan, f"{name}: unexpected SortMergeJoin"
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "PushedFilters: [" in plan, f"{name}: no pushed filters"
+        # lineitem scans must be pruned: never read all 11 columns
+        for line in plan.splitlines():
+            if "ReadSchema" in line and "l_orderkey" in line:
+                assert line.count(",") < 8, f"{name}: lineitem scan not pruned: {line}"
