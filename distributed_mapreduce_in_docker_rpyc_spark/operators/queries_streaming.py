@@ -129,3 +129,27 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=True,
     )
     return spark.table(table)
+
+
+@register(
+    "stream_stream_join_attribution",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+    """,
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within 30
+    minutes), both sides watermarked and state-store buffered, executed
+    incrementally — hash-checked against the batch range join."""
+    stream = jobs.events_stream(spark, sf_dir)
+    table = _run(
+        jobs.click_purchase_stream_join(stream),
+        output_mode="append",
+        checkpoint=True,
+    )
+    return spark.table(table)

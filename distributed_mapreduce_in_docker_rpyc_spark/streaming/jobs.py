@@ -185,3 +185,42 @@ def distinct_user_event_pairs(stream: DataFrame, watermark: str = DEFAULT_WATERM
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def click_purchase_stream_join(
+    stream: DataFrame, window: str = "30 minutes", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same user's
+    clicks from the preceding ``window``.
+
+    Both sides are watermarked so the state store can evict buffered rows
+    once no counterpart can arrive: clicks are held for at most
+    watermark + window, purchases for watermark. The time-bound predicate is
+    REQUIRED — an unbounded stream-stream equi-join would buffer forever.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}")),
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id", "purchase_ts", "click_ts"
+    )
