@@ -1306,3 +1306,67 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH min_price AS (
+        SELECT l_partkey, MIN(l_extendedprice) AS min_ep
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, s.s_suppkey, s.s_name, l.l_extendedprice AS best_price
+    FROM lineitem l
+    JOIN min_price m ON m.l_partkey = l.l_partkey AND l.l_extendedprice = m.min_ep
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery (the supplier offering each
+    part's lowest price), decorrelated into aggregate-then-rejoin. Ties keep
+    every attaining supplier — same as the SQL."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = _t(spark, sf_dir, "supplier")
+    m = li.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("min_ep")
+    )
+    return (
+        li.join(
+            m,
+            (li.l_partkey == F.col("m_partkey")) & (li.l_extendedprice == F.col("min_ep")),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("l_partkey", "s_suppkey", "s_name", F.col("l_extendedprice").alias("best_price"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN revenue r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a derived revenue view filtered to its own maximum
+    (scalar subquery over the same aggregate). The max is one collected
+    scalar, not a per-row recomputation."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1996-01-01")
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(money(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev")).first()[0]
+    return (
+        rev.filter(F.col("total_rev") == top)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
