@@ -116,3 +116,36 @@ def test_plan_regression_guard(spark):
         for line in plan.splitlines():
             if "ReadSchema" in line and "l_orderkey" in line:
                 assert line.count(",") < 8, f"{name}: lineitem scan not pruned: {line}"
+
+
+def test_small_file_compaction(spark, sf_dir, tmp_path):
+    """The small-files problem and its fix: a 64-way fragmented write is
+    compacted to a handful of right-sized files with identical contents —
+    the maintenance job every 100 TB table needs."""
+    import glob
+
+    ev = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
+
+    compact = str(tmp_path / "compacted")
+    spark.read.parquet(frag).coalesce(2).write.parquet(compact)
+    assert len(glob.glob(f"{compact}/part-*.parquet")) == 2
+    a = spark.read.parquet(frag).groupBy("event_type").count()
+    b = spark.read.parquet(compact).groupBy("event_type").count()
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Additive schema evolution: an old-schema partition and a new-schema
+    partition read together with mergeSchema; missing columns are null, not
+    errors."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(f"{path}/batch=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"]).write.parquet(
+        f"{path}/batch=2"
+    )
+    df = spark.read.option("mergeSchema", True).parquet(path)
+    rows = {(r["id"], r["name"], r["score"]) for r in df.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
