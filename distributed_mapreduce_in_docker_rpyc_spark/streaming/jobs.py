@@ -224,3 +224,88 @@ def click_purchase_stream_join(
     ).select(
         F.col("p_user").alias("user_id"), "purchase_id", "click_id", "purchase_ts", "click_ts"
     )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t_start", StringType()),
+        StructField("t_end", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+# state: (session_start_us, session_last_us, n_events)
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _us(ts) -> int:
+    return int(ts.value // 1000) if hasattr(ts, "value") else int(ts)
+
+
+def _fmt(us: int) -> str:
+    return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionizer with explicit state + event-time timeout.
+
+    Within a batch: sort this user's events, split on >30-min gaps, emit
+    every CLOSED session immediately, keep the trailing open session in
+    state. The event-time timeout fires when the watermark passes
+    last_event + gap — i.e. the open session is provably closed — and emits
+    it from the timeout branch. This is the operator Spark's built-in
+    session_window implements natively; spelled out here as the template for
+    semantics session_window can't express (per-session caps, early
+    emission, custom merge rules)."""
+    out = []
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        out.append((key[0], _fmt(start_us), _fmt(last_us), n))
+        state.remove()
+    else:
+        times: list[int] = []
+        for pdf in pdfs:
+            times.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
+        times.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        elif times:
+            start_us, last_us, n = times[0], times[0], 0
+        else:
+            return
+        for t in times:
+            if t - last_us > SESSION_GAP_US:
+                out.append((key[0], _fmt(start_us), _fmt(last_us), n))
+                start_us, n = t, 0
+            last_us = max(last_us, t)
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_US // 1000)
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "t_start", "t_end", "n_events"])
+
+
+def stateful_sessionize(stream: DataFrame, watermark: str = "1 seconds") -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState with
+    EventTimeTimeout. Emits each session once, when it provably closed."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            SESSION_OUTPUT,
+            SESSION_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

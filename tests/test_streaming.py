@@ -101,3 +101,37 @@ def test_watermark_append_emits_only_finalized_windows(spark, sf_dir, tmp_path):
 def test_streaming_plans_are_stateful_streaming(spark, sf_dir, name):
     agg = getattr(jobs, name)(jobs.events_stream(spark, sf_dir))
     assert agg.isStreaming
+
+
+def test_stateful_sessionize_emits_closed_sessions(spark, sf_dir, tmp_path):
+    """Every session the custom stateful operator emits must appear in the
+    batch sessionization with identical bounds and size; only each user's
+    trailing (possibly-unclosed at stream end) session may be withheld."""
+    jobs.run_to_memory(
+        jobs.stateful_sessionize(jobs.events_stream(spark, sf_dir)),
+        "t_stateful_sessions",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt-sess"),
+    )
+    got = {
+        (r["user_id"], r["t_start"], r["t_end"], r["n_events"])
+        for r in spark.table("t_stateful_sessions").collect()
+    }
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_events import events_sessionize
+
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    batch = {
+        (r["user_id"], r["s"], r["e"], r["n_events"])
+        for r in events_sessionize(spark, sf_dir)
+        .select(
+            "user_id",
+            F.date_format("t_start", fmt).alias("s"),
+            F.date_format("t_end", fmt).alias("e"),
+            "n_events",
+        )
+        .collect()
+    }
+    n_users = len({u for (u, *_rest) in batch})
+    assert got <= batch
+    assert len(got) >= len(batch) - n_users
+    assert got, "at least the early-closing sessions must be emitted"
