@@ -87,3 +87,16 @@ def test_read_lines_split_conf(spark, tmp_path):
     assert df.rdd.getNumPartitions() > 1
     assert df.count() == 2000  # newline-terminated lines; no trailing empty record
     spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+
+
+def test_ziptext_datasource_matches_mapinpandas_path(spark, sample_zip):
+    """The format('ziptext') Python DataSource must produce exactly the rows
+    of the binaryFile+mapInPandas path, one partition per archive."""
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.zip_datasource import register_ziptext
+
+    register_ziptext(spark)
+    ds = spark.read.format("ziptext").load(sample_zip)
+    via_ds = {(r.member, r.value) for r in ds.collect()}
+    via_mp = {(r.member, r.value) for r in ingest.zip_lines(spark, sample_zip).collect()}
+    assert via_ds == via_mp and via_ds
+    assert ds.rdd.getNumPartitions() == 1  # one task per (non-splittable) archive
