@@ -9,6 +9,7 @@ tests (sinks aren't oracle-comparable).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from distributed_mapreduce_in_docker_rpyc_spark.operators import wordcount as wc
 from distributed_mapreduce_in_docker_rpyc_spark.registry import register
@@ -105,3 +106,43 @@ def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = run_mapreduce(rdd, map_fn, lambda a, b: a | b)
     stats = postings.map(lambda kv: (kv[0], len(kv[1]), min(kv[1])))
     return spark.createDataFrame(stats, "word string, n_docs long, first_doc long")
+
+
+@register(
+    "ingest_zip_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents WHERE doc_id < 50
+    )
+    GROUP BY word
+    """,
+)
+def ingest_zip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-1..4 end-to-end under the oracle: stage the first 50 documents as a
+    ZIP archive, run the full ingestion pipeline (URL fetch → all-members
+    extract → lossy UTF-8 transcode → line scan), count words — the result
+    must equal SQL word counts computed directly from the source table.
+    Driver-side staging mirrors the reference's edge-loader role
+    (reference coordinator/coordinator.py:17-55); at 100 TB the archives are
+    pre-staged in object storage and only the scan distributes."""
+    import os
+    import tempfile
+    import zipfile
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.wordcount import word_counts
+    from distributed_mapreduce_in_docker_rpyc_spark.sources import ingest
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="sg-ingest-")
+    zpath = os.path.join(tmp, "corpus.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for r in sorted(docs, key=lambda r: r.doc_id):
+            zf.writestr(f"doc-{r.doc_id:05d}.txt", r.text)
+    lines = ingest.ingest(spark, f"file://{zpath}", os.path.join(tmp, "staging"))
+    return word_counts(lines, "value")

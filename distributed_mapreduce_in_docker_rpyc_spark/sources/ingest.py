@@ -156,14 +156,16 @@ def text_lines_lossy(spark: SparkSession, path: str) -> DataFrame:
     return binary.mapInPandas(decode_files, "value string")
 
 
-def read_lines(spark: SparkSession, path: str, split_bytes: int = SPLIT_BYTES) -> DataFrame:
-    """OP-4: clean-input text scan with reference-parity 32 MB line-aligned
-    splits.  Hadoop TextInputFormat gives line alignment for free; only the
-    split size is a knob (reference coordinator/coordinator.py:57).  The knob
-    is a session conf (like the reference's single global ``target_bytes``),
-    so it applies to scans planned after this call.
+def read_lines(spark: SparkSession, path: str, split_bytes: int | None = None) -> DataFrame:
+    """OP-4: clean-input text scan; Hadoop TextInputFormat gives line-aligned
+    splits for free, only the split size is a knob (reference-parity 32 MB:
+    pass ``split_bytes=SPLIT_BYTES``, reference coordinator/coordinator.py:57).
+    The knob is a session conf (like the reference's single global
+    ``target_bytes``) and is only touched when explicitly requested, since it
+    affects every scan planned afterwards.
     """
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
+    if split_bytes is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
     return spark.read.text(path)
 
 
