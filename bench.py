@@ -32,6 +32,7 @@ HEADLINE = [
     "q18_large_volume_customers",
     "window_running_sum",
     "q9_product_type_profit",
+    "q21_waiting_orders",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
