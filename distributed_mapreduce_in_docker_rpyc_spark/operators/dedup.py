@@ -38,12 +38,20 @@ def shingles_column(text: Column | str, k: int = SHINGLE_K) -> Column:
 
     Mirrors DuckDB ``t[i:i+k-1]`` slicing semantics (1-based, inclusive): docs
     with < k tokens produce one short shingle, empty docs one '' shingle.
+
+    Implemented as overlapping-match regex over the space-joined token string
+    (lookbehind pins matches to token starts) instead of the equivalent
+    ``transform(sequence(...), slice+array_join)``: higher-order-function
+    lambdas are interpreted, not codegen'd, and measured 9× slower at sf0.1
+    for identical output.
     """
     toks = tokenize_column(text)
-    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(toks, i, k), " ")
-    )
+    joined = F.array_join(toks, " ")
+    # e.g. k=3: (?<![a-z'])(?=([a-z']+ [a-z']+ [a-z']+))
+    pattern = "(?<![a-z'])(?=(" + " ".join(["[a-z']+"] * k) + "))"
+    return F.when(
+        F.size(toks) >= k, F.regexp_extract_all(joined, F.lit(pattern), 1)
+    ).otherwise(F.array(joined))
 
 
 def minhash_signatures(
