@@ -165,3 +165,76 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(toks, " ")).alias("stream_fp"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bag_fp"),
     )
+
+
+@register(
+    "text_bigram_freq",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT t[i] || ' ' || t[i + 1] AS bigram
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY bigram
+    HAVING COUNT(*) >= 10
+    """,
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (≥10 occurrences): the n-gram LM statistics
+    pass of a training pipeline. Same overlapping-regex construction as the
+    dedup shingles — per-row, codegen'd, one shuffle on the bigram."""
+    toks = tokenize_column("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.regexp_extract_all(
+            F.array_join(toks, " "), F.lit(r"(?<![a-z'])(?=([a-z']+ [a-z']+))"), 1
+        ),
+    ).otherwise(F.array())
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(
+               0.4 * least(len(regexp_extract_all(lower(text), '[a-z'']+')) / 50.0, 1.0)
+             + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s'']', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1))
+             + 0.3 * least(4.0 * CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                                                       t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                                 / greatest(len(regexp_extract_all(lower(text), '[a-z'']+')), 1), 1.0),
+           6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score in [0,1]: length saturation (40%),
+    low punctuation density (30%), stopword-rate naturalness (30%) — the
+    filter-threshold input of a corpus-cleaning pipeline, all JVM-side."""
+    toks = tokenize_column("text")
+    n_words = F.size(toks)
+    length_part = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    punct_ratio = (
+        (F.length("text") - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s']", ""))).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    stop_rate = (
+        F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP))).cast("double")
+        / F.greatest(n_words, F.lit(1))
+    )
+    quality = F.round(
+        0.4 * length_part + 0.3 * (F.lit(1.0) - punct_ratio) + 0.3 * F.least(4.0 * stop_rate, F.lit(1.0)),
+        6,
+    )
+    return load_table(spark, sf_dir, "documents").select("doc_id", quality.alias("quality"))

@@ -146,3 +146,40 @@ def ingest_zip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
             zf.writestr(f"doc-{r.doc_id:05d}.txt", r.text)
     lines = ingest.ingest(spark, f"file://{zpath}", os.path.join(tmp, "staging"))
     return word_counts(lines, "value")
+
+
+@register(
+    "ziptext_datasource_scan",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents WHERE doc_id < 50
+    )
+    GROUP BY word
+    """,
+)
+def ziptext_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ingestion contract through the format('ziptext') Python
+    DataSource (sources/zip_datasource.py): stage 50 documents as a ZIP,
+    scan it as a first-class source, count words against the SQL oracle."""
+    import os
+    import tempfile
+    import zipfile
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.wordcount import word_counts
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.zip_datasource import register_ziptext
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="sg-ziptext-")
+    zpath = os.path.join(tmp, "corpus.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for r in sorted(docs, key=lambda r: r.doc_id):
+            zf.writestr(f"doc-{r.doc_id:05d}.txt", r.text)
+    register_ziptext(spark)
+    lines = spark.read.format("ziptext").load(zpath)
+    return word_counts(lines, "value")
