@@ -143,3 +143,61 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@register(
+    "window_range_frame_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+)
+def window_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: events in the trailing hour per user. Spark's
+    range frame needs a numeric ordering key — microseconds-since-epoch
+    keeps the boundary semantics exact (a seconds cast would merge
+    sub-second neighbors and disagree with the oracle's interval frame)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.count("*").over(w).alias("n_last_hour")
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    GROUP BY f.cohort_day, date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, distinct
+    actives per day offset — two shuffles (first-seen agg on user, final agg
+    on cohort/offset), the self-join broadcasts the per-user cohort map."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
