@@ -127,3 +127,46 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle (Python-side BLAS); tests assert it returns the same
     neighbor sets as the expression path, and the driver records rows-only."""
     return sim.topk_numpy(load_table(spark, sf_dir, "embeddings"), query_ids_below=5, k=10)
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    WITH per_dim AS (
+        SELECT label, g.i AS d,
+               ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 6) AS c
+        FROM embeddings, generate_series(1, 64) g(i)
+        GROUP BY label, g.i
+    )
+    SELECT label,
+           array_agg(c ORDER BY d) AS centroid,
+           (SELECT COUNT(*) FROM embeddings e WHERE e.label = per_dim.label) AS n_vectors
+    FROM per_dim
+    GROUP BY label
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: the mean embedding (centroid) per class label —
+    the class-profile step of embedding-space analysis. Relational shape
+    (explode dims → avg per (label, dim) → reassemble ordered array): two
+    shuffles on uniform keys, array order pinned by the dim index, values
+    rounded to 6 on both engines so the float sum order is immaterial."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("d0", "x"))
+        .groupBy("label", (F.col("d0") + 1).alias("d"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        .join(F.broadcast(counts), "label")
+        .select("label", "centroid", "n_vectors")
+    )
