@@ -238,3 +238,48 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return load_table(spark, sf_dir, "documents").select("doc_id", quality.alias("quality"))
+
+
+@register(
+    "text_langid_confusion",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'), t -> t IN ('der','die','das','und','ist'))) AS s_de,
+               len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'), t -> t IN ('the','and','of','to','a'))) AS s_en,
+               len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'), t -> t IN ('el','la','de','y','que'))) AS s_es,
+               len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'), t -> t IN ('le','les','et','des','un'))) AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang AS actual_lang,
+               CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+        FROM s
+    )
+    SELECT actual_lang, predicted_lang, COUNT(*) AS n
+    FROM pred GROUP BY actual_lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation shape: confusion matrix of the language-ID
+    heuristic against the fixture's ground-truth lang column — the quality
+    gate a corpus pipeline runs before trusting a filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    s = _lang_scores_spark(toks)
+    pred = (
+        F.when((s["de"] == 0) & (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0), "und")
+        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        docs.select(F.col("lang").alias("actual_lang"), pred.alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
