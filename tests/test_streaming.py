@@ -135,3 +135,39 @@ def test_stateful_sessionize_emits_closed_sessions(spark, sf_dir, tmp_path):
     assert got <= batch
     assert len(got) >= len(batch) - n_users
     assert got, "at least the early-closing sessions must be emitted"
+
+
+def test_checkpoint_recovery_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Exactly-once file-source semantics across restarts: a second run of
+    the same query from the same checkpoint must process only files added
+    since the first run — no reprocessing, no duplicates."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    n_total = ev.count()
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt-recovery")
+
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    rest = ev.filter(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.parquet(f"{src}/a")
+
+    def run_once():
+        (
+            spark.readStream.schema(ev.schema)
+            .parquet(f"{src}/*")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    assert spark.read.parquet(out).count() == half.count()
+
+    rest.coalesce(1).write.parquet(f"{src}/b")
+    run_once()
+    result = spark.read.parquet(out)
+    assert result.count() == n_total  # second run appended ONLY file b
+    assert result.select("event_id").distinct().count() == n_total  # no dupes
