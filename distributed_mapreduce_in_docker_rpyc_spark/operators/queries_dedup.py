@@ -9,6 +9,7 @@ operators.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from distributed_mapreduce_in_docker_rpyc_spark.operators import dedup as dd
 from distributed_mapreduce_in_docker_rpyc_spark.registry import register
@@ -251,3 +252,32 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("hamming", ham.cast("bigint")).filter(
         F.col("hamming") <= 14
     ).select("doc_a", "doc_b", "hamming")
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT d.*,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM documents d
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization form of exact dedup: return the surviving ROWS
+    (smallest doc_id per content hash), i.e. the cleaned corpus a pipeline
+    writes back out — vs dedup_exact's per-hash summary. One shuffle on the
+    uniform content hash; the text column is dropped before the window so
+    only (hash, metadata) moves."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -149,3 +149,23 @@ def test_schema_evolution_merge(spark, tmp_path):
     df = spark.read.option("mergeSchema", True).parquet(path)
     rows = {(r["id"], r["name"], r["score"]) for r in df.collect()}
     assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_extended_operator_plan_guard(spark):
+    """Shape contracts for the custom operators: the as-of join and binned
+    interval join must never plan a nested-loop/cartesian join (that is the
+    naive formulation they exist to avoid), and the as-of join needs no
+    join operator at all (union + window)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    for name in ["asof_purchase_click", "interval_join_error_window", "dedup_minhash_lsh"]:
+        plan = QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    asof_plan = (
+        QUERIES["asof_purchase_click"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in asof_plan  # union-and-carry: window, not a join
+    assert "Window" in asof_plan and "Union" in asof_plan
