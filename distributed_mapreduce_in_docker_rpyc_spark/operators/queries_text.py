@@ -283,3 +283,66 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual_lang", "predicted_lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "corpus_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        FROM documents
+    )
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split: bucket = first 8 hex
+    chars of md5(doc_id) mod 100 — engine-portable (no RNG state), stable
+    under reshuffling/re-partitioning, and joinable from any table that
+    carries doc_id. The split every training pipeline must be able to
+    recompute bit-identically."""
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle="""
+    WITH stats AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, total_chars,
+           ROUND(CAST(total_chars AS DOUBLE) / (SELECT SUM(total_chars) FROM stats), 6) AS natural_share,
+           ROUND(least(1.0, (0.05 * (SELECT SUM(total_chars) FROM stats))
+                            / CAST(total_chars AS DOUBLE)), 6) AS sample_fraction
+    FROM stats
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing plan: per-source character inventory, natural share,
+    and the sampling fraction that caps every source at 5% of the corpus —
+    the rebalancing computation before building a training mixture. Pure
+    aggregation + a broadcast scalar; sampling itself composes with
+    corpus_split's hash buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    total = stats.agg(F.sum("total_chars")).first()[0]
+    return stats.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("total_chars").cast("double") / F.lit(float(total)), 6).alias("natural_share"),
+        F.round(
+            F.least(F.lit(1.0), F.lit(0.05 * float(total)) / F.col("total_chars").cast("double")), 6
+        ).alias("sample_fraction"),
+    )
