@@ -257,3 +257,47 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
     )
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    scored AS (
+        SELECT h, n,
+               AVG(n) OVER w AS mu,
+               stddev_samp(n) OVER w AS sigma
+        FROM hourly
+        WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT h, n, ROUND((n - mu) / sigma, 6) AS zscore
+    FROM scored
+    WHERE sigma > 0 AND abs((n - mu) / sigma) > 2.0
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous traffic hours: z-score of each hour's event count against
+    the trailing 24 fully-closed hours (frame excludes the current row so
+    the anomaly does not contaminate its own baseline)."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("h").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "h",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter((F.col("sigma") > 0) & (F.abs(z) > 2.0))
+        .select("h", "n", F.round(z, 6).alias("zscore"))
+    )

@@ -346,3 +346,80 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), F.lit(0.05 * float(total)) / F.col("total_chars").cast("double")), 6
         ).alias("sample_fraction"),
     )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+    WITH stats AS (
+        SELECT source, SUM(n_chars) AS total_chars FROM documents GROUP BY source
+    ),
+    frac AS (
+        SELECT source,
+               least(1.0, (0.05 * (SELECT SUM(total_chars) FROM stats))
+                          / CAST(total_chars AS DOUBLE)) AS f
+        FROM stats
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN frac ON frac.source = d.source
+    WHERE CAST(('0x' || substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+          < CAST(frac.f * 1000000 AS BIGINT)
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture plan APPLIED: hash-bucket sampling at each source's
+    capped fraction (ppm resolution). Deterministic — rerunning yields the
+    same sample, and the hash is salted ('sample:') so it is independent of
+    the train/test split buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.sum("n_chars").alias("total_chars"))
+    total = stats.agg(F.sum("total_chars")).first()[0]
+    frac = stats.select(
+        "source",
+        F.least(
+            F.lit(1.0), F.lit(0.05 * float(total)) / F.col("total_chars").cast("double")
+        ).alias("f"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % 1000000
+    return (
+        docs.join(F.broadcast(frac), "source")
+        .filter(bucket < (F.col("f") * 1000000).cast("bigint"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "corpus_packing_plan",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z'']+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512
+                AS BIGINT) AS bin_id
+    FROM toks
+    """,
+)
+def corpus_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: assign documents (in stable doc_id order) to
+    ~512-token training bins by running token count — the packing step
+    before building fixed-length training sequences. One global window; at
+    100 TB partition by shard first and pack within shards."""
+    from pyspark.sql import Window
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize_column("text")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
