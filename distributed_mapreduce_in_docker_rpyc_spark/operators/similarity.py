@@ -118,25 +118,42 @@ def lsh_bucket_tables(
 
     Table t uses planes t·k … t·k+k-1 from the shared md5-derived family.
     Per-row expression math + one posexplode — no shuffle; at 100 TB this is
-    one scan emitting L small rows per vector."""
+    one scan emitting L small rows per vector.
+
+    Physical shape (both measured at sf0.1): plane signs are plan-time
+    literals folded into ±vec[i] terms (indexing a rebuilt array literal per
+    term is 10× slower), and the L·k·dim-term dot computation is split into
+    CHUNK-term partial-sum columns materialized behind a persist barrier —
+    one monolithic projection exceeds the JVM's JIT method limit and runs as
+    interpreted bytecode (~60× slower); the barrier is required because
+    Catalyst's CollapseProject would otherwise merge the stages back."""
+    CHUNK = 16
     vec = F.col(vec_col)
+    dim = len(hyperplane(0))
+    n_planes = n_tables * planes_per_table
+    chunk_cols = []
+    for p in range(n_planes):
+        signs = hyperplane(p)
+        for c in range(0, dim, CHUNK):
+            expr = None
+            for i in range(c, min(c + CHUNK, dim)):
+                term = vec[i].cast("double") if signs[i] > 0 else -vec[i].cast("double")
+                expr = term if expr is None else expr + term
+            chunk_cols.append(expr.alias(f"_p{p}_c{c}"))
+    stage1 = emb.select(F.col(id_col), *chunk_cols).persist()
     per_table = []
     for t in range(n_tables):
         bits = []
         for j in range(planes_per_table):
-            # Plane signs are plan-time literals: fold them into ±vec[i]
-            # terms directly. (Building an array literal and indexing it per
-            # term re-creates the 64-literal array for every element —
-            # measured 10× slower; and ±1.0 * x == ±x exactly in IEEE.)
-            signs = hyperplane(t * planes_per_table + j)
+            p = t * planes_per_table + j
             dot = None
-            for i, s in enumerate(signs):
-                term = vec[i].cast("double") if s > 0 else -vec[i].cast("double")
-                dot = term if dot is None else dot + term
+            for c in range(0, dim, CHUNK):
+                col = F.col(f"_p{p}_c{c}")
+                dot = col if dot is None else dot + col
             bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
         per_table.append(F.concat(*bits))
-    return emb.select(
-        F.col(id_col), F.col(vec_col), F.posexplode(F.array(*per_table)).alias("tbl", "bucket")
+    return stage1.select(
+        F.col(id_col), F.posexplode(F.array(*per_table)).alias("tbl", "bucket")
     )
 
 
