@@ -1370,3 +1370,97 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
     )
+
+
+@register(
+    "orders_monthly_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT m, revenue,
+           ROUND(revenue / LAG(revenue) OVER (ORDER BY m) - 1.0, 6) AS mom_growth
+    FROM monthly
+    """,
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup + lag ratio (null for
+    the first month — no synthetic zero)."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("m"))
+        .agg(money_sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("m")
+    return monthly.select(
+        "m",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1.0, 6).alias("mom_growth"),
+    )
+
+
+@register(
+    "supplier_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, revenue,
+           ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, l_suppkey ASC
+                                    ROWS UNBOUNDED PRECEDING)
+                 / (SELECT SUM(revenue) FROM rev), 6) AS cum_share
+    FROM rev
+    """,
+)
+def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: cumulative revenue share over suppliers ranked by
+    revenue (total order via the key tie-break) — the 80/20 concentration
+    readout. The global total is one collected scalar."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    total = rev.agg(F.sum("revenue")).first()[0]
+    w = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "l_suppkey",
+        "revenue",
+        F.round(F.sum("revenue").over(w) / F.lit(float(total)), 6).alias("cum_share"),
+    )
+
+
+@register(
+    "part_price_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi FROM part
+    )
+    SELECT CAST(least(floor((p_retailprice - lo) / ((hi - lo) / 10.0)), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(p_retailprice), 6) AS bucket_min,
+           ROUND(MAX(p_retailprice), 6) AS bucket_max
+    FROM part, bounds
+    GROUP BY 1
+    """,
+)
+def part_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bucket price histogram: bounds are one collected scalar
+    pair, bucketing is per-row math, one aggregation — the distribution
+    profile a data-quality report runs per numeric column."""
+    part = _t(spark, sf_dir, "part")
+    lo, hi = part.agg(F.min("p_retailprice"), F.max("p_retailprice")).first()
+    width = (hi - lo) / 10.0
+    bucket = F.least(F.floor((F.col("p_retailprice") - lo) / width), F.lit(9)).cast("bigint")
+    return part.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("p_retailprice"), 6).alias("bucket_min"),
+        F.round(F.max("p_retailprice"), 6).alias("bucket_max"),
+    )
