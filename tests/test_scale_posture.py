@@ -169,3 +169,13 @@ def test_extended_operator_plan_guard(spark):
     )
     assert "Join" not in asof_plan  # union-and-carry: window, not a join
     assert "Window" in asof_plan and "Union" in asof_plan
+
+
+def test_bench_headline_names_exist():
+    """bench.py must never reference a renamed/removed query."""
+    import bench
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing

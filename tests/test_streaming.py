@@ -171,3 +171,32 @@ def test_checkpoint_recovery_processes_only_new_files(spark, sf_dir, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == n_total  # second run appended ONLY file b
     assert result.select("event_id").distinct().count() == n_total  # no dupes
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
+    """Custom-sink pattern: foreachBatch writing per-batch parquet keyed by
+    batchId — re-running a processed batch overwrites its own output instead
+    of duplicating it (the idempotence contract foreachBatch sinks need,
+    since a batch can be re-attempted after a crash)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ev.coalesce(1).write.parquet(f"{src}/a")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        # simulate a retry of the same batch: the overwrite keeps it idempotent
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    (
+        spark.readStream.schema(ev.schema)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt-feb"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
