@@ -1,5 +1,8 @@
 """Skew mitigation: salted joins and two-phase aggregation.
 
+The reference's MD5 hash partitioner (reference worker/worker.py:10-11)
+is the same placement-only trick: salting just adds a second key component.
+
 AQE's skew-join split (enabled in session.py) handles most skew at runtime
 by splitting oversized sort-merge partitions; salting is the explicit
 fallback for the cases AQE can't fix — a hot key inside ONE shuffle

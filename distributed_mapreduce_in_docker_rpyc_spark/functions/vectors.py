@@ -1,5 +1,8 @@
 """Vector math over ``array<float>`` columns, JVM-side.
 
+Extended scope (SURVEY.md §2.2: the reference's only types are str/int,
+SURVEY.md §1.2 - no arrays, no floats).
+
 For the fixed embedding width the dot/norm expressions are UNROLLED into
 plain arithmetic over ``a[i]*b[i]`` terms: higher-order functions
 (``zip_with``/``aggregate``) evaluate their lambdas interpreted — measured

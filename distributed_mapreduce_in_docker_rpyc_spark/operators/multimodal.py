@@ -1,5 +1,7 @@
 """Multimodal column pattern: opaque binary payloads + typed metadata.
 
+Extended scope (SURVEY.md §2.2: the reference processes UTF-8 text only).
+
 The engine treats image/audio/video as ``binary`` columns with a metadata
 struct, processed by Arrow-batched pandas iterators (``mapInPandas``) — the
 Spark-side plumbing (schema, batching, partitioning) is real and tested; the

@@ -1,5 +1,10 @@
 """Registered multimodal queries.
 
+Extended scope: the reference has no multimodal/binary handling at all
+(SURVEY.md §2.2 - its only payload is UTF-8 text, reference
+coordinator/coordinator.py:45-49); this family is the training-data-pipeline
+extension mandated by SURVEY.md §7 M4.
+
 ``multimodal_meta`` is oracle-checked (byte-level metadata is SQL-expressible);
 ``multimodal_decode_stub`` exercises the Arrow/mapInPandas decode plumbing and
 gets the driver's rows-only check (Python crc32 is not SQL-portable).

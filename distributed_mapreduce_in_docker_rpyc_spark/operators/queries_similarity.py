@@ -1,5 +1,8 @@
 """Registered similarity-search queries with DuckDB oracles.
 
+Extended scope: the reference has no vector/similarity operators
+(SURVEY.md §2.2); this family is the SURVEY.md §7 M4 extension.
+
 The oracle computes cosine with explicit double arithmetic
 (CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) so it performs the same IEEE ops as
 the Spark expression path; results are rounded to 6 places on both sides

@@ -1,5 +1,8 @@
 """Registered temporal-join queries (as-of + binned interval join).
 
+Extended scope: the reference has no joins of any kind (SURVEY.md §2.2
+"Joins: none"); these are the two join shapes every event workload needs.
+
 DuckDB's native ``ASOF JOIN`` is the oracle for the as-of operator; a plain
 range-predicate join oracles the binned interval join — so both scalable
 formulations are hash-checked against direct declarative semantics.

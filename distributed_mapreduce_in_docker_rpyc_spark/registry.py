@@ -1,5 +1,7 @@
 """Query registry — the bridge between operator modules and the driver
-contract (``__spark_entry__.py``).
+contract (``__spark_entry__.py``).  The reference has no query registry -
+its one job is hardcoded (SURVEY.md §3: 'there is no query language'); the
+registry is what makes the engine a queryable surface instead.
 
 Every implemented operator registers a named query callable
 ``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, a DuckDB oracle SQL

@@ -3,6 +3,8 @@
 Columnar Parquet scans are the engine's default source: Catalyst pushes filters
 (PushedFilters) and prunes columns (ReadSchema) into the scan, which at 100 TB
 is the difference between reading terabytes and reading gigabytes.
+The reference's only source is text files on a shared volume
+(reference coordinator/coordinator.py:17-55; SURVEY.md §2.2 'Scans').
 """
 
 from __future__ import annotations
