@@ -279,3 +279,54 @@ def simhash_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "do
             "",
         ).alias("simhash")
     )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label propagation connected components: ``(id, cluster)`` where
+    cluster = the smallest vertex id reachable through ``edges``
+    (undirected; pass each edge once as (src, dst)).
+
+    The iterative Pregel-style pattern Spark needs for graph operators the
+    relational algebra can't express in one pass: each round joins labels
+    across edges, takes the per-vertex min, and materializes via
+    ``localCheckpoint`` (truncating lineage — without it the plan doubles
+    every iteration and the driver OOMs planning round ~15). Converges in
+    O(graph diameter) rounds; near-dup graphs are unions of small cliques,
+    so 2-3 rounds in practice. Driver work per round is one scalar
+    convergence count.
+    """
+    both = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    labels = vertices.select(F.col(id_col), F.col(id_col).alias("cluster"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both.b == labels[id_col])
+            .groupBy(F.col("a").alias(id_col))
+            .agg(F.min("cluster").alias("neighbor_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, id_col, "left_outer")
+            .select(
+                id_col,
+                F.least(
+                    F.col("cluster"), F.coalesce("neighbor_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

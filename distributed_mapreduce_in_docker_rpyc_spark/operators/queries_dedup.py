@@ -281,3 +281,79 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=_SHINGLE_CTES.replace("WITH", "WITH RECURSIVE", 1)
+    + """,
+    mh AS (
+        SELECT shd.doc_id, g.seed,
+               MIN(md5(g.seed::VARCHAR || ':' || shd.shingle)) AS h
+        FROM shd, generate_series(0, 15) g(seed)
+        GROUP BY shd.doc_id, g.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(h, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shd GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shd x ON x.doc_id = c.doc_a
+        JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    near AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter) >= 0.5
+    ),
+    exact AS (
+        SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+        FROM documents d1 JOIN documents d2
+          ON sha256(d1.text) = sha256(d2.text) AND d1.doc_id < d2.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM near
+        UNION SELECT doc_b, doc_a FROM near
+        UNION SELECT doc_a, doc_b FROM exact
+        UNION SELECT doc_b, doc_a FROM exact
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the union of the
+    exact-duplicate graph and the LSH near-dup graph (Jaccard ≥ 0.5) —
+    cluster id = smallest reachable doc_id, singletons keep their own id.
+    This is the iterative (Pregel-style) operator relational algebra can't
+    do in one pass; the oracle reproduces it with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    shd = dd._distinct_shingles(docs, "text", "doc_id").persist()
+    cand = dd.minhash_lsh_candidates(docs, shingles=shd)
+    near = dd.jaccard_pairs(docs, candidates=cand, threshold=0.5, shingles=shd).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    hashed = docs.select("doc_id", F.sha2("text", 256).alias("h"))
+    exact = (
+        hashed.alias("d1")
+        .join(hashed.alias("d2"), (F.col("d1.h") == F.col("d2.h")) & (F.col("d1.doc_id") < F.col("d2.doc_id")))
+        .select(F.col("d1.doc_id").alias("src"), F.col("d2.doc_id").alias("dst"))
+    )
+    labels = dd.connected_components(docs, near.unionAll(exact).persist())
+    return labels.select("doc_id", F.col("cluster").alias("cluster_id"))

@@ -174,3 +174,15 @@ def test_sample_frames_short_payload_edge(spark):
     assert by_doc[1] == [0]  # < 16 bytes -> single frame 0
     # 40 bytes -> 2 frames, k capped to n_frames, evenly spaced, distinct
     assert by_doc[2] == [0, 1]
+
+
+def test_connected_components_semantics(spark):
+    """Chain, clique, and singleton all resolve to min-reachable-id labels;
+    chain length > 2 exercises multi-round propagation."""
+    vertices = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    #  chain 1-2-3-4, pair 5-6, singleton 7, self-contained 8
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6)], ["src", "dst"]
+    )
+    got = {r["doc_id"]: r["cluster"] for r in dd.connected_components(vertices, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
