@@ -1464,3 +1464,47 @@ def part_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("p_retailprice"), 6).alias("bucket_min"),
         F.round(F.max("p_retailprice"), 6).alias("bucket_max"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m
+        FROM rfm
+    )
+    SELECT r, f, m, COUNT(*) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for recency/frequency/monetary per
+    customer (key tie-breaks make ntile deterministic), rolled up to segment
+    sizes — three window passes over one small aggregate, then a tiny
+    regroup."""
+    rfm = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            money_sum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(F.count("*").alias("n_customers"))
