@@ -1,0 +1,90 @@
+"""Data-quality checks: the validation pass a pipeline runs before trusting
+a table (extended scope — the reference has no notion of data quality,
+SURVEY.md §2.2).
+
+Each report is ONE aggregate pass per table (conditional aggregation, no
+per-check scans) plus broadcast anti joins for referential checks — the
+shape that stays cheap at 100 TB because the scan cost is paid once no
+matter how many checks ride on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.registry import register
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+
+@register(
+    "dq_orders_report",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_distinct_keys,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_keys,
+           SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_prices,
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_dates,
+           MIN(o_orderdate) AS min_date,
+           MAX(o_orderdate) AS max_date,
+           SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status
+    FROM orders
+    """,
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass quality report over orders: key uniqueness/nullability,
+    value-domain checks, date bounds — 8 checks, one scan."""
+    o = load_table(spark, sf_dir, "orders")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_distinct_keys"),
+        flag(F.col("o_orderkey").isNull()).alias("null_keys"),
+        flag(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).alias("bad_prices"),
+        flag(F.col("o_orderdate").isNull()).alias("null_dates"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        flag(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan counts along the fact→dim chain, each as a
+    broadcast anti join (the dim side is always the broadcast-able one)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def orphans(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str, name: str) -> DataFrame:
+        return (
+            child.join(
+                F.broadcast(parent.select(parent_key)),
+                child[child_key] == parent[parent_key],
+                "left_anti",
+            )
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionAll(orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+    )

@@ -46,6 +46,7 @@ def load_all() -> None:
         "queries_text",
         "queries_events",
         "queries_temporal",
+        "queries_quality",
         "queries_streaming",
         "queries_multimodal",
     ):
