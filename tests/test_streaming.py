@@ -200,3 +200,69 @@ def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_stream_left_outer_interval_join(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: matched purchase→click pairs must
+    equal the batch range join; unmatched purchases emit with NULL click —
+    but only once the watermark proves no match can arrive, so the emitted
+    null set is a subset of the batch unmatched set, disjoint from matched."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    stage = str(tmp_path / "staged")
+    ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(f"{stage}/a")
+    ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(f"{stage}/b")
+
+    schema = spark.read.parquet(f"{stage}/a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/*")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+        "left_outer",
+    ).select("purchase_id", "click_id")
+    (
+        joined.writeStream.format("memory")
+        .queryName("t_lojoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-lo"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.table("t_lojoin").collect()
+    matched = {(r["purchase_id"], r["click_id"]) for r in got if r["click_id"] is not None}
+    nulls = {r["purchase_id"] for r in got if r["click_id"] is None}
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    batch_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(c, "user_id")
+        .filter((F.col("cts") <= F.col("pts")) & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes")))
+        .collect()
+    }
+    batch_matched_purchases = {pid for (pid, _) in batch_pairs}
+    assert matched == batch_pairs  # every possible match emits exactly once
+    assert nulls and nulls.isdisjoint(batch_matched_purchases)
