@@ -1,0 +1,67 @@
+"""Regenerate PLANS.md: formatted physical plans of representative queries,
+with the scale-relevant evidence (pushed filters, pruned schemas, broadcast
+joins, exchange counts) summarized per plan."""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from distributed_mapreduce_in_docker_rpyc_spark import registry  # noqa: E402
+from distributed_mapreduce_in_docker_rpyc_spark.session import get_spark  # noqa: E402
+
+SHOWN = [
+    "wordcount_top20",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dedup_exact",
+    "asof_purchase_click",
+    "interval_join_error_window",
+]
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("gen-plans")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    sf = "/root/testdata/sf0.001"
+
+    out = [
+        "# PLANS — physical plans of representative queries (auto-generated)",
+        "",
+        "Captured at sf0.001 with AQE enabled; regenerate with",
+        "`python scripts/gen_plans.py`. The summary line counts the",
+        "scale-relevant plan features; full formatted plans follow.",
+        "",
+    ]
+    for name in SHOWN:
+        plan = (
+            registry.QUERIES[name](spark, sf)
+            ._jdf.queryExecution()
+            .explainString(mode)
+        )
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        out += [
+            f"## {name}",
+            "",
+            f"broadcast joins: {plan.count('BroadcastHashJoin')} · "
+            f"sort-merge joins: {plan.count('SortMergeJoin')} · "
+            f"exchanges: {plan.count('Exchange hashpartitioning')} · "
+            f"scans with pushed filters: {pushed}",
+            "",
+            "```",
+            plan.strip(),
+            "```",
+            "",
+        ]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote PLANS.md: {len(SHOWN)} plans")
+
+
+if __name__ == "__main__":
+    main()
