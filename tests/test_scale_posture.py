@@ -179,3 +179,29 @@ def test_bench_headline_names_exist():
     load_all()
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, missing
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """A full global sort must compile to Exchange rangepartitioning (sampled
+    range boundaries, each partition sorted AND globally ordered across
+    partition ids) — never a single-partition sort."""
+    try:
+        # the fixture is tiny; stop AQE from coalescing the range exchange
+        # to one partition so the distributed property is observable
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        o = load_table(spark, sf_dir, "orders").orderBy("o_totalprice")
+        plan = o._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan
+
+        parts = o.select("o_totalprice", F.spark_partition_id().alias("pid"))
+        bounds = (
+            parts.groupBy("pid")
+            .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+            .orderBy("pid")
+            .collect()
+        )
+        assert len(bounds) > 1  # actually distributed
+        for prev, nxt in zip(bounds, bounds[1:]):
+            assert prev["hi"] <= nxt["lo"]
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
