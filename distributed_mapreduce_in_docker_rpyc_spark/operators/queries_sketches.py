@@ -1,0 +1,184 @@
+"""Sketch & statistics family: approximate algorithms with verified-exact
+outputs, plus distributed summary statistics (extended scope — the reference
+computes only exact word counts, SURVEY.md §2.2; its Top-20 report
+coordinator/coordinator.py:250-251 is the closest analogue to a heavy-hitter
+query).
+
+The 100 TB posture for sketches is *candidates-then-verify*: a cheap
+single-pass approximate structure (Misra-Gries via ``df.stat.freqItems``,
+count-min via hash-bucket aggregation) prunes the key space map-side, then
+one exact aggregation over only the surviving candidates produces an
+*exactly correct* answer.  The sketch bounds the shuffle, the verify pass
+bounds the error — at zero.  Queries whose output is exact carry DuckDB
+oracles; the raw-estimate queries (CMS estimates, HLL error) are inherently
+non-SQL and are covered by property tests instead (tests/test_sketches.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.operators import wordcount as wc
+from distributed_mapreduce_in_docker_rpyc_spark.registry import register
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+_TOKS_CTE = """
+    WITH toks AS (
+        SELECT lower(unnest(regexp_extract_all(lower(text), '[A-Za-z'']+'))) AS word
+        FROM documents
+    )
+"""
+
+#: Support fraction for heavy hitters: keep words with freq > SUPPORT * N.
+HH_SUPPORT = 0.002
+
+
+@register(
+    "heavy_hitters_verified",
+    oracle=_TOKS_CTE
+    + f"""
+    SELECT word, count(*) AS cnt
+    FROM toks
+    GROUP BY word
+    HAVING count(*) > (SELECT {HH_SUPPORT} * count(*) FROM toks)
+    """,
+)
+def heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (words with freq > 0.2% of all tokens) via
+    Misra-Gries candidate pruning.
+
+    Pass 1: ``df.stat.freqItems`` — Spark's single-pass Karp/Misra-Gries
+    summary, guaranteed to contain every item with frequency > support*N
+    (false positives possible, false negatives impossible).  Pass 2: exact
+    counts restricted to the candidate set — the ``isin`` filter is pushed
+    map-side, so the shuffle carries at most ~1/support keys per partition
+    regardless of vocabulary size.  Output is exactly the HAVING query the
+    oracle runs, at a fraction of the shuffle.
+    """
+    toks = wc.tokens(load_table(spark, sf_dir, "documents"))
+    cands = toks.stat.freqItems(["word"], support=HH_SUPPORT).collect()[0][0]
+    total = toks.count()
+    return (
+        toks.filter(F.col("word").isin(list(cands)))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > F.lit(HH_SUPPORT * total))
+    )
+
+
+#: Count-min sketch shape: d independent hash rows, w buckets each.
+CMS_DEPTH = 5
+CMS_WIDTH = 2048
+
+
+def cms_build(toks: DataFrame, key: str = "word") -> DataFrame:
+    """Build a count-min sketch as a DataFrame of (seed, bucket, cnt).
+
+    Each of the ``CMS_DEPTH`` seeded xxhash64 functions maps a key to one of
+    ``CMS_WIDTH`` buckets; the sketch is just a groupBy over (seed, bucket) —
+    one shuffle of at most d*w rows no matter how many distinct keys exist.
+    That is the whole point at 100 TB: sketch size is O(d*w), not O(keys).
+    """
+    rows = [
+        F.struct(
+            F.lit(s).alias("seed"),
+            F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(CMS_WIDTH)).alias("bucket"),
+        )
+        for s in range(CMS_DEPTH)
+    ]
+    return (
+        toks.select(F.explode(F.array(*rows)).alias("h"))
+        .select("h.seed", "h.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_probe(sketch: DataFrame, keys: DataFrame, key: str = "word") -> DataFrame:
+    """Probe: est(key) = min over seeds of the key's bucket count.
+
+    The sketch is tiny (d*w rows) so it broadcasts; probing any number of
+    keys is a broadcast join + min-agg, never a wide shuffle.
+    """
+    probes = keys.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(CMS_WIDTH)).alias("bucket"),
+                    )
+                    for s in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select(key, "h.seed", "h.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+
+
+@register("cms_word_estimates")
+def cms_word_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates vs exact counts for the top-50 words.
+
+    Output: (word, cnt, cms_est) with the CMS guarantee cnt <= cms_est <=
+    cnt + eps*N (w.h.p.).  Inherently non-SQL (seeded xxhash64) — the
+    guarantee is asserted in tests/test_sketches.py instead of an oracle.
+    """
+    toks = wc.tokens(load_table(spark, sf_dir, "documents"))
+    sketch = cms_build(toks)
+    top = wc.top_k_words(load_table(spark, sf_dir, "documents"), k=50).select("word", "cnt")
+    return top.join(cms_probe(sketch, top.select("word")), "word").select("word", "cnt", "cms_est")
+
+
+@register(
+    "stat_corr_matrix",
+    oracle="""
+    SELECT corr(l_quantity, l_extendedprice) AS corr_qty_price,
+           corr(l_extendedprice, l_discount) AS corr_price_disc,
+           covar_samp(l_quantity, l_extendedprice) AS cov_qty_price,
+           stddev_samp(l_quantity) AS sd_qty,
+           avg(l_quantity) AS avg_qty
+    FROM lineitem
+    """,
+)
+def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed summary statistics: Pearson correlation / sample
+    covariance / stddev in ONE aggregate pass (co-moment merge is
+    associative, so partials combine map-side like any other agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.corr("l_extendedprice", "l_discount").alias("corr_price_disc"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("cov_qty_price"),
+        F.stddev_samp("l_quantity").alias("sd_qty"),
+        F.avg("l_quantity").alias("avg_qty"),
+    )
+
+
+@register("hll_daily_distinct_error")
+def hll_daily_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ vs exact per-day distinct users.
+
+    Output: (day, exact_users, approx_users, rel_err).  ``approx_count_distinct``
+    is the 100 TB path — mergeable fixed-size registers instead of a
+    distinct-shuffle per group; the exact column exists only to measure the
+    error at test scale.  Deterministic (HLL register merge is order-free)
+    but not SQL-portable, so the tolerance check lives in tests.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    by_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    return by_day.select(
+        "day",
+        "exact_users",
+        "approx_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")).alias("rel_err"),
+    )

@@ -47,6 +47,7 @@ def load_all() -> None:
         "queries_events",
         "queries_temporal",
         "queries_quality",
+        "queries_sketches",
         "queries_streaming",
         "queries_multimodal",
     ):

@@ -205,3 +205,59 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
             assert prev["hi"] <= nxt["lo"]
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def test_multi_dim_partitioned_write_prunes_both_dims(spark, sf_dir, tmp_path):
+    """Two-level partition layout (event_type / day): a predicate on BOTH
+    dims must prune to exactly one leaf directory — the layout a 100 TB
+    event table actually ships with (coarse type × date)."""
+    import glob
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_2d")
+    ev.write.partitionBy("event_type", "day").parquet(path)
+    leaves = glob.glob(f"{path}/event_type=*/day=*")
+    assert len(leaves) > 10  # genuinely multi-dimensional
+
+    back = spark.read.parquet(path)
+    one_day = ev.select(F.max(F.to_date("ts"))).first()[0]
+    q = back.filter((F.col("event_type") == "purchase") & (F.col("day") == F.lit(one_day)))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "isnotnull(day" in plan
+    want = ev.filter((F.col("event_type") == "purchase") & (F.col("day") == F.lit(one_day))).count()
+    assert q.count() == want > 0
+
+
+def test_runtime_bloom_filter_prunes_join_probe(spark, sf_dir, tmp_path):
+    """Runtime row-level filtering: with a selective build side, Spark
+    injects a bloom filter (might_contain) on the probe side so the big
+    table's shuffle drops non-joining rows early — the AQE-era answer to
+    semi-join pushdown at 100 TB."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select("l_orderkey", "l_quantity")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "might_contain" in plan, plan[:2000]
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

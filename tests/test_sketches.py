@@ -1,0 +1,51 @@
+"""Sketch-family guarantees that an SQL oracle can't express: CMS one-sided
+error, HLL tolerance, and Misra-Gries no-false-negatives."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.operators import wordcount as wc
+from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HH_SUPPORT,
+    cms_word_estimates,
+    heavy_hitters_verified,
+    hll_daily_distinct_error,
+)
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+
+def test_cms_overestimates_within_bound(spark, sf_dir):
+    rows = cms_word_estimates(spark, sf_dir).collect()
+    assert rows
+    n_tokens = wc.tokens(load_table(spark, sf_dir, "documents")).count()
+    # One-sided: est >= exact always; overshoot bounded by ~e*N/w w.h.p.
+    # (CMS_DEPTH rows make the w.h.p. comfortable at test scale).
+    slack = 3.0 * n_tokens / CMS_WIDTH
+    for r in rows:
+        assert r.cms_est >= r.cnt, f"{r.word}: CMS underestimated"
+        assert r.cms_est <= r.cnt + slack, f"{r.word}: overshoot {r.cms_est - r.cnt} > {slack}"
+    assert CMS_DEPTH * CMS_WIDTH < 20_000  # sketch stays broadcast-tiny
+
+
+def test_heavy_hitters_match_exact_having(spark, sf_dir):
+    got = {(r.word, r.cnt) for r in heavy_hitters_verified(spark, sf_dir).collect()}
+    toks = wc.tokens(load_table(spark, sf_dir, "documents"))
+    total = toks.count()
+    want = {
+        (r.word, r.cnt)
+        for r in toks.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > HH_SUPPORT * total)
+        .collect()
+    }
+    assert got == want and got  # candidates-then-verify loses nothing
+
+
+def test_hll_error_within_tolerance(spark, sf_dir):
+    rows = hll_daily_distinct_error(spark, sf_dir).collect()
+    assert rows
+    # rsd=0.02 → 3-sigma tolerance 6%; generous for small daily groups.
+    assert max(r.rel_err for r in rows) < 0.10

@@ -266,3 +266,25 @@ def test_stream_stream_left_outer_interval_join(spark, sf_dir, tmp_path):
     batch_matched_purchases = {pid for (pid, _) in batch_pairs}
     assert matched == batch_pairs  # every possible match emits exactly once
     assert nulls and nulls.isdisjoint(batch_matched_purchases)
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """The same stateful aggregation runs on the RocksDB state store
+    provider — the off-heap, incremental-checkpoint store a 100 TB
+    deployment uses so state size is bounded by disk, not executor heap —
+    and produces identical results to the default HDFS-backed store."""
+    provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, provider)
+        stream = jobs.events_stream(spark, sf_dir)
+        jobs.run_to_memory(jobs.tumbling_hourly(stream), "t_rocksdb")
+        got = rows_set(spark.table("t_rocksdb"))
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    want = rows_set(events_tumbling_hourly(spark, sf_dir))
+    assert got == want and got
