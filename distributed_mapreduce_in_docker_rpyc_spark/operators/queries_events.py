@@ -301,3 +301,30 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter((F.col("sigma") > 0) & (F.abs(z) > 2.0))
         .select("h", "n", F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through the VARIANT type (Spark 4): props parsed
+    once with ``parse_json`` into a binary-encoded variant, fields extracted
+    with ``variant_get`` — the modern engine path for JSON at scale (parse
+    once, extract many, no per-extract re-parse like ``get_json_object``).
+    Same answer as the string-path ``events_json_extract`` family."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -1508,3 +1508,164 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "scd2_priority_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate,
+               lag(o_orderpriority) OVER w AS prev_prio
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), changes AS (
+        SELECT o_custkey, o_orderpriority AS priority, o_orderdate AS valid_from
+        FROM ordered
+        WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey, priority, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to
+    FROM changes
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse each customer's order-priority
+    timeline into validity intervals (valid_from, valid_to, NULL = current).
+
+    The MERGE-into-dimension pattern every warehouse pipeline runs: run-length
+    collapse via lag() (keep only change rows), then lead() for the closing
+    bound.  Both windows share one (custkey, date) shuffle+sort — Spark
+    reuses the partitioning across them, so it is one exchange, not two.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_prio", F.lag("o_orderpriority").over(w))
+        .filter(F.col("prev_prio").isNull() | (F.col("prev_prio") != F.col("o_orderpriority")))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("valid_from"),
+        )
+    )
+    w2 = Window.partitionBy("custkey").orderBy("valid_from")
+    return changes.withColumn("valid_to", F.lead("valid_from").over(w2))
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey, count(*) AS cnt FROM orders
+        WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+        GROUP BY o_custkey
+    ), b AS (
+        SELECT o_custkey, count(*) AS cnt FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                WHEN a.cnt <> b.cnt THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           a.cnt AS old_cnt, b.cnt AS new_cnt
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC classification: full-outer join of two aggregate
+    snapshots (1994 vs 1995 per-customer order counts) labeling every key
+    added / removed / changed / unchanged — the reconciliation step of any
+    incremental-load pipeline.  Both snapshots come from ONE scan (the date
+    predicates are disjoint partitions of the same table) and co-shuffle on
+    the join key."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def snap(y0: str, y1: str) -> DataFrame:
+        return (
+            o.filter((F.col("o_orderdate") >= F.lit(y0)) & (F.col("o_orderdate") < F.lit(y1)))
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    a = snap("1994-01-01", "1995-01-01").alias("a")
+    b = snap("1995-01-01", "1996-01-01").alias("b")
+    return a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer").select(
+        F.coalesce("a.o_custkey", "b.o_custkey").alias("custkey"),
+        F.when(F.col("a.o_custkey").isNull(), "added")
+        .when(F.col("b.o_custkey").isNull(), "removed")
+        .when(F.col("a.cnt") != F.col("b.cnt"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.col("a.cnt").alias("old_cnt"),
+        F.col("b.cnt").alias("new_cnt"),
+    )
+
+
+@register(
+    "winsorized_prices",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+               quantile_cont(l_extendedprice, 0.99) AS hi
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(avg(CASE WHEN l_extendedprice < lo THEN lo
+                          WHEN l_extendedprice > hi THEN hi
+                          ELSE l_extendedprice END), 4) AS avg_capped,
+           SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS n_capped_low,
+           SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_capped_high
+    FROM lineitem, bounds
+    GROUP BY l_returnflag
+    """,
+)
+def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier capping (winsorization at p01/p99) — the numeric-feature
+    cleaning step of a training pipeline.  The exact percentile bounds are
+    ONE tiny aggregate broadcast to the capping pass; at 100 TB swap
+    ``percentile`` for ``approx_percentile`` with no plan change."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    capped = li.join(F.broadcast(bounds)).withColumn(
+        "p",
+        F.when(F.col("l_extendedprice") < F.col("lo"), F.col("lo"))
+        .when(F.col("l_extendedprice") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("l_extendedprice")),
+    )
+    return capped.groupBy("l_returnflag").agg(
+        F.round(F.avg("p"), 4).alias("avg_capped"),
+        F.sum(F.when(F.col("l_extendedprice") < F.col("lo"), 1).otherwise(0)).alias("n_capped_low"),
+        F.sum(F.when(F.col("l_extendedprice") > F.col("hi"), 1).otherwise(0)).alias("n_capped_high"),
+    )
+
+
+@register(
+    "order_item_quantities",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           list(l_quantity ORDER BY l_quantity, l_linenumber) AS quantities,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) >= 5
+    """,
+)
+def order_item_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type aggregation: each order's line quantities as a sorted
+    ARRAY column — the collect-to-list shape used to assemble training
+    examples (e.g. per-conversation turn lists).  array_sort makes the
+    list order engine-independent; HAVING keeps output compact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.array_sort(F.collect_list("l_quantity")).alias("quantities"),
+            F.count("*").alias("n_items"),
+        )
+        .filter(F.col("n_items") >= 5)
+    )

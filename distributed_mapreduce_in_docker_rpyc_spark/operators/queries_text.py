@@ -7,7 +7,7 @@ UDFs in any of these paths, so they run at scan speed on 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_in_docker_rpyc_spark.functions.text import tokenize_column
@@ -422,4 +422,265 @@ def corpus_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
         .cast("bigint")
         .alias("bin_id"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (word), n
+    )
+    SELECT doc_id, word, tfidf FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 terms per document by
+    tf * ln(N/df), deterministic (score rounded to 6 places BEFORE ranking
+    so Java/C libm ulp differences can't flip rank boundaries; ties break
+    on word).  One token explode feeds both the tf and df aggregations;
+    df is vocabulary-sized, so it broadcasts back onto tf."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(tokenize_column("text")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "word", "tfidf")
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_URL_RE}', '<URL>', 'g') AS scrubbed,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls
+    FROM documents
+    WHERE doc_id < 2000
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training corpus gets before
+    anything else: emails and URLs replaced by placeholder tokens, with
+    per-document redaction counts for audit.  Pure JVM regexp (patterns are
+    valid in both Java regex and RE2, asserted by the oracle), so it runs
+    at scan speed; doc_id slice keeps the differential compact."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0)).alias("n_urls"),
+    )
+
+
+@register(
+    "udtf_sentence_split",
+    oracle="""
+    SELECT doc_id, trim(s, ' \t\n\r') AS sentence
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '[.!?]+[ \t\n\r]+')) AS s
+        FROM documents WHERE doc_id < 500
+    )
+    WHERE trim(s, ' \t\n\r') <> ''
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a Python UDTF (Spark 3.5+ user-defined
+    TABLE function) — the API-coverage entry for one-row-to-many-rows
+    Python operators, invoked via SQL LATERAL.  Arrow-optimized transfer
+    (``spark.sql.execution.pythonUDTF.arrow.enabled``); the splitter regex
+    is byte-identical across Python re / Java / RE2 (explicit ASCII
+    whitespace class), which is what makes the oracle possible."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            for s in _re.split(r"[.!?]+[ \t\n\r]+", text or ""):
+                s = s.strip(" \t\n\r")
+                if s:
+                    yield (doc_id, s)
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).createOrReplaceTempView(
+        "docs_for_udtf"
+    )
+    return spark.sql(
+        "SELECT s.doc_id, s.sentence FROM docs_for_udtf, LATERAL sentence_split(doc_id, text) AS s"
+    )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT regexp_extract_all(lower(text), '[a-z'']+') AS t FROM documents
+    ),
+    uni AS (
+        SELECT u AS word, count(*) AS cnt FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u
+    ),
+    n_uni AS (SELECT sum(cnt) AS n FROM uni),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS cnt
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        GROUP BY w1, w2
+        HAVING count(*) >= 10
+    ),
+    n_bg AS (SELECT sum(cnt) AS n FROM (
+        SELECT count(*) AS cnt
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        GROUP BY t[i], t[i + 1]
+    ))
+    SELECT bg.w1, bg.w2, bg.cnt,
+           round(ln((CAST(bg.cnt AS DOUBLE) / n_bg.n)
+                    / ((CAST(u1.cnt AS DOUBLE) / n_uni.n) * (CAST(u2.cnt AS DOUBLE) / n_uni.n))), 6) AS pmi
+    FROM bg
+    JOIN uni u1 ON u1.word = bg.w1
+    JOIN uni u2 ON u2.word = bg.w2, n_uni, n_bg
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information for bigrams seen
+    ≥10 times — the phrase-detection pass (word2vec-style) of a corpus
+    pipeline.  One token scan feeds unigram and bigram counts; the unigram
+    table is vocabulary-sized so it broadcasts onto the bigram frame; the
+    two totals are scalar aggregates.  PMI rounded to 6 places before
+    emission for cross-engine float identity."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.regexp_extract_all(
+            F.array_join(toks, " "), F.lit(r"(?<![a-z'])(?=([a-z']+ [a-z']+))"), 1
+        ),
+    ).otherwise(F.array())
+
+    uni = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    n_uni = uni.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+
+    bg_all = (
+        docs.select(F.explode(bigrams).alias("b"))
+        .withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("b"), F.lit(" "), F.lit(2)))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    n_bg = bg_all.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+
+    bg = bg_all.filter(F.col("cnt") >= 10)
+    u1 = uni.select(F.col("word").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("cnt").alias("c2"))
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.round(
+                F.log(
+                    (F.col("cnt") / F.lit(float(n_bg)))
+                    / ((F.col("c1") / F.lit(float(n_uni))) * (F.col("c2") / F.lit(float(n_uni))))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@register("pagerank_word_graph")
+def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm coverage: 10 rounds of weighted PageRank over the
+    word co-occurrence digraph (bigrams seen ≥5 times), top-20 words.
+
+    The DataFrame-loop pattern for iterative work at scale: edges are
+    normalized ONCE (out-weight division) and persisted; each round is one
+    join + agg; every few rounds ``localCheckpoint`` truncates the lineage
+    so the plan doesn't grow unboundedly (the classic iterative-Spark
+    failure mode).  Damping 0.85, rank rounded to 4 places for a stable
+    report.  Non-SQL (iterative) — covered by determinism tests, no oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.regexp_extract_all(
+            F.array_join(toks, " "), F.lit(r"(?<![a-z'])(?=([a-z']+ [a-z']+))"), 1
+        ),
+    ).otherwise(F.array())
+    edges = (
+        docs.select(F.explode(bigrams).alias("b"))
+        .select(
+            F.split_part("b", F.lit(" "), F.lit(1)).alias("src"),
+            F.split_part("b", F.lit(" "), F.lit(2)).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 5)
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm_edges = (
+        edges.join(out_w, "src").select("src", "dst", (F.col("w") / F.col("out_w")).alias("p")).persist()
+    )
+    nodes = (
+        norm_edges.select(F.col("src").alias("word"))
+        .union(norm_edges.select("dst"))
+        .distinct()
+        .persist()
+    )
+    pr = nodes.withColumn("pr", F.lit(1.0))
+    for i in range(10):
+        contribs = (
+            norm_edges.join(pr.withColumnRenamed("word", "src"), "src")
+            .groupBy(F.col("dst").alias("word"))
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("in_pr"))
+        )
+        new_pr = nodes.join(contribs, "word", "left").select(
+            "word", (F.lit(0.15) + F.lit(0.85) * F.coalesce("in_pr", F.lit(0.0))).alias("pr")
+        )
+        pr = new_pr.localCheckpoint(eager=True) if i % 3 == 2 else new_pr
+    return (
+        pr.select("word", F.round("pr", 4).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("word"))
+        .limit(20)
     )

@@ -52,3 +52,32 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     exact = li.select(F.count_distinct("l_orderkey")).first()[0]
     approx = li.select(F.approx_count_distinct("l_orderkey", rsd=0.02)).first()[0]
     assert abs(approx - exact) / exact <= 0.05
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """ORC as a second columnar format: write/read round trip preserves
+    values, and predicates push into the ORC scan like parquet."""
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    o.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == o.count()
+    q = back.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderpriority" in plan
+    assert q.count() == o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+
+def test_pagerank_deterministic_top20(spark, sf_dir):
+    """The iterative PageRank report is reproducible run-to-run and every
+    rank respects the damping floor."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    a = [tuple(r) for r in QUERIES["pagerank_word_graph"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["pagerank_word_graph"](spark, sf_dir).collect()]
+    assert a == b and len(a) == 20
+    assert all(pr >= 0.15 for _, pr in a)
