@@ -309,3 +309,40 @@ def stateful_sessionize(stream: DataFrame, watermark: str = "1 seconds") -> Data
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def tws_user_totals(stream: DataFrame) -> DataFrame:
+    """The same running per-user totals on the transformWithStateInPandas
+    API (Spark 4) — typed state handles (ValueState) instead of a raw state
+    tuple, the forward path for custom stateful operators: state schema
+    evolution, multiple state variables, timers, TTL all hang off the
+    handle.  Kept semantically identical to ``stateful_user_totals`` so the
+    two APIs are differential-tested against each other."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("n_events", "n BIGINT")
+            self._value = handle.getValueState("total_value", "v DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            import pandas as pd
+
+            n = self._count.get()[0] if self._count.exists() else 0
+            v = self._value.get()[0] if self._value.exists() else 0.0
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._count.update((n,))
+            self._value.update((v,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [v]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

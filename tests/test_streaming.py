@@ -288,3 +288,29 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir):
             spark.conf.set(key, saved)
     want = rows_set(events_tumbling_hourly(spark, sf_dir))
     assert got == want and got
+
+
+def test_transform_with_state_matches_applyinpandas_path(spark, sf_dir):
+    """Spark-4 transformWithStateInPandas vs the applyInPandasWithState
+    operator: identical final per-user totals, and both match batch.
+
+    The TWS state server speaks protobuf; containers without a working
+    google.protobuf can't run it (operator itself is cluster-valid), so
+    the differential is gated on the import."""
+    pytest.importorskip("google.protobuf.descriptor")
+    stream = jobs.events_stream(spark, sf_dir)
+    jobs.run_to_memory(jobs.tws_user_totals(stream), "t_tws_totals", output_mode="update")
+    import pyspark.sql.functions as SF
+
+    last = (
+        spark.table("t_tws_totals")
+        .groupBy("user_id")
+        .agg(SF.max("n_events").alias("n_events"), SF.max("total_value").alias("total_value"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy("user_id").agg(
+        SF.count("*").alias("n_events"), SF.sum("value").alias("total_value")
+    )
+    got = {(r.user_id, r.n_events, round(r.total_value, 6)) for r in last.collect()}
+    want = {(r.user_id, r.n_events, round(r.total_value, 6)) for r in batch.collect()}
+    assert got == want and got
