@@ -20,6 +20,9 @@ SHOWN = [
     "dedup_exact",
     "asof_purchase_click",
     "interval_join_error_window",
+    "heavy_hitters_verified",
+    "text_tfidf_top_terms",
+    "scd2_priority_history",
 ]
 
 
@@ -49,7 +52,7 @@ def main() -> None:
             "",
             f"broadcast joins: {plan.count('BroadcastHashJoin')} · "
             f"sort-merge joins: {plan.count('SortMergeJoin')} · "
-            f"exchanges: {plan.count('Exchange hashpartitioning')} · "
+            f"exchanges: {len(re.findall(r'[(][0-9]+[)] Exchange', plan))} · "
             f"scans with pushed filters: {pushed}",
             "",
             "```",
