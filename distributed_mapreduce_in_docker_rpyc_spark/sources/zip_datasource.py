@@ -24,7 +24,12 @@ import glob as _glob
 import zipfile
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 ZIPTEXT_SCHEMA = StructType(
@@ -72,6 +77,55 @@ class ZipTextDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return ZipTextReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return ZipTextStreamReader(self.options)
+
 
 def register_ziptext(spark) -> None:
     spark.dataSource.register(ZipTextDataSource)
+
+
+class ZipTextStreamReader(SimpleDataSourceStreamReader):
+    """Incremental form of the same contract: each microbatch picks up
+    archives that appeared since the last committed offset.
+
+    Offset = the sorted list of archives already ingested (JSON-serializable,
+    replayable: ``readBetweenOffsets`` re-derives a batch from the two file
+    lists alone, so recovery needs no side state).  The per-batch unit of
+    parallelism is still the whole archive — ZIP stays non-splittable
+    whether batch or streaming.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ziptext requires a path: .load('/dir/*.zip')")
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _rows_for(self, paths: list[str]):
+        for p in paths:
+            with zipfile.ZipFile(p) as zf:
+                for member in zf.infolist():
+                    if member.is_dir():
+                        continue
+                    text = zf.read(member).decode("utf-8", "ignore")
+                    for line in text.split("\n"):
+                        yield (p, member.filename, line)
+
+    def read(self, start: dict):
+        seen = set(start["files"])
+        now = sorted(set(_glob.glob(self.path)))
+        new = [p for p in now if p not in seen]
+        end = {"files": sorted(seen | set(new))}
+        # iter(list), not a generator: the runner caches the prefetched
+        # batch and pickles it (generators can't pickle), but also calls
+        # next() on it (bare lists aren't iterators).
+        return iter(list(self._rows_for(new))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return iter(list(self._rows_for(new)))
+
+

@@ -314,3 +314,44 @@ def test_transform_with_state_matches_applyinpandas_path(spark, sf_dir):
     got = {(r.user_id, r.n_events, round(r.total_value, 6)) for r in last.collect()}
     want = {(r.user_id, r.n_events, round(r.total_value, 6)) for r in batch.collect()}
     assert got == want and got
+
+
+def test_ziptext_streaming_source_incremental(spark, tmp_path):
+    """The ziptext Python data source in STREAMING mode: archives that
+    appear after the stream starts are ingested exactly once (offset =
+    ingested-file list; replay via readBetweenOffsets)."""
+    import zipfile
+
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.zip_datasource import register_ziptext
+
+    def make_zip(name, lines):
+        p = tmp_path / name
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr("doc.txt", "\n".join(lines))
+        return p
+
+    make_zip("a.zip", ["alpha one", "alpha two"])
+    register_ziptext(spark)
+    q = (
+        spark.readStream.format("ziptext")
+        .load(str(tmp_path / "*.zip"))
+        .writeStream.format("memory")
+        .queryName("t_ziptext_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.table("t_ziptext_stream").count()
+        make_zip("b.zip", ["beta one"])
+        q.processAllAvailable()
+        rows = {(r.archive.split("/")[-1], r.member, r.value)
+                for r in spark.table("t_ziptext_stream").collect()}
+    finally:
+        q.stop()
+    assert n1 == 2
+    assert rows == {
+        ("a.zip", "doc.txt", "alpha one"),
+        ("a.zip", "doc.txt", "alpha two"),
+        ("b.zip", "doc.txt", "beta one"),
+    }
