@@ -88,3 +88,35 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
         .unionAll(orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
     )
+
+
+@register(
+    "dq_join_key_skew",
+    oracle="""
+    WITH freq AS (
+        SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+        SELECT avg(cnt) AS avg_cnt FROM freq
+    )
+    SELECT key, cnt, round(cnt / avg_cnt, 4) AS skew_ratio
+    FROM freq, stats
+    ORDER BY cnt DESC, key ASC
+    LIMIT 20
+    """,
+)
+def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 20 hottest lineitem join keys with
+    their frequency ratio over the mean — the report you run BEFORE a big
+    join to decide between plain shuffle, AQE skew handling, or salting
+    (operators/relational.py salted_join).  One aggregate + a scalar
+    broadcast; top-20 via TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_orderkey").alias("key")).agg(F.count("*").alias("cnt"))
+    stats = freq.agg(F.avg("cnt").alias("avg_cnt"))
+    return (
+        freq.join(F.broadcast(stats))
+        .select("key", "cnt", F.round(F.col("cnt") / F.col("avg_cnt"), 4).alias("skew_ratio"))
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(20)
+    )

@@ -1669,3 +1669,117 @@ def order_item_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_items") >= 5)
     )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in ≥2 common orders
+    — the candidate-generation pass of an association/recommendation
+    pipeline.  Self-join key is the order (bounded basket: ≤7 lines in
+    TPC-H), so the blow-up per order is ≤ C(7,2)=21 pairs — linear in
+    orders, never quadratic in parts; `<` canonicalizes the pair."""
+    items = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "fuzzy_supplier_pairs",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           levenshtein(a.s_name, b.s_name) AS dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 3
+    """,
+)
+def fuzzy_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: near-identical supplier names (edit distance ≤3)
+    with nation as the blocking key — the blocked fuzzy join that keeps
+    edit-distance comparison O(pairs-per-block), not O(n²).  At 100 TB the
+    blocking key gets finer (nation × name-prefix) but the plan shape is
+    identical."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("supp_a"),
+            F.col("b.s_suppkey").alias("supp_b"),
+            F.levenshtein("a.s_name", "b.s_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+    )
+
+
+@register(
+    "date_spine_daily_revenue",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS lo, max(CAST(o_orderdate AS DATE)) AS hi FROM orders
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue, count(*) AS n_orders
+        FROM orders GROUP BY day
+    )
+    SELECT spine.day,
+           COALESCE(daily.revenue, 0) AS revenue,
+           COALESCE(daily.n_orders, 0) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def date_spine_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily revenue: a generated date spine (``sequence`` +
+    ``explode`` — no driver loop) left-joined with the daily rollup so
+    zero-activity days appear explicitly — the reporting contract
+    downstream time-series models expect.  The spine is O(days), always
+    broadcastable."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"), F.max(F.to_date("o_orderdate")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        money_sum(F.col("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("revenue", F.lit(0).cast(daily.schema["revenue"].dataType)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )

@@ -684,3 +684,99 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), F.asc("word"))
         .limit(20)
     )
+
+
+_COOC_EDGES_CTE = """
+    WITH toks AS (
+        SELECT regexp_extract_all(lower(text), '[a-z'']+') AS t FROM documents
+    ),
+    bg AS (
+        SELECT least(t[i], t[i + 1]) AS w1, greatest(t[i], t[i + 1]) AS w2, count(*) AS cnt
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE t[i] <> t[i + 1]
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
+    )
+"""
+
+
+@register(
+    "word_cooc_triangles",
+    oracle=_COOC_EDGES_CTE
+    + """
+    SELECT e1.w1 AS a, e1.w2 AS b, e2.w2 AS c
+    FROM bg e1
+    JOIN bg e2 ON e2.w1 = e1.w2
+    JOIN bg e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2
+    """,
+)
+def word_cooc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the undirected word co-occurrence graph
+    (adjacent-token pairs seen ≥5 times, canonicalized a<b<c).
+
+    The standard distributed-triangle plan: orient every edge low→high so
+    each triangle is produced exactly once, join edges on the shared middle
+    vertex, then close the wedge with a third edge join.  Two shuffle
+    joins total; the orientation trick is what keeps high-degree hub words
+    from exploding the wedge count at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.regexp_extract_all(
+            F.array_join(toks, " "), F.lit(r"(?<![a-z'])(?=([a-z']+ [a-z']+))"), 1
+        ),
+    ).otherwise(F.array())
+    pairs = (
+        docs.select(F.explode(bigrams).alias("b"))
+        .select(
+            F.split_part("b", F.lit(" "), F.lit(1)).alias("x"),
+            F.split_part("b", F.lit(" "), F.lit(2)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("w1"), F.greatest("x", "y").alias("w2"))
+    )
+    edges = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 5).persist()
+    e1 = edges.select(F.col("w1").alias("a"), F.col("w2").alias("b"))
+    e2 = edges.select(F.col("w1").alias("b"), F.col("w2").alias("c"))
+    e3 = edges.select(F.col("w1").alias("a"), F.col("w2").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+@register(
+    "zipf_law_fit",
+    oracle="""
+    WITH counts AS (
+        SELECT count(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word FROM documents)
+        GROUP BY word
+    ),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC) AS rank FROM counts
+    )
+    SELECT round(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
+           round(regr_r2(ln(cnt), ln(rank)), 4) AS r2,
+           count(*) AS n_points
+    FROM ranked
+    """,
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law check: OLS slope of log(freq) vs log(rank) over the whole
+    vocabulary via the ``regr_*`` aggregate family — a one-pass distributed
+    regression (co-moment partials merge like any aggregate).  Healthy
+    natural-language corpora fit slope ≈ -1; corpus-quality monitoring in
+    one scan.  Rank ties broken identically (row_number on cnt desc is
+    engine-stable because ln() is applied after ranking — equal counts give
+    equal ln(cnt), so assignment among ties can't change the fit)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokenize_column("text")).alias("word")
+    )
+    counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.monotonically_increasing_id()))
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("cnt"), F.log("rank")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("cnt"), F.log("rank")), 4).alias("r2"),
+        F.count("*").alias("n_points"),
+    )

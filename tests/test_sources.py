@@ -139,3 +139,18 @@ def test_observation_metrics_piggyback_on_action(spark, sf_dir):
     m = obs.get
     assert m["n_rows"] == li.count() and n <= m["n_rows"]
     assert 0 < m["n_high_discount"] < m["n_rows"]
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """approx_percentile (the 100 TB path) stays within its accuracy
+    contract against the exact percentile on a skewed money column."""
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)").alias("approx"),
+    ).first()
+    for e, a in zip(row.exact, row.approx):
+        assert abs(a - e) / e < 0.01, (e, a)

@@ -99,3 +99,20 @@ def test_empty_input(spark):
     df = spark.createDataFrame([], "text string")
     assert wc.word_counts(df).count() == 0
     assert wc.top_k_words(df, 20).count() == 0
+
+
+def test_rdd_core_accumulator_counts_records(spark, sf_dir):
+    """Task-level bookkeeping parity with the reference's per-task metrics
+    (SURVEY.md §4): an accumulator tallies records seen by map tasks; its
+    final value equals the dataset size regardless of partitioning."""
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(row):
+        acc.add(1)
+        return row
+
+    n = docs.rdd.map(count_rows).count()
+    assert acc.value == n == docs.count()
