@@ -328,3 +328,44 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(k).alias("n_with_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    pairs AS (
+        SELECT src, dst, count(*) AS cnt FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (
+        SELECT src, sum(cnt) AS n FROM pairs GROUP BY src
+    )
+    SELECT pairs.src, pairs.dst, pairs.cnt, round(pairs.cnt / tot.n, 6) AS p
+    FROM pairs JOIN tot ON pairs.src = tot.src
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the sequence-mining statistic behind
+    next-action models.  One (user, time) window pass builds the
+    transitions; the per-source totals are a tiny aggregate broadcast back
+    for normalization.  Window tie-break on event_id keeps the sequence —
+    and therefore the matrix — engine-deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("cnt").alias("n"))
+    return pairs.join(F.broadcast(tot), "src").select(
+        "src", "dst", "cnt", F.round(F.col("cnt") / F.col("n"), 6).alias("p")
+    )

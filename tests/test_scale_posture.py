@@ -261,3 +261,30 @@ def test_runtime_bloom_filter_prunes_join_probe(spark, sf_dir, tmp_path):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_cbo_uses_table_stats_for_broadcast(spark, sf_dir, tmp_path):
+    """Cost-based optimization from ANALYZE statistics: with hints disabled
+    and accurate row/size stats in the catalog, the optimizer broadcasts
+    the small catalog table on its own — the stats-driven planning a
+    warehouse relies on instead of per-query hints."""
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    db_tbls = []
+    try:
+        for name in ("nation", "customer"):
+            tbl = f"cbo_{name}"
+            load_table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(tbl)
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+            db_tbls.append(tbl)
+        stats = spark.sql("DESC EXTENDED cbo_nation").filter("col_name = 'Statistics'").collect()
+        assert stats and "rows" in stats[0][1]  # stats actually recorded
+        j = spark.table("cbo_customer").join(
+            spark.table("cbo_nation"),
+            spark.table("cbo_customer").c_nationkey == spark.table("cbo_nation").n_nationkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # chosen from stats, no hint anywhere
+    finally:
+        for tbl in db_tbls:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
