@@ -369,3 +369,50 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(tot), "src").select(
         "src", "dst", "cnt", F.round(F.col("cnt") / F.col("n"), 6).alias("p")
     )
+
+
+@register(
+    "events_active_users_7d",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (
+        SELECT day, count(*) AS dau FROM du GROUP BY day
+    )
+    SELECT days.day, dau.dau, count(DISTINCT du.user_id) AS wau
+    FROM days
+    JOIN du ON du.day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+    JOIN dau ON dau.day = days.day
+    GROUP BY days.day, dau.dau
+    """,
+)
+def events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day active users (WAU) per day — the engagement
+    rollup every product pipeline ships.
+
+    Distinct (day, user) pairs are computed ONCE (the only big shuffle),
+    then a broadcast day-spine range join re-buckets each pair into the ≤7
+    windows it belongs to.  COUNT(DISTINCT) over a window frame isn't
+    supported by any engine — this dedup-then-rebucket shape is the
+    standard rewrite, and at 100 TB the distinct-pair frame is the one to
+    swap for per-day HLL sketches merged across the trailing window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct().persist()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    spine = days.select(F.col("day").alias("anchor"))
+    window_pairs = du.join(
+        F.broadcast(spine),
+        (F.col("day") >= F.date_sub(F.col("anchor"), 6)) & (F.col("day") <= F.col("anchor")),
+    )
+    wau = window_pairs.groupBy("anchor").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau.day == wau.anchor)
+        .select("day", "dau", "wau")
+    )

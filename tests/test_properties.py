@@ -86,3 +86,65 @@ def test_shingles_match_token_slices_on_fixture(spark, sf_dir):
                 for i in range(len(toks) - SHINGLE_K + 1)
             ]
         assert list(r["sh"]) == want, r["doc_id"]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXT, min_size=1, max_size=15))
+def test_exact_dedup_is_idempotent(spark, texts):
+    """dedup(dedup(X)) == dedup(X), and survivors are pairwise-distinct —
+    for arbitrary corpora including all-duplicates and near-empty rows."""
+    from pyspark.sql import Window
+
+    def keep_first(df):
+        # same formulation as the registered dedup_keep_first query
+        w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+        return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    once = keep_first(df)
+    twice = keep_first(once)
+    got_once = sorted(tuple(r) for r in once.collect())
+    got_twice = sorted(tuple(r) for r in twice.collect())
+    assert got_once == got_twice
+    surviving_texts = [t for _, t in got_once]
+    assert len(surviving_texts) == len(set(surviving_texts))
+    # keep-first: every survivor is the minimum doc_id of its text group
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, i)
+    assert {(by_text[t], t) for t in set(texts)} == set(map(tuple, got_once))
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    """Each source state's outgoing probabilities sum to 1 (±rounding)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["events_transition_matrix"](spark, sf_dir).collect()
+    sums = {}
+    for r in rows:
+        sums[r.src] = sums.get(r.src, 0.0) + r.p
+    assert sums and all(abs(s - 1.0) < 1e-3 for s in sums.values()), sums
+
+
+def test_winsorize_never_widens_range(spark, sf_dir):
+    """Capped averages stay within [p01, p99] and capping counts are ~2%
+    of rows total — the winsorization contract."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    load_all()
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = li.selectExpr(
+        "percentile(l_extendedprice, 0.01)", "percentile(l_extendedprice, 0.99)"
+    ).first()
+    n = li.count()
+    rows = QUERIES["winsorized_prices"](spark, sf_dir).collect()
+    assert rows
+    capped = 0
+    for r in rows:
+        assert lo <= r.avg_capped <= hi
+        capped += r.n_capped_low + r.n_capped_high
+    assert capped / n < 0.03
