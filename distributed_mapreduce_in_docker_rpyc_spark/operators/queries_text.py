@@ -526,7 +526,7 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, sentence string")
+    @udtf(returnType="doc_id bigint, sentence string", useArrow=True)
     class SentenceSplit:
         def eval(self, doc_id, text):  # noqa: ANN001
             for s in _re.split(r"[.!?]+[ \t\n\r]+", text or ""):

@@ -288,3 +288,21 @@ def test_cbo_uses_table_stats_for_broadcast(spark, sf_dir, tmp_path):
         for tbl in db_tbls:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.conf.set("spark.sql.cbo.enabled", "false")
+
+
+def test_no_query_plans_cartesian_or_row_python(spark):
+    """Fleet-wide plan guard: NO registered query may plan a
+    CartesianProduct or a row-at-a-time Python eval (BatchEvalPython) —
+    the two quiet killers at 100 TB.  Python is allowed only Arrow-batched
+    (ArrowEvalPython / ArrowEvalPythonUDTF / mapInPandas / FlatMapGroupsInPandas)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
