@@ -12,6 +12,7 @@ before compare/order.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as sim
 from distributed_mapreduce_in_docker_rpyc_spark.registry import register
@@ -173,3 +174,38 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(counts), "label")
         .select("label", "centroid", "n_vectors")
     )
+
+
+@register("sim_ann_recall_report")
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality report: recall@10 of the sign-LSH and IVF indexes against
+    the exact brute-force ranking, as ONE driver-visible row per method.
+
+    The evaluation join is per-query set-intersection of neighbor ids —
+    distributed, no collect; this is the query a pipeline schedules after
+    (re)building an index to decide whether its bucket/probe parameters
+    still hold on drifted data.  No oracle: the components are separately
+    oracle-checked (sim_topk_bruteforce, sim_topk_lsh); this row measures
+    their relationship."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, n_queries = 10, 50
+    truth = sim.topk_bruteforce(emb, n_queries, k).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+
+    def recall_of(approx: DataFrame, method: str) -> DataFrame:
+        hits = truth.join(
+            approx.select("query_id", "neighbor_id"),
+            (truth.query_id == approx.query_id)
+            & (truth.true_neighbor == approx.neighbor_id),
+            "left_semi",
+        )
+        return hits.groupBy("query_id").agg((F.count("*") / k).alias("recall")).agg(
+            F.lit(method).alias("method"),
+            F.round(F.avg("recall"), 4).alias("mean_recall_at_10"),
+            F.count("*").alias("n_queries"),
+        )
+
+    lsh = sim.topk_lsh(emb, n_queries, k)
+    ivf = sim.topk_ivf(emb, n_queries, k)
+    return recall_of(lsh, "sign_lsh").unionAll(recall_of(ivf, "ivf_kmeans"))
