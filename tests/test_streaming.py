@@ -355,3 +355,25 @@ def test_ziptext_streaming_source_incremental(spark, tmp_path):
         ("a.zip", "doc.txt", "alpha two"),
         ("b.zip", "doc.txt", "beta one"),
     }
+
+
+def test_streaming_progress_reports_state_rows(spark, sf_dir, tmp_path):
+    """Observability contract: a stateful streaming query's progress
+    metrics expose state-store size (numRowsTotal) and per-batch input
+    counts — what a production monitor alerts on."""
+    stream = jobs.events_stream(spark, sf_dir)
+    agg = jobs.tumbling_hourly(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_progress")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p is not None]
+    assert progresses
+    state_ops = [so for p in progresses for so in p["stateOperators"]]
+    assert state_ops and any(so["numRowsTotal"] > 0 for so in state_ops)
+    assert sum(p["numInputRows"] for p in progresses) == load_table(spark, sf_dir, "events").count()
