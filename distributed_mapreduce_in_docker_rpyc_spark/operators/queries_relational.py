@@ -1783,3 +1783,42 @@ def date_spine_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "mv_incremental_daily_revenue",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY day
+    """,
+)
+def mv_incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily-revenue rollup
+    is computed as BASE (everything before the last loaded month) merged
+    with DELTA (the new month's partial aggregate) — sum/count partials
+    re-aggregate exactly, so the merged view equals the from-scratch
+    rollup the oracle computes.  This mergeability is why a 100 TB daily
+    load costs one partition's aggregation, not a full recompute; AVG-style
+    metrics must be carried as (sum, count) pairs to stay mergeable."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = o.agg(F.date_trunc("month", F.max("o_orderdate")).alias("c")).first()["c"]
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+            F.sum(money(F.col("o_totalprice"))).alias("rev_partial"),
+            F.count("*").alias("n_partial"),
+        )
+
+    base = rollup(o.filter(F.col("o_orderdate") < F.lit(cutoff)))
+    delta = rollup(o.filter(F.col("o_orderdate") >= F.lit(cutoff)))
+    return (
+        base.unionAll(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("rev_partial").cast("double").alias("revenue"),
+            F.sum("n_partial").alias("n_orders"),
+        )
+    )

@@ -69,9 +69,11 @@ def main() -> int:
     oracles = e.oracle_sql()
     only = {s for s in args.only.split(",") if s}
     failures = []
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf_dir)
@@ -110,7 +112,7 @@ def main() -> int:
                 if a != b:
                     print(f"      spark : {a}\n      oracle: {b}")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} green")
+    print(f"\n{n_run - len(failures)}/{n_run} green" + ("" if not only else f" (of {len(queries)} registered; --only run)"))
     if failures:
         print("failures:", failures)
     return 1 if failures else 0
