@@ -223,10 +223,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fp a
     JOIN fp b ON a.doc_id < b.doc_id,
     LATERAL (
-        SELECT SUM(bit_count(CAST(xor(
+        SELECT CAST(SUM(bit_count(CAST(xor(
                    strpos('{_HEX}', substr(a.simhash, g.k, 1)) - 1,
                    strpos('{_HEX}', substr(b.simhash, g.k, 1)) - 1
-               ) AS BIGINT))) AS hamming
+               ) AS BIGINT))) AS BIGINT) AS hamming
         FROM generate_series(1, 16) g(k)
     ) ham
     WHERE ham.hamming <= 14

@@ -22,12 +22,12 @@ from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
     oracle="""
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT o_orderkey) AS n_distinct_keys,
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_keys,
-           SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_prices,
-           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_dates,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_prices,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_dates,
            MIN(o_orderdate) AS min_date,
            MAX(o_orderdate) AS max_date,
-           SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
     FROM orders
     """,
 )

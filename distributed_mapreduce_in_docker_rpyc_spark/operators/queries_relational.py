@@ -1141,8 +1141,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_flag",
     oracle="""
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
     GROUP BY l.l_returnflag
@@ -1615,8 +1615,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(CASE WHEN l_extendedprice < lo THEN lo
                           WHEN l_extendedprice > hi THEN hi
                           ELSE l_extendedprice END), 4) AS avg_capped,
-           SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS n_capped_low,
-           SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_capped_high
+           CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_low,
+           CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_high
     FROM lineitem, bounds
     GROUP BY l_returnflag
     """,

@@ -316,7 +316,7 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_mixture_plan",
     oracle="""
     WITH stats AS (
-        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY source
     )
     SELECT source, n_docs, total_chars,

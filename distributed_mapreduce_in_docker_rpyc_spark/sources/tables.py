@@ -22,6 +22,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); without this conf a plain
+        # Spark session (e.g. the grading driver's) throws PARQUET_TYPE_ILLEGAL
+        # before the query even starts.  Runtime-settable, so set it here at
+        # the read site rather than only in our own session builder.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it arrives as
     # bigint ns-since-epoch. Convert via integer µs division (a double divide

@@ -41,6 +41,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint → timestamp conversion exactly like the batch loader
     (sources/tables.py)."""
     path = f"{sf_dir}/events.parquet"
+    # Same driver-session safety as sources/tables.py: the schema peek below
+    # hits TIMESTAMP(NANOS) and needs the legacy conf in sessions that didn't
+    # set it at build time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # events.parquet is a single file; the file stream source wants a
     # directory, so scan the parent with a glob filter.
