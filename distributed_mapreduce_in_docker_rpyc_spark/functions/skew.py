@@ -14,7 +14,8 @@ user" skew at 100 TB).
     (deterministic hash of the whole row), replicate the other side to every
     salt, equi-join on (key, salt). Shuffle volume: |small| × n_salts extra
     rows buys per-partition balance on the big side. Results identical to
-    the plain join (asserted in tests + oracle).
+    the plain join for skewed-side-preserving types — inner/left/semi/anti
+    (asserted in tests + oracle); right/full outer are rejected.
   - ``salted_aggregate``: pre-aggregate per (key, salt), then merge per key.
     Spark's map-side partial aggregation already does this per-task; the
     explicit two-phase form matters when the FINAL aggregate's single
@@ -43,7 +44,19 @@ def salted_join(
 
     ``skewed`` rows get ``salt = xxhash64(row) mod n`` (deterministic, no
     RNG state); ``other`` is exploded to all n salts. The (key, salt) hash
-    join then spreads any hot key over n partitions."""
+    join then spreads any hot key over n partitions.
+
+    Only skewed-side-preserving join types are allowed: each ``skewed`` row
+    carries exactly one salt, so inner/left/semi/anti results are identical
+    to the plain join — but every UNMATCHED ``other`` row exists once per
+    salt, so right/full outer would emit it ``n_salts`` times. Salting the
+    other direction is spelled ``salted_join(other, skewed, ...)``."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports skewed-side-preserving joins only {sorted(allowed)}, got {how!r}: "
+            "the exploded other side would duplicate unmatched rows under right/full outer"
+        )
     on = [on] if isinstance(on, str) else list(on)
     s = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))

@@ -172,6 +172,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Shingle-set Jaccard for candidate pairs (or all shared-shingle pairs).
 
@@ -179,11 +180,31 @@ def jaccard_pairs(
     pruned to pairs sharing ≥1 shingle by the equi-join — never a full cross
     join. With LSH ``candidates`` it verifies a much smaller set.
 
+    ``max_df``: document-frequency cap — shingles appearing in more than
+    ``max_df`` documents are dropped from the sets BEFORE sizes/intersection
+    (standard stop-shingle practice).  This bounds the shared-shingle join's
+    per-key fan-out at max_df² pairs: without it one "of the and"-class hot
+    shingle makes a single join key quadratic in corpus size.  Jaccard is
+    then over the capped sets on both sides (the oracle applies the same
+    cap), and discrimination IMPROVES — ubiquitous shingles carry no
+    near-dup signal.
+
     ``shingles``: see ``minhash_signatures`` — the shingle frame feeds three
     consumers here (sizes, x, y), so passing a persisted one avoids three
     recomputations of the scan→tokenize→shingle pipeline.
     """
     shd = shingles if shingles is not None else _distinct_shingles(df, text_col, id_col)
+    if max_df is not None:
+        keep = (
+            shd.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        # left-semi on the (mostly-kept) shingle list; the groupBy tolerates
+        # the very skew it removes because partial aggregation combines
+        # map-side.
+        shd = shd.join(keep, "shingle", "left_semi")
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     x = shd.alias("x")
     y = shd.alias("y")

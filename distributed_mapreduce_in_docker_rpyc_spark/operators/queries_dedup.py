@@ -105,10 +105,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=_SHINGLE_CTES
     + """,
-    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shd GROUP BY doc_id),
+    dfc AS (SELECT shingle, COUNT(*) AS c FROM shd GROUP BY shingle),
+    shc AS (SELECT s.doc_id, s.shingle FROM shd s JOIN dfc ON dfc.shingle = s.shingle
+            WHERE dfc.c <= 50),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shc GROUP BY doc_id),
     inter AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM shd x JOIN shd y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+        FROM shc x JOIN shc y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id
     )
     SELECT i.doc_a, i.doc_b,
@@ -120,12 +123,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (3-shingle) Jaccard pairs ≥ 0.3 — the ground truth the
-    LSH variant approximates. Pair space pruned by the shared-shingle
-    equi-join (never a cross join)."""
+    """Exact n-gram (3-shingle) Jaccard pairs ≥ 0.3 over DF-capped shingle
+    sets (stop-shingles with document frequency > 50 dropped from both
+    sides and the oracle).  The cap bounds the shared-shingle equi-join's
+    per-key fan-out at 50² pairs — without it one hot shingle is quadratic
+    in corpus size; tests assert the capped frame's max fan-out.  Pair
+    space pruned by the equi-join — never a cross join."""
     docs = load_table(spark, sf_dir, "documents")
     shd = dd._distinct_shingles(docs, "text", "doc_id").persist()
-    return dd.jaccard_pairs(docs, threshold=0.3, shingles=shd)
+    return dd.jaccard_pairs(docs, threshold=0.3, shingles=shd, max_df=50)
 
 
 @register(
@@ -137,11 +143,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                      FROM generate_series(1, 64) g(i))) AS nrm
         FROM embeddings
     ),
+    planes AS (
+        SELECT j.j AS j, d.d AS d,
+               CASE WHEN (strpos('0123456789abcdef',
+                                 substr(md5('p' || j.j || ':' || d.d), 1, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM generate_series(0, 47) j(j), generate_series(0, 63) d(d)
+    ),
+    dots AS (
+        SELECT n.vec_id, p.j,
+               SUM(CAST(n.embedding[p.d + 1] AS DOUBLE) * p.s) AS dot
+        FROM norms n, planes p
+        GROUP BY n.vec_id, p.j
+    ),
+    buckets AS (
+        SELECT vec_id, j // 3 AS tbl,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+        FROM dots GROUP BY vec_id, j // 3
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets a
+        JOIN buckets b ON b.tbl = a.tbl AND b.bucket = a.bucket
+                       AND a.vec_id < b.vec_id
+    ),
     pairs AS (
-        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        SELECT c.vec_a AS doc_a, c.vec_b AS doc_b,
                ROUND((SELECT SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
                       FROM generate_series(1, 64) g(i)) / (a.nrm * b.nrm), 6) AS sim
-        FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+        FROM cand c
+        JOIN norms a ON a.vec_id = c.vec_a
+        JOIN norms b ON b.vec_id = c.vec_b
     )
     SELECT p.doc_a, p.doc_b, p.sim,
            da.source AS source_a, db.source AS source_b
@@ -155,12 +187,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup on documents: semantic duplicate pairs
     (cosine ≥ 0.4 over the aligned embeddings table), annotated with each
     side's source — the semantic-dedup stage of a training-data pipeline.
-    The document joins broadcast (dim-sized) onto the pruned pair set."""
+
+    Candidates come from the 16×3 sign-LSH bucket equi-join
+    (similarity.semantic_pairs_lsh) — never an all-pairs nested-loop join;
+    the oracle replicates the bucketing bit-for-bit, and tests assert
+    recall=1.0 vs the exact pair set on the fixture.  The document joins
+    broadcast (dim-sized) onto the pruned pair set."""
     from pyspark.sql import functions as F
 
     from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as sim
 
-    pairs = sim.cosine_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
+    pairs = sim.semantic_pairs_lsh(load_table(spark, sf_dir, "embeddings"), 0.4)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return (
         pairs.withColumnRenamed("vec_a", "doc_a")
@@ -234,13 +271,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance over the 64-bit fingerprints
-    ≤ 14 (loose threshold so the small fixture yields rows)."""
+    ≤ 14 (loose threshold so the small fixture yields rows).
+
+    EXACT via band equi-join (no nested-loop all-pairs): the 16 hex digits
+    are 16 bands of 4 bits; ≤14 differing bits touch ≤14 bands, so every
+    qualifying pair agrees on ≥2 whole bands (pigeonhole) and is caught by
+    the (position, digit) self-join — recall 1 by construction, which is why
+    the oracle can stay the plain all-pairs formulation. At production
+    thresholds (hamming ≤ 3-4) the same join prunes to near-identical docs
+    only. Fingerprints are persisted: they feed both band sides + rerank."""
     from pyspark.sql import functions as F
 
-    fp = dd.simhash_fingerprint(load_table(spark, sf_dir, "documents"))
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    fp = dd.simhash_fingerprint(load_table(spark, sf_dir, "documents")).persist()
+    bands = fp.select(
+        "doc_id",
+        F.posexplode(F.split("simhash", "(?!$)")).alias("k", "ch"),
+    ).filter(F.col("ch") != "")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.ch") == F.col("y.ch"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = cand.join(
+        fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")), "doc_a"
+    ).join(fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")), "doc_b")
     ham = sum(
         F.bit_count(
             F.expr(f"locate(substr(sh_a, {k}, 1), '{_HEX}') - 1").bitwiseXOR(

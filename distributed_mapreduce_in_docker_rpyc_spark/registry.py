@@ -36,11 +36,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def load_all() -> None:
-    """Import every operator module so its ``@register`` calls run."""
-    import distributed_mapreduce_in_docker_rpyc_spark.operators.queries_wordcount  # noqa: F401
+    """Import every operator module so its ``@register`` calls run.
 
+    Registration order is deliberate: the round driver verifies queries in
+    registration order under a budget, so the LLM-pipeline families (the ones
+    without driver correctness rows yet) register FIRST and the already-green
+    wordcount/TPC-H surface registers last.
+    """
     for mod in (
-        "queries_relational",
         "queries_dedup",
         "queries_similarity",
         "queries_text",
@@ -50,8 +53,20 @@ def load_all() -> None:
         "queries_sketches",
         "queries_streaming",
         "queries_multimodal",
+        "queries_wordcount",
+        "queries_relational",
     ):
         try:
             __import__(f"distributed_mapreduce_in_docker_rpyc_spark.operators.{mod}")
-        except ImportError:
-            pass
+        except ModuleNotFoundError as exc:
+            # Only tolerate genuinely-optional third-party deps; a missing
+            # module of THIS package (typo'd import, broken refactor) must
+            # fail loudly, not silently shrink the query surface.
+            if (exc.name or "").startswith("distributed_mapreduce_in_docker_rpyc_spark"):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"operator module {mod!r} skipped: missing optional dependency {exc.name!r}",
+                stacklevel=2,
+            )

@@ -50,6 +50,32 @@ def test_download_local_and_idempotent_skip(tmp_path, sample_zip):
     assert ingest.download(f"file://{sample_zip}", staging) == paths
 
 
+def test_download_over_http_loopback(tmp_path, sample_zip):
+    """OP-1's actual transport: the reference streams an HTTP GET in 1 MiB
+    chunks (coordinator/coordinator.py:27-32).  Serve the sample zip from a
+    loopback ``http.server`` and run the full download→extract→transcode
+    path over ``http://`` — byte parity with the ``file://`` path."""
+    import functools
+    import http.server
+    import threading
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=os.path.dirname(sample_zip)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/{os.path.basename(sample_zip)}"
+        http_paths = ingest.download(url, str(tmp_path / "via_http"))
+        file_paths = ingest.download(f"file://{sample_zip}", str(tmp_path / "via_file"))
+    finally:
+        srv.shutdown()
+    assert [os.path.basename(p) for p in http_paths] == ["a.txt", "b.txt"]
+    got = [open(p, "rb").read() for p in http_paths]
+    want = [open(p, "rb").read() for p in file_paths]
+    assert got == want
+
+
 def test_zip_lines_distributed_matches_lossy_decode(spark, sample_zip):
     rows = ingest.zip_lines(spark, sample_zip).collect()
     members = {r.member for r in rows}

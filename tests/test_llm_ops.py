@@ -65,6 +65,39 @@ def test_minhash_flags_near_duplicates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_jaccard_max_df_caps_hot_shingle_fanout(spark):
+    """A boilerplate sentence shared by many docs must not create quadratic
+    join fan-out: with max_df, hot shingles drop from the sets (so
+    boilerplate-only pairs disappear) while genuinely near-dup pairs — which
+    share RARE shingles too — survive."""
+    boiler = "all rights reserved contact us for more information today"
+    uniq = [
+        f"document number {i} talks about completely distinct topic {i} alone"
+        for i in range(8)
+    ]
+    near_a = "the quick brown fox jumps over the lazy dog in the sunny park"
+    near_b = "the quick brown fox jumps over the lazy dog in the shady park"
+    rows = [(i, f"{uniq[i]} {boiler}") for i in range(8)]
+    rows += [(100, near_a), (101, near_b)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    shd = dd._distinct_shingles(df, "text", "doc_id")
+    capped = dd.jaccard_pairs(df, threshold=0.2, max_df=4)
+    uncapped = dd.jaccard_pairs(df, threshold=0.2)
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    uncapped_pairs = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+
+    assert (100, 101) in capped_pairs  # true near-dups survive the cap
+    # boilerplate-only pairs qualified before the cap, vanish after
+    assert any(a < 8 and b < 8 for a, b in uncapped_pairs)
+    assert not any(a < 8 and b < 8 for a, b in capped_pairs)
+    # and the capped shingle frame's max per-key fan-out is bounded
+    keep = (
+        shd.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= 4)
+    )
+    assert keep.agg(F.max("df")).first()[0] <= 4
+
+
 def test_simhash_near_for_near_texts(spark):
     base = "the quick brown fox jumps over the lazy dog " * 3
     near = base + "extra"
@@ -107,6 +140,24 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     # probing 4/16 cells; near neighbors concentrate in the query's cells
     assert sum(recalls) / len(recalls) >= 0.5
     assert all(len(s) == 10 for s in ivf_sets.values())
+
+
+def test_semantic_pairs_lsh_recall_one_vs_exact(spark, sf_dir):
+    """The registered semantic-dedup path (LSH bucket candidates + exact
+    rerank) must find EXACTLY the pairs the test-only brute-force ground
+    truth finds on the fixture: precision is 1 by construction (both rerank
+    with the same exact cosine), and the 16×3 table family was sized for
+    recall 1.0 here — so the sets are equal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"], r["sim"]) for r in sim.cosine_pairs(emb, 0.4).collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"], r["sim"])
+        for r in sim.semantic_pairs_lsh(emb, 0.4).collect()
+    }
+    assert exact  # fixture must actually exercise the threshold
+    assert bucketed == exact
 
 
 def test_numpy_path_equals_expression_path(spark, sf_dir):

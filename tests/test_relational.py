@@ -131,3 +131,28 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_salted_join_left_anti_parity_and_outer_rejected(spark, sf_dir):
+    """left/anti preserve the skewed side exactly (one salt per row); right/
+    full outer must be REJECTED — the exploded other side would emit each
+    unmatched row n_salts times."""
+    import pytest
+
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.skew import salted_join
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 3 = 0").select(
+        F.col("o_custkey").alias("k"), "o_orderstatus"
+    )
+    for how in ("left", "left_anti"):
+        plain = {tuple(r) for r in cust.join(o, "k", how).collect()}
+        salted = {tuple(r) for r in salted_join(cust, o, on="k", n_salts=4, how=how).collect()}
+        assert salted == plain and plain
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="preserving"):
+            salted_join(cust, o, on="k", how=how)

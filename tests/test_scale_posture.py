@@ -290,11 +290,30 @@ def test_cbo_uses_table_stats_for_broadcast(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.cbo.enabled", "false")
 
 
+# Queries allowed to plan a BroadcastNestedLoopJoin — each one broadcasts a
+# PROVABLY TINY side (scalar aggregate, parameter-sized probe/spine set), so
+# the nested loop is a linear scan against a constant-size build side, not a
+# pair explosion.  Anything NOT listed here that plans a BNLJ (e.g. an
+# all-pairs self-join that AQE demoted from hash join) fails the guard.
+BNLJ_ALLOWED = {
+    "sim_topk_bruteforce": "documented exact baseline; broadcast side = 5 query vectors",
+    "sim_ann_recall_report": "recall report re-uses the exact baseline as ground truth",
+    "sim_topk_ivf": "broadcast side = 16 KMeans centroids (constant in corpus size)",
+    "events_funnel": "scalar funnel-stage counts crossed into one 1-row result",
+    "events_active_users_7d": "broadcast day-spine range join; spine = distinct days",
+    "dq_join_key_skew": "broadcast side = 1-row global mean frequency",
+    "scalar_subquery_above_avg": "broadcast side = 1-row scalar subquery (global avg)",
+    "winsorized_prices": "broadcast side = 1-row percentile bounds",
+}
+
+
 def test_no_query_plans_cartesian_or_row_python(spark):
     """Fleet-wide plan guard: NO registered query may plan a
-    CartesianProduct or a row-at-a-time Python eval (BatchEvalPython) —
-    the two quiet killers at 100 TB.  Python is allowed only Arrow-batched
-    (ArrowEvalPython / ArrowEvalPythonUDTF / mapInPandas / FlatMapGroupsInPandas)."""
+    CartesianProduct, a row-at-a-time Python eval (BatchEvalPython), or an
+    unvetted BroadcastNestedLoopJoin — the quiet killers at 100 TB.
+    Python is allowed only Arrow-batched (ArrowEvalPython /
+    ArrowEvalPythonUDTF / mapInPandas / FlatMapGroupsInPandas); BNLJ is
+    allowed only for the named tiny-broadcast patterns in BNLJ_ALLOWED."""
     from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
 
     load_all()
@@ -303,6 +322,8 @@ def test_no_query_plans_cartesian_or_row_python(spark):
     for name, fn in QUERIES.items():
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            hits.append("BroadcastNestedLoopJoin")
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
