@@ -1,0 +1,40 @@
+"""Session-scoped memo for DataFrames shared by multiple registered queries.
+
+Several registered queries are views over one expensive intermediate — the
+multi-table sign-LSH bucketing/rerank (`sim_cosine_pairs` and
+`dedup_embedding_cosine` are the same pair set, one with a document join),
+the ANN top-k candidate frames (`sim_topk_lsh`/`sim_topk_ivf` feed
+`sim_ann_recall_report`), the distinct-shingle frame (minhash + exact
+Jaccard).  Within one driver session each intermediate is computed and
+persisted ONCE; subsequent queries reuse the persisted frame.
+
+This is the single-session analogue of materialized intermediate reuse: the
+correctness contract of each query is unchanged (every consumer would
+compute the identical frame), only the duplicated work goes away.  Keyed by
+SparkSession identity so a fresh session (new driver round, new JVM)
+rebuilds instead of reusing handles into a dead JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_memo: dict[tuple, object] = {}
+
+
+def shared(spark: SparkSession, key: tuple, build: Callable[[], object]) -> object:
+    """Memoize any session-scoped object (e.g. an (assigned, centroids)
+    index pair).  ``key`` must capture every input that affects the result
+    (sf_dir, thresholds, parameters)."""
+    full = (id(spark), *key)
+    if full not in _memo:
+        _memo[full] = build()
+    return _memo[full]
+
+
+def shared_df(spark: SparkSession, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
+    """Return the memoized persisted DataFrame for ``key``, building it on
+    first use."""
+    return shared(spark, key, lambda: build().persist())

@@ -1,0 +1,108 @@
+"""Table maintenance: small-file compaction and storage-layout reporting.
+
+The reference has no storage layer at all (it streams one text file through
+RPC workers — SURVEY.md §1.3), but any engine run continuously at 100 TB
+accretes small files: streaming micro-batches, incremental ingests, and
+over-parallel writes each leave thousands of sub-HDFS-block parquet files,
+and scan cost then becomes file-open latency instead of IO.  Compaction is
+the maintenance job every production Spark/Iceberg/Delta deployment
+schedules; this module is the plain-parquet formulation.
+
+Scale posture: `compact` plans output file count from TOTAL BYTES (listed
+driver-side from the file index — metadata only, no data motion), then
+rewrites in one pass.  `coalesce` (default) merges map-side with NO shuffle
+— each output task concatenates whole input files; `shuffle=True` buys
+balanced outputs at the price of one exchange when input sizes are skewed.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def list_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under ``path`` (driver-side
+    metadata listing via the Hadoop FileSystem — no data read)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(suffix):
+            out.append((p, st.getLen()))
+    return sorted(out)
+
+
+def compaction_plan(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Decide how many output files a compaction of ``path`` should produce.
+
+    Returns {n_files, total_bytes, n_target_files, needed} — ``needed`` is
+    False when the layout is already at-or-under the target count (rewriting
+    well-sized files is pure churn)."""
+    files = list_files(spark, path)
+    total = sum(b for _, b in files)
+    n_target = max(1, math.ceil(total / target_bytes))
+    return {
+        "n_files": len(files),
+        "total_bytes": total,
+        "n_target_files": n_target,
+        "needed": len(files) > n_target,
+    }
+
+
+def compact(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> dict:
+    """Rewrite ``in_path`` to ``out_path`` with ≈``target_bytes`` files.
+
+    ``shuffle=False`` (default) uses ``coalesce`` — map-side merge, no
+    exchange; use ``shuffle=True`` (``repartition``) when input file sizes
+    are skewed enough that concatenation would produce unbalanced outputs.
+    Returns the plan dict plus ``rows`` (rewritten row count, for the
+    caller's invariant check)."""
+    plan = compaction_plan(spark, in_path, target_bytes)
+    df = spark.read.parquet(in_path)
+    n = plan["n_target_files"]
+    out = df.repartition(n) if shuffle else df.coalesce(n)
+    out.write.mode("overwrite").parquet(out_path)
+    plan["rows"] = spark.read.parquet(out_path).count()
+    plan["n_files_after"] = len(list_files(spark, out_path))
+    return plan
+
+
+def storage_report(spark: SparkSession, sf_dir: str, tables: list[str]) -> DataFrame:
+    """One row per table: file count, total bytes, min/avg/max file bytes —
+    the health report a compaction scheduler reads to pick targets.  Pure
+    metadata (file-index listing); no table data is scanned."""
+    rows = []
+    for t in tables:
+        files = list_files(spark, os.path.join(sf_dir, f"{t}.parquet"))
+        sizes = [b for _, b in files] or [0]
+        rows.append(
+            (
+                t,
+                len(files),
+                int(sum(sizes)),
+                int(min(sizes)),
+                int(sum(sizes) / max(len(files), 1)),
+                int(max(sizes)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, n_files bigint, total_bytes bigint, "
+        "min_file_bytes bigint, avg_file_bytes bigint, max_file_bytes bigint",
+    )

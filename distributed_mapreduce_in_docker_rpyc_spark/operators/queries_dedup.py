@@ -12,8 +12,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_in_docker_rpyc_spark.operators import dedup as dd
+from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import shared_df
 from distributed_mapreduce_in_docker_rpyc_spark.registry import register
 from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared persisted distinct-shingle frame: minhash-LSH, exact
+    Jaccard, and clustering all start from it; one scan→tokenize→shingle
+    pipeline per session instead of one per query (and per consumer — Spark
+    has no cross-DAG subplan reuse)."""
+    return shared_df(
+        spark,
+        ("shingles", sf_dir),
+        lambda: dd._distinct_shingles(load_table(spark, sf_dir, "documents"), "text", "doc_id"),
+    )
+
+
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared persisted simhash fingerprint frame (the fingerprint
+    query, band join sides, and rerank all consume it)."""
+    return shared_df(
+        spark,
+        ("simhash_fp", sf_dir),
+        lambda: dd.simhash_fingerprint(load_table(spark, sf_dir, "documents")),
+    )
 
 # Shared oracle CTEs: tokens → shingles → distinct shingles (mirrors
 # dedup.shingles_column semantics exactly, incl. the ≥1-shingle guard).
@@ -96,7 +119,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the intersection join — without it Spark re-runs the scan→shingle
     # pipeline 12× (no cross-DAG subplan reuse). ~250 KB/doc-MB cached;
     # evictable (MEMORY_AND_DISK via persist default) so safe at scale.
-    shd = dd._distinct_shingles(docs, "text", "doc_id").persist()
+    shd = _shingles(spark, sf_dir)
     cand = dd.minhash_lsh_candidates(docs, shingles=shd)
     return dd.jaccard_pairs(docs, candidates=cand, threshold=0.5, shingles=shd)
 
@@ -130,7 +153,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus size; tests assert the capped frame's max fan-out.  Pair
     space pruned by the equi-join — never a cross join."""
     docs = load_table(spark, sf_dir, "documents")
-    shd = dd._distinct_shingles(docs, "text", "doc_id").persist()
+    shd = _shingles(spark, sf_dir)
     return dd.jaccard_pairs(docs, threshold=0.3, shingles=shd, max_df=50)
 
 
@@ -195,9 +218,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (dim-sized) onto the pruned pair set."""
     from pyspark.sql import functions as F
 
-    from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as sim
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_similarity import semantic_pairs
 
-    pairs = sim.semantic_pairs_lsh(load_table(spark, sf_dir, "embeddings"), 0.4)
+    pairs = semantic_pairs(spark, sf_dir, 0.4)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return (
         pairs.withColumnRenamed("vec_a", "doc_a")
@@ -249,7 +272,7 @@ _SIMHASH_CTES = f"""
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit simhash fingerprint per document (portable md5-bit-vote
     construction — see dedup.simhash_fingerprint)."""
-    return dd.simhash_fingerprint(load_table(spark, sf_dir, "documents"))
+    return _simhash_fp(spark, sf_dir)
 
 
 @register(
@@ -282,7 +305,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. Fingerprints are persisted: they feed both band sides + rerank."""
     from pyspark.sql import functions as F
 
-    fp = dd.simhash_fingerprint(load_table(spark, sf_dir, "documents")).persist()
+    fp = _simhash_fp(spark, sf_dir)
     bands = fp.select(
         "doc_id",
         F.posexplode(F.split("simhash", "(?!$)")).alias("k", "ch"),
@@ -404,7 +427,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the iterative (Pregel-style) operator relational algebra can't
     do in one pass; the oracle reproduces it with a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents")
-    shd = dd._distinct_shingles(docs, "text", "doc_id").persist()
+    shd = _shingles(spark, sf_dir)
     cand = dd.minhash_lsh_candidates(docs, shingles=shd)
     near = dd.jaccard_pairs(docs, candidates=cand, threshold=0.5, shingles=shd).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -417,3 +440,118 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = dd.connected_components(docs, near.unionAll(exact).persist())
     return labels.select("doc_id", F.col("cluster").alias("cluster_id"))
+
+
+@register(
+    "dedup_incremental",
+    oracle=_SHINGLE_CTES
+    + """,
+    mh AS (
+        SELECT shd.doc_id, g.seed,
+               MIN(md5(g.seed::VARCHAR || ':' || shd.shingle)) AS h
+        FROM shd, generate_series(0, 15) g(seed)
+        GROUP BY shd.doc_id, g.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(h, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                        GREATEST(a.doc_id, b.doc_id) AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shd GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shd x ON x.doc_id = c.doc_a
+        JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    near_pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter) >= 0.5
+    ),
+    exact AS (
+        SELECT n.doc_id AS doc_id, MIN(c.doc_id) AS dup_of, 'exact' AS kind
+        FROM documents n
+        JOIN documents c ON sha256(n.text) = sha256(c.text)
+        WHERE n.doc_id % 5 = 4 AND c.doc_id % 5 <> 4
+        GROUP BY n.doc_id
+    ),
+    near AS (
+        SELECT CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS doc_id,
+               MIN(CASE WHEN doc_a % 5 = 4 THEN doc_b ELSE doc_a END) AS dup_of,
+               'near' AS kind
+        FROM near_pairs
+        GROUP BY 1
+    )
+    SELECT doc_id, dup_of, kind FROM exact
+    UNION ALL
+    SELECT doc_id, dup_of, kind FROM near n
+    WHERE NOT EXISTS (SELECT 1 FROM exact e WHERE e.doc_id = n.doc_id)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch vs corpus) dedup — the continuous-ingest shape
+    of a training-data pipeline: docs with ``doc_id % 5 = 4`` play the
+    incoming batch, the rest the already-ingested corpus; each batch doc is
+    flagged against the corpus only (exact sha-256 match wins over minhash
+    near-dup at Jaccard ≥ 0.5; dup_of = smallest matching corpus doc).
+
+    Scale shape: the band frame is computed ONCE over all docs (one pass,
+    shared with the other minhash queries via the session memo), then
+    filtered into batch/corpus sides before the equi-join — so the join cost
+    is batch-bands × colliding corpus-bands and within-corpus pairs NEVER
+    materialize.  At 100 TB the batch side is the small one: its band list
+    and its sha-256 hash list both broadcast, and cost per ingest round is
+    O(batch × collision fan-out), independent of corpus pair count."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % 5) == 4
+
+    hashed = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    exact = (
+        hashed.filter(is_batch)
+        .join(
+            hashed.filter(~is_batch).select(F.col("doc_id").alias("c_id"), "h"),
+            "h",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("c_id").alias("dup_of"))
+        .withColumn("kind", F.lit("exact"))
+    )
+
+    shd = _shingles(spark, sf_dir)
+    sigs = dd.minhash_signatures(docs, shingles=shd).select(
+        "doc_id", F.posexplode(dd.band_signatures(F.col("minhash"))).alias("band", "sig")
+    )
+    nb = sigs.filter(is_batch).select(F.col("doc_id").alias("new_id"), "band", "sig")
+    cb = sigs.filter(~is_batch).select(F.col("doc_id").alias("corpus_id"), "band", "sig")
+    cand = (
+        nb.join(cb, ["band", "sig"])
+        .select(
+            F.least("new_id", "corpus_id").alias("doc_a"),
+            F.greatest("new_id", "corpus_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    near_pairs = dd.jaccard_pairs(docs, candidates=cand, threshold=0.5, shingles=shd)
+    a_is_batch = (F.col("doc_a") % 5) == 4
+    near = (
+        near_pairs.select(
+            F.when(a_is_batch, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_id"),
+            F.when(a_is_batch, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dup_of"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .withColumn("kind", F.lit("near"))
+        .join(exact.select("doc_id"), "doc_id", "left_anti")
+    )
+    return exact.unionByName(near).select("doc_id", "dup_of", "kind")

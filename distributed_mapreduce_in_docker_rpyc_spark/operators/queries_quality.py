@@ -120,3 +120,21 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(20)
     )
+
+
+@register("storage_file_report")
+def storage_file_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout health report: per-table file count and size spread —
+    what a compaction scheduler reads to pick targets (see
+    operators/maintenance.py; the compaction rewrite itself is tested in
+    tests/test_maintenance.py since registered queries are read-only).
+    Metadata-only: the file index is listed driver-side, no data scanned;
+    no SQL oracle (file layout is not table content) → rows-only check."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators import maintenance as mt
+
+    return mt.storage_report(
+        spark,
+        sf_dir,
+        ["region", "nation", "customer", "supplier", "part",
+         "orders", "lineitem", "events", "documents", "embeddings"],
+    )

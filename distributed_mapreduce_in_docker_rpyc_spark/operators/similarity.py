@@ -114,8 +114,15 @@ def semantic_pairs_lsh(
     sides by bucket key, AQE-splittable, never a nested-loop broadcast; the
     rerank cost is ∝ |candidates|, which at real near-dup thresholds is the
     size of the duplicate clusters, not N².  Approximate with measured
-    recall (tests assert 1.0 on the fixture; see parameter note above)."""
-    bucketed = lsh_bucket_tables(emb, n_tables, planes_per_table, id_col, vec_col).persist()
+    recall (tests assert 1.0 on the fixture; see parameter note above).
+
+    Bucketing takes the NumPy/Arrow path: at 16×3 = 48 planes the
+    expression formulation blows janino's 64 KB codegen limit and falls
+    back to interpreted eval (~10× slower, measured) — see
+    ``lsh_bucket_tables_np``; the two paths are differential-tested."""
+    import numpy as np
+
+    bucketed = lsh_bucket_tables_np(emb, n_tables, planes_per_table, id_col, vec_col).persist()
     a = bucketed.select(
         F.col(id_col).alias("vec_a"), F.col("tbl").alias("_ta"), F.col("bucket").alias("_ba")
     )
@@ -134,13 +141,25 @@ def semantic_pairs_lsh(
     )
     va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
     vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn("sim", F.round(cosine_similarity_col("_va", "_vb"), 6))
-        .filter(F.col("sim") >= threshold)
-        .select("vec_a", "vec_b", "sim")
-    )
+    with_vecs = cand.join(va, "vec_a").join(vb, "vec_b")
+
+    # Vectorized exact rerank: one einsum per Arrow batch instead of a
+    # per-row 64-term aggregate HOF (higher-order functions never enter
+    # whole-stage codegen — interpreted eval measured ~5× slower here).
+    def rerank(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf["_va"]), dtype=np.float64)
+            y = np.array(list(pdf["_vb"]), dtype=np.float64)
+            sim = np.einsum("ij,ij->i", x, y) / (
+                np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+            )
+            out = pdf[["vec_a", "vec_b"]].copy()
+            out["sim"] = np.round(sim, 6)
+            yield out[out["sim"] >= threshold]
+
+    return with_vecs.mapInPandas(rerank, schema="vec_a long, vec_b long, sim double")
 
 
 def topk_bruteforce(
@@ -220,6 +239,59 @@ def lsh_bucket_tables(
     )
 
 
+def lsh_bucket_tables_np(
+    emb: DataFrame,
+    n_tables: int = N_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) rows for multi-table sign-LSH via mapInPandas +
+    one NumPy matmul per Arrow batch — same bucket decisions as
+    ``lsh_bucket_tables`` (differential-tested), different physical path.
+
+    Why it exists: the expression formulation materializes P×(dim/CHUNK)
+    partial-sum columns; at P = 48 planes the projection exceeds janino's
+    64 KB method limit ("Code grows beyond 64 KB"), whole-stage codegen
+    bails, and the interpreted fallback is ~10× slower — measured here.  A
+    (batch × dim) @ (dim × P) BLAS matmul is one Arrow round-trip of
+    (id, vec) and no codegen at all; it is also the only shape that stays
+    viable at real embedding widths (768-4096 dims), where the expression
+    tree would be 50× larger still.  Per-batch memory is O(batch × P) —
+    constant in corpus size, so the 100 TB posture is unchanged: one scan,
+    no shuffle, L small rows out per vector."""
+    import numpy as np
+
+    n_planes = n_tables * planes_per_table
+    signs = np.array([hyperplane(p) for p in range(n_planes)], dtype=np.float64)  # (P, dim)
+    tbl_idx = np.arange(n_tables, dtype=np.int32)
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (B, dim)
+            bits = np.where(mat @ signs.T >= 0, "1", "0")  # (B, P) of '1'/'0'
+            buckets = []
+            for t in range(n_tables):
+                b = bits[:, t * planes_per_table]
+                for j in range(1, planes_per_table):
+                    b = np.char.add(b, bits[:, t * planes_per_table + j])
+                buckets.append(b)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "tbl": np.tile(tbl_idx, len(ids)),
+                    "bucket": np.stack(buckets, axis=1).ravel(),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        per_batch, schema=f"{id_col} long, tbl int, bucket string"
+    )
+
+
 def topk_lsh(
     emb: DataFrame,
     query_ids_below: int,
@@ -228,21 +300,29 @@ def topk_lsh(
     planes_per_table: int = PLANES_PER_TABLE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing a bucket with the query
     in ANY of the L hash tables, exact-cosine reranked.
 
     The equi-join on (table, bucket) replaces the cross product; distinct
     candidate pairs before rerank so each pair's cosine is computed once.
-    Recall vs brute force is asserted in tests."""
+    Recall vs brute force is asserted in tests.
+
+    ``buckets``: a prebuilt (persisted) ``lsh_bucket_tables`` frame — the
+    bucketing is query-set independent, so consumers probing the same corpus
+    with different query sets (the registered top-k query, the recall
+    report) should build it once and pass it in."""
     from pyspark.sql import Window
 
     # Persisted: the bucket projection (L×k plane dots per row) feeds both
     # join sides — without reuse it is evaluated twice (no cross-DAG subplan
     # dedup in Spark; same finding as operators/dedup.py).
-    bucketed = lsh_bucket_tables(emb, n_tables, planes_per_table, id_col, vec_col).drop(
-        vec_col
-    ).persist()
+    bucketed = (
+        buckets
+        if buckets is not None
+        else lsh_bucket_tables(emb, n_tables, planes_per_table, id_col, vec_col).persist()
+    )
     q = bucketed.filter(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("query_id"), F.col("tbl").alias("_qt"), F.col("bucket").alias("_qb")
     )
@@ -366,6 +446,7 @@ def topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: assign corpus to KMeans cells, probe each
     query's ``n_probe`` nearest cells, exact-cosine rerank inside them.
@@ -373,10 +454,13 @@ def topk_ivf(
     The candidate join is an equi-join on ``cluster`` (query-probes ×
     inverted lists) — no cross product, and the probed fraction of the corpus
     is ``n_probe / n_centroids`` regardless of scale. Recall vs brute force
-    is asserted in tests (Python-side KMeans state → no SQL oracle)."""
+    is asserted in tests (Python-side KMeans state → no SQL oracle).
+
+    ``index``: a prebuilt ``ivf_index`` (assigned, centroids) pair — KMeans
+    training is query-set independent; probe-time consumers share one."""
     from pyspark.sql import Window
 
-    assigned, centroids = ivf_index(emb, n_centroids, id_col, vec_col)
+    assigned, centroids = index if index is not None else ivf_index(emb, n_centroids, id_col, vec_col)
     q = assigned.filter(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -405,4 +489,39 @@ def topk_ivf(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = floor(x_i/scale + 0.5)`` — 4× smaller than float32 at rest,
+    which at 100 TB of embeddings is the difference between one scan fitting
+    in page cache or not.  ``floor(x + 0.5)`` (not ``round``) is the rounding
+    contract: it is identical across Spark, DuckDB, and NumPy, so the oracle
+    can replicate the quantizer bit-for-bit (banker's-vs-half-up rounding
+    would diverge on exact .5 ties).
+
+    Per-row expression math — no shuffle, no UDF; dequantization is
+    ``q_i * scale`` (see ``sim_quantized_recall`` for the measured recall
+    cost of the lost precision)."""
+    vec = F.col(vec_col)
+    absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
+    return emb.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.transform(vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")).alias("qvec"),
+    )
+
+
+def dequantized(
+    quant: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, embedding: array<double>) reconstructed from an int8 frame —
+    the read path of a quantized vector store."""
+    return quant.select(
+        F.col(id_col),
+        F.transform("qvec", lambda q: q.cast("double") * F.col("scale")).alias("embedding"),
     )

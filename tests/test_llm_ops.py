@@ -98,6 +98,19 @@ def test_jaccard_max_df_caps_hot_shingle_fanout(spark):
     assert keep.agg(F.max("df")).first()[0] <= 4
 
 
+def test_dedup_incremental_exact_wins_and_corpus_only(spark, sf_dir):
+    """Every flagged doc is a batch doc (doc_id % 5 == 4), every dup_of is a
+    corpus doc, and no doc carries both kinds (exact takes precedence)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_dedup import dedup_incremental
+
+    rows = dedup_incremental(spark, sf_dir).collect()
+    assert rows
+    assert all(r.doc_id % 5 == 4 for r in rows)
+    assert all(r.dup_of % 5 != 4 for r in rows)
+    assert all(r.kind in ("exact", "near") for r in rows)
+    assert len({r.doc_id for r in rows}) == len(rows)  # one verdict per doc
+
+
 def test_simhash_near_for_near_texts(spark):
     base = "the quick brown fox jumps over the lazy dog " * 3
     near = base + "extra"
@@ -158,6 +171,51 @@ def test_semantic_pairs_lsh_recall_one_vs_exact(spark, sf_dir):
     }
     assert exact  # fixture must actually exercise the threshold
     assert bucketed == exact
+
+
+def test_int8_quantization_error_bound_and_recall(spark, sf_dir):
+    """Reconstruction error is bounded by scale/2 per element (the rounding
+    contract), and exact top-10 over dequantized vectors keeps high recall
+    vs the float truth — the property that justifies the 4× storage cut."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_similarity import (
+        sim_quantized_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim.quantize_int8(emb)
+    joined = (
+        sim.dequantized(q)
+        .withColumnRenamed("embedding", "deq")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(q.select("vec_id", "scale"), "vec_id")
+    )
+    worst = joined.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "embedding", "deq", lambda a, b: F.abs(a.cast("double") - b) / F.col("scale")
+                )
+            )
+        ).alias("w")
+    ).first()["w"]
+    assert worst <= 0.5 + 1e-9
+
+    row = sim_quantized_recall(spark, sf_dir).first()
+    assert row.n_queries == 50
+    assert row.mean_recall_at_10 >= 0.9
+
+
+def test_lsh_bucketing_np_equals_expression_path(spark, sf_dir):
+    """The NumPy/Arrow bucketing must make bit-identical bucket decisions to
+    the expression path for BOTH plane families (6×3 top-k, 16×3 dedup) —
+    it is the production path (the 48-plane expression projection exceeds
+    janino's 64 KB codegen limit), and every LSH oracle replicates the
+    expression math in SQL, so the two must agree everywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    for n_tables, k in ((sim.N_TABLES, sim.PLANES_PER_TABLE), (16, 3)):
+        expr = {tuple(r) for r in sim.lsh_bucket_tables(emb, n_tables, k).collect()}
+        np_ = {tuple(r) for r in sim.lsh_bucket_tables_np(emb, n_tables, k).collect()}
+        assert np_ == expr and expr
 
 
 def test_numpy_path_equals_expression_path(spark, sf_dir):

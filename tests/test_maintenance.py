@@ -1,0 +1,63 @@
+"""Small-file compaction + storage report (operators/maintenance.py).
+
+The invariant under test is the maintenance contract: compaction changes
+the FILE LAYOUT and nothing else — same rows, same schema, fewer files —
+and the planner refuses pure-churn rewrites of already-healthy layouts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_mapreduce_in_docker_rpyc_spark.operators import maintenance as mt
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+
+@pytest.fixture
+def fragmented(spark, sf_dir, tmp_path):
+    """A deliberately over-fragmented copy of nation: 25 rows, 25 files."""
+    src = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "frag")
+    src.repartition(25).write.parquet(path)
+    return path, src
+
+
+def test_compact_preserves_data_and_reduces_files(spark, fragmented, tmp_path):
+    path, src = fragmented
+    before = mt.list_files(spark, path)
+    assert len(before) == 25
+
+    out = str(tmp_path / "compacted")
+    plan = mt.compact(spark, path, out, target_bytes=64 * 1024 * 1024)
+    assert plan["needed"] and plan["n_files"] == 25
+    assert plan["n_files_after"] == plan["n_target_files"] == 1
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in src.collect()}
+    assert got == want
+    assert spark.read.parquet(out).schema == src.schema
+
+
+def test_compact_shuffle_path_same_data(spark, fragmented, tmp_path):
+    path, src = fragmented
+    out = str(tmp_path / "compacted_shuffle")
+    plan = mt.compact(spark, path, out, target_bytes=64 * 1024 * 1024, shuffle=True)
+    assert plan["n_files_after"] == 1
+    assert spark.read.parquet(out).count() == src.count()
+
+
+def test_compaction_plan_skips_healthy_layout(spark, fragmented):
+    path, _ = fragmented
+    # With a tiny target, 25 files is already under the target count:
+    # rewriting would be pure churn and the planner must say so.
+    plan = mt.compaction_plan(spark, path, target_bytes=64)
+    assert not plan["needed"]
+
+
+def test_storage_report_shape(spark, sf_dir):
+    rows = {r.table_name: r for r in mt.storage_report(spark, sf_dir, ["nation", "lineitem"]).collect()}
+    assert set(rows) == {"nation", "lineitem"}
+    for r in rows.values():
+        assert r.n_files >= 1
+        assert r.total_bytes > 0
+        assert r.min_file_bytes <= r.avg_file_bytes <= r.max_file_bytes
