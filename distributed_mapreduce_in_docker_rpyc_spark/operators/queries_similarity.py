@@ -343,3 +343,67 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_queries"),
         F.lit(4.0).alias("compression_vs_float32"),
     )
+
+
+@register(
+    "emb_outliers_by_label",
+    oracle="""
+    WITH per_dim AS (
+        SELECT label, g.i AS d,
+               ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 6) AS c
+        FROM embeddings, generate_series(1, 64) g(i)
+        GROUP BY label, g.i
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label,
+               ROUND(sqrt(SUM((CAST(e.embedding[p.d] AS DOUBLE) - p.c) * (CAST(e.embedding[p.d] AS DOUBLE) - p.c))), 6) AS dist
+        FROM embeddings e JOIN per_dim p ON p.label = e.label
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, dist,
+           ROUND((dist - AVG(dist) OVER (PARTITION BY label))
+                 / STDDEV(dist) OVER (PARTITION BY label), 6) AS z,
+           ROUND((dist - AVG(dist) OVER (PARTITION BY label))
+                 / STDDEV(dist) OVER (PARTITION BY label), 6) > 2.0 AS is_outlier
+    FROM dists
+    """,
+)
+def emb_outliers_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality screen: distance of each vector from its class
+    centroid, z-scored within the label; vectors beyond 2σ are flagged —
+    the mislabeled/corrupt-vector sweep an embedding pipeline runs before
+    training on a labeled corpus.
+
+    Scale shape: centroids are label-count × dim (broadcast); the distance
+    is one zip_with/aggregate pass per row (no row blowup, no shuffle
+    beyond the tiny centroid agg); the z-score is a per-label window over
+    scalar distances.  Centroids are rounded to 6 places on BOTH engines so
+    the float summation order is immaterial."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(spark, sf_dir).select("label", "centroid")
+    dist = (
+        emb.join(F.broadcast(cent), "label")
+        .withColumn(
+            "dist",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("embedding").cast("array<double>"),
+                            "centroid",
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                6,
+            ),
+        )
+        .select("vec_id", "label", "dist")
+    )
+    w = Window.partitionBy("label")
+    z = F.round((F.col("dist") - F.avg("dist").over(w)) / F.stddev("dist").over(w), 6)
+    return dist.withColumn("z", z).withColumn("is_outlier", F.col("z") > 2.0)

@@ -153,3 +153,36 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         checkpoint=True,
     )
     return spark.table(table)
+
+
+@register(
+    "stream_dedup_against_corpus",
+    oracle="""
+    SELECT n.doc_id AS doc_id, c.dup_of AS dup_of,
+           c.dup_of IS NOT NULL AS is_dup
+    FROM documents n
+    LEFT JOIN (
+        SELECT sha256(text) AS h, MIN(doc_id) AS dup_of
+        FROM documents WHERE doc_id % 5 <> 4
+        GROUP BY sha256(text)
+    ) c ON sha256(n.text) = c.h
+    WHERE n.doc_id % 5 = 4
+    """,
+)
+def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest gate: documents arriving on a file stream (the
+    doc_id % 5 = 4 batch plays the feed) are exact-dedup-checked against the
+    static corpus via a stateless stream-static broadcast join — the
+    streaming twin of ``dedup_incremental``'s exact stage, executed
+    INCREMENTALLY and hash-checked against the same batch oracle."""
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_keepers = (
+        docs.filter((F.col("doc_id") % 5) != 4)
+        .groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    feed = jobs.documents_stream(spark, sf_dir).filter((F.col("doc_id") % 5) == 4)
+    table = _run(jobs.dedup_against_corpus(feed, corpus_keepers), output_mode="append")
+    return spark.table(table)

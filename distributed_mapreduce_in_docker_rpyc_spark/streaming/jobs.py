@@ -58,6 +58,35 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over ``documents.parquet`` — the incoming-document
+    feed of a continuous ingest pipeline (same single-file-glob trick as
+    ``events_stream``; no timestamp columns, so no conversion needed)."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def dedup_against_corpus(doc_stream: DataFrame, corpus_keepers: DataFrame) -> DataFrame:
+    """Stream-static exact-dedup gate: every incoming document gets a
+    verdict row ``(doc_id, dup_of, is_dup)`` — ``dup_of`` is the corpus
+    keeper whose content hash matches (null for novel docs).
+
+    Stateless stream-static LEFT join (stream side preserved) — no
+    watermark, no state store; per-micro-batch cost is the batch's hash
+    lookups against the (broadcast) corpus table, the exact shape a 100 TB
+    ingest gate wants.  The corpus side is pre-aggregated to one keeper per
+    hash so output is deterministic (exactly one verdict per doc)."""
+    hashed = doc_stream.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    return hashed.join(F.broadcast(corpus_keepers), "h", "left").select(
+        "doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup")
+    )
+
+
 def tumbling_hourly(stream: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Streaming twin of ``events_tumbling_hourly``: 1-hour tumbling windows
     per event type, counts + value sums, late data beyond ``watermark``

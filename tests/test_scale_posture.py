@@ -263,6 +263,52 @@ def test_runtime_bloom_filter_prunes_join_probe(spark, sf_dir, tmp_path):
                 conf.set(k, v)
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join split — the runtime answer to the hot-key join that
+    salting handles manually (functions/skew.py): a 90%-hot key must get its
+    sort-merge partition split (SortMergeJoin(skew=true) in the FINAL
+    adaptive plan), and the result must equal the plain join.
+
+    Two operational facts this test pins (both bit in practice at scale):
+    the split only appears in the final executed plan of the SAME
+    QueryExecution that ran (re-planning fresh shows the static guess), and
+    AQE vetoes the split when the join feeds a same-key downstream shuffle
+    whose partitioning reuse it would break (then you need
+    forceOptimizeSkewedJoin or salting) — so the asserted join is terminal."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # Fixture-sized thresholds (defaults are 256MB-scale)
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        fact = spark.range(300000).select(
+            F.when((F.col("id") % 10) < 9, F.lit(0)).otherwise(F.col("id") % 1000).alias("k"),
+            (F.col("id") * 7 % 100).alias("v"),
+        )
+        dim = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+        j = fact.join(dim, "k")
+        n = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert n == 300000  # split changed the partitioning, not the result
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_cbo_uses_table_stats_for_broadcast(spark, sf_dir, tmp_path):
     """Cost-based optimization from ANALYZE statistics: with hints disabled
     and accurate row/size stats in the catalog, the optimizer broadcasts
