@@ -13,6 +13,7 @@ order; dimension joins broadcast explicitly.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve under postponed annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1821,4 +1822,126 @@ def mv_incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_partial").cast("double").alias("revenue"),
             F.sum("n_partial").alias("n_orders"),
         )
+    )
+
+
+@register(
+    "udf_scalar_pandas_net_price",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE))
+               * (1 + CAST(l_tax AS DOUBLE)) AS net_price
+    FROM lineitem
+    WHERE l_quantity >= 49
+    """,
+)
+def udf_scalar_pandas_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR pandas UDF surface (the remaining cell of the UDF matrix next
+    to grouped-map/map/UDTF/stateful): net line price computed in an
+    Arrow-batched vectorized UDF — plans as ArrowEvalPython, never
+    row-at-a-time BatchEvalPython (fleet plan guard enforces).  For this
+    arithmetic a built-in expression is strictly better (and the oracle IS
+    that expression); the query exists to pin the user-pluggable scalar
+    surface end-to-end."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def net(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        # No rounding here: the same IEEE double product is computed on the
+        # oracle side (identical operand order), so values compare exactly;
+        # an explicit .round would diverge (numpy half-even vs SQL half-up).
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net(
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_discount").cast("double"),
+            F.col("l_tax").cast("double"),
+        ).alias("net_price"),
+    )
+
+
+@register(
+    "udaf_weighted_avg_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE))
+                 / SUM(CAST(l_extendedprice AS DOUBLE)), 6) AS weighted_avg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (user-defined aggregate): price-weighted mean
+    discount per return flag.  Plans as AggregateInPandas — Arrow-batched,
+    one shuffle on the group key; the oracle is the plain-SQL weighted
+    average, so the UDAF's reduction is hash-checked, not just smoke-run."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, disc: pd.Series) -> float:
+        return float((price * disc).sum() / price.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            wavg(F.col("l_extendedprice").cast("double"), F.col("l_discount").cast("double")), 6
+        ).alias("weighted_avg_discount")
+    )
+
+
+@register(
+    "cogrouped_order_fill_pandas",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(l.total_qty, 0) AS DOUBLE) AS total_qty,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey, COUNT(*) AS n_lines, SUM(CAST(l_quantity AS DOUBLE)) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+    ) l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 100 = 0
+    """,
+)
+def cogrouped_order_fill_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED_MAP surface: orders and lineitems cogrouped per orderkey,
+    merged by arbitrary Python per key (here: per-order line count/quantity
+    next to the order header — the general two-sided custom-merge shape that
+    covers as-of-style and reconciliation logic SQL can't express).  Plans
+    as FlatMapCoGroupsInPandas: both sides shuffle once on the key, the
+    merge is Arrow-batched.  Keyed to o_orderkey % 100 = 0 to keep the
+    driver compare small; the oracle is the equivalent relational join."""
+    import pandas as pd
+
+    def merge(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        if orders_pdf.empty:
+            return pd.DataFrame(
+                columns=["orderkey", "n_lines", "total_qty", "o_totalprice"]
+            )
+        return pd.DataFrame(
+            {
+                "orderkey": orders_pdf["o_orderkey"].iloc[:1],
+                "n_lines": [int(len(lines_pdf))],
+                "total_qty": [float(lines_pdf["l_quantity"].sum()) if len(lines_pdf) else 0.0],
+                "o_totalprice": [float(orders_pdf["o_totalprice"].iloc[0])],
+            }
+        )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey", "l_quantity"
+    )
+    return o.groupBy("o_orderkey").cogroup(li.groupBy("l_orderkey")).applyInPandas(
+        merge, "orderkey long, n_lines bigint, total_qty double, o_totalprice double"
     )

@@ -23,6 +23,10 @@ SHOWN = [
     "heavy_hitters_verified",
     "text_tfidf_top_terms",
     "scd2_priority_history",
+    "sim_topk_lsh",
+    "sim_cosine_pairs",
+    "dedup_incremental",
+    "udaf_weighted_avg_pandas",
 ]
 
 
