@@ -263,6 +263,35 @@ def test_runtime_bloom_filter_prunes_join_probe(spark, sf_dir, tmp_path):
                 conf.set(k, v)
 
 
+def test_plan_features_match_golden(spark):
+    """Fleet-wide plan-regression guard: every plan-stable query's physical
+    plan features (join strategies, shuffle count, Python eval nodes,
+    pushed-filter scans) must match PLAN_FEATURES.json.  A lost broadcast, a
+    new shuffle, or a pushdown that stopped reaching the scan fails HERE
+    instead of shipping as a silent 100 TB regression.  After an intentional
+    plan change: `python scripts/gen_plan_features.py` and commit the diff."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import gen_plan_features as gpf
+
+    with open(gpf.GOLDEN_PATH) as f:
+        golden = json.load(f)
+    got = gpf.compute_all(spark)
+    assert set(got) == set(golden), (
+        f"query set drifted: +{sorted(set(got) - set(golden))} "
+        f"-{sorted(set(golden) - set(got))} — regenerate the golden"
+    )
+    diffs = {
+        name: {k: (golden[name][k], feats[k]) for k in feats if feats[k] != golden[name][k]}
+        for name, feats in got.items()
+        if feats != golden[name]
+    }
+    assert not diffs, f"plan features drifted (golden, current): {diffs}"
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE's skew-join split — the runtime answer to the hot-key join that
     salting handles manually (functions/skew.py): a 90%-hot key must get its
