@@ -138,3 +138,27 @@ def storage_file_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["region", "nation", "customer", "supplier", "part",
          "orders", "lineitem", "events", "documents", "embeddings"],
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS group_size,
+           CAST(COUNT(*) >= 5 AS INT) AS is_k_anonymous
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-identifier:
+    every equivalence class' size, flagged when it fails k=5 — the groups a
+    privacy-preserving release must suppress or generalize.  One hash
+    aggregation on the quasi-identifier composite key (uniform unless a
+    segment dominates, in which case AQE skew handling applies); the report
+    is group-count-sized, never data-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("group_size"),
+        (F.count("*") >= 5).cast("int").alias("is_k_anonymous"),
+    )

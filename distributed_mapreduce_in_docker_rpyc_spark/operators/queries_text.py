@@ -780,3 +780,357 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.log("cnt"), F.log("rank")), 4).alias("r2"),
         F.count("*").alias("n_points"),
     )
+
+
+@register(
+    "text_gopher_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+        FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word),
+    perword AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(MAX(c) AS BIGINT) AS top_word_count,
+               COUNT(*) AS n_distinct_words
+        FROM wc GROUP BY doc_id
+    ),
+    bidx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks
+    ),
+    bigrams AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg FROM bidx
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
+    perbig AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+               COUNT(*) AS n_distinct_bigrams
+        FROM bc GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           w.n_words,
+           round(CAST(w.top_word_count AS DOUBLE) / w.n_words, 6) AS top_word_frac,
+           round(CAST(w.n_words - w.n_distinct_words AS DOUBLE) / w.n_words, 6) AS dup_word_frac,
+           round(CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_frac,
+           round(CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6) AS dup_bigram_frac,
+           CAST(CAST(w.top_word_count AS DOUBLE) / w.n_words <= 0.2
+                AND CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams <= 0.08 AS INT)
+               AS passes_repetition
+    FROM perword w JOIN perbig b USING (doc_id)
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document (Rae et al. 2021
+    §A1.1 repetition filters, re-expressed relationally): most-common-word
+    fraction, duplicate-word fraction, most-common-bigram fraction,
+    duplicate-bigram fraction, and a pass/fail repetition gate.
+
+    Boilerplate and template spam show up as high top-n-gram fractions long
+    before perplexity models see them, so this is the first quality gate a
+    training-data pipeline runs.  All counting is explode -> groupBy on
+    (doc_id, gram) — uniform composite keys, two shuffles, no per-doc state
+    wider than one aggregation row, no Python.  (The reference has no quality
+    surface; extended scope per SURVEY.md §2.2.)  Thresholds (0.2 / 0.08) are
+    demo values; production gates tune per corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_column("text").alias("w"))
+    words = toks.select("doc_id", F.explode("w").alias("word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    perword = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word_count"),
+        F.count("*").alias("n_distinct_words"),
+    )
+    n_pairs = F.greatest(F.size("w") - 1, F.lit(0))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n_pairs),
+                F.slice("w", 2, n_pairs),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("bg"),
+    )
+    bc = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    perbig = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        F.count("*").alias("n_distinct_bigrams"),
+    )
+    top_word_frac = F.col("top_word_count").cast("double") / F.col("n_words")
+    top_bigram_frac = F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
+    return perword.join(perbig, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(
+            (F.col("n_words") - F.col("n_distinct_words")).cast("double") / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        F.round(
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double") / F.col("n_bigrams"),
+            6,
+        ).alias("dup_bigram_frac"),
+        ((top_word_frac <= 0.2) & (top_bigram_frac <= 0.08)).cast("int").alias("passes_repetition"),
+    )
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+        FROM documents
+    ),
+    gidx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM toks
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS ngram FROM gidx
+    ),
+    eval_grams AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 10 = 0),
+    train_grams AS (SELECT DISTINCT doc_id, ngram FROM grams WHERE doc_id % 10 <> 0),
+    hits AS (
+        SELECT tg.doc_id, COUNT(*) AS n_shared_ngrams
+        FROM train_grams tg JOIN eval_grams e USING (ngram)
+        GROUP BY tg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams,
+           CAST(COALESCE(h.n_shared_ngrams, 0) > 0 AS INT) AS is_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 10 <> 0
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by word-5-gram overlap (the GPT-3 appendix-C
+    / PaLM recipe: flag a training document if it shares any n-gram with the
+    eval set).  Here the "eval set" is the deterministic doc_id%10==0 slice;
+    in production it is the actual benchmark suite.
+
+    Scale shape: the eval side is tiny relative to the corpus (benchmarks are
+    MBs, corpora are TBs), so its distinct n-grams are BROADCAST — the corpus
+    side streams through a map-side hash probe with no shuffle of the big
+    side; per-doc counts then aggregate on uniform doc_id keys.  5-gram
+    specificity keeps hot-key fan-out bounded (stop-phrase n-grams are far
+    rarer than stop-shingles — contrast the DF cap dedup_ngram_jaccard needs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_column("text").alias("w"))
+    gram_arr = F.when(
+        F.size("w") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 4),
+            lambda i: F.array_join(F.slice("w", i, F.lit(5)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.explode(gram_arr).alias("ngram"))
+    eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("ngram").distinct()
+    train_grams = grams.filter(F.col("doc_id") % 10 != 0).distinct()
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hit_count"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit_count", F.lit(0)).cast("bigint").alias("n_shared_ngrams"),
+            (F.coalesce("hit_count", F.lit(0)) > 0).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
+_BM25_TERMS = ("spark", "table", "query")
+
+
+@register(
+    "text_bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    words AS (SELECT doc_id, unnest(w) AS term FROM toks),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM words WHERE term IN ('spark', 'table', 'query')
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT t.doc_id,
+               SUM(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+               ) AS score
+        FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id), stats s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25_score,
+           CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Sparck-Jones; k1=1.2, b=0.75) for a
+    fixed 3-term query — the lexical half of a hybrid (BM25 + vector)
+    retrieval stack over the same corpus the ANN queries serve.
+
+    Scale shape: term frequencies only for the QUERY terms (the explode is
+    filtered before the shuffle, so corpus vocabulary size is irrelevant);
+    document frequencies and the (n_docs, avgdl) stats row are tiny
+    broadcasts; scoring joins on uniform doc_id keys; global top-20 compiles
+    to TakeOrderedAndProject.  The 1-row stats cross-join is an allowlisted
+    BroadcastNestedLoopJoin (tests/test_scale_posture.py BNLJ_ALLOWED).
+    Scores rounded to 6 places on both engines BEFORE ranking so float
+    summation order cannot flip ranks."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_column("text").alias("w"))
+    dl = toks.select("doc_id", F.size("w").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    words = toks.select("doc_id", F.explode("w").alias("term"))
+    tf = (
+        words.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tf_part = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("score"))
+        .select("doc_id", F.round("score", 6).alias("bm25_score"))
+    )
+    w = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "bm25_score", "rank")
+    )
+
+
+@register(
+    "corpus_pipeline_report",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+        FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word),
+    perword AS (
+        SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_word_count
+        FROM wc GROUP BY doc_id
+    ),
+    bidx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks
+    ),
+    bigrams AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg FROM bidx
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
+    perbig AS (
+        SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count
+        FROM bc GROUP BY doc_id
+    ),
+    gate AS (
+        SELECT w.doc_id,
+               CAST(CAST(w.top_word_count AS DOUBLE) / w.n_words <= 0.2
+                    AND CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams <= 0.08 AS INT)
+                   AS passes_quality
+        FROM perword w JOIN perbig b USING (doc_id)
+    ),
+    keeper AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    gidx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM toks
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS ngram FROM gidx
+    ),
+    eval_grams AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 10 = 0),
+    train_grams AS (SELECT DISTINCT doc_id, ngram FROM grams WHERE doc_id % 10 <> 0),
+    hits AS (
+        SELECT tg.doc_id, COUNT(*) AS n_shared
+        FROM train_grams tg JOIN eval_grams e USING (ngram)
+        GROUP BY tg.doc_id
+    )
+    SELECT d.doc_id,
+           g.passes_quality,
+           CAST(k.rn > 1 AS INT) AS is_dup_loser,
+           CAST(COALESCE(h.n_shared, 0) > 0 AS INT) AS is_contaminated,
+           CAST(g.passes_quality = 1 AND k.rn = 1
+                AND COALESCE(h.n_shared, 0) = 0 AS INT) AS selected
+    FROM documents d
+    JOIN gate g USING (doc_id)
+    JOIN keeper k USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 10 <> 0
+    """,
+)
+def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end in ONE DAG: repetition-quality
+    gate (text_gopher_quality) → exact-dedup keeper (dedup_keep_first's
+    window) → benchmark decontamination (decontam_ngram_overlap) → per-doc
+    verdict flags and the final `selected` bit.
+
+    Each stage keeps its individual scale shape: uniform (doc, gram)
+    aggregation keys, content-hash shuffle, broadcast eval-set probe, final
+    joins on uniform doc_id.  Spark does not dedupe identical subtrees, so
+    each stage re-scans `documents` (column-pruned to doc_id/text — scans
+    parallelize; the shuffles dominate); a production nightly would persist
+    the tokenized frame first (operators/_shared.py pattern).  This is the
+    query a user runs nightly; the per-stage queries debug each gate in
+    isolation."""
+    docs = load_table(spark, sf_dir, "documents")
+    gate = text_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("passes_repetition").alias("passes_quality")
+    )
+    keeper_w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    keeper = docs.select(
+        "doc_id", (F.row_number().over(keeper_w) > 1).cast("int").alias("is_dup_loser")
+    )
+    contam = decontam_ngram_overlap(spark, sf_dir).select("doc_id", "is_contaminated")
+    return (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id")
+        .join(gate, "doc_id")
+        .join(keeper, "doc_id")
+        .join(contam, "doc_id")
+        .select(
+            "doc_id",
+            "passes_quality",
+            "is_dup_loser",
+            "is_contaminated",
+            (
+                (F.col("passes_quality") == 1)
+                & (F.col("is_dup_loser") == 0)
+                & (F.col("is_contaminated") == 0)
+            )
+            .cast("int")
+            .alias("selected"),
+        )
+    )

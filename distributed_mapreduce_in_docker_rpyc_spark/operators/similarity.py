@@ -359,9 +359,10 @@ def topk_numpy(
 ) -> DataFrame:
     """Vectorized brute-force top-k via mapInPandas + NumPy matmul.
 
-    The query matrix is tiny (collected once, captured in the closure and
-    shipped with the task — for very large query sets use a proper broadcast
-    variable); each Arrow batch of corpus vectors computes a (batch × Q) sim
+    The query matrix is collected once and shipped as a Spark BROADCAST
+    VARIABLE — torrent-distributed once per executor, not serialized into
+    every task closure, so a large query set costs O(executors), not
+    O(tasks); each Arrow batch of corpus vectors computes a (batch × Q) sim
     matrix with BLAS, emits per-batch top-k, and a final per-query window
     reduces partial top-ks to global ones — the same partial/final split the
     reference used for counting (SURVEY.md OP-7/OP-10)."""
@@ -369,11 +370,16 @@ def topk_numpy(
     from pyspark.sql import Window
 
     qrows = emb.filter(F.col(id_col) < query_ids_below).select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_broadcast = emb.sparkSession.sparkContext.broadcast(
+        (
+            np.array([r[0] for r in qrows], dtype=np.int64),
+            np.array([r[1] for r in qrows], dtype=np.float64),
+        )
+    )
 
     def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat = q_broadcast.value
+        q_norm = np.linalg.norm(q_mat, axis=1)
         for pdf in it:
             if pdf.empty:
                 continue

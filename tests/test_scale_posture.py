@@ -380,6 +380,7 @@ BNLJ_ALLOWED = {
     "dq_join_key_skew": "broadcast side = 1-row global mean frequency",
     "scalar_subquery_above_avg": "broadcast side = 1-row scalar subquery (global avg)",
     "winsorized_prices": "broadcast side = 1-row percentile bounds",
+    "text_bm25_search": "broadcast side = 1-row (n_docs, avgdl) corpus stats",
 }
 
 
