@@ -182,3 +182,37 @@ def hll_daily_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_users",
         (F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")).alias("rel_err"),
     )
+
+
+@register("approx_percentile_error")
+def approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (mergeable-sketch) vs exact percentiles of extended price
+    per return flag: (flag, exact_p50, approx_p50, exact_p95, approx_p95,
+    rel_err_p50, rel_err_p95).
+
+    ``approx_percentile`` (Greenwald-Khanna variant, accuracy 10000) is the
+    100 TB path — bounded-size summaries merged associatively instead of a
+    full sort per group; the exact columns exist only to measure error at
+    test scale.  Deterministic but not SQL-portable (DuckDB's sketch differs)
+    → rows-only check; the tolerance assertion lives in
+    tests/test_sketches.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("approx_p95"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        F.round("approx_p50", 4).alias("approx_p50"),
+        F.round("exact_p95", 4).alias("exact_p95"),
+        F.round("approx_p95", 4).alias("approx_p95"),
+        F.round(F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50"), 6).alias(
+            "rel_err_p50"
+        ),
+        F.round(F.abs(F.col("approx_p95") - F.col("exact_p95")) / F.col("exact_p95"), 6).alias(
+            "rel_err_p95"
+        ),
+    )

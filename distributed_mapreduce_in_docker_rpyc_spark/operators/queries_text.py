@@ -1134,3 +1134,45 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("selected"),
         )
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, source, n_chars,
+               (SELECT SUM((strpos('0123456789abcdef', substr(md5(text), k, 1)) - 1)
+                           * POWER(16, 6 - k))
+                FROM generate_series(1, 6) t(k)) / POWER(16, 6) AS u,
+               least(1.0, n_chars / 400.0) AS p
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, round(u, 6) AS u, round(p, 6) AS p
+    FROM scored
+    WHERE u < p
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted sampling: keep a document iff
+    uniform(md5(text)) < p(doc), here p = min(1, n_chars/400) — the
+    upsample-by-quality step of a training-data mixture, with the acceptance
+    draw derived from the CONTENT hash so the sample is reproducible across
+    runs, engines, partitionings, and retries (rand() is none of those).
+
+    Pure per-row expression — no shuffle, no state, trivially 100 TB; the
+    same u < p contract resumes correctly when new documents arrive (old
+    docs keep their verdicts).  u uses the first 6 md5 nibbles (2^24
+    resolution), bit-identical in Spark (conv/substring) and DuckDB
+    (strpos nibble sum) — see the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("double") / F.lit(
+        float(16**6)
+    )
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    return (
+        docs.select(
+            "doc_id", "lang", "source", "n_chars",
+            F.round(u, 6).alias("u"), F.round(p, 6).alias("p"),
+        )
+        .filter(F.col("u") < F.col("p"))
+    )

@@ -49,3 +49,16 @@ def test_hll_error_within_tolerance(spark, sf_dir):
     assert rows
     # rsd=0.02 → 3-sigma tolerance 6%; generous for small daily groups.
     assert max(r.rel_err for r in rows) < 0.10
+
+
+def test_approx_percentile_error_within_tolerance(spark, sf_dir):
+    """The GK sketch at accuracy 10000 must sit within 1% of the exact
+    percentile on every return-flag group (it is typically exact at this
+    scale — the bound is the contract, not the expectation)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_sketches import approx_percentile_error
+
+    rows = approx_percentile_error(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_err_p50 <= 0.01, r
+        assert r.rel_err_p95 <= 0.01, r
