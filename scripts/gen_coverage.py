@@ -20,6 +20,8 @@ FAMILY = {
     "queries_temporal": "Temporal joins",
     "queries_streaming": "Structured Streaming (incremental execution)",
     "queries_multimodal": "Multimodal columns",
+    "queries_quality": "Data quality / privacy audits",
+    "queries_sketches": "Sketch aggregates",
 }
 
 

@@ -27,6 +27,9 @@ SHOWN = [
     "sim_cosine_pairs",
     "dedup_incremental",
     "udaf_weighted_avg_pandas",
+    "text_bm25_search",
+    "decontam_ngram_overlap",
+    "corpus_pipeline_report",
 ]
 
 
