@@ -41,6 +41,7 @@ class _FileCommit(WriterCommitMessage):
 class JsonDictWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("jsondict requires a path: .save('/out/dir')")
         # Driver-side: prepare the target directory; overwrite clears prior
@@ -76,9 +77,19 @@ class JsonDictWriter(DataSourceWriter):
             json.dump(manifest, f)
 
     def abort(self, messages: list[_FileCommit]) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+        # `messages` only covers tasks whose commit message reached the
+        # driver before the failure; a sibling task can finish (and rename
+        # its file into place) without appearing here.  In overwrite mode
+        # this job owns every reduce-*.json in the directory (the prior
+        # generation was cleared at writer construction), so clean by
+        # directory ownership; otherwise fall back to the message list.
+        if self.overwrite:
+            for p in _glob.glob(os.path.join(self.path, "reduce-*.json")):
+                os.remove(p)
+        else:
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
 
 
 class JsonDictDataSource(DataSource):

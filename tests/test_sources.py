@@ -225,3 +225,29 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
         assert feats[i]["n_bytes"] == len(b)
         assert feats[i]["crc32"] == (zlib.crc32(b) & 0xFFFFFFFF)
         assert feats[i]["head_hex"] == b[:8].hex()
+
+
+def test_jsondict_sink_abort_cleans_up(spark, tmp_path):
+    """Failed jobs must not leave partial reducer output: a task that throws
+    mid-write aborts the job, and abort() removes files already committed by
+    sibling tasks — no _SUCCESS, no reduce-*.json survivors."""
+    import glob
+    import os
+
+    import pytest
+
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.jsondict_sink import register_jsondict
+
+    register_jsondict(spark)
+    out = str(tmp_path / "abort_out")
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS k", "id AS v").repartition(4)
+    poisoned = df.select(
+        "k",
+        F.when(F.col("v") != 99, F.col("v"))
+        .otherwise(F.expr("raise_error('poison row')"))
+        .alias("v"),
+    )
+    with pytest.raises(Exception, match="poison row"):
+        poisoned.write.format("jsondict").mode("overwrite").save(out)
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert glob.glob(os.path.join(out, "reduce-*.json")) == []
