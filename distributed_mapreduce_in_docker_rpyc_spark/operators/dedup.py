@@ -351,3 +351,61 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: |A∩B| / |A| and |A∩B| / |B|.
+
+    Jaccard misses the excerpt case — a paragraph quoted inside a much larger
+    document scores near zero on |∩|/|∪| but 1.0 on containment of the small
+    side — and excerpt/quote duplication is exactly what training-data dedup
+    must catch (Broder's resemblance vs containment distinction).  Emits
+    pairs where EITHER direction ≥ ``threshold``, with both directions
+    reported so the caller can tell subset from overlap.
+
+    Same scale shape as ``jaccard_pairs``: DF-capped shared-shingle
+    equi-join (per-key fan-out ≤ max_df²), sizes and intersection on uniform
+    doc keys, never a cross join.
+    """
+    shd = shingles if shingles is not None else _distinct_shingles(df, text_col, id_col)
+    if max_df is not None:
+        keep = (
+            shd.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        shd = shd.join(keep, "shingle", "left_semi")
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    x = shd.alias("x")
+    y = shd.alias("y")
+    inter = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont_a = F.col("n_inter").cast("double") / F.col("sa.n_shingles")
+    cont_b = F.col("n_inter").cast("double") / F.col("sb.n_shingles")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont_a, 6).alias("containment_a_in_b"),
+            F.round(cont_b, 6).alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+    )

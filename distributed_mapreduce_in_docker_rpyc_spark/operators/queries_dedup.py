@@ -555,3 +555,39 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact.select("doc_id"), "doc_id", "left_anti")
     )
     return exact.unionByName(near).select("doc_id", "dup_of", "kind")
+
+
+@register(
+    "dedup_containment",
+    oracle=_SHINGLE_CTES
+    + """,
+    dfc AS (SELECT shingle, COUNT(*) AS c FROM shd GROUP BY shingle),
+    shc AS (SELECT s.doc_id, s.shingle FROM shd s JOIN dfc ON dfc.shingle = s.shingle
+            WHERE dfc.c <= 50),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shc GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shc x JOIN shc y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ),
+    scored AS (
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(i.n_inter AS DOUBLE) / sa.n_shingles, 6) AS containment_a_in_b,
+               round(CAST(i.n_inter AS DOUBLE) / sb.n_shingles, 6) AS containment_b_in_a
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT * FROM scored
+    WHERE containment_a_in_b >= 0.4 OR containment_b_in_a >= 0.4
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (either direction ≥ 0.4) over the same
+    DF-capped shingle sets as dedup_ngram_jaccard — the excerpt/quote
+    detector Jaccard cannot be (a small doc quoted inside a large one scores
+    ~0 Jaccard, 1.0 containment).  Shares the session-persisted shingle
+    frame; same equi-join scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    shd = _shingles(spark, sf_dir)
+    return dd.containment_pairs(docs, threshold=0.4, shingles=shd, max_df=50)
