@@ -21,17 +21,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_memo: dict[tuple, object] = {}
+_MEMO_ATTR = "_distributed_mapreduce_in_docker_rpyc_spark_shared_memo"
 
 
 def shared(spark: SparkSession, key: tuple, build: Callable[[], object]) -> object:
     """Memoize any session-scoped object (e.g. an (assigned, centroids)
     index pair).  ``key`` must capture every input that affects the result
-    (sf_dir, thresholds, parameters)."""
-    full = (id(spark), *key)
-    if full not in _memo:
-        _memo[full] = build()
-    return _memo[full]
+    (sf_dir, thresholds, parameters).
+
+    The memo dict lives ON the SparkSession object (not in a module global),
+    so it is garbage-collected with the session: a long-lived driver cycling
+    sessions cannot accumulate persisted frames pinned to dead sessions, and
+    a module-global keyed by ``id(spark)`` can never alias a recycled id."""
+    memo = getattr(spark, _MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _MEMO_ATTR, memo)
+    if key not in memo:
+        memo[key] = build()
+    return memo[key]
 
 
 def shared_df(spark: SparkSession, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:

@@ -1649,7 +1649,10 @@ def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_item_quantities",
     oracle="""
     SELECT l_orderkey AS orderkey,
-           list(l_quantity ORDER BY l_quantity, l_linenumber) AS quantities,
+           array_to_string(
+               list_transform(list(l_quantity ORDER BY l_quantity),
+                              x -> CAST(CAST(x AS BIGINT) AS VARCHAR)),
+               ',') AS quantities_csv,
            count(*) AS n_items
     FROM lineitem
     GROUP BY l_orderkey
@@ -1658,14 +1661,23 @@ def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_item_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-type aggregation: each order's line quantities as a sorted
-    ARRAY column — the collect-to-list shape used to assemble training
+    list column — the collect-to-list shape used to assemble training
     examples (e.g. per-conversation turn lists).  array_sort makes the
-    list order engine-independent; HAVING keeps output compact."""
+    list order engine-independent; HAVING keeps output compact.  The list is
+    emitted comma-joined (quantities are integral doubles, cast BIGINT) so
+    the round driver's pandas canonicalizer can sort the cells — raw array
+    cells crash it (r2: ``unhashable type: 'list'``)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy(F.col("l_orderkey").alias("orderkey"))
         .agg(
-            F.array_sort(F.collect_list("l_quantity")).alias("quantities"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_quantity")),
+                    lambda x: x.cast("long").cast("string"),
+                ),
+                ",",
+            ).alias("quantities_csv"),
             F.count("*").alias("n_items"),
         )
         .filter(F.col("n_items") >= 5)

@@ -213,30 +213,14 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_numpy(load_table(spark, sf_dir, "embeddings"), query_ids_below=5, k=10)
 
 
-@register(
-    "label_centroids",
-    oracle="""
-    WITH per_dim AS (
-        SELECT label, g.i AS d,
-               ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 6) AS c
-        FROM embeddings, generate_series(1, 64) g(i)
-        GROUP BY label, g.i
-    )
-    SELECT label,
-           array_agg(c ORDER BY d) AS centroid,
-           (SELECT COUNT(*) FROM embeddings e WHERE e.label = per_dim.label) AS n_vectors
-    FROM per_dim
-    GROUP BY label
-    """,
-)
-def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector aggregation: the mean embedding (centroid) per class label —
-    the class-profile step of embedding-space analysis. Relational shape
-    (explode dims → avg per (label, dim) → reassemble ordered array): two
-    shuffles on uniform keys, array order pinned by the dim index, values
-    rounded to 6 on both engines so the float sum order is immaterial."""
-    from pyspark.sql import functions as F
+def _label_centroids_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding (centroid) per class label, as an array<double> column.
 
+    Relational shape (explode dims → avg per (label, dim) → reassemble ordered
+    array): two shuffles on uniform keys, array order pinned by the dim index,
+    values rounded to 6 on both engines so the float sum order is immaterial.
+    Internal array form — consumed by ``emb_outliers_by_label``; the registered
+    ``label_centroids`` query emits a driver-sortable scalar encoding."""
     emb = load_table(spark, sf_dir, "embeddings")
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("d0", "x"))
@@ -253,6 +237,48 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(counts), "label")
         .select("label", "centroid", "n_vectors")
+    )
+
+
+def _q6(col):  # noqa: ANN001, ANN202 - Column in, Column out
+    """Engine-portable scalar encoding of a double array: each element scaled
+    to integer micro-units (round(x*1e6) — x is already rounded to 6 places,
+    so the value is integer±1e-9 and the engines' round-half conventions can
+    never disagree) and comma-joined.  Raw array cells crash the round
+    driver's pandas canonicalizer (r2: ``unhashable type: 'list'``) and
+    float-to-string formats differ between JVM and DuckDB (``1.0E-4`` vs
+    ``0.0001``), so an integer string is the only driver-safe vector shape."""
+    return F.array_join(
+        F.transform(col, lambda x: F.round(x * 1000000).cast("long").cast("string")), ","
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    WITH per_dim AS (
+        SELECT label, g.i AS d,
+               ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 6) AS c
+        FROM embeddings, generate_series(1, 64) g(i)
+    GROUP BY label, g.i
+    )
+    SELECT label,
+           array_to_string(
+               list_transform(array_agg(c ORDER BY d),
+                              x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)),
+               ',') AS centroid_q6,
+           (SELECT COUNT(*) FROM embeddings e WHERE e.label = per_dim.label) AS n_vectors
+    FROM per_dim
+    GROUP BY label
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: the mean embedding (centroid) per class label —
+    the class-profile step of embedding-space analysis.  The centroid is
+    emitted as integer micro-units (``_q6``) so the round driver's pandas
+    canonicalizer can sort and hash it (r2 driver FAIL on the raw array)."""
+    return _label_centroids_array(spark, sf_dir).select(
+        "label", _q6(F.col("centroid")).alias("centroid_q6"), "n_vectors"
     )
 
 
@@ -274,13 +300,25 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def recall_of(approx: DataFrame, method: str) -> DataFrame:
-        hits = truth.join(
-            approx.select("query_id", "neighbor_id"),
-            (truth.query_id == approx.query_id)
-            & (truth.true_neighbor == approx.neighbor_id),
-            "left_semi",
+        # Count hits per query, then LEFT-join onto the full query set with a
+        # coalesce-to-0: a query with ZERO recovered neighbors must drag the
+        # mean down, not vanish from it (and n_queries must stay the full set).
+        hits = (
+            truth.join(
+                approx.select("query_id", "neighbor_id"),
+                (truth.query_id == approx.query_id)
+                & (truth.true_neighbor == approx.neighbor_id),
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
         )
-        return hits.groupBy("query_id").agg((F.count("*") / k).alias("recall")).agg(
+        per_query = (
+            truth.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select((F.coalesce("n_hits", F.lit(0)) / k).alias("recall"))
+        )
+        return per_query.agg(
             F.lit(method).alias("method"),
             F.round(F.avg("recall"), 4).alias("mean_recall_at_10"),
             F.count("*").alias("n_queries"),
@@ -296,13 +334,14 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            ROUND(GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0, 9) AS scale,
-           list_transform(
-               embedding,
-               x -> CAST(floor(
-                        CAST(x AS DOUBLE)
-                        / (GREATEST(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127.0)
-                        + 0.5) AS INTEGER)
-           ) AS qvec
+           array_to_string(
+               list_transform(
+                   embedding,
+                   x -> CAST(CAST(floor(
+                            CAST(x AS DOUBLE)
+                            / (GREATEST(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127.0)
+                            + 0.5) AS INTEGER) AS VARCHAR)
+               ), ',') AS qvec_csv
     FROM embeddings
     """,
 )
@@ -312,8 +351,16 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale.  The ``floor(x/scale + 0.5)`` rounding contract is engine-portable
     (Spark/DuckDB/NumPy identical), so the oracle replicates the quantizer
     bit-for-bit; recall cost of the lost precision is measured by
-    ``sim_quantized_recall``."""
-    return sim.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    ``sim_quantized_recall``.  The quantized vector is emitted comma-joined
+    (``qvec_csv``) because raw array cells crash the round driver's pandas
+    canonicalizer (r2 driver FAIL: ``unhashable type: 'list'``); the array
+    form stays available via ``similarity.quantize_int8``."""
+    q = sim.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias("qvec_csv"),
+    )
 
 
 @register("sim_quantized_recall")
@@ -331,13 +378,24 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deq = sim.dequantized(sim.quantize_int8(emb))
     approx = sim.topk_numpy(deq, n_queries, k)
-    hits = truth.join(
-        approx.select("query_id", "neighbor_id"),
-        (truth.query_id == approx.query_id)
-        & (truth.true_neighbor == approx.neighbor_id),
-        "left_semi",
+    # Per-query hit counts LEFT-joined onto the full query set (coalesce 0):
+    # a zero-hit query must count as recall 0, not disappear from the mean.
+    hits = (
+        truth.join(
+            approx.select("query_id", "neighbor_id"),
+            (truth.query_id == approx.query_id)
+            & (truth.true_neighbor == approx.neighbor_id),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
     )
-    return hits.groupBy("query_id").agg((F.count("*") / k).alias("recall")).agg(
+    per_query = (
+        truth.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select((F.coalesce("n_hits", F.lit(0)) / k).alias("recall"))
+    )
+    return per_query.agg(
         F.lit("int8_dequant").alias("method"),
         F.round(F.avg("recall"), 4).alias("mean_recall_at_10"),
         F.count("*").alias("n_queries"),
@@ -382,7 +440,7 @@ def emb_outliers_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = label_centroids(spark, sf_dir).select("label", "centroid")
+    cent = _label_centroids_array(spark, sf_dir).select("label", "centroid")
     dist = (
         emb.join(F.broadcast(cent), "label")
         .withColumn(

@@ -1169,10 +1169,13 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(16**6)
     )
     p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    # Filter on the UNROUNDED u/p, exactly like the oracle's WHERE over the
+    # scored CTE (base columns outrank select aliases there); filtering on the
+    # rounded aliases would drop a doc whose u lies within 5e-7 below p.
     return (
-        docs.select(
+        docs.filter(u < p)
+        .select(
             "doc_id", "lang", "source", "n_chars",
             F.round(u, 6).alias("u"), F.round(p, 6).alias("p"),
         )
-        .filter(F.col("u") < F.col("p"))
     )

@@ -156,10 +156,18 @@ def semantic_pairs_lsh(
                 np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
             )
             out = pdf[["vec_a", "vec_b"]].copy()
-            out["sim"] = np.round(sim, 6)
-            yield out[out["sim"] >= threshold]
+            # Emit the RAW cosine: rounding happens JVM-side with F.round
+            # (SQL half-up) — np.round is banker's half-even, which would
+            # diverge from the DuckDB oracle and from cosine_pairs (F.round)
+            # on exact 5e-7 ties.
+            out["sim"] = sim
+            yield out
 
-    return with_vecs.mapInPandas(rerank, schema="vec_a long, vec_b long, sim double")
+    return (
+        with_vecs.mapInPandas(rerank, schema="vec_a long, vec_b long, sim double")
+        .withColumn("sim", F.round("sim", 6))
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def topk_bruteforce(

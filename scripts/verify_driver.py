@@ -27,16 +27,35 @@ TABLE_NAMES = [
 def norm_cell(v, places=6):
     if isinstance(v, float):
         return "nan" if math.isnan(v) else round(v, places)
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x, places) for x in v)
     return v
 
 
 def norm_rows(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(norm_cell(r[i]) for i in order) for r in rows), key=repr
-    )
+    """Canonicalize exactly the way the round driver does (VERDICT r2 §wrong-1).
+
+    The driver builds a pandas DataFrame, orders columns by name, rounds float
+    columns, then ``sort_values`` over ALL columns — which raises
+    ``TypeError: unhashable type: 'list'`` for raw array cells (pandas cannot
+    factorize list objects).  Round 2 proved the old tuple-normalizing gate
+    here was MORE LENIENT than the driver and hid two failures
+    (``label_centroids``, ``emb_quantize_int8``).  This version reproduces the
+    driver's behavior: list/dict cells make the sort raise, so local green
+    implies driver green.  Queries must emit driver-sortable encodings
+    (``to_json`` arrays) instead.
+    """
+    import pandas as pd
+
+    df = pd.DataFrame(list(rows), columns=list(cols))
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        else:
+            df[c] = df[c].map(norm_cell)
+    # Driver-identical: pandas lexsort over every column; unhashable cells
+    # (lists, dicts, numpy arrays) raise here just as they do in the driver.
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 
 def main() -> int:
@@ -94,11 +113,19 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: oracle raised {type(ex).__name__}: {ex}")
             continue
-        ok = (
-            sorted(s_cols) == sorted(o_cols)
-            and len(s_rows) == len(o_rows)
-            and norm_rows(s_rows, s_cols) == norm_rows(o_rows, o_cols)
-        )
+        try:
+            ok = (
+                sorted(s_cols) == sorted(o_cols)
+                and len(s_rows) == len(o_rows)
+                and norm_rows(s_rows, s_cols) == norm_rows(o_rows, o_cols)
+            )
+        except Exception as ex:
+            # The round driver records a per-query err when its canonicalizer
+            # raises (e.g. pandas sort over raw array cells) — do the same
+            # instead of aborting the whole run.
+            failures.append(name)
+            print(f"FAIL  {name}: canonicalizer raised {type(ex).__name__}: {ex}")
+            continue
         if ok:
             print(f"OK    {name}: {len(s_rows)} rows match oracle, {time.time()-t0:.1f}s")
         else:
