@@ -149,6 +149,45 @@ def ingest_zip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsondict_roundtrip",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents WHERE doc_id < 50
+    )
+    GROUP BY word
+    """,
+)
+def jsondict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-11 (per-reducer JSON-dict sink) under the oracle: count words for
+    the first 50 documents, WRITE them through the ``jsondict`` DataSource
+    (the reference's ``reduce-<pid>.json`` shape, reference
+    worker/worker.py:34-36), then READ the committed files back through the
+    same source and hash-check against SQL word counts — proving the sink
+    round-trips bytes-for-bytes, not merely that it writes something.
+
+    Scale posture: the write is one file per reduce partition and the read
+    is one input partition per file, so both sides parallelize with the
+    reducer count; in production ``path`` is shared storage."""
+    import tempfile
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.wordcount import word_counts
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.jsondict_sink import register_jsondict
+
+    register_jsondict(spark)
+    counts = word_counts(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    )
+    out_dir = tempfile.mkdtemp(prefix="sg-jsondict-")
+    counts.write.format("jsondict").mode("overwrite").save(out_dir)
+    return (
+        spark.read.format("jsondict")
+        .schema("word string, cnt long")
+        .load(out_dir)
+    )
+
+
+@register(
     "ziptext_datasource_scan",
     oracle="""
     SELECT word, COUNT(*) AS cnt FROM (

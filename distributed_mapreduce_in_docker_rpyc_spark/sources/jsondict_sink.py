@@ -29,7 +29,13 @@ import json
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _FileCommit(WriterCommitMessage):
@@ -92,10 +98,50 @@ class JsonDictWriter(DataSourceWriter):
                     os.remove(m.path)
 
 
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonDictReader(DataSourceReader):
+    """Read a directory of ``reduce-<pid>.json`` dict files back as
+    ``(key, value)`` rows — one input partition per reducer file, preserving
+    the reference's per-reducer layout (reference worker/worker.py:34-36) so
+    a scan parallelizes across files exactly as the write parallelized across
+    reducers.  Honors the ``_SUCCESS`` manifest when present (only committed
+    files are read — a half-written generation is invisible, matching the
+    job-level commit contract of every Spark file source)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsondict requires a path: .load('/out/dir')")
+
+    def partitions(self) -> list[_FilePartition]:
+        manifest = os.path.join(self.path, "_SUCCESS")
+        if os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as f:
+                files = json.load(f)["files"]
+        else:
+            files = sorted(_glob.glob(os.path.join(self.path, "reduce-*.json")))
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        with open(partition.path, encoding="utf-8") as f:
+            d = json.load(f)
+        for k, v in d.items():
+            yield (k, v)
+
+
 class JsonDictDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "jsondict"
+
+    def schema(self) -> str:
+        # The reference's values are reduce counts; key space is the map
+        # output key.  Callers with other value types pass .schema(...).
+        return "key string, value bigint"
 
     def writer(self, schema, overwrite: bool) -> JsonDictWriter:
         if len(schema.fields) != 2:
@@ -103,6 +149,9 @@ class JsonDictDataSource(DataSource):
                 f"jsondict expects exactly (key, value) columns, got {schema.fieldNames()}"
             )
         return JsonDictWriter(self.options, overwrite)
+
+    def reader(self, schema) -> JsonDictReader:
+        return JsonDictReader(self.options)
 
 
 def register_jsondict(spark) -> None:

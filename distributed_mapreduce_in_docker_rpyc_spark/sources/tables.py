@@ -32,8 +32,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it arrives as
     # bigint ns-since-epoch. Convert via integer µs division (a double divide
     # would lose precision above 2^53 ns) — matches DuckDB's nanos→µs read.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Newer fixture generations write TIMESTAMP_NTZ. Normalize to
+            # TIMESTAMP (with-local-tz): the session timezone is pinned UTC so
+            # the cast is value-preserving vs the oracle's naive reading, and
+            # casts to bigint / unix_micros / watermarks all require LTZ.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

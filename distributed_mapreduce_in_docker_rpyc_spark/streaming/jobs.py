@@ -53,8 +53,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (with local timezone); the session
+        # timezone is pinned to UTC so this cast is value-preserving and the
+        # collected values equal the oracle's naive reading of the parquet.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
