@@ -115,9 +115,12 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_pairs(spark, sf_dir, 0.4)
 
 
-@register(
-    "sim_topk_bruteforce",
-    oracle=_COSINE_CTES
+# Exact top-10 cosine neighbors for queries vec_id < 5 — shared by the
+# expression path (sim_topk_bruteforce) and the NumPy/Arrow path
+# (sim_topk_vectorized): both compute the same relation, so both hash-check
+# against the same SQL.
+_TOPK_BRUTE_ORACLE = (
+    _COSINE_CTES
     + """
     SELECT query_id, neighbor_id, sim, rank FROM (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -129,8 +132,11 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            n.vec_id ASC) AS rank
         FROM norms q JOIN norms n ON q.vec_id < 5 AND n.vec_id != q.vec_id
     ) WHERE rank <= 10
-    """,
+    """
 )
+
+
+@register("sim_topk_bruteforce", oracle=_TOPK_BRUTE_ORACLE)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline: top-10 cosine neighbors for query vectors
     vec_id < 5 (broadcast queries + ranking window)."""
@@ -204,12 +210,14 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_topk_vectorized")
+@register("sim_topk_vectorized", oracle=_TOPK_BRUTE_ORACLE)
 def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NumPy/Arrow mapInPandas brute-force top-k (throughput path).
 
-    No SQL oracle (Python-side BLAS); tests assert it returns the same
-    neighbor sets as the expression path, and the driver records rows-only."""
+    Hash-checked against the SAME oracle as ``sim_topk_bruteforce`` (VERDICT
+    r2 #8): the BLAS path emits raw similarities and the final rounding is
+    JVM-side ``F.round`` (half-up, matching SQL ROUND — not numpy's
+    half-even), so both paths produce the identical relation."""
     return sim.topk_numpy(load_table(spark, sf_dir, "embeddings"), query_ids_below=5, k=10)
 
 

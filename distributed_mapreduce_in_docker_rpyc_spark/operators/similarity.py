@@ -404,7 +404,7 @@ def topk_numpy(
                     part = np.argpartition(-vals, k)[:k]
                     ids, vals = ids[part], vals[part]
                 out.append(
-                    pd.DataFrame({"query_id": qid, "neighbor_id": ids, "sim": np.round(vals, 6)})
+                    pd.DataFrame({"query_id": qid, "neighbor_id": ids, "sim": vals})
                 )
             if out:
                 yield pd.concat(out, ignore_index=True)
@@ -412,9 +412,13 @@ def topk_numpy(
     partial = emb.select(id_col, vec_col).mapInPandas(
         per_batch, schema="query_id long, neighbor_id long, sim double"
     )
+    # Raw sims cross the Arrow boundary; rounding happens JVM-side so the
+    # half-up semantics match SQL ROUND (numpy rounds half-even — the exact
+    # divergence the udf_scalar_pandas_net_price docstring warns about).
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        partial.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("sim", F.round("sim", 6))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )

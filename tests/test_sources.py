@@ -251,3 +251,84 @@ def test_jsondict_sink_abort_cleans_up(spark, tmp_path):
         poisoned.write.format("jsondict").mode("overwrite").save(out)
     assert not os.path.exists(os.path.join(out, "_SUCCESS"))
     assert glob.glob(os.path.join(out, "reduce-*.json")) == []
+
+
+def test_jsondict_reader_round_trips(spark, sf_dir, tmp_path):
+    """The jsondict reader turns committed reduce-<pid>.json files back into
+    (key, value) rows — one input partition per file — and honors the
+    _SUCCESS manifest: a stray uncommitted file in the directory is invisible
+    to the scan."""
+    import json
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.wordcount import word_counts
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.jsondict_sink import register_jsondict
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    register_jsondict(spark)
+    counts = word_counts(load_table(spark, sf_dir, "documents").select("text"))
+    out = str(tmp_path / "rt_out")
+    counts.repartition(3).write.format("jsondict").mode("overwrite").save(out)
+
+    back = spark.read.format("jsondict").schema("word string, cnt long").load(out)
+    assert back.rdd.getNumPartitions() == 3
+    expect = {r["word"]: r["cnt"] for r in counts.collect()}
+    assert {r["word"]: r["cnt"] for r in back.collect()} == expect
+
+    # A file not listed in the manifest (e.g. an orphan from a failed job
+    # attempt) must not leak into the scan.
+    with open(f"{out}/reduce-99.json", "w") as f:
+        json.dump({"orphan": 1}, f)
+    again = spark.read.format("jsondict").schema("word string, cnt long").load(out)
+    assert {r["word"]: r["cnt"] for r in again.collect()} == expect
+
+
+def test_bmp_codec_round_trip():
+    """Pure-Python BMP encode/decode agree on dimensions and channel sums,
+    including non-multiple-of-4 row widths (padding) for every width 1..8."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.multimodal import bmp_decode, bmp_encode
+
+    for w in range(1, 9):
+        for h in (1, 3, 5):
+            stream = bytes((7 * i + 13) % 256 for i in range(3 * w * h))
+            data = bmp_encode(w, h, stream)
+            # File size field must match the actual byte length.
+            import struct
+
+            assert struct.unpack_from("<I", data, 2)[0] == len(data)
+            dw, dh, sr, sg, sb = bmp_decode(data)
+            assert (dw, dh) == (w, h)
+            assert sr == sum(stream[0::3])
+            assert sg == sum(stream[1::3])
+            assert sb == sum(stream[2::3])
+
+
+def test_bmp_decode_rejects_non_bmp():
+    import pytest
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.multimodal import bmp_decode
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        bmp_decode(b"\x89PNG" + b"\x00" * 60)
+
+
+def test_multimodal_decode_bmp_matches_text_bytes(spark, sf_dir):
+    """Spark encode→decode pipeline over real documents equals channel sums
+    computed directly from the tiled text bytes in Python."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_image,
+    )
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    got = {r["doc_id"]: r for r in decode_image(attach_bmp_payload(docs)).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        b = r["text"].encode() or b"\x00"
+        n = len(b)
+        w, h = 1 + (n * 7) % 16, 1 + (n * 13) % 16
+        stream = bytes(b[i % n] for i in range(3 * w * h))
+        row = got[r["doc_id"]]
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["sum_r"] == sum(stream[0::3])
+        assert row["sum_g"] == sum(stream[1::3])
+        assert row["sum_b"] == sum(stream[2::3])
