@@ -192,6 +192,85 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", payload_col: str = "bmp"
     return df.select(id_col, payload_col).mapInPandas(per_batch, schema=DECODE_SCHEMA)
 
 
+# --- Real audio codec: 8-bit PCM WAV (RIFF), pure Python -------------------
+
+WAV_SAMPLE_RATE = 8000
+
+
+def wav_encode(samples: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Serialize unsigned 8-bit mono PCM samples as a RIFF/WAVE file."""
+    import struct
+
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+    data = struct.pack("<4sI", b"data", len(samples)) + samples
+    riff_size = 4 + len(fmt) + len(data)
+    return struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE") + fmt + data
+
+
+def wav_decode(data: bytes) -> tuple[int, int, int, int]:
+    """Parse a RIFF/WAVE file (8-bit mono PCM): returns (n_samples,
+    sample_rate, sum_amplitude, peak).  Walks the chunk list rather than
+    assuming fixed offsets, so files with extra chunks (LIST/INFO) parse."""
+    import struct
+
+    magic, _size, wave = struct.unpack_from("<4sI4s", data, 0)
+    if magic != b"RIFF" or wave != b"WAVE":
+        raise ValueError(f"not a WAV: {magic!r}/{wave!r}")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, csize = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or channels != 1 or bits != 8:
+                raise ValueError(f"unsupported WAV: fmt={audio_fmt} ch={channels} bits={bits}")
+        elif cid == b"data":
+            samples = body
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return len(samples), sample_rate, sum(samples), max(samples) if samples else 0
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Synthesize an audio column: each document's bytes become 8-bit PCM
+    samples in a real WAV container (the binaryFile-source shape)."""
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            payloads = [wav_encode(t.encode("utf-8") or b"\x00") for t in pdf[text_col]]
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "wav": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(per_batch, schema="doc_id long, wav binary")
+
+
+WAV_DECODE_SCHEMA = "doc_id long, n_samples long, sample_rate long, sum_amplitude long, peak long"
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id", payload_col: str = "wav") -> DataFrame:
+    """Real audio decode over Arrow batches: chunk-walking RIFF parse per
+    payload, emitting sample count, rate, amplitude sum and peak."""
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = [wav_decode(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_samples": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "sum_amplitude": [r[2] for r in rows],
+                    "peak": [r[3] for r in rows],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(per_batch, schema=WAV_DECODE_SCHEMA)
+
+
 FRAME_BYTES = 16
 FRAME_SCHEMA = "doc_id long, frame_idx long, frame_hash string"
 RESIZE_SCHEMA = "doc_id long, orig_w long, orig_h long, thumb_w long, thumb_h long"

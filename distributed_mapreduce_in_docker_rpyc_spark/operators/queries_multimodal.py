@@ -87,6 +87,27 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_wav",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(SUM(ascii(substr(d.text, g.i, 1))) AS BIGINT) AS sum_amplitude,
+           CAST(MAX(ascii(substr(d.text, g.i, 1))) AS BIGINT) AS peak
+    FROM documents d, unnest(generate_series(1, length(d.text))) AS g(i)
+    GROUP BY d.doc_id, d.text
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode under the oracle: document bytes become 8-bit PCM
+    samples in genuine RIFF/WAVE containers, then a chunk-walking parser
+    recovers sample count, rate, amplitude sum and peak — hash-checked
+    against SQL recomputing the same stats from the text bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.decode_audio(mm.attach_wav_payload(docs))
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH meta AS (

@@ -242,9 +242,13 @@ def test_multimodal_stub_features_ground_truth(spark, sf_dir):
         assert f["head_hex"] == raw[:8].hex()
 
 
-def test_multimodal_decode_image_is_gated():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(None)
+def test_multimodal_decode_image_is_real(spark, sf_dir):
+    """decode_image is no longer a NotImplementedError gate: it parses real
+    BMP payloads (see test_sources.py for codec-level coverage)."""
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    rows = mm.decode_image(mm.attach_bmp_payload(docs)).collect()
+    assert len(rows) == 5
+    assert all(r["width"] >= 1 and r["height"] >= 1 and r["sum_r"] >= 0 for r in rows)
 
 
 def test_hyperplane_is_deterministic():

@@ -332,3 +332,34 @@ def test_multimodal_decode_bmp_matches_text_bytes(spark, sf_dir):
         assert row["sum_r"] == sum(stream[0::3])
         assert row["sum_g"] == sum(stream[1::3])
         assert row["sum_b"] == sum(stream[2::3])
+
+
+def test_wav_codec_round_trip():
+    """RIFF/WAVE encode/decode agree, including chunk-walk past an inserted
+    LIST chunk and odd-length data (word alignment)."""
+    import struct
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.multimodal import wav_decode, wav_encode
+
+    for n in (1, 2, 7, 100):
+        samples = bytes((11 * i + 3) % 256 for i in range(n))
+        data = wav_encode(samples)
+        ns, rate, s, peak = wav_decode(data)
+        assert (ns, rate, s, peak) == (n, 8000, sum(samples), max(samples))
+
+    # Insert a LIST chunk between fmt and data: the chunk walker must skip it.
+    samples = bytes(range(5))
+    data = wav_encode(samples)
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 7) + b"INFOxyz" + b"\x00"  # odd size, padded
+    spliced = data[:fmt_end] + extra + data[fmt_end:]
+    assert wav_decode(spliced) == (5, 8000, sum(samples), max(samples))
+
+
+def test_wav_decode_rejects_non_wav():
+    import pytest
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.multimodal import wav_decode
+
+    with pytest.raises(ValueError, match="not a WAV"):
+        wav_decode(b"OggS" + b"\x00" * 40)
