@@ -381,6 +381,7 @@ BNLJ_ALLOWED = {
     "scalar_subquery_above_avg": "broadcast side = 1-row scalar subquery (global avg)",
     "winsorized_prices": "broadcast side = 1-row percentile bounds",
     "text_bm25_search": "broadcast side = 1-row (n_docs, avgdl) corpus stats",
+    "text_collocations_pmi": "broadcast side = 1-row (n_uni, n_bg) corpus totals",
 }
 
 
