@@ -106,3 +106,34 @@ def storage_report(spark: SparkSession, sf_dir: str, tables: list[str]) -> DataF
         "table_name string, n_files bigint, total_bytes bigint, "
         "min_file_bytes bigint, avg_file_bytes bigint, max_file_bytes bigint",
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist ``df`` as a bucketed, bucket-sorted parquet table.
+
+    Bucketing is THE storage-level co-location tool at 100 TB: both sides of
+    a recurring equi-join written with the same bucket count on the join key
+    join with NO exchange — the shuffle is paid once at write time and
+    amortized over every subsequent join/aggregation on that key (Spark's
+    bucketed-scan output partitioning satisfies the join's distribution
+    requirement).  The reference has no storage layer, so nothing to cite;
+    this is the Spark-native answer to its hash partitioner (SURVEY.md OP-8)
+    made durable.
+
+    The table registers in the session catalog with an explicit ``path``
+    (external), so the data outlives the session and any session can
+    rediscover the bucketing metadata from the catalog."""
+    (
+        df.write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )

@@ -61,3 +61,38 @@ def test_storage_report_shape(spark, sf_dir):
         assert r.n_files >= 1
         assert r.total_bytes > 0
         assert r.min_file_bytes <= r.avg_file_bytes <= r.max_file_bytes
+
+
+def test_bucketed_join_plans_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located storage: orders and lineitem bucketed by order key with the
+    same bucket count join WITHOUT any Exchange in the physical plan — the
+    shuffle was paid at write time.  The same join over plain parquet plans
+    two Exchanges, proving the assertion bites."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.maintenance import write_bucketed
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_bkt", str(tmp_path / "orders_bkt"), "o_orderkey", 8)
+    write_bucketed(li, "lineitem_bkt", str(tmp_path / "lineitem_bkt"), "l_orderkey", 8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = spark.table("orders_bkt").join(
+            spark.table("lineitem_bkt"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert bucketed.count() == li.count()
+
+        plain = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert plain_plan.count("Exchange") >= 2, plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
