@@ -1239,3 +1239,50 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(u, 6).alias("u"), F.round(p, 6).alias("p"),
         )
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents
+    ),
+    uni AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(CAST(u.cnt AS DOUBLE) / tot.n)), 6) AS mean_logprob,
+           round(avg(CASE WHEN u.cnt = 1 THEN 1.0 ELSE 0.0 END), 6) AS hapax_frac
+    FROM tok t JOIN uni u USING (word), tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: each document's mean unigram log-probability
+    under the corpus's own unigram distribution (the cheap KenLM stand-in
+    used for perplexity-style quality gates) plus its fraction of
+    corpus-hapax tokens — low logprob or high hapax fraction flags
+    out-of-distribution or noisy documents.
+
+    Shape at 100 TB: one token scan feeds both the vocabulary aggregate and
+    the per-doc join; the vocabulary is words (small) so it broadcasts; the
+    corpus total rides a broadcast 1-row frame.  No Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize_column("text")).alias("word"))
+    uni = tok.groupBy("word").agg(F.count("*").alias("cnt")).persist()
+    tot = uni.agg(F.sum("cnt").cast("double").alias("n"))
+    return (
+        tok.join(F.broadcast(uni), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt").cast("double") / F.col("n"))), 6).alias(
+                "mean_logprob"
+            ),
+            F.round(F.avg(F.when(F.col("cnt") == 1, 1.0).otherwise(0.0)), 6).alias(
+                "hapax_frac"
+            ),
+        )
+    )

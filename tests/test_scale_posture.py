@@ -382,6 +382,7 @@ BNLJ_ALLOWED = {
     "winsorized_prices": "broadcast side = 1-row percentile bounds",
     "text_bm25_search": "broadcast side = 1-row (n_docs, avgdl) corpus stats",
     "text_collocations_pmi": "broadcast side = 1-row (n_uni, n_bg) corpus totals",
+    "text_unigram_logprob": "broadcast side = 1-row corpus token total",
 }
 
 
