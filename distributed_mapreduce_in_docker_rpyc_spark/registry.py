@@ -41,6 +41,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # canonicalizer (VERDICT.md r2 "Next round" #1).  They are promoted to the
 # front of the registry so round 3's budget covers precisely this set; every
 # other query keeps its natural (module) registration order behind them.
+#
+# ROUND 4 NOTE: once round 3's driver run lands rows for this set, replace it
+# with the queries added/upgraded during round 3 that still lack a driver row:
+# jsondict_roundtrip, multimodal_decode_bmp, multimodal_decode_wav,
+# text_unigram_logprob, pagerank_word_graph (oracle added),
+# sim_topk_vectorized (oracle added).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # failed r2 on driver canonicalization (array outputs) — fixed, re-verify
     "label_centroids",
