@@ -72,10 +72,21 @@ CMS_DEPTH = 5
 CMS_WIDTH = 2048
 
 
-def cms_build(toks: DataFrame, key: str = "word") -> DataFrame:
+def _cms_bucket(key_col, seed: int, portable: bool):
+    """Seeded bucket hash.  ``portable=False``: xxhash64 (fastest, JVM-only).
+    ``portable=True``: first 16 bits of md5(seed:key) — bit-identical in any
+    engine with md5 (the same trick the LSH oracles use), so a sketch built
+    this way is SQL-replicable.  65536 % CMS_WIDTH == 0, so both are uniform."""
+    if not portable:
+        return F.pmod(F.xxhash64(key_col, F.lit(seed)), F.lit(CMS_WIDTH))
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key_col))
+    return F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(CMS_WIDTH))
+
+
+def cms_build(toks: DataFrame, key: str = "word", portable: bool = False) -> DataFrame:
     """Build a count-min sketch as a DataFrame of (seed, bucket, cnt).
 
-    Each of the ``CMS_DEPTH`` seeded xxhash64 functions maps a key to one of
+    Each of the ``CMS_DEPTH`` seeded hash functions maps a key to one of
     ``CMS_WIDTH`` buckets; the sketch is just a groupBy over (seed, bucket) —
     one shuffle of at most d*w rows no matter how many distinct keys exist.
     That is the whole point at 100 TB: sketch size is O(d*w), not O(keys).
@@ -83,7 +94,7 @@ def cms_build(toks: DataFrame, key: str = "word") -> DataFrame:
     rows = [
         F.struct(
             F.lit(s).alias("seed"),
-            F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(CMS_WIDTH)).alias("bucket"),
+            _cms_bucket(F.col(key), s, portable).alias("bucket"),
         )
         for s in range(CMS_DEPTH)
     ]
@@ -95,7 +106,7 @@ def cms_build(toks: DataFrame, key: str = "word") -> DataFrame:
     )
 
 
-def cms_probe(sketch: DataFrame, keys: DataFrame, key: str = "word") -> DataFrame:
+def cms_probe(sketch: DataFrame, keys: DataFrame, key: str = "word", portable: bool = False) -> DataFrame:
     """Probe: est(key) = min over seeds of the key's bucket count.
 
     The sketch is tiny (d*w rows) so it broadcasts; probing any number of
@@ -108,7 +119,7 @@ def cms_probe(sketch: DataFrame, keys: DataFrame, key: str = "word") -> DataFram
                 *[
                     F.struct(
                         F.lit(s).alias("seed"),
-                        F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(CMS_WIDTH)).alias("bucket"),
+                        _cms_bucket(F.col(key), s, portable).alias("bucket"),
                     )
                     for s in range(CMS_DEPTH)
                 ]
@@ -122,18 +133,57 @@ def cms_probe(sketch: DataFrame, keys: DataFrame, key: str = "word") -> DataFram
     )
 
 
-@register("cms_word_estimates")
+# One md5 nibble of h at 1-based position p, as its 0..15 integer value.
+_NIB = "(strpos('0123456789abcdef', substr(md5({h}), {p}, 1)) - 1)"
+
+
+def _cms_bucket_sql(key_expr: str, seed_expr: str) -> str:
+    """DuckDB replica of _cms_bucket(portable=True): first 16 md5 bits of
+    'seed:key', mod CMS_WIDTH."""
+    h = f"{seed_expr} || ':' || {key_expr}"
+    return (
+        f"({_NIB.format(h=h, p=1)} * 4096 + {_NIB.format(h=h, p=2)} * 256 + "
+        f"{_NIB.format(h=h, p=3)} * 16 + {_NIB.format(h=h, p=4)}) % {CMS_WIDTH}"
+    )
+
+
+@register(
+    "cms_word_estimates",
+    oracle=_TOKS_CTE
+    + f""",
+    sketch AS (
+        SELECT s.s AS seed, {_cms_bucket_sql('word', 's.s')} AS bucket, count(*) AS cnt
+        FROM toks, generate_series(0, {CMS_DEPTH - 1}) s(s)
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT word, count(*) AS cnt FROM toks GROUP BY word
+        ORDER BY cnt DESC, length(word) DESC, word ASC LIMIT 50
+    ),
+    probe AS (
+        SELECT t.word, t.cnt, s.s AS seed, {_cms_bucket_sql('t.word', 's.s')} AS bucket
+        FROM top t, generate_series(0, {CMS_DEPTH - 1}) s(s)
+    )
+    SELECT p.word, p.cnt, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probe p LEFT JOIN sketch sk USING (seed, bucket)
+    GROUP BY p.word, p.cnt
+    """,
+)
 def cms_word_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min estimates vs exact counts for the top-50 words.
 
     Output: (word, cnt, cms_est) with the CMS guarantee cnt <= cms_est <=
-    cnt + eps*N (w.h.p.).  Inherently non-SQL (seeded xxhash64) — the
-    guarantee is asserted in tests/test_sketches.py instead of an oracle.
-    """
+    cnt + eps*N (also asserted in tests/test_sketches.py).  The registered
+    query builds the sketch with the PORTABLE md5-derived hash so DuckDB
+    replicates every bucket decision and the estimates hash-check exactly;
+    the xxhash64 fast path stays the library default and keeps its own
+    guarantee test."""
     toks = wc.tokens(load_table(spark, sf_dir, "documents"))
-    sketch = cms_build(toks)
+    sketch = cms_build(toks, portable=True)
     top = wc.top_k_words(load_table(spark, sf_dir, "documents"), k=50).select("word", "cnt")
-    return top.join(cms_probe(sketch, top.select("word")), "word").select("word", "cnt", "cms_est")
+    return top.join(cms_probe(sketch, top.select("word"), portable=True), "word").select(
+        "word", "cnt", "cms_est"
+    )
 
 
 @register(
