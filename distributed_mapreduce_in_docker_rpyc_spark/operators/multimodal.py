@@ -9,10 +9,12 @@ actual media decode is STUBBED because media libraries are not available in
 this environment:
 
   - ``decode_stub_features`` computes deterministic fake features from the
-    raw bytes (length, crc32, head bytes) — exercising the exact dataflow a
-    real decoder would use.
-  - ``decode_image`` raises ``NotImplementedError`` unless PIL is installed
-    (import-try gate), documenting the intended real path.
+    raw bytes (length, md5, head bytes) — exercising the exact dataflow a
+    real decoder would use, with engine-portable features so the result
+    hash-checks against SQL.
+  - ``decode_image`` / ``decode_audio`` are REAL pure-Python decoders for
+    uncompressed formats (24-bit BMP, 8-bit PCM WAV) over the same Arrow
+    batch loop; PIL, when present, is an optional fast path for images.
 
 Scale posture: payload bytes never pass through Python row-at-a-time — each
 mapInPandas batch moves via Arrow; feature extraction is embarrassingly
@@ -21,7 +23,6 @@ parallel per partition; binary columns stay out of shuffle keys.
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,7 +36,7 @@ try:  # pragma: no cover - not installed in this environment
 except ImportError:
     _HAS_PIL = False
 
-FEATURE_SCHEMA = "doc_id long, n_bytes long, crc32 long, head_hex string"
+FEATURE_SCHEMA = "doc_id long, n_bytes long, payload_md5 string, head_hex string"
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -58,6 +59,8 @@ def decode_stub_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     decoding — the batching, schema and partitioning stay identical."""
 
     def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in it:
             if pdf.empty:
                 continue
@@ -66,7 +69,7 @@ def decode_stub_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "crc32": payloads.map(lambda b: zlib.crc32(bytes(b)) & 0xFFFFFFFF).astype("int64"),
+                    "payload_md5": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
                     "head_hex": payloads.map(lambda b: bytes(b)[:8].hex()),
                 }
             )

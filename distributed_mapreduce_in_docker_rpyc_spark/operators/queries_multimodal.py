@@ -42,10 +42,22 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_stub")
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+    FROM documents
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed media decode over Arrow batches (see multimodal.py). Rows-only
-    check; tests assert features against Python-computed ground truth."""
+    """Generic media decode dataflow over Arrow batches (see multimodal.py)
+    with engine-portable byte features (length, md5, head bytes), so the
+    Python batch loop hash-checks against SQL recomputing them from the
+    source column.  The format-specific REAL decoders are
+    ``multimodal_decode_bmp`` / ``multimodal_decode_wav``."""
     docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
     return mm.decode_stub_features(docs)
 

@@ -238,7 +238,7 @@ def test_multimodal_stub_features_ground_truth(spark, sf_dir):
         raw = row["text"].encode("utf-8")
         f = feats[row["doc_id"]]
         assert f["n_bytes"] == len(raw)
-        assert f["crc32"] == zlib.crc32(raw) & 0xFFFFFFFF
+        assert f["payload_md5"] == hashlib.md5(raw).hexdigest()
         assert f["head_hex"] == raw[:8].hex()
 
 

@@ -201,7 +201,7 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
     """Real media ingest path: spark.read.format('binaryFile') on raw files
     feeds the same Arrow-batched feature extraction the synthetic payloads
     use — proving the multimodal dataflow end-to-end from files on disk."""
-    import zlib
+    import hashlib
 
     from distributed_mapreduce_in_docker_rpyc_spark.operators.multimodal import (
         decode_stub_features,
@@ -223,7 +223,7 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
     assert set(feats) == set(blobs)
     for i, b in blobs.items():
         assert feats[i]["n_bytes"] == len(b)
-        assert feats[i]["crc32"] == (zlib.crc32(b) & 0xFFFFFFFF)
+        assert feats[i]["payload_md5"] == hashlib.md5(b).hexdigest()
         assert feats[i]["head_hex"] == b[:8].hex()
 
 
