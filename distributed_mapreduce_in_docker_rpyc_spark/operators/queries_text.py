@@ -1286,3 +1286,47 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "bpe_merge_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substr(word, i, 2) AS pair
+        FROM words, unnest(generate_series(1, length(word) - 1)) AS g(i)
+    )
+    SELECT pair, count(*) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training's first step: corpus frequencies of adjacent
+    character pairs within words — the statistic byte-pair encoding
+    maximizes when choosing its first merge.  Top 20 pairs, deterministic
+    tie-break.
+
+    All codegen expressions (sequence → transform → explode), one shuffle on
+    the pair key; at 100 TB this is a scan plus a vocabulary-sized agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    word = F.explode(tokenize_column("text")).alias("word")
+    pairs = (
+        docs.select(word)
+        .filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )

@@ -96,3 +96,42 @@ def test_bucketed_join_plans_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_zorder_write_shrinks_per_file_key_ranges(spark, sf_dir, tmp_path):
+    """Z-order clustering on (l_orderkey, l_partkey) must make every output
+    file cover a narrow slice of BOTH key ranges (that is what lets parquet
+    min/max stats prune scans on either column), while a hash-repartitioned
+    write leaves each file spanning essentially the full range."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.maintenance import zorder_write
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+
+    def per_file_span(path, col):
+        spans = []
+        for f in sorted(g.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "li_zorder")
+    ppath = str(tmp_path / "li_plain")
+    zorder_write(li, ["l_orderkey", "l_partkey"], zpath, n_files=8)
+    li.repartition(8).write.mode("overwrite").parquet(ppath)
+
+    rows = li.count()
+    back = spark.read.parquet(zpath)
+    assert back.count() == rows
+
+    for col in ("l_orderkey", "l_partkey"):
+        z_span = per_file_span(zpath, col)
+        p_span = per_file_span(ppath, col)
+        assert z_span < 0.75 * p_span, (col, z_span, p_span)
