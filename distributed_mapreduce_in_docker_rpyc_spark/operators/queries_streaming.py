@@ -86,11 +86,38 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_session_windows")
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d
+    )
+    SELECT MIN(ts) AS t_start,
+           MAX(ts) + INTERVAL '30 minutes' AS t_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native gap-based session windows (30 min) per user, incrementally.
-    No DuckDB session-window equivalent → rows-only check; the stream≡batch
-    equality is asserted in tests/test_streaming.py instead."""
+
+    DuckDB has no session window, but the lag/cumsum construction reproduces
+    ``F.session_window`` exactly: a session breaks when the gap to the
+    previous event is >= 30 min (Spark's window end ``last + gap`` is
+    exclusive), t_end = last event + gap.  The stream≡batch equality is
+    additionally asserted in tests/test_streaming.py."""
     table = _run(jobs.session_windows(jobs.events_stream(spark, sf_dir)))
     return spark.table(table)
 
