@@ -393,3 +393,34 @@ def test_streaming_progress_reports_state_rows(spark, sf_dir, tmp_path):
     state_ops = [so for p in progresses for so in p["stateOperators"]]
     assert state_ops and any(so["numRowsTotal"] > 0 for so in state_ops)
     assert sum(p["numInputRows"] for p in progresses) == load_table(spark, sf_dir, "events").count()
+
+
+def test_streaming_foreachbatch_to_jsondict_sink(spark, sf_dir, tmp_path):
+    """Streaming output through the reference's reduce-file shape: each
+    micro-batch's running word counts are written via foreachBatch to the
+    jsondict DataSource (complete mode, overwrite per epoch), and after the
+    availableNow run the committed files round-trip to exactly the batch word
+    counts — stream ≡ batch through a custom Python sink."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.wordcount import word_counts
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.jsondict_sink import register_jsondict
+
+    register_jsondict(spark)
+    out = str(tmp_path / "stream_reduce")
+
+    counts = word_counts(jobs.documents_stream(spark, sf_dir))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda df, _epoch: df.write.format("jsondict").mode("overwrite").save(out)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+
+    back = spark.read.format("jsondict").schema("word string, cnt long").load(out)
+    expect = {
+        r["word"]: r["cnt"]
+        for r in word_counts(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert {r["word"]: r["cnt"] for r in back.collect()} == expect
