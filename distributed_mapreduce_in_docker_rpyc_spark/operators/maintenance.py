@@ -189,3 +189,45 @@ def zorder_write(df: DataFrame, cols: list[str], path: str, n_files: int = 8, bi
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame, key: str) -> dict:
+    """MERGE INTO for plain parquet: rows in ``updates`` replace same-key rows
+    in the table at ``path``; new keys append.  Returns merge stats.
+
+    The merge itself is one shuffle on the key (window over key, source rank
+    breaks ties toward updates) — the same dataflow a Delta/Iceberg MERGE
+    compiles to, minus their transaction log: the rewrite stages to a temp
+    directory and swaps, so a reader mid-swap can see an empty instant but
+    never a half-merged state.  At 100 TB you partition the table and merge
+    only affected partitions; table formats add snapshot isolation on top.
+    """
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(path)
+    n_base = base.count()
+    n_updates = updates.count()
+    w = Window.partitionBy(key).orderBy(F.desc("_src"))
+    merged = (
+        base.withColumn("_src", F.lit(0))
+        .unionByName(updates.withColumn("_src", F.lit(1)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
+    tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    n_final = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return {
+        "rows_before": n_base,
+        "rows_updates": n_updates,
+        "rows_after": n_final,
+        "rows_inserted": n_final - n_base,
+        "rows_updated": n_updates - (n_final - n_base),
+    }

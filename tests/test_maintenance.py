@@ -135,3 +135,34 @@ def test_zorder_write_shrinks_per_file_key_ranges(spark, sf_dir, tmp_path):
         z_span = per_file_span(zpath, col)
         p_span = per_file_span(ppath, col)
         assert z_span < 0.75 * p_span, (col, z_span, p_span)
+
+
+def test_upsert_parquet_updates_and_inserts(spark, sf_dir, tmp_path):
+    """MERGE semantics on plain parquet: updated keys take the new values,
+    new keys append, untouched keys survive byte-identical."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.maintenance import upsert_parquet
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    path = str(tmp_path / "cust")
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    base.write.parquet(path)
+    n = base.count()
+
+    updates = spark.createDataFrame(
+        [(1, "UPDATED-1", 999.0), (2, "UPDATED-2", 888.0), (10_000_001, "NEW-1", 1.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    stats = upsert_parquet(spark, path, updates, "c_custkey")
+    assert stats["rows_after"] == n + 1
+    assert stats["rows_inserted"] == 1 and stats["rows_updated"] == 2
+
+    after = spark.read.parquet(path)
+    got = {r["c_custkey"]: r for r in after.filter(F.col("c_custkey").isin(1, 2, 10_000_001)).collect()}
+    assert got[1]["c_name"] == "UPDATED-1" and got[2]["c_acctbal"] == 888.0
+    assert got[10_000_001]["c_name"] == "NEW-1"
+    # an untouched key keeps its original row
+    k = 5
+    orig = base.filter(F.col("c_custkey") == k).collect()
+    assert after.filter(F.col("c_custkey") == k).collect() == orig
