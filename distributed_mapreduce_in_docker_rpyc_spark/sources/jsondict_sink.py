@@ -8,15 +8,21 @@ mapping key → reduced value (a dict dump, not JSON-lines — Spark's built-in
 exact sink as ``df.write.format("jsondict").mode("overwrite").save(dir)``
 via the modern three-phase write protocol:
 
-  task ``write()`` → per-partition ``reduce-<pid>.json`` + commit message
-  driver ``commit()`` → ``_SUCCESS`` manifest listing committed files
-  driver ``abort()``  → best-effort cleanup of task outputs
+  task ``write()`` → ``_staging-<jobid>/reduce-<pid>.json`` + commit message
+  driver ``commit()`` → move staged files into place, ``_SUCCESS`` manifest
+  driver ``abort()``  → remove the staging directory
 
-which is also the 100 TB-correct shape: files land under task identity,
-the job is visible only after the driver-side commit, and failed jobs
-clean up after themselves.  In local mode every task shares one filesystem;
-a cluster deployment points ``path`` at shared/cloud storage exactly like
-any file sink.
+which is also the 100 TB-correct shape (the same job-scoped temp-dir
+protocol Hadoop's FileOutputCommitter uses): tasks only ever write inside a
+directory this job owns, so a straggler task finishing AFTER the driver
+aborts cannot leak a file into the final listing — abort cleans by
+ownership, never by racing a glob against in-flight renames.  Final
+``reduce-<pid>.json`` names appear only at job commit.  In local mode every
+task shares one filesystem; a cluster deployment points ``path`` at
+shared/cloud storage exactly like any file sink.
+
+Append mode is rejected if it would collide with an existing generation's
+file (same partition id) — silently mixing generations was the alternative.
 
 Input contract: exactly two columns ``(key, value)``; key is stringified,
 value must be JSON-serializable (the reference's values are counts).
@@ -46,28 +52,28 @@ class _FileCommit(WriterCommitMessage):
 
 class JsonDictWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         self.overwrite = overwrite
         if not self.path:
             raise ValueError("jsondict requires a path: .save('/out/dir')")
-        # Driver-side: prepare the target directory; overwrite clears prior
-        # reduce files so a re-run never mixes generations.
-        os.makedirs(self.path, exist_ok=True)
-        if overwrite:
-            for old in _glob.glob(os.path.join(self.path, "reduce-*.json")):
-                os.remove(old)
-            success = os.path.join(self.path, "_SUCCESS")
-            if os.path.exists(success):
-                os.remove(success)
+        # Job-unique staging dir, created driver-side, shipped to tasks in
+        # the pickled writer: every task output lives under it until the
+        # driver-side job commit.
+        self.staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex[:12]}")
+        os.makedirs(self.staging, exist_ok=True)
 
     def write(self, iterator: Iterator) -> _FileCommit:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         result = {str(row[0]): row[1] for row in iterator}
-        out_path = os.path.join(self.path, f"reduce-{pid}.json")
-        # Write under a task-attempt temp name, rename on success: the
-        # single-filesystem analogue of task-commit.
+        out_path = os.path.join(self.staging, f"reduce-{pid}.json")
+        # Task-attempt temp name + rename = task commit (speculative twins
+        # target the same final name, last rename wins, content identical);
+        # both names are inside staging, so nothing is visible until the
+        # driver-side job commit moves it.
         tmp = f"{out_path}.inprogress-{TaskContext.get().taskAttemptId()}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(result, f, ensure_ascii=False)
@@ -75,27 +81,39 @@ class JsonDictWriter(DataSourceWriter):
         return _FileCommit(out_path, len(result))
 
     def commit(self, messages: list[_FileCommit]) -> None:
+        import shutil
+
+        # Job commit: clear the prior generation (overwrite) or refuse a
+        # colliding append, then promote staged files to their final names.
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "reduce-*.json")):
+                os.remove(old)
+        final_paths = []
+        for m in messages:
+            dest = os.path.join(self.path, os.path.basename(m.path))
+            if not self.overwrite and os.path.exists(dest):
+                raise ValueError(
+                    f"jsondict append would collide with {dest}; use mode('overwrite') "
+                    "or a fresh directory"
+                )
+            os.replace(m.path, dest)
+            final_paths.append(dest)
         manifest = {
-            "files": sorted(m.path for m in messages),
+            "files": sorted(final_paths),
             "total_keys": sum(m.n_keys for m in messages),
         }
         with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as f:
             json.dump(manifest, f)
+        shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages: list[_FileCommit]) -> None:
-        # `messages` only covers tasks whose commit message reached the
-        # driver before the failure; a sibling task can finish (and rename
-        # its file into place) without appearing here.  In overwrite mode
-        # this job owns every reduce-*.json in the directory (the prior
-        # generation was cleared at writer construction), so clean by
-        # directory ownership; otherwise fall back to the message list.
-        if self.overwrite:
-            for p in _glob.glob(os.path.join(self.path, "reduce-*.json")):
-                os.remove(p)
-        else:
-            for m in messages:
-                if m is not None and os.path.exists(m.path):
-                    os.remove(m.path)
+        # Everything this job ever wrote lives in the staging dir; removing
+        # it cannot race a straggler task into the final listing (a late
+        # rename inside a removed directory fails inside the already-failed
+        # task, leaking nothing).
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class _FilePartition(InputPartition):

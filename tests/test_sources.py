@@ -250,6 +250,9 @@ def test_jsondict_sink_abort_cleans_up(spark, tmp_path):
     with pytest.raises(Exception, match="poison row"):
         poisoned.write.format("jsondict").mode("overwrite").save(out)
     assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    # Final names only ever appear at job commit (tasks write into the
+    # job-scoped staging dir), so even a straggler task finishing after the
+    # driver-side abort cannot leak a reduce file into the listing.
     assert glob.glob(os.path.join(out, "reduce-*.json")) == []
 
 
