@@ -1,0 +1,67 @@
+"""Differential query fuzzing (SQLancer-style, seeded and deterministic).
+
+A small grammar generates GROUP BY / filter / HAVING queries over lineitem;
+the SAME SQL text runs on Spark and DuckDB and the results must agree
+row-for-row.  This catches whole classes of engine-integration mistakes the
+hand-written oracles can't: type-coercion drift, null-handling divergence,
+predicate/aggregate interactions nobody thought to enshrine in a named query.
+
+Aggregates over doubles are rounded to 2 places inside the SQL (sum order
+differs between engines; the values are ~1e8 with ~1e-8 float error, so 2
+places is conservative by six orders of magnitude).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import register_views
+from tests.oracle import compare
+
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+AGGS = ["SUM", "AVG", "MIN", "MAX"]
+# Thresholds chosen inside each column's live range so predicates are
+# selective but never empty at sf0.001.
+PRED_RANGES = {
+    "l_quantity": (5.0, 45.0),
+    "l_extendedprice": (2000.0, 80000.0),
+    "l_discount": (0.01, 0.09),
+    "l_tax": (0.01, 0.07),
+}
+
+
+def gen_query(rng: random.Random) -> str:
+    groups = rng.sample(GROUP_COLS, rng.randint(1, 2))
+    metric = rng.choice(METRICS)
+    agg = rng.choice(AGGS)
+    pred_col = rng.choice(METRICS)
+    lo, hi = PRED_RANGES[pred_col]
+    thresh = round(rng.uniform(lo, hi), 4)
+    op = rng.choice(["<", ">", "<=", ">="])
+    date_pred = ""
+    if rng.random() < 0.5:
+        day = rng.randint(1, 28)
+        month = rng.randint(1, 12)
+        year = rng.choice([1993, 1994, 1995, 1996])
+        date_op = rng.choice(["<", ">="])
+        date_pred = f" AND l_shipdate {date_op} CAST('{year}-{month:02d}-{day:02d}' AS TIMESTAMP)"
+    having = ""
+    if rng.random() < 0.4:
+        having = f" HAVING COUNT(*) >= {rng.randint(2, 20)}"
+    gcols = ", ".join(groups)
+    return (
+        f"SELECT {gcols}, CAST(ROUND({agg}({metric}), 2) AS DOUBLE) AS agg_val, "
+        f"COUNT(*) AS n "
+        f"FROM lineitem WHERE {pred_col} {op} {thresh}{date_pred} "
+        f"GROUP BY {gcols}{having}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzzed_query_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["lineitem"])
+    sql = gen_query(random.Random(seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
