@@ -65,3 +65,51 @@ def test_fuzzed_query_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["lineitem"])
     sql = gen_query(random.Random(seed))
     compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+JOIN_GROUPS = ["o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus"]
+
+
+def gen_join_query(rng: random.Random) -> str:
+    """Join-shaped variant: orders x lineitem with mixed-side group keys,
+    aggregates, and per-side predicates; occasionally LEFT JOIN so unmatched
+    null semantics get fuzzed too."""
+    groups = rng.sample(JOIN_GROUPS, rng.randint(1, 2))
+    metric = rng.choice(METRICS + ["o_totalprice"])
+    agg = rng.choice(AGGS)
+    jt = rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
+    pred_col = rng.choice(METRICS)
+    lo, hi = PRED_RANGES[pred_col]
+    thresh = round(rng.uniform(lo, hi), 4)
+    o_pred = ""
+    if rng.random() < 0.6:
+        year = rng.choice([1993, 1995, 1997])
+        o_pred = f" AND o_orderdate >= CAST('{year}-01-01' AS TIMESTAMP)"
+    gcols = ", ".join(groups)
+    on = "o_orderkey = l_orderkey"
+    base_pred = f"{pred_col} {op_for(rng)} {thresh}{o_pred}"
+    if jt == "LEFT JOIN":
+        # Predicates on the right side of a LEFT JOIN belong in ON, not
+        # WHERE (WHERE would silently turn it inner) — fuzz exactly that.
+        return (
+            f"SELECT {gcols}, CAST(ROUND({agg}({metric}), 2) AS DOUBLE) AS agg_val, "
+            f"COUNT(*) AS n FROM orders LEFT JOIN lineitem "
+            f"ON {on} AND {pred_col} < {thresh} "
+            f"WHERE o_totalprice > 1000{o_pred} GROUP BY {gcols}"
+        )
+    return (
+        f"SELECT {gcols}, CAST(ROUND({agg}({metric}), 2) AS DOUBLE) AS agg_val, "
+        f"COUNT(*) AS n FROM orders {jt} lineitem ON {on} "
+        f"WHERE {base_pred} GROUP BY {gcols}"
+    )
+
+
+def op_for(rng: random.Random) -> str:
+    return rng.choice(["<", ">", "<=", ">="])
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzzed_join_query_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    sql = gen_join_query(random.Random(1000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
