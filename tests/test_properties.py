@@ -148,3 +148,33 @@ def test_winsorize_never_widens_range(spark, sf_dir):
         assert lo <= r.avg_capped <= hi
         capped += r.n_capped_low + r.n_capped_high
     assert capped / n < 0.03
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.binary(min_size=1, max_size=96),
+)
+def test_bmp_codec_roundtrip_property(w, h, data):
+    """BMP encode→decode preserves dimensions and channel sums for arbitrary
+    pixel bytes and every padding width — pure-Python, no Spark."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.multimodal import bmp_decode, bmp_encode
+
+    stream = bytes(data[i % len(data)] for i in range(3 * w * h))
+    dw, dh, sr, sg, sb = bmp_decode(bmp_encode(w, h, stream))
+    assert (dw, dh) == (w, h)
+    assert (sr, sg, sb) == (sum(stream[0::3]), sum(stream[1::3]), sum(stream[2::3]))
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.binary(min_size=0, max_size=256))
+def test_wav_codec_roundtrip_property(data):
+    """WAV encode→decode preserves sample count, amplitude sum and peak for
+    arbitrary 8-bit PCM payloads, including empty and odd lengths."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.multimodal import wav_decode, wav_encode
+
+    n, rate, s, peak = wav_decode(wav_encode(data))
+    assert (n, rate) == (len(data), 8000)
+    assert s == sum(data)
+    assert peak == (max(data) if data else 0)
