@@ -70,39 +70,30 @@ def minhash_signatures(
     here), so without it the tokenize→shingle pipeline is re-executed once
     per consumer — 12 redundant parquet scans in the full LSH query.
 
-    Deliberately relational (explode shingles × seeds → md5 → min per
-    (doc, seed) → assemble array) rather than nested array expressions: each
-    value is computed exactly ONCE.  The equivalent per-row array-expression
-    formulation looks shuffle-free but Catalyst inlines the shingle
-    subexpression into all 16 hash lambdas (and again on each side of the
-    LSH self-join), exploding evaluation cost ~200× at sf0.1.  The two
-    shuffles here are on (doc_id, seed) / doc_id — high-cardinality, uniform,
-    skew-free — and the row volume is |distinct shingles| × n_hashes, linear
-    in corpus size.
+    Computed as ``n_hashes`` md5 projections over the MATERIALIZED shingle
+    frame with one min-aggregate per hash column: every value computed
+    exactly once, one uniform shuffle on doc_id (map-side partial mins), no
+    row explosion.  Two formulations this deliberately avoids, both measured
+    slower: nested per-row array expressions (Catalyst inlines the shingle
+    subexpression into all 16 hash lambdas — ~200× at sf0.1), and the
+    explode-shingles-×-seeds relational form (16× the row volume plus an
+    extra (doc, seed) shuffle and a collect_list reassembly for the same
+    result).  The hash family is unchanged in all three: column ``i`` is
+    ``min(md5(f"{i}:" + shingle)))``.
     """
     shd = (
         shingles
         if shingles is not None
         else _distinct_shingles(df, text_col, id_col)
     ).withColumnRenamed("doc_id", id_col)
-    per_seed = (
-        shd.select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-            "shingle",
-        )
-        .select(
-            id_col,
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("h"))
+    mins = shd.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
     )
-    return per_seed.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "h"))), lambda s: s["h"]
-        ).alias("minhash")
+    return mins.select(
+        id_col, F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("minhash")
     )
 
 
