@@ -113,3 +113,58 @@ def test_fuzzed_join_query_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["orders", "lineitem"])
     sql = gen_join_query(random.Random(1000 + seed))
     compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+WINDOW_FUNCS = ["SUM", "AVG", "MIN", "MAX", "COUNT"]
+
+
+# (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture (the
+# fuzzer's first catch was its own grammar assuming it was): under ORDER BY
+# ties, LAG and ROWS-frame results are engine-dependent.  Ordering by the
+# FULL row restores a deterministic output multiset — rows that still tie
+# are bit-identical, so any tie-break yields the same set of output tuples.
+_TOTAL_ORDER = "l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"
+
+
+def gen_window_query(rng: random.Random) -> str:
+    """Window-function variant: ROWS and RANGE frames, LAG with defaults,
+    over a total order (see _TOTAL_ORDER) so results are deterministic."""
+    part = rng.choice(["l_returnflag", "l_linestatus"])
+    metric = rng.choice(METRICS)
+    kind = rng.random()
+    if kind < 0.4:
+        n = rng.randint(1, 10)
+        fn = rng.choice(WINDOW_FUNCS)
+        wexpr = (
+            f"{fn}({metric}) OVER (PARTITION BY {part} "
+            f"ORDER BY {_TOTAL_ORDER} "
+            f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW)"
+        )
+    elif kind < 0.7:
+        n = rng.choice([100, 1000, 5000])
+        fn = rng.choice(WINDOW_FUNCS)
+        wexpr = (
+            f"{fn}({metric}) OVER (PARTITION BY {part} ORDER BY l_orderkey "
+            f"RANGE BETWEEN {n} PRECEDING AND CURRENT ROW)"
+        )
+    else:
+        k = rng.randint(1, 3)
+        wexpr = (
+            f"LAG({metric}, {k}, -1.0) OVER (PARTITION BY {part} "
+            f"ORDER BY {_TOTAL_ORDER})"
+        )
+    pred_col = rng.choice(METRICS)
+    lo, hi = PRED_RANGES[pred_col]
+    thresh = round(rng.uniform(lo, hi), 4)
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(ROUND({wexpr}, 2) AS DOUBLE) AS w "
+        f"FROM lineitem WHERE {pred_col} {op_for(rng)} {thresh}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzzed_window_query_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["lineitem"])
+    sql = gen_window_query(random.Random(2000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
