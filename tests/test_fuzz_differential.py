@@ -168,3 +168,34 @@ def test_fuzzed_window_query_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["lineitem"])
     sql = gen_window_query(random.Random(2000 + seed))
     compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_distinct_query(rng: random.Random) -> str:
+    """COUNT(DISTINCT) variant: distinct aggregates (single and mixed with
+    plain ones, sometimes two distinct columns) exercise the expand/rewrite
+    path planners use for distinct aggregation."""
+    groups = rng.sample(GROUP_COLS, rng.randint(1, 2))
+    d1 = rng.choice(["l_partkey", "l_suppkey", "l_orderkey"])
+    extra = ""
+    if rng.random() < 0.5:
+        d2 = rng.choice([c for c in ("l_partkey", "l_suppkey") if c != d1])
+        extra = f", COUNT(DISTINCT {d2}) AS nd2"
+    plain = ""
+    if rng.random() < 0.6:
+        m = rng.choice(METRICS)
+        plain = f", CAST(ROUND(SUM({m}), 2) AS DOUBLE) AS s"
+    pred_col = rng.choice(METRICS)
+    lo, hi = PRED_RANGES[pred_col]
+    thresh = round(rng.uniform(lo, hi), 4)
+    gcols = ", ".join(groups)
+    return (
+        f"SELECT {gcols}, COUNT(DISTINCT {d1}) AS nd1{extra}{plain}, COUNT(*) AS n "
+        f"FROM lineitem WHERE {pred_col} {op_for(rng)} {thresh} GROUP BY {gcols}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_distinct_agg_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["lineitem"])
+    sql = gen_distinct_query(random.Random(3000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
