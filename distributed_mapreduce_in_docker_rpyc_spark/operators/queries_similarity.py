@@ -115,13 +115,10 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_pairs(spark, sf_dir, 0.4)
 
 
-# Exact top-10 cosine neighbors for queries vec_id < 5 — shared by the
-# expression path (sim_topk_bruteforce) and the NumPy/Arrow path
-# (sim_topk_vectorized): both compute the same relation, so both hash-check
-# against the same SQL.
-_TOPK_BRUTE_ORACLE = (
-    _COSINE_CTES
-    + """
+# Exact top-10 cosine neighbors for queries vec_id < 5, as a bare SELECT so
+# it can serve standalone (sim_topk_bruteforce / sim_topk_vectorized) or as a
+# CTE body (sim_lsh_recall).
+_BRUTE_TOPK_SELECT = """
     SELECT query_id, neighbor_id, sim, rank FROM (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
@@ -132,8 +129,9 @@ _TOPK_BRUTE_ORACLE = (
                                            n.vec_id ASC) AS rank
         FROM norms q JOIN norms n ON q.vec_id < 5 AND n.vec_id != q.vec_id
     ) WHERE rank <= 10
-    """
-)
+"""
+
+_TOPK_BRUTE_ORACLE = _COSINE_CTES + _BRUTE_TOPK_SELECT
 
 
 @register("sim_topk_bruteforce", oracle=_TOPK_BRUTE_ORACLE)
@@ -143,10 +141,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_bruteforce(load_table(spark, sf_dir, "embeddings"), query_ids_below=5, k=10)
 
 
-@register(
-    "sim_topk_lsh",
-    oracle=_COSINE_CTES
-    + """,
+# Sign-LSH candidate CTEs (18 md5-derived hyperplanes in 6 tables of 3) and
+# the candidate-reranking top-10 SELECT — shared by sim_topk_lsh and
+# sim_lsh_recall.
+_LSH_CAND_CTES = """,
     planes AS (
         SELECT j.j AS j, d.d AS d,
                CASE WHEN (strpos('0123456789abcdef',
@@ -172,6 +170,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND nb.vec_id != qb.vec_id
         WHERE qb.vec_id < 5
     )
+"""
+
+_LSH_TOPK_SELECT = """
     SELECT query_id, neighbor_id, sim, rank FROM (
         SELECT c.query_id, c.neighbor_id,
                ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
@@ -184,8 +185,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN norms q ON q.vec_id = c.query_id
         JOIN norms n ON n.vec_id = c.neighbor_id
     ) WHERE rank <= 10
-    """,
-)
+"""
+
+
+@register("sim_topk_lsh", oracle=_COSINE_CTES + _LSH_CAND_CTES + _LSH_TOPK_SELECT)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: multi-table sign-LSH (6 tables × 3 md5-derived
     hyperplanes) pruning candidates, exact-cosine rerank — the 100 TB path."""
@@ -194,6 +197,56 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_ids_below=5,
         k=10,
         buckets=_topk_lsh_buckets(spark, sf_dir),
+    )
+
+
+@register(
+    "sim_lsh_recall",
+    oracle=_COSINE_CTES
+    + _LSH_CAND_CTES
+    + f""",
+    lsh AS ({_LSH_TOPK_SELECT}),
+    brute AS ({_BRUTE_TOPK_SELECT}),
+    hits AS (
+        SELECT b.query_id, COUNT(*) AS h
+        FROM brute b
+        JOIN lsh l ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM brute)
+    SELECT ROUND(AVG(COALESCE(h, 0) / 10.0), 6) AS recall_at_10
+    FROM qs LEFT JOIN hits USING (query_id)
+    """,
+)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the sign-LSH ANN path against the exact brute-force
+    baseline, HASH-CHECKED end-to-end: both neighbor sets are deterministic
+    and SQL-expressible, so their intersection is too — the oracle recomputes
+    LSH buckets, both top-10 sets, and the averaged overlap from scratch.
+    (The IVF recall stays in ``sim_ann_recall_report`` as a rows-only check:
+    its KMeans cells are Spark-ML state no SQL engine can replay.)
+    Zero-hit queries count as recall 0, not dropped (ADVICE r2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = sim.topk_bruteforce(emb, query_ids_below=5, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = sim.topk_lsh(
+        emb, query_ids_below=5, k=10, buckets=_topk_lsh_buckets(spark, sf_dir)
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .agg(
+            F.round(
+                F.avg(F.coalesce(F.col("h"), F.lit(0)) / F.lit(10.0)), 6
+            ).alias("recall_at_10")
+        )
     )
 
 
