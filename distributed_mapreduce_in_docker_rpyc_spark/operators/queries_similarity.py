@@ -424,14 +424,75 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_quantized_recall")
+@register(
+    "sim_quantized_recall",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               sqrt((SELECT SUM(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))
+                     FROM generate_series(1, 64) g(i))) AS nrm
+        FROM embeddings
+    ),
+    sc AS (
+        SELECT vec_id, embedding,
+               GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s
+        FROM embeddings
+    ),
+    deq AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> floor(CAST(x AS DOUBLE) / s + 0.5) * ROUND(s, 9)) AS d
+        FROM sc
+    ),
+    deqn AS (
+        SELECT vec_id, d,
+               sqrt((SELECT SUM(d[g.i] * d[g.i]) FROM generate_series(1, 64) g(i))) AS nrm
+        FROM deq
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ROUND((SELECT SUM(q.d[g.i] * n.d[g.i])
+                                                      FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
+                                               n.vec_id ASC) AS rank
+            FROM deqn q JOIN deqn n ON q.vec_id < 50 AND n.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                                                      FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
+                                               n.vec_id ASC) AS rank
+            FROM norms q JOIN norms n ON q.vec_id < 50 AND n.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    ),
+    hits AS (
+        SELECT t.query_id, COUNT(*) AS h
+        FROM truth t JOIN approx a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM truth)
+    SELECT 'int8_dequant' AS method,
+           ROUND(AVG(COALESCE(h, 0) / 10.0), 4) AS mean_recall_at_10,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(4.0 AS DOUBLE) AS compression_vs_float32
+    FROM qs LEFT JOIN hits USING (query_id)
+    """,
+)
 def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of exact top-k over DEQUANTIZED int8 vectors vs the float
     ground truth — the quality gate a pipeline runs before switching its
     vector store to the 4×-smaller representation.  One driver-visible row.
-    No oracle: the quantizer itself is oracle-checked (emb_quantize_int8)
-    and the ranking machinery is oracle-checked (sim_topk_bruteforce); this
-    row measures their composition."""
+
+    HASH-CHECKED end-to-end (upgraded from rows-only): the quantizer's
+    ``floor(x/scale + 0.5)`` contract and the dequantized ranking are both
+    engine-portable, so the oracle replays quantize → dequantize → top-10 →
+    overlap-with-truth from scratch.  Replicates the Spark path's exact
+    arithmetic: q divides by the RAW scale, dequantize multiplies by the
+    ROUND(scale, 9) the store persists."""
     emb = load_table(spark, sf_dir, "embeddings")
     k, n_queries = 10, 50
     truth = sim.topk_bruteforce(emb, n_queries, k).select(
