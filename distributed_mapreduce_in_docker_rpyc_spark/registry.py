@@ -45,8 +45,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # ROUND 4 NOTE: once round 3's driver run lands rows for this set, replace it
 # with the queries added/upgraded during round 3 that still lack a driver row:
 # jsondict_roundtrip, multimodal_decode_bmp, multimodal_decode_wav,
-# text_unigram_logprob, pagerank_word_graph (oracle added),
-# sim_topk_vectorized (oracle added).
+# text_unigram_logprob, bpe_merge_pairs, sim_lsh_recall,
+# pagerank_word_graph / sim_topk_vectorized / sim_quantized_recall
+# (oracles added).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # failed r2 on driver canonicalization (array outputs) — fixed, re-verify
     "label_centroids",
