@@ -35,78 +35,94 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# The round driver verifies 50 queries per round in registration order.  After
-# round 2, exactly 50 registered queries lack a green driver CORRECTNESS row:
-# 48 never reached by any round's budget plus 2 that failed the driver's
-# canonicalizer (VERDICT.md r2 "Next round" #1).  They are promoted to the
-# front of the registry so round 3's budget covers precisely this set; every
-# other query keeps its natural (module) registration order behind them.
-#
-# ROUND 4 NOTE: once round 3's driver run lands rows for this set, replace it
-# with the queries added/upgraded during round 3 that still lack a driver row:
-# jsondict_roundtrip, multimodal_decode_bmp, multimodal_decode_wav,
-# text_unigram_logprob, bpe_merge_pairs, sim_lsh_recall,
-# pagerank_word_graph / sim_topk_vectorized / sim_quantized_recall
-# (oracles added).
+# The round driver verifies 50 queries per round in registration order.
+# Round-4 budget (VERDICT r3 "Next round" #1-#2):
+#   slots 1-11  — the 11 oracle-backed queries with no driver row yet (added
+#                 or fixed during r3, all locally green on the driver-identical
+#                 gate);
+#   slots 12-13 — sim_topk_ivf / sim_ann_recall_report, upgraded this round
+#                 from rows-only to hash-checked (deterministic SQL-expressible
+#                 IVF quantizer replaces driver KMeans);
+#   slots 14-50 — the stalest green rows: the r1-verified relational/wordcount
+#                 families, last driver-checked two fixture generations ago
+#                 (fixtures drift between rounds — re-prove them on current
+#                 data).  The remaining 11 r1-era names follow for round 5.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # failed r2 on driver canonicalization (array outputs) — fixed, re-verify
-    "label_centroids",
-    "emb_quantize_int8",
-    # streaming (8)
-    "stream_tumbling_hourly",
-    "stream_sliding_10m_5m",
-    "stream_stateful_user_totals",
-    "stream_session_windows",
-    "stream_static_join_segments",
-    "stream_dedup_pairs",
-    "stream_stream_join_attribution",
-    "stream_dedup_against_corpus",
-    # quality (5)
-    "dq_orders_report",
-    "dq_referential_integrity",
-    "dq_join_key_skew",
-    "dq_k_anonymity",
+    # (1) oracle-backed, never driver-checked — land rows first
+    "jsondict_roundtrip",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "text_unigram_logprob",
+    "bpe_merge_pairs",
+    "sim_lsh_recall",
+    "pagerank_word_graph",
+    "sim_topk_vectorized",
+    "sim_quantized_recall",
+    "grouped_zscore_pandas",
+    "q12_priority_by_flag",
+    # (2) upgraded rows-only → hash-checked this round
+    "sim_topk_ivf",
+    "sim_ann_recall_report",
+    # (3) stalest greens: last driver contact was round 1, oldest fixtures
+    "wordcount_top20",
+    "wordcount_full",
+    "wordcount_rdd_core",
+    "inverted_index_stats",
+    "ingest_zip_wordcount",
+    "ziptext_datasource_scan",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "filter_project_pushdown",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "agg_distinct",
+    "agg_stats",
+    "rollup_agg",
+    "cube_agg",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_gap",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "orderby_limit_global",
+    "distinct_projection",
+    "scalar_functions",
+    "pivot_status_by_flag",
+    "scalar_subquery_above_avg",
+    "grouping_sets_sql",
+    "salted_join_revenue_by_priority",
+    # --- 50-slot budget line falls here (13 + 37) ---
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q13_customer_order_histogram",
+    "q16_supplier_part_counts",
+    "q22_global_sales_opportunity",
+    "agg_percentiles",
+    "window_analytics",
+    "q8_market_share",
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+)
+
+# Permanently rows-only reports (no SQL-replayable oracle by design: file
+# layout, HLL/approx-percentile estimator internals).  Registered LAST so a
+# driver budget slot never again produces a `no_oracle` error row
+# (r3 spent 3 of its 50 slots on these — VERDICT r3 "wrong" #2).
+DRIVER_DEMOTE: tuple[str, ...] = (
     "storage_file_report",
-    # sketches (5)
-    "heavy_hitters_verified",
-    "cms_word_estimates",
-    "stat_corr_matrix",
     "hll_daily_distinct_error",
     "approx_percentile_error",
-    # multimodal (4)
-    "multimodal_meta",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # temporal (2)
-    "asof_purchase_click",
-    "interval_join_error_window",
-    # events (5)
-    "events_funnel",
-    "events_hourly_anomaly",
-    "events_variant_props",
-    "events_transition_matrix",
-    "events_active_users_7d",
-    # relational (19)
-    "q2_min_cost_supplier",
-    "q15_top_supplier",
-    "q20_potential_promotion",
-    "q21_waiting_orders",
-    "orders_monthly_growth",
-    "supplier_pareto",
-    "part_price_histogram",
-    "customer_rfm_segments",
-    "scd2_priority_history",
-    "cdc_snapshot_diff",
-    "winsorized_prices",
-    "order_item_quantities",
-    "basket_part_pairs",
-    "fuzzy_supplier_pairs",
-    "date_spine_daily_revenue",
-    "mv_incremental_daily_revenue",
-    "udf_scalar_pandas_net_price",
-    "udaf_weighted_avg_pandas",
-    "cogrouped_order_fill_pandas",
 )
 
 
@@ -147,10 +163,15 @@ def load_all() -> None:
                 stacklevel=2,
             )
 
-    missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    missing = [n for n in (*DRIVER_PRIORITY, *DRIVER_DEMOTE) if n not in QUERIES]
     if missing:
-        raise ValueError(f"DRIVER_PRIORITY names not registered: {missing}")
-    ordered = [*DRIVER_PRIORITY, *(n for n in QUERIES if n not in set(DRIVER_PRIORITY))]
+        raise ValueError(f"DRIVER_PRIORITY/DEMOTE names not registered: {missing}")
+    pinned = {*DRIVER_PRIORITY, *DRIVER_DEMOTE}
+    ordered = [
+        *DRIVER_PRIORITY,
+        *(n for n in QUERIES if n not in pinned),
+        *DRIVER_DEMOTE,
+    ]
     for d in (QUERIES, ORACLES):
         items = {n: d[n] for n in ordered if n in d}
         d.clear()
