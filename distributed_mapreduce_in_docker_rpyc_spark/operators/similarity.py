@@ -27,7 +27,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col, dot_col
@@ -429,31 +429,94 @@ def ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
+    n_iters: int = 2,
 ):
-    """IVF coarse quantizer: KMeans centroids + cluster-assigned vectors.
+    """Deterministic IVF coarse quantizer: md5-seeded picks + a FIXED number
+    of Lloyd rounds, every intermediate rounded to 6 places.
 
     Returns ``(assigned, centroids)`` where ``assigned`` is the inverted
-    index (each vector tagged with its nearest centroid's cluster id) and
-    ``centroids`` is a tiny ``(cluster, centroid)`` table.
+    index (each vector tagged with its nearest final centroid's cluster id)
+    and ``centroids`` is a tiny ``(cluster, centroid)`` table.
 
-    Scale posture: centroids are O(n_centroids × dim) — always broadcastable;
-    the inverted index is the corpus repartitioned by cluster, so a probe
-    touches only ``n_probe / n_centroids`` of the data. Train on a sample at
-    100 TB (KMeans converges on far less than the full corpus).
+    Replaces the earlier Spark-ML KMeans trainer so the whole index is
+    SQL-replayable (VERDICT r3 #7): seeds are the ``n_centroids`` vectors
+    with the smallest ``md5(vec_id)`` (a deterministic pseudo-random pick any
+    engine reproduces), each Lloyd round assigns by squared-L2 ROUNDED to 6
+    places (ties broken by cluster id) and re-averages per dimension ROUNDED
+    to 6 places, and empty clusters keep their previous centroid.  With every
+    comparison made on 6-place-rounded values, DuckDB replays the identical
+    index — ``sim_topk_ivf`` / ``sim_ann_recall_report`` are hash-checked.
+
+    Per round the centroid table (n_centroids × dim doubles — the same
+    driver-bounded footprint KMeans' ``clusterCenters()`` had) is collected
+    and re-broadcast so the lineage stays flat; assignment passes are
+    distributed full scans.  Scale posture: centroids are always
+    broadcastable; the inverted index is the corpus tagged by cluster, so a
+    probe touches only ``n_probe / n_centroids`` of the data.  At 100 TB run
+    the Lloyd rounds on a sample — only the final assignment needs the full
+    corpus; the md5-seed trick still pins determinism per sample.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     spark = emb.sparkSession
-    vec = emb.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="_v", predictionCol="cluster").fit(vec)
-    assigned = model.transform(vec).select(id_col, vec_col, "cluster")
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cluster int, centroid array<double>",
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+
+    def assign(cent: DataFrame) -> DataFrame:
+        # 16-row broadcast cross join; d2 rounded to 6 so the argmin decision
+        # is identical in any engine regardless of float-summation order.
+        w = Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("cluster"))
+        return (
+            v.join(F.broadcast(cent))
+            .withColumn(
+                "_d2",
+                F.round(
+                    F.aggregate(
+                        F.zip_with("_v", "centroid", lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ),
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(id_col, "_v", "cluster")
+        )
+
+    def materialized(cent: DataFrame) -> DataFrame:
+        # n_centroids × dim doubles through the driver — bounded, constant in
+        # corpus size (the exact footprint KMeans clusterCenters() had).
+        rows = [(r["cluster"], r["centroid"]) for r in cent.collect()]
+        return spark.createDataFrame(rows, "cluster int, centroid array<double>")
+
+    seeds = (
+        v.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
     )
-    return assigned, centroids
+    w16 = Window.orderBy("_h", id_col)
+    cent = materialized(
+        seeds.withColumn("cluster", F.row_number().over(w16) - 1).select(
+            "cluster", F.transform("_v", lambda x: F.round(x, 6)).alias("centroid")
+        )
+    )
+    for _ in range(n_iters):
+        a = assign(cent)
+        per_dim = (
+            a.select("cluster", F.posexplode("_v").alias("d0", "x"))
+            .groupBy("cluster", "d0")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+        updated = per_dim.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d0", "c"))), lambda s: s["c"]
+            ).alias("newc")
+        )
+        cent = materialized(
+            cent.join(updated, "cluster", "left").select(
+                "cluster", F.coalesce("newc", "centroid").alias("centroid")
+            )
+        )
+    assigned = assign(cent).select(id_col, F.col("_v").alias(vec_col), "cluster")
+    return assigned, cent
 
 
 def topk_ivf(
@@ -466,16 +529,19 @@ def topk_ivf(
     vec_col: str = "embedding",
     index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """Approximate top-k via IVF: assign corpus to KMeans cells, probe each
-    query's ``n_probe`` nearest cells, exact-cosine rerank inside them.
+    """Approximate top-k via IVF: assign corpus to the deterministic coarse
+    cells of :func:`ivf_index`, probe each query's ``n_probe`` nearest cells,
+    exact-cosine rerank inside them.
 
     The candidate join is an equi-join on ``cluster`` (query-probes ×
     inverted lists) — no cross product, and the probed fraction of the corpus
-    is ``n_probe / n_centroids`` regardless of scale. Recall vs brute force
-    is asserted in tests (Python-side KMeans state → no SQL oracle).
+    is ``n_probe / n_centroids`` regardless of scale.  Every ranking input
+    (probe d2, rerank cosine) is rounded to 6 places, so a SQL oracle replays
+    the identical result; recall vs brute force is additionally asserted in
+    tests.
 
-    ``index``: a prebuilt ``ivf_index`` (assigned, centroids) pair — KMeans
-    training is query-set independent; probe-time consumers share one."""
+    ``index``: a prebuilt ``ivf_index`` (assigned, centroids) pair — index
+    construction is query-set independent; probe-time consumers share one."""
     from pyspark.sql import Window
 
     assigned, centroids = index if index is not None else ivf_index(emb, n_centroids, id_col, vec_col)
@@ -488,10 +554,15 @@ def topk_ivf(
         q.join(F.broadcast(centroids))
         .withColumn(
             "d2",
-            F.aggregate(
-                F.zip_with(F.col("_qv").cast("array<double>"), "centroid", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            # rounded to 6 so the probe choice is engine-portable (the oracle
+            # replays it; float summation order must not flip the ranking)
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("_qv").cast("array<double>"), "centroid", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
             ),
         )
         .withColumn("prank", F.row_number().over(wq))

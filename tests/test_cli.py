@@ -31,4 +31,4 @@ def test_cli_oracle_and_unknown_name(capsys):
     assert main(["oracle", "wordcount_top20"]) == 0
     assert "GROUP BY word" in capsys.readouterr().out
     assert main(["run", "no_such_query"]) == 2
-    assert main(["oracle", "sim_topk_ivf"]) == 1
+    assert main(["oracle", "storage_file_report"]) == 1

@@ -375,7 +375,7 @@ BNLJ_ALLOWED = {
     "sim_ann_recall_report": "recall report re-uses the exact baseline as ground truth",
     "sim_quantized_recall": "quantization recall report re-uses the exact baseline as ground truth",
     "sim_lsh_recall": "hash-checked LSH recall re-uses the exact baseline (broadcast 5-query side)",
-    "sim_topk_ivf": "broadcast side = 16 KMeans centroids (constant in corpus size)",
+    "sim_topk_ivf": "broadcast side = 16 deterministic Lloyd centroids (constant in corpus size)",
     "events_funnel": "scalar funnel-stage counts crossed into one 1-row result",
     "events_active_users_7d": "broadcast day-spine range join; spine = distinct days",
     "dq_join_key_skew": "broadcast side = 1-row global mean frequency",
