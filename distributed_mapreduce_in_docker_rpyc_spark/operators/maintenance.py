@@ -142,13 +142,26 @@ def write_bucketed(
 def zorder_expr(cols: list[str], mins: dict, maxs: dict, bits: int = 16):
     """Z-order (Morton) key expression: each column is min-max scaled to
     ``bits`` bits, then the bits of all columns are interleaved.  Pure
-    codegen arithmetic — no UDF."""
+    codegen arithmetic — no UDF.
+
+    ``bits`` is capped at ``63 // len(cols)`` so the highest interleaved bit
+    index (``(bits-1) * k + k-1``) stays below the long sign bit — at the
+    default 16 bits, 4+ columns would otherwise shift into/past bit 63 and
+    corrupt the curve order.  Columns whose min or max is NULL (all-NULL
+    input) cannot be scaled and are rejected with a clear error; callers
+    that want to skip them do so before building the expression
+    (``zorder_write`` does)."""
     from pyspark.sql import functions as F
 
     k = len(cols)
+    if not cols:
+        raise ValueError("zorder_expr needs at least one column")
+    bits = min(bits, 63 // k)
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
         lo, hi = mins[c], maxs[c]
+        if lo is None or hi is None:
+            raise ValueError(f"z-order column {c!r} has NULL min/max (all-NULL input)")
         span = max(int(hi) - int(lo), 1)
         scaled = (
             (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(span))
@@ -172,6 +185,9 @@ def zorder_write(df: DataFrame, cols: list[str], path: str, n_files: int = 8, bi
 
     Column min/max are taken driver-side in one metadata-cheap aggregate
     (two scalars per column), mirroring compaction's metadata-only planning.
+    All-NULL columns carry no clustering signal and are skipped (the curve
+    is built from the remaining columns; with none left the rewrite is a
+    plain unclustered write).
     """
     from pyspark.sql import functions as F
 
@@ -181,8 +197,12 @@ def zorder_write(df: DataFrame, cols: list[str], path: str, n_files: int = 8, bi
     ).collect()[0]
     mins = {c: row[f"min_{c}"] for c in cols}
     maxs = {c: row[f"max_{c}"] for c in cols}
+    usable = [c for c in cols if mins[c] is not None and maxs[c] is not None]
+    if not usable:
+        df.write.mode("overwrite").parquet(path)
+        return
     (
-        df.withColumn("_z", zorder_expr(cols, mins, maxs, bits))
+        df.withColumn("_z", zorder_expr(usable, mins, maxs, bits))
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
@@ -198,9 +218,13 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame, key: str)
     The merge itself is one shuffle on the key (window over key, source rank
     breaks ties toward updates) — the same dataflow a Delta/Iceberg MERGE
     compiles to, minus their transaction log: the rewrite stages to a temp
-    directory and swaps, so a reader mid-swap can see an empty instant but
-    never a half-merged state.  At 100 TB you partition the table and merge
-    only affected partitions; table formats add snapshot isolation on top.
+    directory, then swaps via rename-old → rename-tmp → delete-old, so the
+    no-table window is two metadata renames rather than a full recursive
+    delete.  Duplicate keys WITHIN ``updates`` are rejected up front — with
+    them, "which update wins" is nondeterministic and the returned
+    updated/inserted stats would be wrong.  At 100 TB you partition the
+    table and merge only affected partitions; table formats add snapshot
+    isolation on top.
     """
     import shutil
     import uuid
@@ -211,6 +235,12 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame, key: str)
     base = spark.read.parquet(path)
     n_base = base.count()
     n_updates = updates.count()
+    n_update_keys = updates.select(key).distinct().count()
+    if n_update_keys != n_updates:
+        raise ValueError(
+            f"updates contain {n_updates - n_update_keys} duplicate {key!r} rows; "
+            "dedupe them first (which duplicate wins is undefined)"
+        )
     w = Window.partitionBy(key).orderBy(F.desc("_src"))
     merged = (
         base.withColumn("_src", F.lit(0))
@@ -219,11 +249,14 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame, key: str)
         .filter(F.col("_rn") == 1)
         .drop("_src", "_rn")
     )
-    tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path}.merge-{token}"
     merged.write.mode("overwrite").parquet(tmp)
     n_final = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
+    old = f"{path}.old-{token}"
+    os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old)
     return {
         "rows_before": n_base,
         "rows_updates": n_updates,

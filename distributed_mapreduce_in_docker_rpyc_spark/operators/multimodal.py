@@ -64,13 +64,14 @@ def decode_stub_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             if pdf.empty:
                 continue
-            payloads = pdf["payload"]
+            # NULL payload ≡ empty payload (the oracles COALESCE text to '')
+            payloads = pdf["payload"].map(lambda p: b"" if p is None else bytes(p))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "payload_md5": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                    "head_hex": payloads.map(lambda b: bytes(b)[:8].hex()),
+                    "payload_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "head_hex": payloads.map(lambda b: b[:8].hex()),
                 }
             )
 
@@ -147,7 +148,9 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
                 continue
             payloads = []
             for text in pdf[text_col]:
-                b = text.encode("utf-8") or b"\x00"
+                # NULL ≡ empty text; an empty byte stream still needs one
+                # pixel, so substitute a single zero byte (oracle mirrors)
+                b = (text or "").encode("utf-8") or b"\x00"
                 n = len(b)
                 w, h = 1 + (n * 7) % 16, 1 + (n * 13) % 16
                 stream = bytes(b[i % n] for i in range(3 * w * h))
@@ -243,7 +246,7 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         for pdf in it:
             if pdf.empty:
                 continue
-            payloads = [wav_encode(t.encode("utf-8") or b"\x00") for t in pdf[text_col]]
+            payloads = [wav_encode((t or "").encode("utf-8") or b"\x00") for t in pdf[text_col]]
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "wav": payloads})
 
     return df.select(id_col, text_col).mapInPandas(per_batch, schema="doc_id long, wav binary")
@@ -284,10 +287,13 @@ def sample_frames(df: DataFrame, k: int = 4, id_col: str = "doc_id") -> DataFram
 
     The payload is treated as a fake container of 16-byte "frames"; ``k``
     evenly-spaced frames are sampled (all of them when the clip is shorter)
-    and fingerprinted with md5 — a deterministic stand-in for an av/ffmpeg
-    keyframe extractor with the identical flatMap dataflow: binary in via
-    Arrow, multiple typed rows out per input. Swap the loop body for real
-    demuxing; the schema, batching and fan-out shape stay."""
+    and fingerprinted as md5 of the frame's lowercase-hex rendering — an
+    engine-portable encoding (DuckDB's md5 hashes VARCHAR only, and a byte
+    slice of multibyte text need not be valid UTF-8, so raw-byte hashing
+    could not be oracle-replayed).  A deterministic stand-in for an
+    av/ffmpeg keyframe extractor with the identical flatMap dataflow:
+    binary in via Arrow, multiple typed rows out per input. Swap the loop
+    body for real demuxing; the schema, batching and fan-out shape stay."""
     import hashlib
 
     def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -298,15 +304,14 @@ def sample_frames(df: DataFrame, k: int = 4, id_col: str = "doc_id") -> DataFram
             idxs: list[int] = []
             hashes: list[str] = []
             for did, payload in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(payload)
+                b = b"" if payload is None else bytes(payload)
                 n_frames = max(len(b) // FRAME_BYTES, 1)
                 kk = min(k, n_frames)
                 for ix in sorted({(j * n_frames) // kk for j in range(kk)}):
                     ids.append(did)
                     idxs.append(ix)
-                    hashes.append(
-                        hashlib.md5(b[ix * FRAME_BYTES : (ix + 1) * FRAME_BYTES]).hexdigest()
-                    )
+                    frame = b[ix * FRAME_BYTES : (ix + 1) * FRAME_BYTES]
+                    hashes.append(hashlib.md5(frame.hex().encode("ascii")).hexdigest())
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes})
 
     return df.select(id_col, "payload").mapInPandas(per_batch, schema=FRAME_SCHEMA)
@@ -326,7 +331,7 @@ def resize_thumbnail(df: DataFrame, box: int = 64, id_col: str = "doc_id") -> Da
         for pdf in it:
             if pdf.empty:
                 continue
-            n = pdf["payload"].map(len).to_numpy(dtype="int64")
+            n = pdf["payload"].map(lambda p: 0 if p is None else len(p)).to_numpy(dtype="int64")
             w = 1 + (n * 7) % 640
             h = 1 + (n * 13) % 480
             longest = np.maximum(w, h)

@@ -5,9 +5,10 @@ Extended scope: the reference has no multimodal/binary handling at all
 coordinator/coordinator.py:45-49); this family is the training-data-pipeline
 extension mandated by SURVEY.md §7 M4.
 
-``multimodal_meta`` is oracle-checked (byte-level metadata is SQL-expressible);
-``multimodal_decode_stub`` exercises the Arrow/mapInPandas decode plumbing and
-gets the driver's rows-only check (Python crc32 is not SQL-portable).
+Every query in this family is hash-checked: the oracles recompute the
+byte-level features from the UTF-8 BYTES of text (hex-string byte math, not
+char functions), with NULL ≡ empty text, so they hold under fixture drift —
+multibyte or empty documents included (tests/test_multimodal_drift.py).
 """
 
 from __future__ import annotations
@@ -46,9 +47,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_stub",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS payload_md5,
-           lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+           md5(COALESCE(text, '')) AS payload_md5,
+           lower(substr(hex(encode(COALESCE(text, ''))), 1, 16)) AS head_hex
     FROM documents
     """,
 )
@@ -65,11 +66,20 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_bmp",
     oracle="""
-    WITH dims AS (
-        SELECT doc_id, text, length(text) AS n,
-               1 + (length(text) * 7) % 16 AS w,
-               1 + (length(text) * 13) % 16 AS h
+    WITH raw AS (
+        /* UTF-8 BYTES via hex (char functions would drift on multibyte
+           text); empty/NULL text becomes the single zero byte the encoder
+           substitutes, so the modulo below is never over zero */
+        SELECT doc_id,
+               CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0 THEN '00'
+                    ELSE hex(encode(text)) END AS hx
         FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, hx, length(hx) // 2 AS n,
+               1 + ((length(hx) // 2) * 7) % 16 AS w,
+               1 + ((length(hx) // 2) * 13) % 16 AS h
+        FROM raw
     )
     SELECT doc_id,
            CAST(width AS BIGINT) AS width,
@@ -79,7 +89,8 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN j % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
     FROM (
         SELECT d.doc_id, d.w AS width, d.h AS height, g.j AS j,
-               ascii(substr(d.text, (g.j % d.n) + 1, 1)) AS v
+               (strpos('0123456789ABCDEF', substr(d.hx, 2 * (g.j % d.n) + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(d.hx, 2 * (g.j % d.n) + 2, 1)) - 1) AS v
         FROM dims d, unnest(generate_series(0, 3 * d.w * d.h - 1)) AS g(j)
     )
     GROUP BY doc_id, width, height
@@ -101,13 +112,26 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_wav",
     oracle="""
-    SELECT d.doc_id,
-           CAST(length(d.text) AS BIGINT) AS n_samples,
+    WITH raw AS (
+        /* UTF-8 BYTES via hex; empty/NULL text becomes the single zero
+           byte the encoder substitutes (see attach_wav_payload) */
+        SELECT doc_id,
+               CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0 THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(hx) // 2 AS BIGINT) AS n_samples,
            CAST(8000 AS BIGINT) AS sample_rate,
-           CAST(SUM(ascii(substr(d.text, g.i, 1))) AS BIGINT) AS sum_amplitude,
-           CAST(MAX(ascii(substr(d.text, g.i, 1))) AS BIGINT) AS peak
-    FROM documents d, unnest(generate_series(1, length(d.text))) AS g(i)
-    GROUP BY d.doc_id, d.text
+           CAST(SUM(v) AS BIGINT) AS sum_amplitude,
+           CAST(MAX(v) AS BIGINT) AS peak
+    FROM (
+        SELECT r.doc_id, r.hx,
+               (strpos('0123456789ABCDEF', substr(r.hx, 2 * g.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(r.hx, 2 * g.j + 2, 1)) - 1) AS v
+        FROM raw r, unnest(generate_series(0, length(r.hx) // 2 - 1)) AS g(j)
+    )
+    GROUP BY doc_id, hx
     """,
 )
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,27 +146,33 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_frame_sample",
     oracle="""
-    WITH meta AS (
-        SELECT doc_id, text,
-               greatest(length(text) // 16, 1) AS n_frames,
-               least(4, greatest(length(text) // 16, 1)) AS kk
+    WITH raw AS (
+        SELECT doc_id, lower(hex(encode(COALESCE(text, '')))) AS hx
         FROM documents
     ),
+    meta AS (
+        SELECT doc_id, hx,
+               greatest((length(hx) // 2) // 16, 1) AS n_frames,
+               least(4, greatest((length(hx) // 2) // 16, 1)) AS kk
+        FROM raw
+    ),
     idx AS (
-        SELECT DISTINCT doc_id, text, (j.j * n_frames) // kk AS frame_idx
+        SELECT DISTINCT doc_id, hx, (j.j * n_frames) // kk AS frame_idx
         FROM meta, generate_series(0, 3) j(j)
         WHERE j.j < kk
     )
     SELECT doc_id, frame_idx,
-           md5(substr(text, CAST(frame_idx * 16 + 1 AS INTEGER), 16)) AS frame_hash
+           md5(substr(hx, CAST(frame_idx * 32 + 1 AS INTEGER), 32)) AS frame_hash
     FROM idx
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over the fake video container: 4 evenly-spaced 16-byte
-    frames per payload, md5-fingerprinted. The mapInPandas fan-out result is
-    hash-checked against the oracle recomputing the same frames from text
-    (payload is UTF-8-encoded ASCII text, so byte math == char math)."""
+    frames per payload, fingerprinted as md5 of each frame's lowercase-hex
+    rendering (engine-portable: works for multibyte and empty text, where
+    raw-byte hashing could not be SQL-replayed). The mapInPandas fan-out
+    result is hash-checked against the oracle recomputing the same frames
+    from the UTF-8 BYTES of text."""
     docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
     return mm.sample_frames(docs, k=4)
 
@@ -152,8 +182,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
         SELECT doc_id,
-               1 + (length(text) * 7) % 640 AS orig_w,
-               1 + (length(text) * 13) % 480 AS orig_h
+               1 + (octet_length(encode(COALESCE(text, ''))) * 7) % 640 AS orig_w,
+               1 + (octet_length(encode(COALESCE(text, ''))) * 13) % 480 AS orig_h
         FROM documents
     )
     SELECT doc_id, orig_w, orig_h,

@@ -15,6 +15,24 @@ from distributed_mapreduce_in_docker_rpyc_spark.operators import wordcount as wc
 from distributed_mapreduce_in_docker_rpyc_spark.registry import register
 from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
 
+def _work_dir(name: str) -> str:
+    """Deterministic per-process scratch directory, WIPED on every call.
+
+    The sink/ingest queries need a filesystem path to round-trip through;
+    ``tempfile.mkdtemp`` per invocation leaked one directory per run (three
+    per median-of-3 bench pass — ADVICE r3).  A fixed ``<tmp>/sg-work-<name>-
+    <pid>`` path makes every rerun overwrite the previous one, so a process
+    owns at most one copy per query."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"sg-work-{name}-{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
 # Tokenizer must match functions/text.py (reference worker/worker.py:7,18).
 _TOKS_CTE = """
     WITH toks AS (
@@ -127,7 +145,6 @@ def ingest_zip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference coordinator/coordinator.py:17-55); at 100 TB the archives are
     pre-staged in object storage and only the scan distributes."""
     import os
-    import tempfile
     import zipfile
 
     from distributed_mapreduce_in_docker_rpyc_spark.operators.wordcount import word_counts
@@ -139,7 +156,7 @@ def ingest_zip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()
     )
-    tmp = tempfile.mkdtemp(prefix="sg-ingest-")
+    tmp = _work_dir("ingest")
     zpath = os.path.join(tmp, "corpus.zip")
     with zipfile.ZipFile(zpath, "w") as zf:
         for r in sorted(docs, key=lambda r: r.doc_id):
@@ -169,8 +186,6 @@ def jsondict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: the write is one file per reduce partition and the read
     is one input partition per file, so both sides parallelize with the
     reducer count; in production ``path`` is shared storage."""
-    import tempfile
-
     from distributed_mapreduce_in_docker_rpyc_spark.operators.wordcount import word_counts
     from distributed_mapreduce_in_docker_rpyc_spark.sources.jsondict_sink import register_jsondict
 
@@ -178,7 +193,7 @@ def jsondict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = word_counts(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     )
-    out_dir = tempfile.mkdtemp(prefix="sg-jsondict-")
+    out_dir = _work_dir("jsondict")
     counts.write.format("jsondict").mode("overwrite").save(out_dir)
     return (
         spark.read.format("jsondict")
@@ -202,7 +217,6 @@ def ziptext_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataSource (sources/zip_datasource.py): stage 50 documents as a ZIP,
     scan it as a first-class source, count words against the SQL oracle."""
     import os
-    import tempfile
     import zipfile
 
     from distributed_mapreduce_in_docker_rpyc_spark.operators.wordcount import word_counts
@@ -214,7 +228,7 @@ def ziptext_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()
     )
-    tmp = tempfile.mkdtemp(prefix="sg-ziptext-")
+    tmp = _work_dir("ziptext")
     zpath = os.path.join(tmp, "corpus.zip")
     with zipfile.ZipFile(zpath, "w") as zf:
         for r in sorted(docs, key=lambda r: r.doc_id):

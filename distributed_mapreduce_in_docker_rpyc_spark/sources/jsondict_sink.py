@@ -21,8 +21,10 @@ ownership, never by racing a glob against in-flight renames.  Final
 task shares one filesystem; a cluster deployment points ``path`` at
 shared/cloud storage exactly like any file sink.
 
-Append mode is rejected if it would collide with an existing generation's
-file (same partition id) — silently mixing generations was the alternative.
+Append mode is rejected up-front (before promoting anything) if any staged
+file would collide with an existing generation's file (same partition id) —
+silently mixing generations was the alternative; a non-colliding append
+merges the prior manifest so earlier committed files stay readable.
 
 Input contract: exactly two columns ``(key, value)``; key is stringified,
 value must be JSON-serializable (the reference's values are counts).
@@ -85,22 +87,36 @@ class JsonDictWriter(DataSourceWriter):
 
         # Job commit: clear the prior generation (overwrite) or refuse a
         # colliding append, then promote staged files to their final names.
+        # Collisions are validated for EVERY message before ANY file is
+        # promoted — a mid-loop failure must not leave a half-promoted,
+        # unlisted generation behind.
+        prior_files: list[str] = []
+        prior_keys = 0
+        dests = [os.path.join(self.path, os.path.basename(m.path)) for m in messages]
         if self.overwrite:
             for old in _glob.glob(os.path.join(self.path, "reduce-*.json")):
                 os.remove(old)
-        final_paths = []
-        for m in messages:
-            dest = os.path.join(self.path, os.path.basename(m.path))
-            if not self.overwrite and os.path.exists(dest):
+        else:
+            clashes = sorted(d for d in dests if os.path.exists(d))
+            if clashes:
                 raise ValueError(
-                    f"jsondict append would collide with {dest}; use mode('overwrite') "
-                    "or a fresh directory"
+                    f"jsondict append would collide with {clashes}; use "
+                    "mode('overwrite') or a fresh directory"
                 )
+            # Append keeps the prior generation visible: merge its manifest
+            # into the new one, or earlier committed reduce-*.json files
+            # would vanish from the manifest-honoring reader.
+            manifest_path = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(manifest_path):
+                with open(manifest_path, encoding="utf-8") as f:
+                    prior = json.load(f)
+                prior_files = list(prior.get("files", []))
+                prior_keys = int(prior.get("total_keys", 0))
+        for m, dest in zip(messages, dests):
             os.replace(m.path, dest)
-            final_paths.append(dest)
         manifest = {
-            "files": sorted(final_paths),
-            "total_keys": sum(m.n_keys for m in messages),
+            "files": sorted({*prior_files, *dests}),
+            "total_keys": prior_keys + sum(m.n_keys for m in messages),
         }
         with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as f:
             json.dump(manifest, f)

@@ -166,3 +166,64 @@ def test_upsert_parquet_updates_and_inserts(spark, sf_dir, tmp_path):
     k = 5
     orig = base.filter(F.col("c_custkey") == k).collect()
     assert after.filter(F.col("c_custkey") == k).collect() == orig
+
+
+def test_upsert_parquet_rejects_duplicate_update_keys(spark, sf_dir, tmp_path):
+    """Duplicate keys inside updates make the winner nondeterministic and
+    skew the returned stats (ADVICE r3) — rejected before any write, with
+    the table left untouched."""
+    import pytest
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.maintenance import upsert_parquet
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    path = str(tmp_path / "cust")
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    base.write.parquet(path)
+    n = base.count()
+
+    dup_updates = spark.createDataFrame(
+        [(1, "A", 1.0), (1, "B", 2.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        upsert_parquet(spark, path, dup_updates, "c_custkey")
+    assert spark.read.parquet(path).count() == n
+
+
+def test_zorder_skips_all_null_columns_and_caps_bits(spark, tmp_path):
+    """All-NULL clustered columns carry no signal — zorder_write drops them
+    instead of crashing on int(None); zorder_expr caps bits so 4 columns at
+    the default 16 bits cannot shift into the long sign bit (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.maintenance import (
+        zorder_expr,
+        zorder_write,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 7 % 97).alias("b"),
+        (F.col("id") * 13 % 89).alias("c"),
+        (F.col("id") * 17 % 83).alias("d"),
+        F.lit(None).cast("long").alias("all_null"),
+    )
+    out = str(tmp_path / "z")
+    zorder_write(df, ["a", "all_null"], out, n_files=2)
+    assert spark.read.parquet(out).count() == 1000
+
+    # 4 columns × capped bits: every interleaved bit index stays below 63,
+    # so the curve key is non-negative for non-negative scaled inputs.
+    cols = ["a", "b", "c", "d"]
+    stats = {c: (0, 1000) for c in cols}
+    mins = {c: lo for c, (lo, _) in stats.items()}
+    maxs = {c: hi for c, (_, hi) in stats.items()}
+    z = df.select(zorder_expr(cols, mins, maxs, bits=16).alias("z"))
+    assert z.filter(F.col("z") < 0).count() == 0
+
+    # all-NULL columns are rejected with a clear message at the expr level
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL min/max"):
+        zorder_expr(["all_null"], {"all_null": None}, {"all_null": None})

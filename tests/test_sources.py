@@ -366,3 +366,63 @@ def test_wav_decode_rejects_non_wav():
 
     with pytest.raises(ValueError, match="not a WAV"):
         wav_decode(b"OggS" + b"\x00" * 40)
+
+
+def test_jsondict_append_merges_manifest_and_validates_collisions(spark, tmp_path):
+    """Append commit merges the prior generation's manifest (earlier files
+    must stay visible to the manifest-honoring reader) and validates ALL
+    collisions before promoting ANY file (ADVICE r3)."""
+    import glob
+    import json
+
+    import pytest
+
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.jsondict_sink import register_jsondict
+
+    register_jsondict(spark)
+    out = str(tmp_path / "append_out")
+
+    gen1 = spark.createDataFrame([("a", 1), ("b", 2)], "key string, value long")
+    gen1.repartition(1).write.format("jsondict").mode("overwrite").save(out)
+
+    # second generation writes a DIFFERENT partition id by renaming gen1's
+    # file out of the way is not possible — instead append 2 partitions and
+    # expect the collision with reduce-0.json to be rejected up front,
+    # leaving the first generation fully intact and fully listed
+    gen2 = spark.createDataFrame([("c", 3), ("d", 4)], "key string, value long")
+    with pytest.raises(Exception, match="collide"):
+        gen2.repartition(1).write.format("jsondict").mode("append").save(out)
+    with open(f"{out}/_SUCCESS") as f:
+        manifest = json.load(f)
+    assert manifest["files"] == sorted(glob.glob(f"{out}/reduce-*.json"))
+    assert manifest["total_keys"] == 2
+
+    # a non-colliding append (prior generation moved to a fresh name range
+    # via a 2-partition write over a 1-partition prior is still partition 0
+    # collision) — emulate by appending into a directory whose existing
+    # file ids do not overlap: write gen1 as partition 1 only
+    out2 = str(tmp_path / "append_out2")
+    gen1.repartition(2).write.format("jsondict").mode("overwrite").save(out2)
+    # drop one generation-1 file from disk AND manifest to free id 0
+    files = sorted(glob.glob(f"{out2}/reduce-*.json"))
+    assert len(files) == 2
+    import os
+
+    os.remove(files[0])
+    with open(f"{out2}/_SUCCESS") as f:
+        m = json.load(f)
+    kept = [p for p in m["files"] if p != files[0]]
+    with open(f"{out2}/_SUCCESS", "w") as f:
+        json.dump({"files": kept, "total_keys": 2}, f)
+
+    gen3 = spark.createDataFrame([("x", 9)], "key string, value long")
+    gen3.repartition(1).write.format("jsondict").mode("append").save(out2)
+    with open(f"{out2}/_SUCCESS") as f:
+        merged = json.load(f)
+    # merged manifest lists BOTH the surviving gen-1 file and the new one
+    assert set(merged["files"]) == set(kept) | {f"{out2}/reduce-0.json"}
+    assert merged["total_keys"] == 2 + 1
+    rows = (
+        spark.read.format("jsondict").schema("key string, value long").load(out2).collect()
+    )
+    assert len(rows) >= 2
