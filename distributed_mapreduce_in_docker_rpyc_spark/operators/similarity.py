@@ -180,13 +180,23 @@ def topk_bruteforce(
     """Exact top-k cosine neighbors for each query vector (vec_id below the
     given bound), excluding self. Broadcast the small query side; rank with a
     per-query window over (sim desc, neighbor asc) — rounded to 6 places so
-    ordering is engine-stable."""
+    ordering is engine-stable.
+
+    The corpus side is widened to the session's core count when the scan
+    arrives in fewer partitions: a small-SF parquet file reads as ONE split,
+    which serializes the |corpus| × |queries| cosine evaluation onto a single
+    core (measured 0.7-7 s at sf0.1 instead of ~0.1 s × 32 cores).  At real
+    scale the scan already has ≥ cores partitions and this is a no-op — the
+    repartition only ever fires where its shuffle is trivially small."""
     from pyspark.sql import Window
 
     q = emb.filter(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    cores = emb.sparkSession.sparkContext.defaultParallelism
+    if n.rdd.getNumPartitions() < cores:
+        n = n.repartition(cores)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
