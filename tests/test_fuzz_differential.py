@@ -1,9 +1,11 @@
 """Differential query fuzzing (SQLancer-style, seeded and deterministic).
 
-A small grammar generates 101 seeded queries across seven families — GROUP
+A small grammar generates 137 seeded queries across ten families — GROUP
 BY / filter / HAVING, inner/left joins, window frames, distinct aggregates,
-semi/anti joins (EXISTS / IN subqueries), set operations, and grouping
-sets — over lineitem/orders; the SAME SQL text runs on Spark and DuckDB and
+semi/anti joins (EXISTS / IN subqueries), set operations, grouping sets,
+CASE/COALESCE/NULLIF conditionals, correlated & uncorrelated scalar
+subqueries, and string/date scalar expressions — over
+lineitem/orders/customer; the SAME SQL text runs on Spark and DuckDB and
 the results must agree row-for-row.  This catches whole classes of engine-integration mistakes the
 hand-written oracles can't: type-coercion drift, null-handling divergence,
 predicate/aggregate interactions nobody thought to enshrine in a named query.
@@ -304,4 +306,144 @@ def gen_grouping_sets_query(rng: random.Random) -> str:
 def test_fuzzed_grouping_sets_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["lineitem"])
     sql = gen_grouping_sets_query(random.Random(6000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_case_query(rng: random.Random) -> str:
+    """CASE / COALESCE / NULLIF variant: conditional expressions both in the
+    projection (as a derived group key) and inside aggregates (conditional
+    aggregation), plus NULLIF-manufactured NULLs flowing through COALESCE —
+    three-valued-logic corners the named queries only pin at q12's shape."""
+    metric = rng.choice(METRICS)
+    lo, hi = PRED_RANGES[metric]
+    t1 = round(rng.uniform(lo, hi), 4)
+    t2 = round(rng.uniform(lo, hi), 4)
+    # A derived CASE group key (bucketing a metric), sometimes nested.
+    if rng.random() < 0.5:
+        key = (
+            f"CASE WHEN {metric} < {min(t1, t2)} THEN 'lo' "
+            f"WHEN {metric} < {max(t1, t2)} THEN 'mid' ELSE 'hi' END"
+        )
+    else:
+        key = (
+            f"CASE WHEN l_returnflag = 'R' THEN "
+            f"(CASE WHEN {metric} < {t1} THEN 'r_lo' ELSE 'r_hi' END) "
+            f"ELSE l_linestatus END"
+        )
+    cond_metric = rng.choice([m for m in METRICS if m != metric])
+    agg = rng.choice(AGGS)
+    # NULLIF makes NULLs from real data; COALESCE must restore a total value.
+    null_col = rng.choice(["l_linenumber", "l_suppkey"])
+    null_val = rng.randint(1, 5)
+    return (
+        f"SELECT {key} AS bucket, "
+        f"CAST(ROUND({agg}(CASE WHEN l_linestatus = 'F' THEN {cond_metric} END), 2) AS DOUBLE) AS cond_agg, "
+        f"CAST(ROUND(SUM(COALESCE(NULLIF({null_col}, {null_val}), 0)), 2) AS DOUBLE) AS coalesced, "
+        f"COUNT(CASE WHEN {metric} > {t2} THEN 1 END) AS cond_n, COUNT(*) AS n "
+        f"FROM lineitem GROUP BY {key}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_case_expr_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["lineitem"])
+    sql = gen_case_query(random.Random(7000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_scalar_subquery_query(rng: random.Random) -> str:
+    """Scalar-subquery variant: correlated per-row scalar aggregates in the
+    projection and un/correlated scalar thresholds in WHERE — the
+    subquery-decorrelation rewrite (Spark plans these as aggregated joins)
+    fuzzed beyond the single hand-written q17/q22 shapes."""
+    metric = rng.choice(METRICS)
+    agg = rng.choice(["MAX", "MIN", "AVG", "COUNT"])
+    shape = rng.choice(["proj", "where_corr", "where_global"])
+    year = rng.choice([1993, 1995, 1997])
+    if shape == "proj":
+        # Correlated scalar in the projection; COALESCE because orders with
+        # no surviving lineitem rows yield NULL (COUNT yields 0 in both
+        # engines — also worth pinning, so leave COUNT uncoalesced).
+        sub = f"SELECT {agg}({metric}) FROM lineitem WHERE l_orderkey = o_orderkey"
+        expr = (
+            f"CAST(ROUND(({sub}), 2) AS DOUBLE)"
+            if agg != "COUNT"
+            else f"({sub})"
+        )
+        return (
+            f"SELECT o_orderkey, o_orderstatus, {expr} AS sub_val "
+            f"FROM orders WHERE o_orderdate >= CAST('{year}-01-01' AS TIMESTAMP)"
+        )
+    if shape == "where_corr":
+        # Correlated scalar threshold (the q17 shape, varied): rows beating
+        # a per-key aggregate of a sibling metric.
+        frac = round(rng.uniform(0.8, 1.5), 2)
+        sub = (
+            f"SELECT AVG({metric}) * {frac} FROM lineitem l2 "
+            f"WHERE l2.l_orderkey = lineitem.l_orderkey"
+        )
+        return (
+            f"SELECT l_returnflag, COUNT(*) AS n, "
+            f"CAST(ROUND(SUM({metric}), 2) AS DOUBLE) AS s "
+            f"FROM lineitem WHERE {metric} > ({sub}) GROUP BY l_returnflag"
+        )
+    # Uncorrelated global scalar threshold (the q22 shape, varied).
+    frac = round(rng.uniform(0.5, 2.0), 2)
+    sub = f"SELECT AVG({metric}) * {frac} FROM lineitem"
+    return (
+        f"SELECT l_returnflag, l_linestatus, COUNT(*) AS n "
+        f"FROM lineitem WHERE {metric} {op_for(rng)} ({sub}) "
+        f"GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_scalar_subquery_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    sql = gen_scalar_subquery_query(random.Random(8000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_string_date_query(rng: random.Random) -> str:
+    """String/date expression variant: SUBSTRING / UPPER / CONCAT / LENGTH /
+    REPLACE over customer names and EXTRACT / DATE_TRUNC over order dates —
+    cross-engine scalar-function semantics (1-based substring indexing,
+    timestamp truncation) that the named scalar_functions query pins at one
+    shape."""
+    kind = rng.random()
+    if kind < 0.5:
+        start = rng.randint(1, 5)
+        ln = rng.randint(1, 6)
+        sexpr = rng.choice(
+            [
+                f"UPPER(SUBSTRING(c_name, {start}, {ln}))",
+                f"CONCAT(c_mktsegment, '#', SUBSTRING(c_name, {start}, {ln}))",
+                f"REPLACE(LOWER(c_mktsegment), 'a', '_')",
+            ]
+        )
+        return (
+            f"SELECT {sexpr} AS skey, COUNT(*) AS n, "
+            f"CAST(ROUND(SUM(c_acctbal), 2) AS DOUBLE) AS bal, "
+            f"MAX(LENGTH(c_name)) AS max_len "
+            f"FROM customer WHERE c_acctbal {op_for(rng)} {rng.randint(-500, 5000)} "
+            f"GROUP BY {sexpr}"
+        )
+    part = rng.choice(["year", "month", "quarter"])
+    trunc = rng.choice(["month", "quarter", "year"])
+    return (
+        # DuckDB's DATE_TRUNC returns DATE at these granularities while
+        # Spark's returns TIMESTAMP — CAST pins both engines to DATE.
+        f"SELECT EXTRACT({part} FROM o_orderdate) AS dpart, "
+        f"CAST(DATE_TRUNC('{trunc}', o_orderdate) AS DATE) AS dtrunc, "
+        f"o_orderstatus, COUNT(*) AS n, "
+        f"CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total "
+        f"FROM orders WHERE o_totalprice {op_for(rng)} {rng.randint(1000, 200000)} "
+        f"GROUP BY EXTRACT({part} FROM o_orderdate), CAST(DATE_TRUNC('{trunc}', o_orderdate) AS DATE), o_orderstatus"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_string_date_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["orders", "customer"])
+    sql = gen_string_date_query(random.Random(9000 + seed))
     compare(spark.sql(sql), sql, sf_dir, float_places=2)
