@@ -7,11 +7,15 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized through the noop sink (full execution, no
 driver-side result transfer) so the timing measures the engine, not collect().
 
-Median-of-N protocol (default N=3, override $SPARK_GRAFT_BENCH_REPS):
+Median-of-N protocol (default N=5, override $SPARK_GRAFT_BENCH_REPS):
 single-run timings on this VM vary up to 3x per query (JIT warm-up of
 interpreted expressions + noisy-neighbor effects — BASELINE.md documents the
 measured variance), so the harness makes N full passes over the headline list
-and reports the per-query MEDIAN; "value" is the sum of medians.
+and reports the per-query MEDIAN; "value" is the sum of medians.  N=5 (up
+from r3's 3): an r4 calibration run caught a multi-minute noisy-neighbor
+window that inflated one whole pass (q1 1.9->7.2 s, q18 1.8->8.3 s), and a
+3-pass median tolerates only one corrupted pass where a 5-pass median
+tolerates two; the full run stays under the driver budget (~8 min).
 
 The two ANN queries get N+2 reps and an untimed Python/Arrow worker-pool
 pre-warm: r3 measured sim_topk_bruteforce runs of 5.41/2.56/5.17 s (median
@@ -80,10 +84,12 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    # High-variance ANN queries get extra reps so their median converges
-    # (VERDICT r3 #4: 2x spread between best and worst run at reps=3).
-    extra = {"sim_topk_bruteforce": 2, "sim_topk_lsh": 2}
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    # High-variance heavy queries get extra reps so their median converges
+    # (VERDICT r3 #4: 2x spread between best and worst run at reps=3; an r4
+    # calibration run measured minhash spreads of 3.8-9.9 s on identical
+    # plans under noisy-neighbor load).
+    extra = {"sim_topk_bruteforce": 2, "sim_topk_lsh": 2, "dedup_minhash_lsh": 2}
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for pass_i in range(reps + max(extra.values(), default=0)):
         for name in HEADLINE:

@@ -1,11 +1,12 @@
 """Differential query fuzzing (SQLancer-style, seeded and deterministic).
 
-A small grammar generates 137 seeded queries across ten families — GROUP
+A small grammar generates 149 seeded queries across eleven families — GROUP
 BY / filter / HAVING, inner/left joins, window frames, distinct aggregates,
 semi/anti joins (EXISTS / IN subqueries), set operations, grouping sets,
 CASE/COALESCE/NULLIF conditionals, correlated & uncorrelated scalar
-subqueries, and string/date scalar expressions — over
-lineitem/orders/customer; the SAME SQL text runs on Spark and DuckDB and
+subqueries, string/date scalar expressions, and time-bucketed event
+analytics — over lineitem/orders/customer/events; the SAME SQL text runs on
+Spark and DuckDB and
 the results must agree row-for-row.  This catches whole classes of engine-integration mistakes the
 hand-written oracles can't: type-coercion drift, null-handling divergence,
 predicate/aggregate interactions nobody thought to enshrine in a named query.
@@ -446,4 +447,51 @@ def gen_string_date_query(rng: random.Random) -> str:
 def test_fuzzed_string_date_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["orders", "customer"])
     sql = gen_string_date_query(random.Random(9000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def gen_events_query(rng: random.Random) -> str:
+    """Event-analytics variant over the events table: time-bucketed
+    aggregation (the streaming twins' batch shape), IN-list type filters,
+    ts-range predicates, and optional enrichment joins against customer on
+    user_id — the timestamp-arithmetic + fact-dim-join surface the named
+    events_* queries pin one shape each.  DATE_TRUNC is CAST to TIMESTAMP
+    because DuckDB returns DATE at day granularity where Spark stays
+    TIMESTAMP."""
+    grain = rng.choice(["hour", "day"])
+    bucket = f"CAST(DATE_TRUNC('{grain}', ts) AS TIMESTAMP)"
+    types = rng.sample(EVENT_TYPES, rng.randint(1, 3))
+    in_list = ", ".join(f"'{t}'" for t in types)
+    vmin = round(rng.uniform(0.0, 50.0), 2)
+    day = rng.randint(2, 28)
+    ts_pred = ""
+    if rng.random() < 0.6:
+        ts_op = rng.choice(["<", ">="])
+        ts_pred = f" AND ts {ts_op} CAST('2024-01-{day:02d}' AS TIMESTAMP)"
+    if rng.random() < 0.4:
+        jt = rng.choice(["JOIN", "LEFT JOIN"])
+        return (
+            f"SELECT {bucket} AS bucket, c_mktsegment, COUNT(*) AS n, "
+            f"COUNT(DISTINCT user_id) AS nu, "
+            f"CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total "
+            f"FROM events {jt} customer ON user_id = c_custkey "
+            f"WHERE event_type IN ({in_list}) AND value > {vmin}{ts_pred} "
+            f"GROUP BY {bucket}, c_mktsegment"
+        )
+    return (
+        f"SELECT {bucket} AS bucket, event_type, COUNT(*) AS n, "
+        f"COUNT(DISTINCT user_id) AS nu, "
+        f"CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total "
+        f"FROM events WHERE event_type IN ({in_list}) AND value > {vmin}{ts_pred} "
+        f"GROUP BY {bucket}, event_type"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_events_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["events", "customer"])
+    sql = gen_events_query(random.Random(10_000 + seed))
     compare(spark.sql(sql), sql, sf_dir, float_places=2)
