@@ -803,6 +803,116 @@ def word_cooc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
 
 
+def _bfs_oracle(depth: int = 8) -> str:
+    """Unrolled fixed-depth BFS as DuckDB SQL (same unroll technique as
+    ``_pagerank_oracle``): round ``i`` is min(dist) over round ``i-1`` plus
+    its one-hop expansion, so ``r{depth}`` holds the exact shortest-path
+    distance of every word within ``depth`` hops of the source."""
+    sql = [
+        _COOC_EDGES_CTE
+        + """,
+        sym AS (
+            SELECT w1 AS src, w2 AS dst FROM bg
+            UNION ALL
+            SELECT w2 AS src, w1 AS dst FROM bg
+        ),
+        uni AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+            FROM documents
+        ),
+        src0 AS (
+            SELECT word FROM uni GROUP BY word
+            ORDER BY count(*) DESC, word ASC LIMIT 1
+        ),
+        r0 AS (SELECT word, 0 AS dist FROM src0)
+        """
+    ]
+    for i in range(1, depth + 1):
+        sql.append(
+            f""",
+        r{i} AS (
+            SELECT word, MIN(dist) AS dist FROM (
+                SELECT word, dist FROM r{i - 1}
+                UNION ALL
+                SELECT e.dst AS word, r.dist + 1 AS dist
+                FROM r{i - 1} r JOIN sym e ON e.src = r.word
+            ) GROUP BY word
+        )"""
+        )
+    sql.append(f" SELECT word, CAST(dist AS BIGINT) AS dist FROM r{depth}")
+    return "".join(sql)
+
+
+@register("bfs_word_distances", oracle=_bfs_oracle())
+def bfs_word_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS: shortest-path distance (≤8 hops) from the corpus's most
+    frequent word to every word reachable over the undirected co-occurrence
+    graph (adjacent-token pairs seen ≥5 times) — the graph-traversal member
+    of the iterative family next to PageRank (fixed-point), connected
+    components (label propagation), and triangles (join closure).
+
+    The scale-right BFS plan: each round joins only the CURRENT FRONTIER
+    against the edge table (not the whole visited set), anti-joins out
+    already-visited words, and appends the new layer — per-round shuffle
+    volume is proportional to the frontier, total work to edges × 1.  The
+    source is a one-row frame joined in, never a collected driver value.
+
+    Unlike PageRank's linear pr-chain, every BFS round references BOTH
+    running frames (dist for the anti-join, frontier for the expansion), so
+    un-truncated lineage here grows a DAG that re-derives the corpus scan
+    per round (measured 72 s → 7 s at sf0.01): the seed and every layer are
+    ``localCheckpoint``ed, making each round a small bounded job over the
+    cached edge table.  Hash-checked against a fixed-unroll DuckDB oracle
+    (``_bfs_oracle``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.regexp_extract_all(
+            F.array_join(toks, " "), F.lit(r"(?<![a-z'])(?=([a-z']+ [a-z']+))"), 1
+        ),
+    ).otherwise(F.array())
+    pairs = (
+        docs.select(F.explode(bigrams).alias("b"))
+        .select(
+            F.split_part("b", F.lit(" "), F.lit(1)).alias("x"),
+            F.split_part("b", F.lit(" "), F.lit(2)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("w1"), F.greatest("x", "y").alias("w2"))
+    )
+    und = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 5)
+    sym = (
+        und.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .union(und.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .persist()
+    )
+    source = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(1)
+        .select("word")
+    )
+    dist = source.select("word", F.lit(0).cast("bigint").alias("dist")).localCheckpoint(
+        eager=True
+    )
+    frontier = dist
+    for d in range(1, 9):
+        layer = (
+            frontier.join(sym, frontier["word"] == sym["src"])
+            .select(F.col("dst").alias("word"))
+            .distinct()
+            .join(dist, "word", "left_anti")
+            .select("word", F.lit(d).cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.union(layer)
+        frontier = layer
+    return dist
+
+
 @register(
     "zipf_law_fit",
     oracle="""

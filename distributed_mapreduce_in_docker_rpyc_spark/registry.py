@@ -113,6 +113,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q17_small_quantity_revenue",
     "q19_disjunctive_predicates",
+    # new in r4 (verified on the local driver-identical gate; driver row in r5)
+    "bfs_word_distances",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file
