@@ -407,3 +407,37 @@ def test_no_query_plans_cartesian_or_row_python(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_concurrent_queries_share_one_session(spark, sf_dir):
+    """Multi-tenant posture: one SparkSession serving many simultaneous
+    queries (the thin-server shape a shared engine runs as).  Eight distinct
+    registered queries execute concurrently from worker threads — Spark
+    schedules jobs from any thread against the shared context — and each
+    must return exactly what it returns when run alone: no cross-query
+    interference via session-scoped state (the memoized frames in
+    operators/_shared.py are the risk surface this pins)."""
+    import concurrent.futures
+
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    names = [
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "dedup_exact",
+        "wordcount_top20",
+        "text_stats",
+        "events_top_users",
+        "join_semi",
+        "agg_stats",
+    ]
+
+    def run(name):
+        return {tuple(r) for r in QUERIES[name](spark, sf_dir).collect()}
+
+    solo = {n: run(n) for n in names}
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {n: pool.submit(run, n) for n in names}
+        concurrent = {n: f.result(timeout=300) for n, f in futs.items()}
+    assert concurrent == solo
