@@ -1129,7 +1129,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey", "l_partkey")
         .agg(F.sum(money("l_extendedprice") * F.col("l_quantity")).alias("val"))
     )
-    total = sv.agg(F.sum("val")).first()[0]
+    # None on an empty fact table: 0 keeps the (empty) result well-defined.
+    total = sv.agg(F.sum("val")).first()[0] or 0
     return (
         sv.groupBy("l_partkey")
         .agg(F.sum("val").alias("val_sum"))
@@ -1426,7 +1427,9 @@ def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
-    total = rev.agg(F.sum("revenue")).first()[0]
+    # None on an empty fact table: the share projection never evaluates over
+    # zero rows, any non-zero placeholder keeps float() total well-defined.
+    total = rev.agg(F.sum("revenue")).first()[0] or 1
     w = (
         Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1458,7 +1461,9 @@ def part_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile a data-quality report runs per numeric column."""
     part = _t(spark, sf_dir, "part")
     lo, hi = part.agg(F.min("p_retailprice"), F.max("p_retailprice")).first()
-    width = (hi - lo) / 10.0
+    if lo is None:  # empty table -> empty histogram, bounds are arbitrary
+        lo, hi = 0.0, 1.0
+    width = (hi - lo) / 10.0 or 1.0  # degenerate single-price table
     bucket = F.least(F.floor((F.col("p_retailprice") - lo) / width), F.lit(9)).cast("bigint")
     return part.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n"),

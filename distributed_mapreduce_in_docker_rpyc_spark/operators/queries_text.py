@@ -336,7 +336,7 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
-    total = stats.agg(F.sum("total_chars")).first()[0]
+    total = stats.agg(F.sum("total_chars")).first()[0] or 1  # 1 on empty corpus
     return stats.select(
         "source",
         "n_docs",
@@ -373,7 +373,7 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train/test split buckets."""
     docs = load_table(spark, sf_dir, "documents")
     stats = docs.groupBy("source").agg(F.sum("n_chars").alias("total_chars"))
-    total = stats.agg(F.sum("total_chars")).first()[0]
+    total = stats.agg(F.sum("total_chars")).first()[0] or 1  # 1 on empty corpus
     frac = stats.select(
         "source",
         F.least(

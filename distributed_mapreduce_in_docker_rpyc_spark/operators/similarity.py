@@ -397,6 +397,8 @@ def topk_numpy(
 
     def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids, q_mat = q_broadcast.value
+        if q_mat.size == 0:  # empty query set -> empty result, not AxisError
+            return
         q_norm = np.linalg.norm(q_mat, axis=1)
         for pdf in it:
             if pdf.empty:

@@ -175,4 +175,6 @@ def ingest(spark: SparkSession, url: str, staging_dir: str) -> DataFrame:
     word-count job (SURVEY.md §3.1 stages 1-2).
     """
     paths = download(url, staging_dir)
+    if not paths:  # empty archive -> zero lines, not IndexError
+        return spark.createDataFrame([], "value string")
     return read_lines(spark, paths if len(paths) > 1 else paths[0])
