@@ -160,7 +160,7 @@ def ingest_zip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     zpath = os.path.join(tmp, "corpus.zip")
     with zipfile.ZipFile(zpath, "w") as zf:
         for r in sorted(docs, key=lambda r: r.doc_id):
-            zf.writestr(f"doc-{r.doc_id:05d}.txt", r.text)
+            zf.writestr(f"doc-{r.doc_id:05d}.txt", r.text or "")  # NULL text -> 0 words, same as the oracle's regexp over NULL
     lines = ingest.ingest(spark, f"file://{zpath}", os.path.join(tmp, "staging"))
     return word_counts(lines, "value")
 
@@ -232,7 +232,7 @@ def ziptext_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     zpath = os.path.join(tmp, "corpus.zip")
     with zipfile.ZipFile(zpath, "w") as zf:
         for r in sorted(docs, key=lambda r: r.doc_id):
-            zf.writestr(f"doc-{r.doc_id:05d}.txt", r.text)
+            zf.writestr(f"doc-{r.doc_id:05d}.txt", r.text or "")  # NULL text -> 0 words, same as the oracle's regexp over NULL
     register_ziptext(spark)
     lines = spark.read.format("ziptext").load(zpath)
     return word_counts(lines, "value")

@@ -42,6 +42,17 @@ N_TABLES = 6
 PLANES_PER_TABLE = 3
 
 
+def non_null_vectors(emb, vec_col: str):
+    """SQL-aggregate semantics for the vector domain: a row whose vector
+    cell is NULL has no direction and is outside every similarity /
+    quantization operator — exactly as SUM ignores NULL cells.  On clean
+    data the filter is a pushed scan predicate (no-op); on NULL-bearing
+    data it keeps NULLs from poisoning JVM array expressions (NPE-shaped
+    Py4J errors) and NumPy batch matrices (inhomogeneous-shape ValueError)
+    — both observed in the r4 fleet NULL-injection sweep."""
+    return emb.filter(F.col(vec_col).isNotNull())
+
+
 def hyperplane(j: int, dim: int = DIM) -> list[float]:
     """Deterministic ±1 hyperplane j: sign d = parity of the first hex digit
     of md5(f"p{j}:{d}") — reproducible in any engine with md5 (no RNG/seed
@@ -57,6 +68,7 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES, vec_col: str = "embedd
 
     Per-row expression math — bucketing 100 TB of vectors costs one scan, no
     shuffle."""
+    emb = non_null_vectors(emb, vec_col)
     bits = []
     for j in range(n_planes):
         plane = F.array(*[F.lit(s) for s in hyperplane(j)])
@@ -73,6 +85,7 @@ def cosine_pairs(emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_c
     registered query may use it (enforced by the fleet plan guard in
     tests/test_scale_posture.py). Registered semantic-pair queries go through
     ``semantic_pairs_lsh``; tests assert its recall against this."""
+    emb = non_null_vectors(emb, vec_col)
     a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
     return (
@@ -190,6 +203,7 @@ def topk_bruteforce(
     repartition only ever fires where its shuffle is trivially small."""
     from pyspark.sql import Window
 
+    emb = non_null_vectors(emb, vec_col)
     q = emb.filter(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -280,6 +294,7 @@ def lsh_bucket_tables_np(
     no shuffle, L small rows out per vector."""
     import numpy as np
 
+    emb = non_null_vectors(emb, vec_col)
     n_planes = n_tables * planes_per_table
     signs = np.array([hyperplane(p) for p in range(n_planes)], dtype=np.float64)  # (P, dim)
     tbl_idx = np.arange(n_tables, dtype=np.int32)
@@ -387,6 +402,7 @@ def topk_numpy(
     import numpy as np
     from pyspark.sql import Window
 
+    emb = non_null_vectors(emb, vec_col)
     qrows = emb.filter(F.col(id_col) < query_ids_below).select(id_col, vec_col).collect()
     q_broadcast = emb.sparkSession.sparkContext.broadcast(
         (
@@ -469,7 +485,7 @@ def ivf_index(
     corpus; the md5-seed trick still pins determinism per sample.
     """
     spark = emb.sparkSession
-    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    v = non_null_vectors(emb, vec_col).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
 
     def assign(cent: DataFrame) -> DataFrame:
         # 16-row broadcast cross join; d2 rounded to 6 so the argmin decision
@@ -607,6 +623,7 @@ def quantize_int8(
     Per-row expression math — no shuffle, no UDF; dequantization is
     ``q_i * scale`` (see ``sim_quantized_recall`` for the measured recall
     cost of the lost precision)."""
+    emb = non_null_vectors(emb, vec_col)
     vec = F.col(vec_col)
     absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
     scale = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
