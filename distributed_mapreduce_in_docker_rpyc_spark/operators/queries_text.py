@@ -313,6 +313,43 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_shuffle_shards",
+    oracle="""
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM (
+        SELECT doc_id,
+               md5('shuffle:42:' || CAST(doc_id AS VARCHAR)) AS h,
+               CAST(('0x' || substr(md5('shuffle:42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard
+        FROM documents
+    )
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards: each
+    document gets a shard (md5 bucket, 16-way) and a position within its
+    shard (rank of the salted hash) — the reproducible training-order
+    randomization every epoch-0 data loader needs, recomputable
+    bit-identically by any engine with md5 (no RNG state; salt
+    'shuffle:42:' keeps it independent of corpus_split's buckets).
+
+    Scale shape: shard assignment is per-row expression math; the only
+    shuffle is the 16-way hash exchange + per-shard local sort (each
+    shard ≈ N/16 — a ROW_NUMBER window over uniform md5 partitions, never
+    a global sort).  Writing shard files is then a partitionBy('shard')
+    sink; at 100 TB raise the shard count so each sorts in memory."""
+    h = F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 16
+    w = Window.partitionBy("shard").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@register(
     "corpus_mixture_plan",
     oracle="""
     WITH stats AS (

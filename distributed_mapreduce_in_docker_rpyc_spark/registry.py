@@ -115,6 +115,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_predicates",
     # new in r4 (verified on the local driver-identical gate; driver row in r5)
     "bfs_word_distances",
+    "corpus_shuffle_shards",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file
