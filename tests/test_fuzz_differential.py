@@ -1,6 +1,6 @@
 """Differential query fuzzing (SQLancer-style, seeded and deterministic).
 
-A small grammar generates 149 seeded queries across eleven families — GROUP
+A small grammar generates 184 seeded queries across eleven families — GROUP
 BY / filter / HAVING, inner/left joins, window frames, distinct aggregates,
 semi/anti joins (EXISTS / IN subqueries), set operations, grouping sets,
 CASE/COALESCE/NULLIF conditionals, correlated & uncorrelated scalar
@@ -113,7 +113,7 @@ def op_for(rng: random.Random) -> str:
     return rng.choice(["<", ">", "<=", ">="])
 
 
-@pytest.mark.parametrize("seed", range(15))
+@pytest.mark.parametrize("seed", range(18))
 def test_fuzzed_join_query_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["orders", "lineitem"])
     sql = gen_join_query(random.Random(1000 + seed))
@@ -168,7 +168,7 @@ def gen_window_query(rng: random.Random) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(15))
+@pytest.mark.parametrize("seed", range(18))
 def test_fuzzed_window_query_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["lineitem"])
     sql = gen_window_query(random.Random(2000 + seed))
@@ -199,7 +199,7 @@ def gen_distinct_query(rng: random.Random) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", range(14))
 def test_fuzzed_distinct_agg_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["lineitem"])
     sql = gen_distinct_query(random.Random(3000 + seed))
@@ -236,7 +236,7 @@ def gen_semi_anti_query(rng: random.Random) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(15))
 def test_fuzzed_semi_anti_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["orders", "lineitem"])
     sql = gen_semi_anti_query(random.Random(4000 + seed))
@@ -268,7 +268,7 @@ def gen_setop_query(rng: random.Random) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(15))
 def test_fuzzed_setop_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["lineitem"])
     sql = gen_setop_query(random.Random(5000 + seed))
@@ -303,7 +303,7 @@ def gen_grouping_sets_query(rng: random.Random) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(15))
 def test_fuzzed_grouping_sets_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["lineitem"])
     sql = gen_grouping_sets_query(random.Random(6000 + seed))
@@ -345,7 +345,7 @@ def gen_case_query(rng: random.Random) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzzed_case_expr_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["lineitem"])
     sql = gen_case_query(random.Random(7000 + seed))
@@ -358,14 +358,20 @@ def gen_scalar_subquery_query(rng: random.Random) -> str:
     subquery-decorrelation rewrite (Spark plans these as aggregated joins)
     fuzzed beyond the single hand-written q17/q22 shapes."""
     metric = rng.choice(METRICS)
-    agg = rng.choice(["MAX", "MIN", "AVG", "COUNT"])
+    agg = rng.choice(["MAX", "MIN", "SUM", "COUNT"])
     shape = rng.choice(["proj", "where_corr", "where_global"])
     year = rng.choice([1993, 1995, 1997])
     if shape == "proj":
-        # Correlated scalar in the projection; COALESCE because orders with
-        # no surviving lineitem rows yield NULL (COUNT yields 0 in both
-        # engines — also worth pinning, so leave COUNT uncoalesced).
-        sub = f"SELECT {agg}({metric}) FROM lineitem WHERE l_orderkey = o_orderkey"
+        # Correlated scalar in the projection (COUNT yields 0 for orders
+        # with no surviving lineitem rows in both engines — worth pinning).
+        # EXACT aggregates only: MIN/MAX pick a stored value, SUM runs in
+        # decimal; AVG's double division can land exactly on a .005
+        # rounding boundary where engines' last-ulp disagreement flips the
+        # 2-place comparison (seed 12 measured 57033.17 vs 57033.18).
+        inner = (
+            f"SUM(CAST({metric} AS DECIMAL(18,4)))" if agg == "SUM" else f"{agg}({metric})"
+        )
+        sub = f"SELECT {inner} FROM lineitem WHERE l_orderkey = o_orderkey"
         expr = (
             f"CAST(ROUND(({sub}), 2) AS DOUBLE)"
             if agg != "COUNT"
@@ -398,7 +404,7 @@ def gen_scalar_subquery_query(rng: random.Random) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzzed_scalar_subquery_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["orders", "lineitem"])
     sql = gen_scalar_subquery_query(random.Random(8000 + seed))
@@ -443,7 +449,7 @@ def gen_string_date_query(rng: random.Random) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzzed_string_date_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["orders", "customer"])
     sql = gen_string_date_query(random.Random(9000 + seed))
@@ -490,7 +496,7 @@ def gen_events_query(rng: random.Random) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzzed_events_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["events", "customer"])
     sql = gen_events_query(random.Random(10_000 + seed))
