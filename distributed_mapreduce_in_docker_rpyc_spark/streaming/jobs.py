@@ -350,6 +350,120 @@ def stateful_sessionize(stream: DataFrame, watermark: str = "1 seconds") -> Data
     )
 
 
+CEP_WINDOW_US = 30 * 60 * 1_000_000
+CEP_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("view_ts", StringType()),
+        StructField("click_ts", StringType()),
+        StructField("purchase_ts", StringType()),
+    ]
+)
+# state: (stage 0/1/2, view_us, click_us)
+CEP_STATE = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("view_us", LongType()),
+        StructField("click_us", LongType()),
+    ]
+)
+
+
+def _cep_step(events, state, window_us: int = CEP_WINDOW_US):
+    """Pure greedy matcher for the view→click→purchase pattern (each step
+    within ``window_us`` of the previous): feed (ts_us, event_type) in
+    event-time order, thread (stage, view_us, click_us), return completed
+    matches.
+
+    Shared verbatim by the streaming operator (state carried across
+    micro-batches) and its batch twin (state threaded through one sorted
+    group) — stream ≡ batch then proves exactly the hard part: the state
+    machine survives arbitrary micro-batch boundaries."""
+    stage, view_us, click_us = state
+    out = []
+    for t, typ in events:
+        # expire a partial match whose next step is now out of window
+        if stage == 1 and t - view_us > window_us:
+            stage = 0
+        elif stage == 2 and t - click_us > window_us:
+            stage = 0
+        if stage == 0 and typ == "view":
+            stage, view_us = 1, t
+        elif stage == 1 and typ == "click":
+            stage, click_us = 2, t
+        elif stage == 2 and typ == "purchase":
+            out.append((view_us, click_us, t))
+            stage = 0
+    return out, (stage, view_us, click_us)
+
+
+def _make_cep_fn(window_us: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            rows.extend(
+                zip((int(v) // 1000 for v in pdf["ts"].astype("int64")), pdf["event_type"])
+            )
+        rows.sort()
+        st = state.get if state.exists else (0, 0, 0)
+        matches, st = _cep_step(rows, st, window_us)
+        state.update(st)
+        if matches:
+            yield pd.DataFrame(
+                [(key[0], _fmt(v), _fmt(c), _fmt(p)) for v, c, p in matches],
+                columns=["user_id", "view_ts", "click_ts", "purchase_ts"],
+            )
+
+    return fn
+
+
+def cep_funnel_matches(stream: DataFrame, window_us: int = CEP_WINDOW_US) -> DataFrame:
+    """CEP pattern matching: per-user view→click→purchase sequences where
+    each step follows the previous within the window, matched greedily and
+    emitted as they complete — the complex-event-processing shape
+    (Flink-CEP's SELECT a b c WITHIN t) as a custom stateful operator.
+
+    Ordering contract: events are matched in event-time order WITHIN each
+    micro-batch, with the partial-match state carried across batches — so
+    with time-contiguous batches (file chunks, Kafka partitions by time)
+    the match equals the batch run over the fully sorted stream.  True
+    out-of-order tolerance would buffer events until the watermark passes
+    (as stream-stream joins do internally); the sessionizer
+    (``stateful_sessionize``) shows the event-time-timeout machinery that
+    extension would reuse."""
+    return (
+        stream.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_cep_fn(window_us), CEP_OUTPUT, CEP_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def cep_funnel_matches_batch(events: DataFrame, window_us: int = CEP_WINDOW_US) -> DataFrame:
+    """Batch twin of :func:`cep_funnel_matches`: the same pure matcher over
+    each user's fully sorted history (fresh state, one group = one batch)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            zip((int(v) // 1000 for v in pdf["ts"].astype("int64")), pdf["event_type"])
+        )
+        matches, _ = _cep_step(rows, (0, 0, 0), window_us)
+        uid = int(pdf["user_id"].iloc[0])
+        return pd.DataFrame(
+            [(uid, _fmt(v), _fmt(c), _fmt(p)) for v, c, p in matches],
+            columns=["user_id", "view_ts", "click_ts", "purchase_ts"],
+        )
+
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandas(fn, CEP_OUTPUT)
+    )
+
+
 def tws_user_totals(stream: DataFrame) -> DataFrame:
     """The same running per-user totals on the transformWithStateInPandas
     API (Spark 4) — typed state handles (ValueState) instead of a raw state

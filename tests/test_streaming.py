@@ -424,3 +424,72 @@ def test_streaming_foreachbatch_to_jsondict_sink(spark, sf_dir, tmp_path):
         for r in word_counts(load_table(spark, sf_dir, "documents")).collect()
     }
     assert {r["word"]: r["cnt"] for r in back.collect()} == expect
+
+
+def test_cep_funnel_stream_equals_batch_across_batch_boundaries(spark, sf_dir, tmp_path):
+    """CEP state machine survives micro-batch boundaries: events staged as
+    three time-contiguous file chunks and processed one file per trigger
+    must produce exactly the batch matcher's output on the sorted history —
+    partial matches (view..click pending purchase) must carry across
+    batches and complete in a later one."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    src = str(tmp_path / "cep-src")
+    for i in range(3):
+        chunk = ev.filter(
+            (F.col("ts") >= lo + i * span) & (F.col("ts") < lo + (i + 1) * span)
+            if i < 2
+            else (F.col("ts") >= lo + 2 * span)
+        )
+        chunk.coalesce(1).write.parquet(f"{src}/part{i}")
+
+    # 24 h window: the sparse fixture (≈2 events/user/day) yields 16
+    # matches there where the 30-min production default yields none.
+    W = 24 * 3600 * 1_000_000
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    (
+        jobs.cep_funnel_matches(stream, window_us=W)
+        .writeStream.format("memory")
+        .queryName("t_cep")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-cep"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = rows_set(spark.table("t_cep"))
+    want = rows_set(jobs.cep_funnel_matches_batch(ev, window_us=W))
+    assert got == want and got
+
+
+def test_cep_funnel_matcher_semantics():
+    """Pin the greedy matcher on hand-built sequences: expiry resets, a
+    completed match resets, and the state threads across calls exactly as
+    one concatenated call."""
+    M = 60 * 1_000_000  # one minute in µs
+    seq = [
+        (0 * M, "view"),
+        (10 * M, "click"),
+        (20 * M, "purchase"),     # match 1: 0,10,20
+        (25 * M, "view"),
+        (60 * M, "click"),        # 35 min after view -> expired, no stage
+        (61 * M, "view"),
+        (70 * M, "click"),
+        (120 * M, "purchase"),    # 50 min after click -> expired
+        (121 * M, "view"),
+        (122 * M, "click"),
+        (123 * M, "purchase"),    # match 2
+    ]
+    matches, st = jobs._cep_step(seq, (0, 0, 0))
+    assert matches == [(0, 10 * M, 20 * M), (121 * M, 122 * M, 123 * M)]
+    assert st == (0, 121 * M, 122 * M)
+    # split anywhere: threading state must equal the single pass
+    for cut in range(len(seq) + 1):
+        m1, s1 = jobs._cep_step(seq[:cut], (0, 0, 0))
+        m2, s2 = jobs._cep_step(seq[cut:], s1)
+        assert m1 + m2 == matches and s2 == st, cut
