@@ -336,11 +336,20 @@ def gen_case_query(rng: random.Random) -> str:
     # NULLIF makes NULLs from real data; COALESCE must restore a total value.
     null_col = rng.choice(["l_linenumber", "l_suppkey"])
     null_val = rng.randint(1, 5)
+    # Half the seeds spell the conditional aggregate with the SQL:2003
+    # FILTER clause instead of CASE — same semantics, different parse/plan
+    # path in both engines.
+    if rng.random() < 0.5:
+        cond_agg = f"{agg}({cond_metric}) FILTER (WHERE l_linestatus = 'F')"
+        cond_n = f"COUNT(*) FILTER (WHERE {metric} > {t2})"
+    else:
+        cond_agg = f"{agg}(CASE WHEN l_linestatus = 'F' THEN {cond_metric} END)"
+        cond_n = f"COUNT(CASE WHEN {metric} > {t2} THEN 1 END)"
     return (
         f"SELECT {key} AS bucket, "
-        f"CAST(ROUND({agg}(CASE WHEN l_linestatus = 'F' THEN {cond_metric} END), 2) AS DOUBLE) AS cond_agg, "
+        f"CAST(ROUND({cond_agg}, 2) AS DOUBLE) AS cond_agg, "
         f"CAST(ROUND(SUM(COALESCE(NULLIF({null_col}, {null_val}), 0)), 2) AS DOUBLE) AS coalesced, "
-        f"COUNT(CASE WHEN {metric} > {t2} THEN 1 END) AS cond_n, COUNT(*) AS n "
+        f"{cond_n} AS cond_n, COUNT(*) AS n "
         f"FROM lineitem GROUP BY {key}"
     )
 
