@@ -1,11 +1,11 @@
 """Differential query fuzzing (SQLancer-style, seeded and deterministic).
 
-A small grammar generates 184 seeded queries across eleven families — GROUP
+A small grammar generates 194 seeded queries across twelve families — GROUP
 BY / filter / HAVING, inner/left joins, window frames, distinct aggregates,
 semi/anti joins (EXISTS / IN subqueries), set operations, grouping sets,
 CASE/COALESCE/NULLIF conditionals, correlated & uncorrelated scalar
-subqueries, string/date scalar expressions, and time-bucketed event
-analytics — over lineitem/orders/customer/events; the SAME SQL text runs on
+subqueries, string/date scalar expressions, time-bucketed event
+analytics, and LATERAL correlated derived tables — over lineitem/orders/customer/events; the SAME SQL text runs on
 Spark and DuckDB and
 the results must agree row-for-row.  This catches whole classes of engine-integration mistakes the
 hand-written oracles can't: type-coercion drift, null-handling divergence,
@@ -509,4 +509,34 @@ def gen_events_query(rng: random.Random) -> str:
 def test_fuzzed_events_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["events", "customer"])
     sql = gen_events_query(random.Random(10_000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_lateral_query(rng: random.Random) -> str:
+    """LATERAL-join variant: a correlated derived table per outer row —
+    the third syntactic route (after scalar subqueries and EXISTS) into the
+    decorrelation rewrite, parsed and planned differently in both engines."""
+    metric = rng.choice(METRICS)
+    agg = rng.choice(["MAX", "MIN", "COUNT"])
+    lo, hi = PRED_RANGES[metric]
+    thresh = round(rng.uniform(lo, hi), 4)
+    year = rng.choice([1993, 1995, 1997])
+    group = rng.choice(["o_orderstatus", "o_orderpriority"])
+    sub = (
+        f"SELECT {agg}({metric}) AS m, COUNT(*) AS c FROM lineitem "
+        f"WHERE l_orderkey = o_orderkey AND {metric} {op_for(rng)} {thresh}"
+    )
+    return (
+        f"SELECT {group}, COUNT(*) AS n, "
+        f"CAST(ROUND(SUM(l.m), 2) AS DOUBLE) AS sm, SUM(l.c) AS sc "
+        f"FROM orders, LATERAL ({sub}) AS l "
+        f"WHERE o_orderdate >= CAST('{year}-01-01' AS TIMESTAMP) "
+        f"GROUP BY {group}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_lateral_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    sql = gen_lateral_query(random.Random(12_000 + seed))
     compare(spark.sql(sql), sql, sf_dir, float_places=2)

@@ -299,3 +299,25 @@ def test_connected_components_semantics(spark):
     )
     got = {r["doc_id"]: r["cluster"] for r in dd.connected_components(vertices, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_ivf_index_persists_and_reloads(spark, sf_dir, tmp_path):
+    """Index lifecycle: the IVF index (assigned inverted lists + centroid
+    table) round-trips through parquet, and probing the RELOADED index
+    yields exactly the fresh-index neighbors.  Operationally this is the
+    100 TB shape — build once, persist next to the data, serve probes from
+    the stored index instead of re-clustering per query."""
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = sim.ivf_index(emb)
+    assigned.write.parquet(str(tmp_path / "ivf_assigned"))
+    centroids.write.parquet(str(tmp_path / "ivf_centroids"))
+
+    re_assigned = spark.read.parquet(str(tmp_path / "ivf_assigned"))
+    re_centroids = spark.read.parquet(str(tmp_path / "ivf_centroids"))
+    fresh = {tuple(r) for r in sim.topk_ivf(emb, 5, 10, index=(assigned, centroids)).collect()}
+    reloaded = {
+        tuple(r) for r in sim.topk_ivf(emb, 5, 10, index=(re_assigned, re_centroids)).collect()
+    }
+    assert reloaded == fresh and reloaded
