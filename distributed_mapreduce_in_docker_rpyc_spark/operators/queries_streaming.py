@@ -182,6 +182,73 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(table)
 
 
+# 24 h per-step window: the sparse fixture (~2 events/user/day) yields real
+# matches there where the 30-min production default yields none.
+_CEP_W_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "stream_cep_funnel",
+    oracle=f"""
+    WITH RECURSIVE ev AS MATERIALIZED (
+        SELECT user_id, epoch_us(ts) AS t, event_type AS typ,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_type) AS rn
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    step AS (
+        SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS stage,
+               CAST(0 AS BIGINT) AS view_us, CAST(0 AS BIGINT) AS click_us,
+               CAST(NULL AS BIGINT) AS m_view, CAST(NULL AS BIGINT) AS m_click,
+               CAST(NULL AS BIGINT) AS m_purchase
+        FROM (SELECT DISTINCT user_id FROM ev)
+        UNION ALL
+        SELECT user_id, rn,
+               CASE WHEN s1 = 0 AND typ = 'view' THEN 1
+                    WHEN s1 = 1 AND typ = 'click' THEN 2
+                    WHEN s1 = 2 AND typ = 'purchase' THEN 0
+                    ELSE s1 END AS stage,
+               CASE WHEN s1 = 0 AND typ = 'view' THEN t ELSE view_us END AS view_us,
+               CASE WHEN s1 = 1 AND typ = 'click' THEN t ELSE click_us END AS click_us,
+               CASE WHEN s1 = 2 AND typ = 'purchase' THEN view_us END AS m_view,
+               CASE WHEN s1 = 2 AND typ = 'purchase' THEN click_us END AS m_click,
+               CASE WHEN s1 = 2 AND typ = 'purchase' THEN t END AS m_purchase
+        FROM (
+            SELECT s.user_id, e.rn, e.t, e.typ, s.view_us, s.click_us,
+                   CASE WHEN s.stage = 1 AND e.t - s.view_us > {_CEP_W_US} THEN 0
+                        WHEN s.stage = 2 AND e.t - s.click_us > {_CEP_W_US} THEN 0
+                        ELSE s.stage END AS s1
+            FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        )
+    )
+    SELECT user_id,
+           strftime(make_timestamp(m_view), '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           strftime(make_timestamp(m_click), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(make_timestamp(m_purchase), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+    FROM step WHERE m_purchase IS NOT NULL
+    """,
+)
+def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern matching (Flink-CEP's ``SELECT a b c WITHIN t`` shape)
+    executed INCREMENTALLY: greedy per-user view→click→purchase sequences,
+    each step within 24 h of the previous, matched by a custom stateful
+    operator (``applyInPandasWithState``) whose partial-match state survives
+    micro-batch boundaries.
+
+    The oracle replays the same greedy state machine as a recursive CTE —
+    one iteration per event rank, threading (stage, view_us, click_us)
+    through CASE expressions — so the driver hash-checks an inherently
+    sequential pattern matcher, the same technique as the
+    ``pagerank_word_graph`` iterative oracle."""
+    table = _run(
+        jobs.cep_funnel_matches(jobs.events_stream(spark, sf_dir), window_us=_CEP_W_US),
+        output_mode="append",
+        checkpoint=True,
+    )
+    return spark.table(table)
+
+
 @register(
     "stream_dedup_against_corpus",
     oracle="""

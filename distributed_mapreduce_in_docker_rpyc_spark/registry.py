@@ -116,6 +116,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new in r4 (verified on the local driver-identical gate; driver row in r5)
     "bfs_word_distances",
     "corpus_shuffle_shards",
+    "stream_cep_funnel",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file

@@ -432,9 +432,14 @@ def cep_funnel_matches(stream: DataFrame, window_us: int = CEP_WINDOW_US) -> Dat
     out-of-order tolerance would buffer events until the watermark passes
     (as stream-stream joins do internally); the sessionizer
     (``stateful_sessionize``) shows the event-time-timeout machinery that
-    extension would reuse."""
+    extension would reuse.
+
+    Domain: events with a NULL timestamp or NULL type carry no pattern
+    information and are excluded (SQL-predicate semantics — a NULL can
+    neither match a step nor expire one)."""
     return (
         stream.select("user_id", "ts", "event_type")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_cep_fn(window_us), CEP_OUTPUT, CEP_STATE, "append", GroupStateTimeout.NoTimeout
@@ -459,6 +464,7 @@ def cep_funnel_matches_batch(events: DataFrame, window_us: int = CEP_WINDOW_US) 
 
     return (
         events.select("user_id", "ts", "event_type")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
         .groupBy("user_id")
         .applyInPandas(fn, CEP_OUTPUT)
     )
