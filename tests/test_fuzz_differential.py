@@ -1,12 +1,13 @@
 """Differential query fuzzing (SQLancer-style, seeded and deterministic).
 
-A small grammar generates 194 seeded queries across twelve families — GROUP
+A small grammar generates 209 seeded queries across thirteen families — GROUP
 BY / filter / HAVING, inner/left joins, window frames, distinct aggregates,
 semi/anti joins (EXISTS / IN subqueries), set operations, grouping sets,
 CASE/COALESCE/NULLIF conditionals, correlated & uncorrelated scalar
 subqueries, string/date scalar expressions, time-bucketed event
-analytics, and LATERAL correlated derived tables — over lineitem/orders/customer/events; the SAME SQL text runs on
-Spark and DuckDB and
+analytics, LATERAL correlated derived tables, and explicit-NULLS top-N
+(ORDER BY / LIMIT / OFFSET) — over lineitem/orders/customer/events; the
+SAME SQL text runs on Spark and DuckDB and
 the results must agree row-for-row.  This catches whole classes of engine-integration mistakes the
 hand-written oracles can't: type-coercion drift, null-handling divergence,
 predicate/aggregate interactions nobody thought to enshrine in a named query.
@@ -539,4 +540,39 @@ def gen_lateral_query(rng: random.Random) -> str:
 def test_fuzzed_lateral_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["orders", "lineitem"])
     sql = gen_lateral_query(random.Random(12_000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_orderby_limit_query(rng: random.Random) -> str:
+    """Top-N variant: ORDER BY a NULL-producing expression with EXPLICIT
+    NULLS FIRST/LAST, unique-key tiebreak, LIMIT and optional OFFSET.
+
+    The engines disagree on DEFAULT null placement (Spark: NULLS FIRST for
+    ASC / LAST for DESC; DuckDB: NULLS LAST everywhere), so any query that
+    omits the clause is a latent divergence — this family pins the explicit
+    forms, plus LIMIT/OFFSET row-slicing, deterministic because the
+    (l_orderkey, l_linenumber) tiebreak makes the ordering total."""
+    metric = rng.choice(METRICS)
+    lo, hi = PRED_RANGES[metric]
+    # CASE carves a NULL band out of the metric so null placement is live.
+    null_lo = round(rng.uniform(lo, (lo + hi) / 2), 4)
+    null_hi = round(rng.uniform(null_lo, hi), 4)
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    limit = rng.randint(5, 40)
+    offset = f" OFFSET {rng.randint(1, 20)}" if rng.random() < 0.5 else ""
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(ROUND(CASE WHEN {metric} BETWEEN {null_lo} AND {null_hi} "
+        f"THEN NULL ELSE {metric} END, 2) AS DOUBLE) AS sort_key "
+        f"FROM lineitem "
+        f"ORDER BY sort_key {direction} {nulls}, l_orderkey, l_linenumber "
+        f"LIMIT {limit}{offset}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzzed_orderby_limit_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["lineitem"])
+    sql = gen_orderby_limit_query(random.Random(13_000 + seed))
     compare(spark.sql(sql), sql, sf_dir, float_places=2)
