@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_in_docker_rpyc_spark.operators import temporal as tp
+from distributed_mapreduce_in_docker_rpyc_spark.operators.relational import money_sum
 from distributed_mapreduce_in_docker_rpyc_spark.registry import register
 from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
 
@@ -82,3 +83,121 @@ def interval_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_ts="t_start", end_ts="t_end", bin_seconds=600,
     )
     return joined.select("error_event_id", "purchase_event_id", "user_id")
+
+
+@register(
+    "ts_interpolate_daily",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+               max(CAST(o_orderdate AS DATE)) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT p.o_orderpriority,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds, (SELECT DISTINCT o_orderpriority FROM orders) p
+    ),
+    daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT s.o_orderpriority, s.day, d.rev,
+               last_value(d.rev IGNORE NULLS) OVER w_prev AS prev_rev,
+               last_value(CASE WHEN d.rev IS NOT NULL THEN s.day END IGNORE NULLS)
+                   OVER w_prev AS prev_day,
+               first_value(d.rev IGNORE NULLS) OVER w_next AS next_rev,
+               first_value(CASE WHEN d.rev IS NOT NULL THEN s.day END IGNORE NULLS)
+                   OVER w_next AS next_day
+        FROM spine s LEFT JOIN daily d
+          ON d.o_orderpriority = s.o_orderpriority AND d.day = s.day
+        WINDOW
+          w_prev AS (PARTITION BY s.o_orderpriority ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY s.o_orderpriority ORDER BY s.day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_orderpriority, day,
+           CAST(CASE
+               WHEN rev IS NOT NULL THEN rev
+               WHEN prev_rev IS NOT NULL AND next_rev IS NOT NULL THEN
+                   prev_rev + (next_rev - prev_rev)
+                   * (CAST(day - prev_day AS DOUBLE)
+                      / CAST(next_day - prev_day AS DOUBLE))
+               ELSE COALESCE(prev_rev, next_rev)
+           END AS DOUBLE) AS revenue,
+           rev IS NOT NULL AS is_observed
+    FROM g
+    """,
+)
+def ts_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with LINEAR INTERPOLATION: per-priority daily
+    revenue on a gap-free date spine, missing days interpolated between the
+    nearest observed neighbors (edge gaps take the nearest observation) —
+    the resample/interpolate step every timeseries feature pipeline needs,
+    built from window functions instead of a per-key driver loop.
+
+    Scale posture: the spine is O(days x priorities) and broadcastable; the
+    two IGNORE-NULLS window passes are one shuffle each on the uniform
+    (priority) key with linear per-partition work.  ~28% of slots are gaps
+    at sf0.01, so the interpolation arm is load-bearing, not decorative.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = (
+        bounds.select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+        .crossJoin(o.select("o_orderpriority").distinct())
+    )
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(money_sum("o_totalprice").cast("double").alias("rev"))
+    g = F.broadcast(spine).join(daily, ["o_orderpriority", "day"], "left")
+    w_prev = (
+        Window.partitionBy("o_orderpriority").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("o_orderpriority").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    rev = F.col("rev")
+    marked_day = F.when(rev.isNotNull(), F.col("day"))
+    g = g.select(
+        "o_orderpriority",
+        "day",
+        rev,
+        F.last(rev, ignorenulls=True).over(w_prev).alias("prev_rev"),
+        F.last(marked_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.first(rev, ignorenulls=True).over(w_next).alias("next_rev"),
+        F.first(marked_day, ignorenulls=True).over(w_next).alias("next_day"),
+    )
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    ).cast("double")
+    interp = (
+        F.when(rev.isNotNull(), rev)
+        .when(
+            F.col("prev_rev").isNotNull() & F.col("next_rev").isNotNull(),
+            F.col("prev_rev") + (F.col("next_rev") - F.col("prev_rev")) * frac,
+        )
+        .otherwise(F.coalesce("prev_rev", "next_rev"))
+    )
+    # No engine-side ROUND: Spark (BigDecimal half-up) and DuckDB round
+    # doubles differently at the exact .xx5 midpoints that 2-day gaps
+    # produce structurally.  Both engines evaluate the SAME IEEE expression
+    # tree over identical inputs (exact DECIMAL sums cast to double), so the
+    # raw doubles are bit-identical and the driver's own float rounding
+    # canonicalizes both sides consistently.
+    return g.select(
+        "o_orderpriority",
+        "day",
+        interp.cast("double").alias("revenue"),
+        rev.isNotNull().alias("is_observed"),
+    )

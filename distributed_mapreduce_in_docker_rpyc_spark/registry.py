@@ -117,6 +117,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bfs_word_distances",
     "corpus_shuffle_shards",
     "stream_cep_funnel",
+    "ts_interpolate_daily",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file
