@@ -266,3 +266,77 @@ def approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err_p95"
         ),
     )
+
+
+# ---- ANALYZE-style table statistics ---------------------------------------
+# (col_name, kind) — kind drives which min/max slot the column fills.
+_STATS_COLS: tuple[tuple[str, str], ...] = (
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "other"),
+)
+
+
+def _stats_oracle() -> str:
+    parts = []
+    for c, kind in _STATS_COLS:
+        min_num = f"CAST(MIN({c}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        max_num = f"CAST(MAX({c}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        min_str = f"MIN({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        max_str = f"MAX({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, "
+            f"COUNT(*) - COUNT({c}) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS ndv, "
+            f"{min_num} AS min_num, {max_num} AS max_num, "
+            f"{min_str} AS min_str, {max_str} AS max_str "
+            f"FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("analyze_table_stats", oracle=_stats_oracle())
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics collection (the ANALYZE TABLE surface): per-column
+    null count, EXACT distinct count, and type-appropriate min/max for every
+    lineitem column, computed in ONE wide aggregation pass and unpivoted with
+    ``stack`` — not one scan per column.
+
+    Scale posture: the exact multi-column COUNT(DISTINCT) plans as a single
+    Expand (one row per tracked column) feeding partial aggregation, so the
+    input is read once and the shuffle carries only (column-tag, value)
+    pairs after map-side dedup; the final unpivot is over a 1-row frame.  At
+    100 TB you'd swap the exact NDV for ``approx_count_distinct`` per column
+    (same single-pass shape, no Expand blowup) — kept exact here so the
+    result is oracle-checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, (c, kind) in enumerate(_STATS_COLS):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{i}"))
+        aggs.append(F.countDistinct(c).alias(f"ndv_{i}"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"min_{i}"))
+            aggs.append(F.max(c).cast("double").alias(f"max_{i}"))
+        elif kind == "str":
+            aggs.append(F.min(c).alias(f"smin_{i}"))
+            aggs.append(F.max(c).alias(f"smax_{i}"))
+    wide = li.agg(*aggs)
+    rows = []
+    for i, (c, kind) in enumerate(_STATS_COLS):
+        min_num = f"min_{i}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        max_num = f"max_{i}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        min_str = f"smin_{i}" if kind == "str" else "CAST(NULL AS STRING)"
+        max_str = f"smax_{i}" if kind == "str" else "CAST(NULL AS STRING)"
+        rows.append(f"'{c}', nulls_{i}, ndv_{i}, {min_num}, {max_num}, {min_str}, {max_str}")
+    return wide.selectExpr(
+        f"stack({len(_STATS_COLS)}, {', '.join(rows)}) "
+        "AS (col_name, n_nulls, ndv, min_num, max_num, min_str, max_str)"
+    )

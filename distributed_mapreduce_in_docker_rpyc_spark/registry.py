@@ -118,6 +118,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_shuffle_shards",
     "stream_cep_funnel",
     "ts_interpolate_daily",
+    "analyze_table_stats",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file
