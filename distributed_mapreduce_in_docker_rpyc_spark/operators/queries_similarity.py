@@ -119,7 +119,7 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact top-10 cosine neighbors for queries vec_id < nq, as a bare SELECT so
 # it can serve standalone (sim_topk_bruteforce / sim_topk_vectorized) or as a
 # CTE body (sim_lsh_recall / sim_ann_recall_report).
-def _brute_topk_select(nq: int) -> str:
+def _brute_topk_select(nq: int, k: int = 10) -> str:
     return f"""
     SELECT query_id, neighbor_id, sim, rank FROM (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -130,7 +130,7 @@ def _brute_topk_select(nq: int) -> str:
                                                   FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
                                            n.vec_id ASC) AS rank
         FROM norms q JOIN norms n ON q.vec_id < {nq} AND n.vec_id != q.vec_id
-    ) WHERE rank <= 10
+    ) WHERE rank <= {k}
 """
 
 
@@ -728,3 +728,81 @@ def emb_outliers_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("label")
     z = F.round((F.col("dist") - F.avg("dist").over(w)) / F.stddev("dist").over(w), 6)
     return dist.withColumn("z", z).withColumn("is_outlier", F.col("z") > 2.0)
+
+
+# ---- hybrid retrieval: BM25 + dense cosine fused by RRF --------------------
+def _hybrid_oracle() -> str:
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import (
+        BM25_ORACLE_CTES,
+        BM25_TOPK_SELECT,
+    )
+
+    return (
+        _COSINE_CTES
+        + ","
+        + BM25_ORACLE_CTES
+        + f""",
+    bmr AS ({BM25_TOPK_SELECT}),
+    cosr AS ({_brute_topk_select(1, 20)}),
+    fused AS (
+        SELECT COALESCE(b.doc_id, c.neighbor_id) AS doc_id,
+               b.rank AS bm25_rank, c.rank AS cos_rank,
+               COALESCE(CAST(1 AS DOUBLE) / (60 + b.rank), CAST(0 AS DOUBLE))
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + c.rank), CAST(0 AS DOUBLE)) AS rrf_score
+        FROM bmr b FULL OUTER JOIN cosr c ON c.neighbor_id = b.doc_id
+    )
+    SELECT doc_id, bm25_rank, cos_rank,
+           CAST(rrf_score AS DOUBLE) AS rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS hybrid_rank
+    FROM fused QUALIFY hybrid_rank <= 10
+    """
+    )
+
+
+@register("hybrid_search_rrf", oracle=_hybrid_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the lexical BM25 top-20 (``text_bm25_search``) and
+    the dense cosine top-20 for query vector 0 fused by Reciprocal Rank
+    Fusion (Cormack et al. 2009: score = sum over runs of 1/(60 + rank)),
+    full-outer-joined on document id so single-run hits still score — the
+    standard first-stage ranker of a RAG / retrieval stack.
+
+    Scale posture: both input rankings are top-k frames (constant size in
+    corpus), so the fusion join, RRF arithmetic, and final top-10 window run
+    on parameter-sized data; the heavy lifting stays inside the two already
+    scale-vetted retrieval queries.  RRF scores are emitted as raw IEEE
+    doubles — both engines evaluate the identical expression tree, and
+    symmetric-rank ties break on doc_id."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import (
+        text_bm25_search,
+    )
+
+    bm = text_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").cast("bigint").alias("bm25_rank")
+    )
+    cos = sim.topk_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), query_ids_below=1, k=20
+    ).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("bigint").alias("cos_rank")
+    )
+    one = F.lit(1).cast("double")
+    zero = F.lit(0).cast("double")
+    fused = bm.join(cos, "doc_id", "full_outer").withColumn(
+        "rrf_score",
+        F.coalesce(one / (F.lit(60) + F.col("bm25_rank")), zero)
+        + F.coalesce(one / (F.lit(60) + F.col("cos_rank")), zero),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("hybrid_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("hybrid_rank") <= 10)
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            F.col("rrf_score").cast("double").alias("rrf_score"),
+            "hybrid_rank",
+        )
+    )

@@ -139,10 +139,11 @@ def ts_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the resample/interpolate step every timeseries feature pipeline needs,
     built from window functions instead of a per-key driver loop.
 
-    Scale posture: the spine is O(days x priorities) and broadcastable; the
-    two IGNORE-NULLS window passes are one shuffle each on the uniform
-    (priority) key with linear per-partition work.  ~28% of slots are gaps
-    at sf0.01, so the interpolation arm is load-bearing, not decorative.
+    Scale posture: the daily rollup is O(days x priorities) and broadcast
+    into the spine join; the two IGNORE-NULLS window passes share one
+    shuffle on the uniform (priority) key with linear per-partition work.
+    ~28% of slots are gaps at sf0.01, so the interpolation arm is
+    load-bearing, not decorative.
     """
     from pyspark.sql import Window
 
@@ -158,7 +159,10 @@ def ts_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(
         "o_orderpriority", F.to_date("o_orderdate").alias("day")
     ).agg(money_sum("o_totalprice").cast("double").alias("rev"))
-    g = F.broadcast(spine).join(daily, ["o_orderpriority", "day"], "left")
+    # Broadcast the DAILY side: the preserved (spine) side of a left join
+    # can't be the broadcast build side, but the rollup is bounded at
+    # O(days x priorities) rows, so it broadcasts instead.
+    g = spine.join(F.broadcast(daily), ["o_orderpriority", "day"], "left")
     w_prev = (
         Window.partitionBy("o_orderpriority").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

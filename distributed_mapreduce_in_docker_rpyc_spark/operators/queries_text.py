@@ -1160,11 +1160,11 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ("spark", "table", "query")
 
-
-@register(
-    "text_bm25_search",
-    oracle="""
-    WITH toks AS (
+# The BM25 oracle split into reusable pieces: the CTE chain (no leading WITH)
+# and the top-20 ranking select, so hybrid_search_rrf can splice them into a
+# larger WITH alongside the cosine CTEs.
+BM25_ORACLE_CTES = """
+    toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
         FROM documents
     ),
@@ -1186,12 +1186,17 @@ _BM25_TERMS = ("spark", "table", "query")
         FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id), stats s
         GROUP BY t.doc_id
     )
+"""
+
+BM25_TOPK_SELECT = """
     SELECT doc_id, round(score, 6) AS bm25_score,
            CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank
     FROM scored
     QUALIFY rank <= 20
-    """,
-)
+"""
+
+
+@register("text_bm25_search", oracle="WITH " + BM25_ORACLE_CTES + BM25_TOPK_SELECT)
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (Robertson/Sparck-Jones; k1=1.2, b=0.75) for a
     fixed 3-term query — the lexical half of a hybrid (BM25 + vector)

@@ -119,6 +119,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_cep_funnel",
     "ts_interpolate_daily",
     "analyze_table_stats",
+    "hybrid_search_rrf",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file

@@ -382,6 +382,8 @@ BNLJ_ALLOWED = {
     "scalar_subquery_above_avg": "broadcast side = 1-row scalar subquery (global avg)",
     "winsorized_prices": "broadcast side = 1-row percentile bounds",
     "text_bm25_search": "broadcast side = 1-row (n_docs, avgdl) corpus stats",
+    "hybrid_search_rrf": "fuses the BM25 (1-row stats) and exact-baseline (1 query vector) runs",
+    "ts_interpolate_daily": "broadcast side = 5 distinct priorities crossed into the O(days) spine",
     "text_collocations_pmi": "broadcast side = 1-row (n_uni, n_bg) corpus totals",
     "text_unigram_logprob": "broadcast side = 1-row corpus token total",
 }
