@@ -1962,3 +1962,40 @@ def cogrouped_order_fill_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderkey").cogroup(li.groupBy("l_orderkey")).applyInPandas(
         merge, "orderkey long, n_lines bigint, total_qty double, o_totalprice double"
     )
+
+
+@register(
+    "quantile_binning",
+    oracle="""
+    WITH binned AS (
+        SELECT l_extendedprice,
+               ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+        FROM lineitem
+    )
+    SELECT bin, COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi,
+           ROUND(AVG(l_extendedprice), 4) AS mean
+    FROM binned GROUP BY bin
+    """,
+)
+def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-FREQUENCY binning (quantile discretizer): every lineitem price
+    assigned to one of 10 ntile buckets under a total order (unique-key
+    tiebreak makes boundary assignment deterministic), with per-bucket
+    count/range/mean — the feature-engineering complement to
+    ``part_price_histogram``'s equal-WIDTH bins.
+
+    Scale note: a global ntile needs a total sort; at 100 TB you'd compute
+    approximate quantile BOUNDARIES (approx_percentile on a sample) and
+    assign by range lookup instead — kept as the exact window form here so
+    the bucket edges are oracle-checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    binned = li.select("l_extendedprice", F.ntile(10).over(w).alias("bin"))
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+    )

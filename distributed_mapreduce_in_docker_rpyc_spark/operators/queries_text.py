@@ -1482,3 +1482,55 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
     )
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle="""
+    WITH stats AS (
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source, n_docs, total_chars,
+               CAST(total_chars AS DOUBLE) / (SELECT SUM(total_chars) FROM stats) AS nat,
+               POW(CAST(total_chars AS DOUBLE), 0.3) AS p
+        FROM stats
+    )
+    SELECT source, n_docs, total_chars,
+           ROUND(nat, 6) AS natural_share,
+           ROUND(p / (SELECT SUM(p) FROM powed), 6) AS temp_share,
+           ROUND((p / (SELECT SUM(p) FROM powed)) / nat, 6) AS upsample_factor
+    FROM powed
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: target share of source i is
+    n_i^alpha / sum_j n_j^alpha with alpha=0.3 — the standard flattening
+    exponent for multilingual / multi-source training mixtures (low-resource
+    sources are upsampled toward uniform as alpha -> 0, natural sampling at
+    alpha=1).  Reports natural share, temperature share, and the effective
+    upsample factor per source.
+
+    Scale posture: one aggregation by source plus broadcast 1-row corpus
+    totals; output is O(sources)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars")
+    )
+    powed = stats.withColumn(
+        "p", F.pow(F.col("total_chars").cast("double"), F.lit(0.3))
+    )
+    totals = powed.agg(
+        F.sum("total_chars").alias("_tc"), F.sum("p").alias("_tp")
+    )
+    nat = F.col("total_chars").cast("double") / F.col("_tc")
+    tshare = F.col("p") / F.col("_tp")
+    return powed.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(nat, 6).alias("natural_share"),
+        F.round(tshare, 6).alias("temp_share"),
+        F.round(tshare / nat, 6).alias("upsample_factor"),
+    )

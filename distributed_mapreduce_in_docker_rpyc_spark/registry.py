@@ -120,6 +120,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_interpolate_daily",
     "analyze_table_stats",
     "hybrid_search_rrf",
+    "corpus_temperature_mixture",
+    "quantile_binning",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file

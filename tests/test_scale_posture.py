@@ -384,6 +384,7 @@ BNLJ_ALLOWED = {
     "text_bm25_search": "broadcast side = 1-row (n_docs, avgdl) corpus stats",
     "hybrid_search_rrf": "fuses the BM25 (1-row stats) and exact-baseline (1 query vector) runs",
     "ts_interpolate_daily": "broadcast side = 5 distinct priorities crossed into the O(days) spine",
+    "corpus_temperature_mixture": "broadcast side = 1-row corpus totals (sum chars, sum pow)",
     "text_collocations_pmi": "broadcast side = 1-row (n_uni, n_bg) corpus totals",
     "text_unigram_logprob": "broadcast side = 1-row corpus token total",
 }
