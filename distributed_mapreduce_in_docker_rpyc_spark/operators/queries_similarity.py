@@ -806,3 +806,64 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hybrid_rank",
         )
     )
+
+
+@register(
+    "emb_gram_matrix",
+    oracle="""
+    WITH vecs AS (
+        SELECT embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    cells AS (
+        SELECT i, CAST(embedding[i + 1] AS DOUBLE) AS x, embedding
+        FROM vecs, unnest(generate_series(0, 63)) AS g(i)
+    )
+    SELECT CAST(c.i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           round(sum(c.x * CAST(c.embedding[j + 1] AS DOUBLE)), 4) AS gram
+    FROM cells c, unnest(generate_series(0, 63)) AS h(j)
+    WHERE j >= c.i
+    GROUP BY c.i, j
+    """,
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix of the embedding corpus — the building block
+    of PCA / ZCA whitening / covariance estimation over 100 TB of vectors:
+    G[i][j] = sum over rows of e_i * e_j, upper triangle (2080 cells at
+    d=64).
+
+    Scale posture: the per-row outer product is pure codegen array math
+    (flatten/transform over index pairs — no join, no Python); partial
+    aggregation combines map-side so the single shuffle carries at most
+    d*(d+1)/2 keys per task regardless of row count.  At d >= ~512 the
+    explode fan-out (d^2/2 per row) would favor a mapInPandas partial-Gram
+    (one d x d NumPy accumulator per Arrow batch, tree-reduced); at d=64
+    the expression path wins by staying JVM-side.  Products are computed in
+    double on both sides (float32 -> double is exact) and the sums rounded
+    to 4 decimals, far above the ~1e-12 addition-order noise."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    idx = F.sequence(F.lit(0), F.lit(63))
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(idx, i + 1, F.lit(64) - i),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (F.element_at(e, i + 1) * F.element_at(e, j + 1)).alias("xy"),
+                ),
+            ),
+        )
+    )
+    return (
+        emb.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.i").cast("long").alias("i"),
+            F.col("p.j").cast("long").alias("j"),
+        )
+        .agg(F.round(F.sum("p.xy"), 4).alias("gram"))
+    )

@@ -1534,3 +1534,188 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tshare, 6).alias("temp_share"),
         F.round(tshare / nat, 6).alias("upsample_factor"),
     )
+
+
+# --- Corpus-level span dedup (C4 / CCNet / ExactSubstr family) -------------
+#
+# The fixture documents are single-line token soup (no '\n', TESTDATA.md), so
+# the "line" unit is a fixed-width token span; on a real corpus the span
+# column would be split(text, '\n') and everything downstream is unchanged.
+
+_LINE_SPAN = 3          # tokens per pseudo-line (c4_line_dedup)
+_LINE_DROP_AT = 3       # drop a line occurring this many times corpus-wide
+_SUBSTR_N = 4           # token n-gram width (dedup_substring_coverage)
+
+
+def _token_spans(toks, span: int, step_offset: int = 0):
+    """Array of space-joined token windows, JVM-side only.
+
+    With ``step_offset=0`` the windows tile the document (disjoint spans,
+    the C4 "line" unit); the n-gram variant below uses a dense slide.
+    Guarded so NULL/empty text yields an empty array, never NULL.
+    """
+    n = F.coalesce(F.size(toks), F.lit(0))
+    n_spans = F.ceil(n / F.lit(span)).cast("long")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_spans - 1),
+            lambda i: F.array_join(F.slice(toks, i * span + 1, span), " "),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+
+
+@register(
+    "c4_line_dedup",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS toks
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(list_slice(toks, i*3 + 1, i*3 + 3), ' ') AS line
+        FROM base,
+             unnest(generate_series(0,
+                 CAST(ceil(coalesce(len(toks), 0) / 3.0) AS BIGINT) - 1)) AS g(i)
+    ),
+    cnt AS (SELECT line, count(*) AS n_occ FROM lines GROUP BY line),
+    kept AS (
+        SELECT l.doc_id, l.idx, l.line
+        FROM lines l JOIN cnt c USING (line)
+        WHERE c.n_occ < 3
+    ),
+    rebuilt AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, ' ' ORDER BY idx) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(ceil(coalesce(len(b.toks), 0) / 3.0) AS BIGINT) AS n_lines,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.cleaned_text, '') AS cleaned_text
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style line-level corpus dedup: split every document into
+    line units (3-token spans here — see module note), count each line's
+    corpus-wide occurrences, drop every occurrence of any line seen >= 3
+    times (the C4 rule applied CCNet-style: boilerplate headers/footers
+    vanish from all documents), and reassemble the surviving lines in
+    their original order.
+
+    Scale posture: span building is per-row array math inside codegen (no
+    shuffle); the line-frequency aggregate and the line equi-join are the
+    only two shuffles.  Real corpora make "line" a heavy-hitter-skewed key
+    (boilerplate), which is exactly what AQE skew-join handles; the
+    reassembly groupBy is on doc_id, a uniform key.  Reference scope: the
+    reference has no corpus-cleaning ops at all (SURVEY.md §2.2) — this is
+    part of the M4 training-data surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    base = docs.select("doc_id", _token_spans(toks, _LINE_SPAN).alias("lines")).persist()
+    ex = base.select("doc_id", F.posexplode("lines").alias("idx", "line"))
+    cnt = ex.groupBy("line").agg(F.count("*").alias("n_occ"))
+    kept = ex.join(cnt, "line").where(F.col("n_occ") < _LINE_DROP_AT)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select("doc_id", F.size("lines").cast("long").alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+@register(
+    "dedup_substring_coverage",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 4), ' ') AS gram
+        FROM base,
+             unnest(generate_series(0, coalesce(len(toks), 0) - 4)) AS g(i)
+    ),
+    dup AS (SELECT gram, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY gram),
+    per_doc AS (
+        SELECT g.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM grams g JOIN dup d USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+           round(CAST(coalesce(p.n_dup, 0) AS DOUBLE)
+                 / greatest(coalesce(p.n_grams, 0), 1), 6) AS dup_frac,
+           (CAST(coalesce(p.n_dup, 0) AS DOUBLE)
+                 / greatest(coalesce(p.n_grams, 0), 1)) >= 0.8 AS is_verbatim
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring coverage — the scalable
+    approximation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): slide a dense token
+    4-gram window over every document, mark a gram "duplicated" when it
+    occurs in >= 2 distinct documents, and report each document's fraction
+    of gram positions covered by duplicated grams plus a verbatim-copy
+    flag at 80% coverage.  Unlike dedup_ngram_jaccard (pairwise doc
+    similarity) this is corpus-wide per-position coverage — the signal the
+    suffix-array pass computes exactly.
+
+    Scale posture: gram arrays are built per-row in codegen; the
+    gram-frequency aggregate (partial agg on a near-uniform 4-gram key)
+    and the gram equi-join are the only shuffles; per-doc rollup is on the
+    uniform doc_id key.  No Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    n = F.coalesce(F.size(toks), F.lit(0))
+    grams_col = F.when(
+        n >= _SUBSTR_N,
+        F.transform(
+            F.sequence(F.lit(0), n - _SUBSTR_N),
+            lambda i: F.array_join(F.slice(toks, i + 1, _SUBSTR_N), " "),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    base = docs.select("doc_id", grams_col.alias("grams")).persist()
+    ex = base.select("doc_id", F.explode("grams").alias("gram"))
+    dup = ex.groupBy("gram").agg(F.count_distinct("doc_id").alias("ndocs"))
+    per_doc = (
+        ex.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    frac = F.coalesce("n_dup", F.lit(0).cast("long")).cast("double") / F.greatest(
+        F.coalesce("n_grams", F.lit(0).cast("long")), F.lit(1).cast("long")
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0).cast("long")).alias("n_dup"),
+            F.round(frac, 6).alias("dup_frac"),
+            (frac >= 0.8).alias("is_verbatim"),
+        )
+    )

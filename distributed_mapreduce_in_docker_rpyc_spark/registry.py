@@ -122,6 +122,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hybrid_search_rrf",
     "corpus_temperature_mixture",
     "quantile_binning",
+    "c4_line_dedup",
+    "dedup_substring_coverage",
+    "emb_gram_matrix",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file

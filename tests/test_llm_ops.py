@@ -37,6 +37,9 @@ ORACLE_CHECKED = [
     "events_json_extract",
     "events_top_users",
     "multimodal_meta",
+    "c4_line_dedup",
+    "dedup_substring_coverage",
+    "emb_gram_matrix",
 ]
 
 
@@ -321,3 +324,47 @@ def test_ivf_index_persists_and_reloads(spark, sf_dir, tmp_path):
         tuple(r) for r in sim.topk_ivf(emb, 5, 10, index=(re_assigned, re_centroids)).collect()
     }
     assert reloaded == fresh and reloaded
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(path) + "/documents.parquet")
+
+
+def test_c4_line_dedup_drops_corpus_boilerplate(spark, tmp_path):
+    # Identical leading 3-token "line" in all three docs -> occurs 3 times
+    # corpus-wide -> dropped everywhere; unique tails survive in order.
+    rows = [
+        (1, "aaa bbb ccc dogs eat grass", "en", "s", 0),
+        (2, "aaa bbb ccc fish swim deep", "en", "s", 0),
+        (3, "aaa bbb ccc birds fly high", "en", "s", 0),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["c4_line_dedup"](spark, str(tmp_path)).collect()
+    }
+    for doc_id, tail in [(1, "dogs eat grass"), (2, "fish swim deep"), (3, "birds fly high")]:
+        assert out[doc_id]["n_lines"] == 2
+        assert out[doc_id]["n_kept"] == 1
+        assert out[doc_id]["cleaned_text"] == tail
+
+
+def test_substring_coverage_flags_verbatim_copies(spark, tmp_path):
+    copied = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, copied, "en", "s", 0),
+        (2, copied, "en", "s", 0),                      # verbatim copy of 1
+        (3, "alpha beta gamma delta epsilon zeta", "en", "s", 0),  # unique
+        (4, "xy", "en", "s", 0),                        # shorter than one 4-gram
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_coverage"](spark, str(tmp_path)).collect()
+    }
+    assert out[1]["dup_frac"] == 1.0 and out[1]["is_verbatim"]
+    assert out[2]["dup_frac"] == 1.0 and out[2]["is_verbatim"]
+    assert out[3]["dup_frac"] == 0.0 and not out[3]["is_verbatim"]
+    assert out[4]["n_grams"] == 0 and out[4]["dup_frac"] == 0.0
