@@ -1378,9 +1378,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_monthly_growth",
     oracle="""
     WITH monthly AS (
-        SELECT date_trunc('month', o_orderdate) AS m,
+        SELECT date_trunc('quarter', o_orderdate) AS m,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
-        FROM orders GROUP BY date_trunc('month', o_orderdate)
+        FROM orders GROUP BY date_trunc('quarter', o_orderdate)
     )
     SELECT m, revenue,
            ROUND(revenue / LAG(revenue) OVER (ORDER BY m) - 1.0, 6) AS mom_growth
@@ -1998,4 +1998,64 @@ def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
         F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+    )
+
+
+@register(
+    "recursive_cte_inventory",
+    oracle="""
+    WITH RECURSIVE months AS (
+        SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+               count(*) AS demand,
+               row_number() OVER (ORDER BY CAST(date_trunc('quarter', o_orderdate) AS DATE)) AS rn
+        FROM orders GROUP BY 1
+    ),
+    inv(rn, qtr, stock) AS (
+        SELECT CAST(0 AS BIGINT), CAST(NULL AS DATE), CAST(1000 AS BIGINT)
+        UNION ALL
+        SELECT m.rn, m.qtr,
+               greatest(900, least(1100, i.stock + 555 - m.demand))
+        FROM inv i JOIN months m ON m.rn = i.rn + 1
+    )
+    SELECT i.qtr, m.demand, i.stock
+    FROM inv i JOIN months m ON m.rn = i.rn
+    WHERE i.rn >= 1
+    """,
+)
+def recursive_cte_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE on the SQL surface (Spark 4's ``WITH RECURSIVE``,
+    SPARK-24497): a capacity-clamped inventory simulation over quarterly order
+    demand — stock(t) = clamp(stock(t-1) + restock - demand(t), floor, cap).
+    The clamp makes each step a NONLINEAR function of accumulated state, so
+    unlike a product scan (exp-sum-log) or running sum this genuinely
+    requires recursion; it is the SQL-standard shape Catalyst executes as a
+    UnionLoop, and the engine's only linear-recursion coverage next to the
+    iterative DataFrame loops (PageRank, BFS, label propagation).
+
+    Scale posture: recursion runs over the QUARTERLY AGGREGATE (O(quarters)
+    rows, one row per step), never the raw orders; the heavy work is the
+    single groupBy feeding it.  Depth = #quarters, far under
+    spark.sql.cteRecursionLevelLimit's default of 100; the limit is raised
+    anyway so fixture drift (a wider date range) cannot hit it."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE months AS (
+            SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+                   count(*) AS demand,
+                   row_number() OVER (ORDER BY CAST(date_trunc('quarter', o_orderdate) AS DATE)) AS rn
+            FROM v_orders_rcte GROUP BY 1
+        ),
+        inv(rn, qtr, stock) AS (
+            SELECT CAST(0 AS BIGINT), CAST(NULL AS DATE), CAST(1000 AS BIGINT)
+            UNION ALL
+            SELECT m.rn, m.qtr,
+                   greatest(CAST(900 AS BIGINT), least(CAST(1100 AS BIGINT), i.stock + 555 - m.demand))
+            FROM inv i JOIN months m ON m.rn = i.rn + 1
+        )
+        SELECT i.qtr, m.demand, i.stock
+        FROM inv i JOIN months m ON m.rn = i.rn
+        WHERE i.rn >= 1
+        """
     )

@@ -125,6 +125,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "c4_line_dedup",
     "dedup_substring_coverage",
     "emb_gram_matrix",
+    "recursive_cte_inventory",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file

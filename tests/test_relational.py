@@ -47,6 +47,7 @@ RELATIONAL = [
     "pivot_status_by_flag",
     "scalar_subquery_above_avg",
     "grouping_sets_sql",
+    "recursive_cte_inventory",
 ]
 
 
