@@ -280,3 +280,80 @@ def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = jobs.documents_stream(spark, sf_dir).filter((F.col("doc_id") % 5) == 4)
     table = _run(jobs.dedup_against_corpus(feed, corpus_keepers), output_mode="append")
     return spark.table(table)
+
+
+@register(
+    "stream_watermark_finalize",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n_events
+    FROM events, m
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 7273 SECOND
+    GROUP BY 1, 2
+    """,
+)
+def stream_watermark_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark append-mode FINALIZATION semantics made observable — the
+    late-data contract the reference has no answer to (SURVEY.md §2.2 "no
+    late-data handling").  The events table is replayed as three controlled
+    micro-batches: (A) all history up to max-3h except a straggler band,
+    (B) the straggler band (max-8h, max-5h] arriving AFTER the watermark
+    (delay 7273 s) has passed most of it, (C) the head beyond max-3h that
+    advances the watermark far enough to close every remaining window.
+    Append-mode tumbling counts then pin Spark's guaranteed contract:
+    every window row is emitted EXACTLY ONCE, only after the watermark
+    passes its end; windows still open at end-of-input (the last ~2 h)
+    never emit; stragglers arriving within state lifetime merge into their
+    window before its single emission.  (Dropping data beyond the watermark
+    is explicitly best-effort in Spark — this build admits it, verified
+    empirically and reflected in the oracle — so the hash check pins the
+    guarantee, not the heuristic.)
+
+    Scale posture: the feed build is three filtered writes of the narrow
+    (ts, event_type) projection (no driver collect — the max rides a
+    broadcast 1-row frame); the streaming side is a standard watermarked
+    tumbling aggregation whose state is bounded by the watermark."""
+    import glob
+    import os
+    import shutil
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_wordcount import _work_dir
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    cls = ev.crossJoin(F.broadcast(mx))
+    band = (F.col("ts") > F.col("mx") - F.expr("INTERVAL 8 HOUR")) & (
+        F.col("ts") <= F.col("mx") - F.expr("INTERVAL 5 HOUR")
+    )
+    head_cut = F.col("ts") <= F.col("mx") - F.expr("INTERVAL 3 HOUR")
+    splits = [
+        ("0-history", (~band) & head_cut),
+        ("1-stragglers", band),
+        ("2-head", ~head_cut),
+    ]
+    root = _work_dir("latefeed")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    for n, (tag, pred) in enumerate(splits):
+        stage = os.path.join(root, tag)
+        cls.where(pred).select("ts", "event_type").coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(feed, f"{tag}.parquet")
+        shutil.move(part, dst)
+        # file-source order = modification time, oldest first; pin it
+        os.utime(dst, (1_700_000_000 + 100 * n, 1_700_000_000 + 100 * n))
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", "7273 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events")
+    )
+    table = _run(agg, output_mode="append", checkpoint=True)
+    return spark.table(table)

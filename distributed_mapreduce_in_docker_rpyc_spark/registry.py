@@ -126,6 +126,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_substring_coverage",
     "emb_gram_matrix",
     "recursive_cte_inventory",
+    "stream_watermark_finalize",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file

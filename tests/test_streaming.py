@@ -493,3 +493,28 @@ def test_cep_funnel_matcher_semantics():
         m1, s1 = jobs._cep_step(seq[:cut], (0, 0, 0))
         m2, s2 = jobs._cep_step(seq[cut:], s1)
         assert m1 + m2 == matches and s2 == st, cut
+
+
+def test_watermark_finalize_emits_only_closed_windows(spark, sf_dir):
+    """Append-mode emission gate: every emitted window must have closed
+    under the final watermark (max ts - 7273 s), each (window, type) pair
+    exactly once, and totals must equal the batch count of those rows."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    load_all()
+    out = QUERIES["stream_watermark_finalize"](spark, sf_dir)
+    rows = out.collect()
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    wm = mx - dt.timedelta(seconds=7273)
+    keys = [(r["wstart"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys)), "window emitted more than once"
+    assert all(w + dt.timedelta(hours=1) <= wm for w, _ in keys)
+    expected = (
+        ev.where(F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+        .count()
+    )
+    assert sum(r["n_events"] for r in rows) == expected
