@@ -36,17 +36,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The round driver verifies 50 queries per round in registration order.
-# Round-4 budget (VERDICT r3 "Next round" #1-#2):
+# Round-4 budget (VERDICT r3 "Next round" #1-#2, extended for the queries
+# built DURING round 4 — never-driver-checked oracle-backed queries outrank
+# stale-green re-proofs, the same ranking VERDICT r3 applied):
 #   slots 1-11  — the 11 oracle-backed queries with no driver row yet (added
 #                 or fixed during r3, all locally green on the driver-identical
 #                 gate);
 #   slots 12-13 — sim_topk_ivf / sim_ann_recall_report, upgraded this round
 #                 from rows-only to hash-checked (deterministic SQL-expressible
 #                 IVF quantizer replaces driver KMeans);
-#   slots 14-50 — the stalest green rows: the r1-verified relational/wordcount
-#                 families, last driver-checked two fixture generations ago
-#                 (fixtures drift between rounds — re-prove them on current
-#                 data).  The remaining 11 r1-era names follow for round 5.
+#   slots 14-26 — the 13 queries BUILT in round 4 (graph, corpus ops, CEP,
+#                 interpolation, stats, hybrid retrieval, span dedup, Gram
+#                 matrix, recursive CTE, watermark finalization), each locally
+#                 green on the driver-identical gate;
+#   slots 27-50 — the stalest green rows: r1-verified wordcount/ingest plus
+#                 the relational family head (fixtures drift between rounds —
+#                 re-prove them on current data).  The rest follow for r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (1) oracle-backed, never driver-checked — land rows first
     "jsondict_roundtrip",
@@ -63,7 +68,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (2) upgraded rows-only → hash-checked this round
     "sim_topk_ivf",
     "sim_ann_recall_report",
-    # (3) stalest greens: last driver contact was round 1, oldest fixtures
+    # (3) built in round 4 — oracle-backed, never driver-checked
+    "bfs_word_distances",
+    "corpus_shuffle_shards",
+    "stream_cep_funnel",
+    "ts_interpolate_daily",
+    "analyze_table_stats",
+    "hybrid_search_rrf",
+    "corpus_temperature_mixture",
+    "quantile_binning",
+    "c4_line_dedup",
+    "dedup_substring_coverage",
+    "emb_gram_matrix",
+    "recursive_cte_inventory",
+    "stream_watermark_finalize",
+    # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",
     "wordcount_rdd_core",
@@ -88,6 +107,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_stats",
     "rollup_agg",
     "cube_agg",
+    # --- 50-slot budget line falls here (26 + 24) ---
     "window_topk_per_group",
     "window_running_sum",
     "window_lag_gap",
@@ -101,7 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scalar_subquery_above_avg",
     "grouping_sets_sql",
     "salted_join_revenue_by_priority",
-    # --- 50-slot budget line falls here (13 + 37) ---
     "q7_volume_shipping",
     "q9_product_type_profit",
     "q13_customer_order_histogram",
@@ -113,20 +132,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q17_small_quantity_revenue",
     "q19_disjunctive_predicates",
-    # new in r4 (verified on the local driver-identical gate; driver row in r5)
-    "bfs_word_distances",
-    "corpus_shuffle_shards",
-    "stream_cep_funnel",
-    "ts_interpolate_daily",
-    "analyze_table_stats",
-    "hybrid_search_rrf",
-    "corpus_temperature_mixture",
-    "quantile_binning",
-    "c4_line_dedup",
-    "dedup_substring_coverage",
-    "emb_gram_matrix",
-    "recursive_cte_inventory",
-    "stream_watermark_finalize",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file
