@@ -1719,3 +1719,48 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac >= 0.8).alias("is_verbatim"),
         )
     )
+
+
+@register(
+    "text_length_outliers_mad",
+    oracle="""
+    WITH med AS (SELECT median(n_chars) AS med FROM documents),
+    mad AS (
+        SELECT median(abs(n_chars - med)) AS mad FROM documents, med
+    )
+    SELECT doc_id, n_chars,
+           round((n_chars - med) / (1.4826 * greatest(mad, 0.5)), 6) AS robust_z,
+           abs((n_chars - med) / (1.4826 * greatest(mad, 0.5))) > 3.5 AS is_outlier
+    FROM documents, med, mad
+    """,
+)
+def text_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust document-length outlier screen: the Iglewicz-Hoaglin modified
+    z-score |x - median| / (1.4826 * MAD) with the 3.5 cutoff — the
+    outlier gate that, unlike mean/stddev z-scores (``grouped_zscore_pandas``),
+    does not let the outliers themselves inflate the spread they are judged
+    against.  Standard corpus QC before length-based quality filtering.
+
+    Scale posture: two exact-median aggregates (at 100 TB these become
+    ``approx_percentile``'s mergeable sketches — the exact form is kept so
+    the cutoff is oracle-checkable) riding broadcast 1-row frames; the
+    per-document score is pure codegen arithmetic, no extra shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    mad = (
+        docs.crossJoin(F.broadcast(med))
+        .agg(F.expr("percentile(abs(n_chars - med), 0.5)").alias("mad"))
+    )
+    z = (F.col("n_chars") - F.col("med")) / (
+        F.lit(1.4826) * F.greatest(F.col("mad"), F.lit(0.5))
+    )
+    return (
+        docs.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(z, 6).alias("robust_z"),
+            (F.abs(z) > 3.5).alias("is_outlier"),
+        )
+    )

@@ -178,3 +178,29 @@ def test_wav_codec_roundtrip_property(data):
     assert (n, rate) == (len(data), 8000)
     assert s == sum(data)
     assert peak == (max(data) if data else 0)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXT, min_size=1, max_size=12), st.integers(min_value=1, max_value=7))
+def test_token_spans_tile_exactly(spark, texts, span):
+    """The C4 pseudo-line builder must TILE: joining the spans back with a
+    single space reproduces the tokenized text exactly (every token in one
+    and only one span, order preserved), for any span width and any input —
+    including empty and non-ASCII documents."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import _token_spans
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.text import tokenize_line
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r["i"]: list(r["spans"])
+        for r in df.select(
+            "i", _token_spans(tokenize_column("text"), span).alias("spans")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = tokenize_line(t)
+        spans = got[i]
+        assert " ".join(spans) == " ".join(toks), (t, span)
+        assert all(1 <= len(s.split(" ")) <= span for s in spans if s)
+        expect_n = (len(toks) + span - 1) // span
+        assert len(spans) == expect_n

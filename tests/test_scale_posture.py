@@ -387,6 +387,8 @@ BNLJ_ALLOWED = {
     "corpus_temperature_mixture": "broadcast side = 1-row corpus totals (sum chars, sum pow)",
     "text_collocations_pmi": "broadcast side = 1-row (n_uni, n_bg) corpus totals",
     "text_unigram_logprob": "broadcast side = 1-row corpus token total",
+    "text_length_outliers_mad": "broadcast side = 1-row median and 1-row MAD",
+    "stream_watermark_finalize": "feed builder crosses in a 1-row max-timestamp frame",
 }
 
 
