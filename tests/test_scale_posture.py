@@ -446,3 +446,49 @@ def test_concurrent_queries_share_one_session(spark, sf_dir):
         futs = {n: pool.submit(run, n) for n in names}
         concurrent = {n: f.result(timeout=300) for n, f in futs.items()}
     assert concurrent == solo
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """100 TB posture: when a selective dimension side feeds a shuffle join,
+    Spark's runtime bloom filter must inject a ``might_contain`` pre-filter
+    on the fact-side scan (rows that cannot join die before the exchange).
+    The thresholds are tuned here because the test tables are tiny; at real
+    scale the defaults (10 MB creation / 10 GB application) engage on their
+    own.  Broadcast joins don't need the filter, so broadcast is disabled
+    for the probe."""
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        sf = "/root/testdata/sf0.001"
+        o = (
+            load_table(spark, sf, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
