@@ -518,3 +518,56 @@ def test_watermark_finalize_emits_only_closed_windows(spark, sf_dir):
         .count()
     )
     assert sum(r["n_events"] for r in rows) == expected
+
+
+def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Recovery contract (the streaming analog of the reference's
+    timeout-and-reassign, reference coordinator/coordinator.py:162-185):
+    a watermarked aggregation driven to completion, then RESTARTED from its
+    checkpoint after new files arrive, must count every event exactly once —
+    the file source's committed-offset log makes reprocessing idempotent."""
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    feed = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+    # deterministic halves by event hash
+    a = ev.where(F.abs(F.hash("ts", "event_type")) % 2 == 0)
+    b = ev.where(F.abs(F.hash("ts", "event_type")) % 2 == 1)
+    a.coalesce(1).write.mode("overwrite").parquet(feed + "/batch_a.parquet.dir")
+    import glob
+    import os
+
+    os.makedirs(feed, exist_ok=True)
+    (pa,) = glob.glob(feed + "/batch_a.parquet.dir/part-*.parquet")
+    shutil.move(pa, feed + "/a.parquet")
+    shutil.rmtree(feed + "/batch_a.parquet.dir")
+
+    schema = spark.read.parquet(feed).schema
+
+    def run_once():
+        s = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet").parquet(feed)
+        agg = s.groupBy("event_type").agg(F.count("*").alias("n"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("restart_probe")
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # processes file a, commits its offset
+    b.coalesce(1).write.mode("overwrite").parquet(feed + "/batch_b.parquet.dir")
+    (pb,) = glob.glob(feed + "/batch_b.parquet.dir/part-*.parquet")
+    shutil.move(pb, feed + "/b.parquet")
+    shutil.rmtree(feed + "/batch_b.parquet.dir")
+    run_once()  # restart from checkpoint: must ingest ONLY file b
+
+    got = {r["event_type"]: r["n"] for r in spark.table("restart_probe").collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
