@@ -2059,3 +2059,41 @@ def recursive_cte_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE i.rn >= 1
         """
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+        SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS left_n
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT nullif(l_linestatus, 'F') AS k, count(*) AS right_n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.k AS k, l.left_n, r.right_n
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing under three-valued logic — the join
+    variant every dedup/merge pipeline needs when the business key is
+    nullable.  NULL keys are derived in-query (nullif) because the shipped
+    fixtures carry none.
+
+    Scale posture: both sides pre-aggregate to O(distinct status) rows
+    before the join, and `<=>` stays a hash-joinable equality (Catalyst
+    plans EqualNullSafe as a regular join key, no nested loop)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"))
+        .agg(F.count("*").alias("left_n"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.nullif(F.col("l_linestatus"), F.lit("F")).alias("k2"))
+        .agg(F.count("*").alias("right_n"))
+    )
+    return o.join(li, F.col("k").eqNullSafe(F.col("k2"))).select("k", "left_n", "right_n")

@@ -48,6 +48,7 @@ RELATIONAL = [
     "scalar_subquery_above_avg",
     "grouping_sets_sql",
     "recursive_cte_inventory",
+    "join_null_safe",
 ]
 
 
