@@ -30,6 +30,10 @@ SHOWN = [
     "text_bm25_search",
     "decontam_ngram_overlap",
     "corpus_pipeline_report",
+    "c4_line_dedup",
+    "dedup_substring_coverage",
+    "emb_gram_matrix",
+    "join_null_safe",
 ]
 
 
