@@ -1764,3 +1764,58 @@ def text_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.5).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "corpus_chunk_windows",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               list_slice(toks, i*24 + 1, i*24 + 32) AS chunk
+        FROM base,
+             unnest(generate_series(0,
+                 CAST(ceil(greatest(coalesce(len(toks), 0) - 8, 1) / 24.0) AS BIGINT) - 1)) AS g(i)
+        WHERE coalesce(len(toks), 0) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunker (size 32 tokens, stride 24,
+    overlap 8) — the standard pre-embedding / RAG segmentation step: every
+    token appears in at least one chunk, boundaries overlap so no span of
+    meaning is cut without context, and each chunk carries a content hash
+    for downstream chunk-level dedup.  Completes the segmentation family:
+    tiling spans (``c4_line_dedup``), dense n-grams
+    (``dedup_substring_coverage``), greedy packing (``corpus_packing_plan``).
+
+    Scale posture: chunk building is per-row array math in codegen (one
+    explode, no join, no shuffle before the sink) — output rows ≈
+    tokens/stride, each a fixed-width hash, not the text itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    n = F.coalesce(F.size(toks), F.lit(0))
+    n_chunks = F.ceil(F.greatest(n - F.lit(8), F.lit(1)) / F.lit(24.0)).cast("long")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+            lambda i: F.slice(toks, i * 24 + 1, 32),
+        ),
+    ).otherwise(F.expr("cast(array() as array<array<string>>)"))
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+        )
+    )

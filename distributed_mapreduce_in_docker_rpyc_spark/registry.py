@@ -45,11 +45,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   slots 12-13 — sim_topk_ivf / sim_ann_recall_report, upgraded this round
 #                 from rows-only to hash-checked (deterministic SQL-expressible
 #                 IVF quantizer replaces driver KMeans);
-#   slots 14-28 — the 15 queries BUILT in round 4 (graph, corpus ops, CEP,
+#   slots 14-29 — the 16 queries BUILT in round 4 (graph, corpus ops, CEP,
 #                 interpolation, stats, hybrid retrieval, span dedup, Gram
 #                 matrix, recursive CTE, watermark finalization, MAD outliers), each locally
 #                 green on the driver-identical gate;
-#   slots 29-50 — the stalest green rows: r1-verified wordcount/ingest plus
+#   slots 30-50 — the stalest green rows: r1-verified wordcount/ingest plus
 #                 the relational family head (fixtures drift between rounds —
 #                 re-prove them on current data).  The rest follow for r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_watermark_finalize",
     "text_length_outliers_mad",
     "join_null_safe",
+    "corpus_chunk_windows",
     # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",
@@ -106,8 +107,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_semi",
     "join_anti",
     "agg_distinct",
+    # --- 50-slot budget line falls here (29 + 21) ---
     "agg_stats",
-    # --- 50-slot budget line falls here (28 + 22) ---
     "rollup_agg",
     "cube_agg",
     "window_topk_per_group",

@@ -40,6 +40,7 @@ ORACLE_CHECKED = [
     "c4_line_dedup",
     "dedup_substring_coverage",
     "emb_gram_matrix",
+    "corpus_chunk_windows",
 ]
 
 
