@@ -1,0 +1,122 @@
+"""ML feature-engineering operators — the table-to-training-matrix steps a
+100 TB feature pipeline runs after cleaning/dedup (SURVEY.md §7 M4 scope
+extension).  All pure codegen expressions; hashes use the md5-prefix trick
+(portable between Spark and DuckDB, same as the count-min buckets in
+queries_sketches.py) rather than engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_in_docker_rpyc_spark.registry import register
+from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+_HASH_DIM = 32
+
+
+def _bucket(col):
+    """Portable hash-mod-32 of a string column: first 8 md5 hex digits as an
+    integer, mod the feature dimension — identical in Spark and DuckDB."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"), F.lit(_HASH_DIM)
+    )
+
+
+@register(
+    "feature_hashing_trick",
+    oracle="""
+    WITH feats AS (
+        SELECT p_partkey, f
+        FROM part, unnest([
+            'brand=' || coalesce(p_brand, ''),
+            'type='  || coalesce(p_type, ''),
+            'size='  || CAST(coalesce(p_size, -1) // 10 AS VARCHAR)
+        ]) AS u(f)
+    )
+    SELECT p_partkey,
+           CAST(CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 32 AS BIGINT)
+               AS feature_idx,
+           CAST(count(*) AS BIGINT) AS n
+    FROM feats
+    GROUP BY 1, 2
+    """,
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): categorical features
+    (brand, type, decile-bucketed size) hashed into a fixed 32-dim sparse
+    count vector per part — unbounded vocabularies become a constant-width
+    feature space with no dictionary to build, ship, or keep consistent
+    across 1000 executors.  Output is the sparse COO form
+    (row key, feature index, count); collisions (n > 1) are the method's
+    documented tradeoff.
+
+    Scale posture: per-row array build + one explode + partial-agg groupBy
+    on (key, idx) — no dictionary broadcast, no shuffle wider than the
+    output."""
+    p = load_table(spark, sf_dir, "part")
+    feats = F.array(
+        F.concat(F.lit("brand="), F.coalesce(F.col("p_brand"), F.lit(""))),
+        F.concat(F.lit("type="), F.coalesce(F.col("p_type"), F.lit(""))),
+        F.concat(
+            F.lit("size="),
+            F.floor(F.coalesce(F.col("p_size"), F.lit(-1)) / 10).cast("string"),
+        ),
+    )
+    return (
+        p.select("p_partkey", F.explode(feats).alias("f"))
+        .groupBy("p_partkey", _bucket(F.col("f")).alias("feature_idx"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "target_encode_brand",
+    oracle="""
+    WITH joined AS (
+        SELECT p.p_brand, CAST(l.l_extendedprice AS DECIMAL(24,6)) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    gstats AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM joined),
+    per AS (
+        SELECT p_brand, count(*) AS n, CAST(sum(y) AS DOUBLE) AS s
+        FROM joined GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n,
+           round(s / n, 4) AS raw_mean,
+           round((s + prior * 100) / (n + 100), 4) AS encoded
+    FROM per, gstats
+    """,
+)
+def target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (the empirical-Bayes categorical encoder):
+    each brand's feature value is its mean item price shrunk toward the
+    global mean with pseudo-count m=100 — rare categories get the prior,
+    frequent ones their own mean, and no high-cardinality one-hot blowup.
+    The leakage-control variants (k-fold / leave-one-out) change only the
+    aggregation scope.
+
+    Scale posture: one fact-dim equi-join (part side broadcastable), one
+    groupBy on the category key, global prior on a broadcast 1-row frame.
+    Sums ride DECIMAL(24,6) so both engines agree bit-for-bit before the
+    final double division (the established money-sum pattern)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand", F.col("l_extendedprice").cast("decimal(24,6)").alias("y")
+    )
+    glob = joined.agg(
+        (F.sum("y").cast("double") / F.count("*")).alias("prior")
+    )
+    per = joined.groupBy("p_brand").agg(
+        F.count("*").alias("n"), F.sum("y").cast("double").alias("s")
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("s") / F.col("n"), 4).alias("raw_mean"),
+        F.round((F.col("s") + F.col("prior") * 100) / (F.col("n") + 100), 4).alias(
+            "encoded"
+        ),
+    )

@@ -45,11 +45,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   slots 12-13 — sim_topk_ivf / sim_ann_recall_report, upgraded this round
 #                 from rows-only to hash-checked (deterministic SQL-expressible
 #                 IVF quantizer replaces driver KMeans);
-#   slots 14-29 — the 16 queries BUILT in round 4 (graph, corpus ops, CEP,
+#   slots 14-31 — the 18 queries BUILT in round 4 (graph, corpus ops, CEP,
 #                 interpolation, stats, hybrid retrieval, span dedup, Gram
 #                 matrix, recursive CTE, watermark finalization, MAD outliers), each locally
 #                 green on the driver-identical gate;
-#   slots 30-50 — the stalest green rows: r1-verified wordcount/ingest plus
+#   slots 32-50 — the stalest green rows: r1-verified wordcount/ingest plus
 #                 the relational family head (fixtures drift between rounds —
 #                 re-prove them on current data).  The rest follow for r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -85,6 +85,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_length_outliers_mad",
     "join_null_safe",
     "corpus_chunk_windows",
+    "feature_hashing_trick",
+    "target_encode_brand",
     # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",
@@ -105,9 +107,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_left_outer",
     "join_full_outer",
     "join_semi",
+    # --- 50-slot budget line falls here (31 + 19) ---
     "join_anti",
     "agg_distinct",
-    # --- 50-slot budget line falls here (29 + 21) ---
     "agg_stats",
     "rollup_agg",
     "cube_agg",
@@ -169,6 +171,7 @@ def load_all() -> None:
         "queries_multimodal",
         "queries_wordcount",
         "queries_relational",
+        "queries_features",
     ):
         try:
             __import__(f"distributed_mapreduce_in_docker_rpyc_spark.operators.{mod}")

@@ -389,6 +389,7 @@ BNLJ_ALLOWED = {
     "text_unigram_logprob": "broadcast side = 1-row corpus token total",
     "text_length_outliers_mad": "broadcast side = 1-row median and 1-row MAD",
     "stream_watermark_finalize": "feed builder crosses in a 1-row max-timestamp frame",
+    "target_encode_brand": "broadcast side = 1-row global prior mean",
 }
 
 
