@@ -120,3 +120,76 @@ def target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "encoded"
         ),
     )
+
+
+@register(
+    "target_encode_kfold",
+    oracle="""
+    WITH joined AS (
+        SELECT p.p_brand,
+               CAST(CAST('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 5 AS BIGINT) AS fold,
+               CAST(l.l_extendedprice AS DECIMAL(24,6)) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    gstats AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM joined),
+    per AS (
+        SELECT p_brand, fold, count(*) AS n, CAST(sum(y) AS DOUBLE) AS s
+        FROM joined GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT p_brand, sum(n) AS tn, sum(s) AS ts FROM per GROUP BY 1
+    )
+    SELECT per.p_brand, per.fold, CAST(per.n AS BIGINT) AS n,
+           round((tot.ts - per.s + gstats.prior * 100)
+                 / (tot.tn - per.n + 100), 4) AS encoded_oof
+    FROM per JOIN tot USING (p_brand), gstats
+    """,
+)
+def target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-controlled variant of
+    ``target_encode_brand`` every real training pipeline uses: rows are
+    hashed into 5 deterministic folds (md5 of the order key, portable), and
+    each fold's encoding is computed from the OTHER folds only
+    ((total - own fold + prior*m) / (n_total - n_fold + m)), so a row never
+    sees its own target.  Output: one encoding per (brand, fold).
+
+    Scale posture: same shuffle shape as the plain encoder plus one extra
+    groupBy on (brand, fold) — fold totals derive from the per-fold frame,
+    not a second scan; the prior rides a broadcast 1-row frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    fold = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(5),
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        fold.alias("fold"),
+        F.col("l_extendedprice").cast("decimal(24,6)").alias("y"),
+    )
+    gstats = joined.agg((F.sum("y").cast("double") / F.count("*")).alias("prior"))
+    per = joined.groupBy("p_brand", "fold").agg(
+        F.count("*").alias("n"), F.sum("y").cast("double").alias("s")
+    )
+    tot = per.groupBy("p_brand").agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts")
+    )
+    return (
+        per.join(tot, "p_brand")
+        .crossJoin(F.broadcast(gstats))
+        .select(
+            "p_brand",
+            "fold",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                (F.col("ts") - F.col("s") + F.col("prior") * 100)
+                / (F.col("tn") - F.col("n") + 100),
+                4,
+            ).alias("encoded_oof"),
+        )
+    )

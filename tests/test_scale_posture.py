@@ -390,6 +390,7 @@ BNLJ_ALLOWED = {
     "text_length_outliers_mad": "broadcast side = 1-row median and 1-row MAD",
     "stream_watermark_finalize": "feed builder crosses in a 1-row max-timestamp frame",
     "target_encode_brand": "broadcast side = 1-row global prior mean",
+    "target_encode_kfold": "broadcast side = 1-row global prior mean",
 }
 
 
