@@ -416,3 +416,79 @@ def events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         dau.join(wau, dau.day == wau.anchor)
         .select("day", "dau", "wau")
     )
+
+
+@register(
+    "ab_test_conversion",
+    oracle="""
+    WITH users AS (
+        SELECT user_id,
+               CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 2 AS BIGINT) AS variant,
+               max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT variant, count(*) AS n_users, sum(conv) AS n_conv
+        FROM users GROUP BY variant
+    ),
+    tot AS (SELECT sum(n_users) AS tn, sum(n_conv) AS tc FROM per)
+    SELECT variant,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_conv AS BIGINT) AS n_conv,
+           round(CAST(n_conv AS DOUBLE) / n_users, 6) AS conv_rate,
+           round(
+             (CAST(n_conv AS DOUBLE) / n_users
+              - CAST(tc - n_conv AS DOUBLE) / (tn - n_users))
+             / sqrt((CAST(tc AS DOUBLE) / tn) * (1 - CAST(tc AS DOUBLE) / tn)
+                    * (1.0 / n_users + 1.0 / (tn - n_users))),
+             6) AS z_vs_other
+    FROM per, tot
+    """,
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: a deterministic 50/50 user split (md5
+    bucket of user_id — the portable hash-assignment every experiment
+    platform uses) and the two-proportion pooled z-statistic for
+    high-value-purchase conversion (a purchase with value > 150 — chosen so
+    conversion sits mid-range at every fixture scale instead of saturating) — the readout of an A/B test over the event log.
+    The split is derived in-query because the fixture carries no
+    assignment column; a real platform would read it from an exposure
+    table and everything downstream is unchanged.
+
+    Scale posture: one per-user conditional aggregate (uniform user_id
+    key), then O(variants) rows; the pooled totals come from a window-free
+    second aggregate of the 2-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    users = ev.groupBy("user_id", variant.alias("variant")).agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("conv")
+    )
+    per = users.groupBy("variant").agg(
+        F.count("*").alias("n_users"), F.sum("conv").alias("n_conv")
+    )
+    tot = per.agg(F.sum("n_users").alias("tn"), F.sum("n_conv").alias("tc"))
+    rate = F.col("n_conv").cast("double") / F.col("n_users")
+    other = (F.col("tc") - F.col("n_conv")).cast("double") / (
+        F.col("tn") - F.col("n_users")
+    )
+    pooled = F.col("tc").cast("double") / F.col("tn")
+    se = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (1.0 / F.col("n_users") + 1.0 / (F.col("tn") - F.col("n_users")))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "variant",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_conv").cast("long").alias("n_conv"),
+        F.round(rate, 6).alias("conv_rate"),
+        F.round((rate - other) / se, 6).alias("z_vs_other"),
+    )

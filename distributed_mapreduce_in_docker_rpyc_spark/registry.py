@@ -45,11 +45,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   slots 12-13 — sim_topk_ivf / sim_ann_recall_report, upgraded this round
 #                 from rows-only to hash-checked (deterministic SQL-expressible
 #                 IVF quantizer replaces driver KMeans);
-#   slots 14-32 — the 19 queries BUILT in round 4 (graph, corpus ops, CEP,
+#   slots 14-33 — the 20 queries BUILT in round 4 (graph, corpus ops, CEP,
 #                 interpolation, stats, hybrid retrieval, span dedup, Gram
 #                 matrix, recursive CTE, watermark finalization, MAD outliers), each locally
 #                 green on the driver-identical gate;
-#   slots 33-50 — the stalest green rows: r1-verified wordcount/ingest plus
+#   slots 34-50 — the stalest green rows: r1-verified wordcount/ingest plus
 #                 the relational family head (fixtures drift between rounds —
 #                 re-prove them on current data).  The rest follow for r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -88,6 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "feature_hashing_trick",
     "target_encode_brand",
     "target_encode_kfold",
+    "ab_test_conversion",
     # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",
@@ -106,8 +107,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "filter_project_pushdown",
     "join_broadcast_dim",
     "join_left_outer",
+    # --- 50-slot budget line falls here (33 + 17) ---
     "join_full_outer",
-    # --- 50-slot budget line falls here (32 + 18) ---
     "join_semi",
     "join_anti",
     "agg_distinct",

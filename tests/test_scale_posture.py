@@ -391,6 +391,7 @@ BNLJ_ALLOWED = {
     "stream_watermark_finalize": "feed builder crosses in a 1-row max-timestamp frame",
     "target_encode_brand": "broadcast side = 1-row global prior mean",
     "target_encode_kfold": "broadcast side = 1-row global prior mean",
+    "ab_test_conversion": "broadcast side = 1-row pooled totals",
 }
 
 
