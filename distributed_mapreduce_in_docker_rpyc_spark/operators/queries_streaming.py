@@ -282,6 +282,51 @@ def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def _replay_feed(spark, sf_dir: str, cols: list[str], work_name: str):
+    """Replay the events table as a THREE-FILE out-of-order feed (history /
+    straggler band / head — see ``stream_watermark_finalize``) projecting
+    ``cols``; returns (work_root, streaming DataFrame reading it one file
+    per micro-batch, oldest mtime first).  No driver collect: the split
+    predicates ride a broadcast 1-row max-timestamp frame."""
+    import glob
+    import os
+    import shutil
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_wordcount import _work_dir
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    mx = ev.agg(F.max("ts").alias("mx"))
+    cls = ev.crossJoin(F.broadcast(mx))
+    band = (F.col("ts") > F.col("mx") - F.expr("INTERVAL 8 HOUR")) & (
+        F.col("ts") <= F.col("mx") - F.expr("INTERVAL 5 HOUR")
+    )
+    head_cut = F.col("ts") <= F.col("mx") - F.expr("INTERVAL 3 HOUR")
+    splits = [
+        ("0-history", (~band) & head_cut),
+        ("1-stragglers", band),
+        ("2-head", ~head_cut),
+    ]
+    root = _work_dir(work_name)
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    for n, (tag, pred) in enumerate(splits):
+        stage = os.path.join(root, tag)
+        cls.where(pred).select(*cols).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(feed, f"{tag}.parquet")
+        shutil.move(part, dst)
+        # file-source order = modification time, oldest first; pin it
+        os.utime(dst, (1_700_000_000 + 100 * n, 1_700_000_000 + 100 * n))
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    return root, stream
+
+
 @register(
     "stream_watermark_finalize",
     oracle="""
@@ -313,42 +358,7 @@ def stream_watermark_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_type) projection (no driver collect — the max rides a
     broadcast 1-row frame); the streaming side is a standard watermarked
     tumbling aggregation whose state is bounded by the watermark."""
-    import glob
-    import os
-    import shutil
-
-    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_wordcount import _work_dir
-    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
-
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
-    mx = ev.agg(F.max("ts").alias("mx"))
-    cls = ev.crossJoin(F.broadcast(mx))
-    band = (F.col("ts") > F.col("mx") - F.expr("INTERVAL 8 HOUR")) & (
-        F.col("ts") <= F.col("mx") - F.expr("INTERVAL 5 HOUR")
-    )
-    head_cut = F.col("ts") <= F.col("mx") - F.expr("INTERVAL 3 HOUR")
-    splits = [
-        ("0-history", (~band) & head_cut),
-        ("1-stragglers", band),
-        ("2-head", ~head_cut),
-    ]
-    root = _work_dir("latefeed")
-    feed = os.path.join(root, "feed")
-    os.makedirs(feed)
-    for n, (tag, pred) in enumerate(splits):
-        stage = os.path.join(root, tag)
-        cls.where(pred).select("ts", "event_type").coalesce(1).write.parquet(stage)
-        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
-        dst = os.path.join(feed, f"{tag}.parquet")
-        shutil.move(part, dst)
-        # file-source order = modification time, oldest first; pin it
-        os.utime(dst, (1_700_000_000 + 100 * n, 1_700_000_000 + 100 * n))
-    schema = spark.read.parquet(feed).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(feed)
-    )
+    _, stream = _replay_feed(spark, sf_dir, ["ts", "event_type"], "latefeed")
     agg = (
         stream.withWatermark("ts", "7273 seconds")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -357,3 +367,81 @@ def stream_watermark_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = _run(agg, output_mode="append", checkpoint=True)
     return spark.table(table)
+
+
+@register(
+    "stream_upsert_user_state",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_upsert_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC sink: a micro-batched event stream drives MERGE/upsert
+    of per-user running state into a parquet table via ``foreachBatch`` —
+    the standard "stream into a serving table" pattern (Delta/Iceberg MERGE
+    minus the transaction log; ``maintenance.upsert_parquet`` is the merge).
+    The table is replayed as THREE out-of-order micro-batches (shared
+    ``_replay_feed``), so the same user accumulates across merges: each
+    batch aggregates its slice, joins the existing table state, and upserts
+    combined (count, decimal-exact value sum, last ts) rows; after the
+    availableNow backfill the table must equal the plain batch aggregate —
+    hash-checked against that oracle.
+
+    Scale posture: per-batch work is one partial aggregate on the uniform
+    user_id key plus a key-equi merge of O(touched users) rows; at 100 TB
+    the table is partitioned and only affected partitions rewrite (see
+    upsert_parquet docstring)."""
+    import os
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.maintenance import upsert_parquet
+
+    root, stream = _replay_feed(spark, sf_dir, ["ts", "user_id", "value"], "upsertfeed")
+    table = os.path.join(root, "user_state")
+    schema = "user_id long, n_events long, total_value decimal(30,6), last_ts timestamp"
+    spark.createDataFrame([], schema).write.parquet(table)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        prev = batch_df.sparkSession.read.parquet(table).select(
+            F.col("user_id"),
+            F.col("n_events").alias("p_n"),
+            F.col("total_value").alias("p_v"),
+            F.col("last_ts").alias("p_ts"),
+        )
+        combined = (
+            delta.join(prev, "user_id", "left")
+            .select(
+                "user_id",
+                (F.col("n_events") + F.coalesce("p_n", F.lit(0))).alias("n_events"),
+                (
+                    F.col("total_value")
+                    + F.coalesce(F.col("p_v"), F.lit(0).cast("decimal(30,6)"))
+                ).cast("decimal(30,6)").alias("total_value"),
+                F.greatest(F.col("last_ts"), F.coalesce("p_ts", F.col("last_ts"))).alias(
+                    "last_ts"
+                ),
+            )
+        )
+        upsert_parquet(batch_df.sparkSession, table, combined, "user_id")
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(table).select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "last_ts",
+    )
