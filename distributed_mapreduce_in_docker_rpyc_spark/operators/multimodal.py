@@ -346,3 +346,76 @@ def resize_thumbnail(df: DataFrame, box: int = 64, id_col: str = "doc_id") -> Da
             )
 
     return df.select(id_col, "payload").mapInPandas(per_batch, schema=RESIZE_SCHEMA)
+
+
+def bmp_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """Full-pixel 24-bit BMP parse: returns (width, height, rgb_stream) with
+    the stream pixel-major row-major TOP-DOWN in RGB order — the exact
+    inverse of ``bmp_encode`` (BGR storage flipped back, bottom-up row order
+    inverted, padding stripped).  Same header validation as ``bmp_decode``."""
+    import struct
+
+    magic, _fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError(f"not a BMP: magic {magic!r}")
+    hdr_size, w, h_signed, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    if hdr_size != 40 or bpp != 24:
+        raise ValueError(f"unsupported BMP variant: hdr={hdr_size} bpp={bpp}")
+    if struct.unpack_from("<I", data, 30)[0] != 0:
+        raise ValueError("unsupported BMP compression")
+    h = abs(h_signed)
+    top_down = h_signed < 0
+    row_size = (3 * w + 3) // 4 * 4
+    rows = []
+    for i in range(h):
+        y_stored = i if top_down else h - 1 - i  # logical row i lives here
+        start = off + y_stored * row_size
+        bgr = data[start : start + 3 * w]
+        rgb = bytearray(3 * w)
+        rgb[0::3] = bgr[2::3]
+        rgb[1::3] = bgr[1::3]
+        rgb[2::3] = bgr[0::3]
+        rows.append(bytes(rgb))
+    return w, h, b"".join(rows)
+
+
+def phash_image(df: DataFrame, id_col: str = "doc_id", payload_col: str = "bmp") -> DataFrame:
+    """Perceptual average-hash (aHash, nearest-neighbor variant) over REAL
+    decoded images: parse each BMP (``bmp_pixels``), sample an 8x8 grid of
+    pixel centers (y = (2*bi+1)*h // 16, x = (2*bj+1)*w // 16), score each
+    sample by its channel sum r+g+b, threshold against the 64-sample mean
+    (bit = score >= mean), and pack bits c = bi*8+bj into a 16-hex-digit
+    hash (high word = bits 32..63).  Near-duplicate images differ in few
+    bits — the image-side analog of SimHash for text.
+
+    Nearest-neighbor sampling (vs block means) keeps every output value a
+    direct byte expression, so a SQL oracle can replay the hash from the
+    source bytes without replaying the resize convolution."""
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in ("doc_id", "width", "height", "phash", "n_set_bits")}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, rgb = bmp_pixels(bytes(payload))
+                scores = []
+                for bi in range(8):
+                    y = (2 * bi + 1) * h // 16
+                    for bj in range(8):
+                        x = (2 * bj + 1) * w // 16
+                        k = 3 * (y * w + x)
+                        scores.append(rgb[k] + rgb[k + 1] + rgb[k + 2])
+                mean = sum(scores) / 64.0
+                bits = [1 if s >= mean else 0 for s in scores]
+                lo = sum(b << c for c, b in enumerate(bits[:32]))
+                hi = sum(b << c for c, b in enumerate(bits[32:]))
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["phash"].append(f"{hi:08x}{lo:08x}")
+                out["n_set_bits"].append(sum(bits))
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, width long, height long, phash string, n_set_bits long"
+    return df.select(id_col, payload_col).mapInPandas(per_batch, schema)

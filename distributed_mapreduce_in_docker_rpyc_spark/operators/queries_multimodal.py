@@ -197,3 +197,67 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked integer math, PIL-shaped dataflow."""
     docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
     return mm.resize_thumbnail(docs, box=64)
+
+
+@register(
+    "multimodal_phash",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0 THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, hx, length(hx) // 2 AS n,
+               1 + ((length(hx) // 2) * 7) % 16 AS w,
+               1 + ((length(hx) // 2) * 13) % 16 AS h
+        FROM raw
+    ),
+    scored AS (
+        SELECT d.doc_id, d.w, d.h, g.c,
+               (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 0) % d.n) + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 0) % d.n) + 2, 1)) - 1)
+             + (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 1) % d.n) + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 1) % d.n) + 2, 1)) - 1)
+             + (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 2) % d.n) + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 2) % d.n) + 2, 1)) - 1)
+               AS s
+        FROM dims d,
+             unnest(generate_series(0, 63)) AS g(c),
+             LATERAL (SELECT 3 * (((2 * (g.c // 8) + 1) * d.h // 16) * d.w
+                               + ((2 * (g.c % 8) + 1) * d.w // 16)) AS k) AS kk
+    ),
+    means AS (SELECT doc_id, sum(s) / 64.0 AS mean FROM scored GROUP BY doc_id),
+    bits AS (
+        SELECT sc.doc_id, sc.w, sc.h, sc.c,
+               CASE WHEN sc.s >= m.mean THEN 1 ELSE 0 END AS b
+        FROM scored sc JOIN means m USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           lpad(lower(to_hex(sum(CASE WHEN c >= 32 THEN CAST(b AS BIGINT) << (c - 32) ELSE 0 END))), 8, '0')
+        || lpad(lower(to_hex(sum(CASE WHEN c <  32 THEN CAST(b AS BIGINT) << c        ELSE 0 END))), 8, '0')
+               AS phash,
+           CAST(sum(b) AS BIGINT) AS n_set_bits
+    FROM bits
+    GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL decoded images — the image-side
+    near-duplicate fingerprint (aHash, nearest-neighbor variant; SimHash's
+    multimodal sibling): BMP payloads are genuinely parsed back to pixels
+    (``multimodal.bmp_pixels`` — BGR flip, bottom-up rows, padding), an
+    8x8 grid of pixel centers is sampled, and each sample's channel sum is
+    thresholded against the 64-sample mean into a 64-bit hex hash.  The
+    oracle replays every sampled byte from the SOURCE bytes, so any decode
+    asymmetry flips bits and breaks the hash; the mean is a /64 (power of
+    two) division, exact in both engines, so the >= threshold compare is
+    bit-stable.
+
+    Scale posture: decode + hash stay inside one Arrow batch pass
+    (mapInPandas); output is 16 hex chars per image.  Pair-finding on the
+    hashes reuses the SimHash band-join machinery unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.phash_image(mm.attach_bmp_payload(docs))

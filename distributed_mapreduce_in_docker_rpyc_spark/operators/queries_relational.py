@@ -1378,9 +1378,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_monthly_growth",
     oracle="""
     WITH monthly AS (
-        SELECT date_trunc('quarter', o_orderdate) AS m,
+        SELECT date_trunc('month', o_orderdate) AS m,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
-        FROM orders GROUP BY date_trunc('quarter', o_orderdate)
+        FROM orders GROUP BY date_trunc('month', o_orderdate)
     )
     SELECT m, revenue,
            ROUND(revenue / LAG(revenue) OVER (ORDER BY m) - 1.0, 6) AS mom_growth

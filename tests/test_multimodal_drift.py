@@ -38,6 +38,7 @@ MULTIMODAL_QUERIES = [
     "multimodal_decode_wav",
     "multimodal_frame_sample",
     "multimodal_resize",
+    "multimodal_phash",
 ]
 
 
