@@ -261,3 +261,110 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes reuses the SimHash band-join machinery unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     return mm.phash_image(mm.attach_bmp_payload(docs))
+
+
+_PHASH_ORACLE_CTES = """
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0 THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, hx, length(hx) // 2 AS n,
+               1 + ((length(hx) // 2) * 7) % 16 AS w,
+               1 + ((length(hx) // 2) * 13) % 16 AS h
+        FROM raw
+    ),
+    scored AS (
+        SELECT d.doc_id, g.c,
+               (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 0) % d.n) + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 0) % d.n) + 2, 1)) - 1)
+             + (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 1) % d.n) + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 1) % d.n) + 2, 1)) - 1)
+             + (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 2) % d.n) + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(d.hx, 2 * ((kk.k + 2) % d.n) + 2, 1)) - 1)
+               AS s
+        FROM dims d,
+             unnest(generate_series(0, 63)) AS g(c),
+             LATERAL (SELECT 3 * (((2 * (g.c // 8) + 1) * d.h // 16) * d.w
+                               + ((2 * (g.c % 8) + 1) * d.w // 16)) AS k) AS kk
+    ),
+    means AS (SELECT doc_id, sum(s) / 64.0 AS mean FROM scored GROUP BY doc_id),
+    hashes AS (
+        SELECT sc.doc_id,
+               sum(CASE WHEN sc.c >= 32 THEN CAST(CASE WHEN sc.s >= m.mean THEN 1 ELSE 0 END AS BIGINT) << (sc.c - 32) ELSE 0 END) AS hi,
+               sum(CASE WHEN sc.c <  32 THEN CAST(CASE WHEN sc.s >= m.mean THEN 1 ELSE 0 END AS BIGINT) << sc.c        ELSE 0 END) AS lo
+        FROM scored sc JOIN means m USING (doc_id)
+        GROUP BY sc.doc_id
+    )
+"""
+
+
+@register(
+    "multimodal_phash_pairs",
+    oracle=_PHASH_ORACLE_CTES
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT)
+               AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+    """,
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual hash: band the 64-bit aHash
+    into 8 bytes, equi-join on any shared (band, value) to get candidates,
+    then keep pairs within hamming distance 6 — pigeonhole-EXACT (6 wrong
+    bits can dirty at most 6 of 8 bands, so every qualifying pair shares a
+    clean band), the image twin of ``dedup_simhash_pairs``.  The oracle
+    recomputes the hashes from source bytes and checks ALL pairs — at test
+    scale the quadratic reference is affordable; the Spark side stays
+    banded.
+
+    Scale posture: candidates come from 8 equi-joins on uniform byte-band
+    keys (never all-pairs); the hamming rerank touches only candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = mm.phash_image(mm.attach_bmp_payload(docs)).select(
+        "doc_id",
+        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("lo"),
+        "phash",
+    )
+    bands = hashes.select(
+        "doc_id",
+        "hi",
+        "lo",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda i: F.substring("phash", i * 2 + 1, 2),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "band_idx",
+        "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= 6)

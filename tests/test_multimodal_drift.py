@@ -39,6 +39,7 @@ MULTIMODAL_QUERIES = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_phash",
+    "multimodal_phash_pairs",
 ]
 
 
