@@ -864,3 +864,50 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = emb.select("embedding").mapInPandas(partial_gram, "i long, j long, g double")
     return part.groupBy("i", "j").agg(F.round(F.sum("g"), 4).alias("gram"))
+
+
+@register(
+    "emb_whiten_diag",
+    oracle="""
+    WITH cells AS (
+        SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+        FROM embeddings, unnest(generate_series(0, 63)) AS g(i)
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    stats AS (
+        SELECT i, avg(x) AS mu, stddev_samp(x) AS sd
+        FROM cells GROUP BY i
+    )
+    SELECT c.vec_id, CAST(c.i AS BIGINT) AS i,
+           round((c.x - s.mu) / greatest(s.sd, 1e-12), 5) AS z
+    FROM cells c JOIN stats s USING (i)
+    """,
+)
+def emb_whiten_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal whitening of the embedding corpus: per-dimension z-scores
+    ((x - mean_i) / std_i) — the normalization step between the covariance
+    estimate (``emb_gram_matrix``) and any cosine/L2 retrieval that should
+    not be dominated by high-variance dimensions.  Full ZCA needs the
+    off-diagonal Gram factors; the diagonal form is the per-column scaling
+    every feature pipeline applies first.
+
+    Scale posture: one posexplode feeds a 64-group aggregate (partial
+    map-side, constant-size shuffle); the per-cell z is a broadcast join of
+    64 stat rows back onto the cells — no second scan of the vectors.
+    Both engines compute mean/stddev in double; rounding to 5 decimals
+    sits far above the ~1e-12 merge-order noise (the stat_corr_matrix
+    pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    cells = emb.select(
+        "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("i", "x")
+    )
+    stats = cells.groupBy("i").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    return cells.join(F.broadcast(stats), "i").select(
+        "vec_id",
+        F.col("i").cast("long").alias("i"),
+        F.round((F.col("x") - F.col("mu")) / F.greatest(F.col("sd"), F.lit(1e-12)), 5).alias("z"),
+    )

@@ -45,11 +45,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   slots 12-13 — sim_topk_ivf / sim_ann_recall_report, upgraded this round
 #                 from rows-only to hash-checked (deterministic SQL-expressible
 #                 IVF quantizer replaces driver KMeans);
-#   slots 14-36 — the 23 queries BUILT in round 4 (graph, corpus ops, CEP,
+#   slots 14-37 — the 24 queries BUILT in round 4 (graph, corpus ops, CEP,
 #                 interpolation, stats, hybrid retrieval, span dedup, Gram
 #                 matrix, recursive CTE, watermark finalization, MAD outliers), each locally
 #                 green on the driver-identical gate;
-#   slots 37-50 — the stalest green rows: r1-verified wordcount/ingest plus
+#   slots 38-50 — the stalest green rows: r1-verified wordcount/ingest plus
 #                 the relational family head (fixtures drift between rounds —
 #                 re-prove them on current data).  The rest follow for r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -92,6 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_upsert_user_state",
     "multimodal_phash",
     "multimodal_phash_pairs",
+    "emb_whiten_diag",
     # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",
@@ -106,8 +107,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q10_returned_items",
     "q14_promo_revenue_share",
+    # --- 50-slot budget line falls here (37 + 13) ---
     "q18_large_volume_customers",
-    # --- 50-slot budget line falls here (36 + 14) ---
     "filter_project_pushdown",
     "join_broadcast_dim",
     "join_left_outer",
