@@ -1,6 +1,6 @@
 """Differential query fuzzing (SQLancer-style, seeded and deterministic).
 
-A small grammar generates 209 seeded queries across thirteen families — GROUP
+A small grammar generates 221 seeded queries across fourteen families — GROUP
 BY / filter / HAVING, inner/left joins, window frames, distinct aggregates,
 semi/anti joins (EXISTS / IN subqueries), set operations, grouping sets,
 CASE/COALESCE/NULLIF conditionals, correlated & uncorrelated scalar
@@ -576,3 +576,39 @@ def test_fuzzed_orderby_limit_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["lineitem"])
     sql = gen_orderby_limit_query(random.Random(13_000 + seed))
     compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_null_safe_join_query(rng: random.Random) -> str:
+    """Null-safe join family: NULLIF-derived nullable keys on both sides
+    joined with IS NOT DISTINCT FROM (Spark `<=>`), under inner/left/full
+    join types — three-valued-logic join semantics the equi-join families
+    never exercise (a plain `=` drops every NULL key; the null-safe form
+    matches them).  Both sides pre-aggregate so the join is O(distinct)."""
+    lcol, lvals = rng.choice(
+        [("o_orderstatus", ["O", "F", "P"]),
+         ("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])]
+    )
+    rcol, rvals = rng.choice(
+        [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])]
+    )
+    lnull = rng.choice(lvals)
+    rnull = rng.choice(rvals)
+    how = rng.choice(["JOIN", "LEFT JOIN", "FULL JOIN"])
+    having = ""
+    if rng.random() < 0.4:
+        having = f" WHERE a.n > {rng.randint(1, 50)}"
+    return (
+        f"WITH a AS (SELECT nullif({lcol}, '{lnull}') AS k, COUNT(*) AS n "
+        f"FROM orders GROUP BY 1), "
+        f"b AS (SELECT nullif({rcol}, '{rnull}') AS k, COUNT(*) AS n "
+        f"FROM lineitem GROUP BY 1) "
+        f"SELECT a.k AS left_k, b.k AS right_k, a.n AS left_n, b.n AS right_n "
+        f"FROM a {how} b ON a.k IS NOT DISTINCT FROM b.k{having}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_null_safe_join_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    sql = gen_null_safe_join_query(random.Random(14_000 + seed))
+    compare(spark.sql(sql), sql, sf_dir)
