@@ -369,3 +369,27 @@ def test_substring_coverage_flags_verbatim_copies(spark, tmp_path):
     assert out[2]["dup_frac"] == 1.0 and out[2]["is_verbatim"]
     assert out[3]["dup_frac"] == 0.0 and not out[3]["is_verbatim"]
     assert out[4]["n_grams"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+def test_phash_near_images_closer_than_unrelated(spark, tmp_path):
+    """Perceptual property: images synthesized from near-identical texts
+    must be closer in hamming distance than images from unrelated text —
+    and identical texts must collide exactly."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "hazy")          # same length -> same w,h
+    other = "zebra xylophone quartz vex jumble koala parade " * 4
+    rows = [
+        (1, base, "en", "s", 0),
+        (2, near, "en", "s", 0),
+        (3, other, "en", "s", 0),
+        (4, base, "en", "s", 0),                 # exact copy of 1
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r["phash"] for r in QUERIES["multimodal_phash"](spark, str(tmp_path)).collect()}
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert out[1] == out[4]                      # identical bytes, identical hash
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+    assert ham(out[1], out[2]) <= 16             # one-word change: most bits stable
