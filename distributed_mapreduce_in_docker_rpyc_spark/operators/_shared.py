@@ -46,3 +46,21 @@ def shared_df(spark: SparkSession, key: tuple, build: Callable[[], DataFrame]) -
     """Return the memoized persisted DataFrame for ``key``, building it on
     first use."""
     return shared(spark, key, lambda: build().persist())
+
+
+def work_dir(name: str) -> str:
+    """Deterministic per-process scratch directory, WIPED on every call.
+
+    The sink/ingest queries need a filesystem path to round-trip through;
+    ``tempfile.mkdtemp`` per invocation leaked one directory per run (three
+    per median-of-3 bench pass — ADVICE r3).  A fixed ``<tmp>/sg-work-<name>-
+    <pid>`` path makes every rerun overwrite the previous one, so a process
+    owns at most one copy per query."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"sg-work-{name}-{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path

@@ -591,3 +591,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shd = _shingles(spark, sf_dir)
     return dd.containment_pairs(docs, threshold=0.4, shingles=shd, max_df=50)
+
+
+def _keep_best_oracle() -> str:
+    """The cluster-assignment CTE is exactly the ``dedup_clusters`` oracle
+    (already registered above), nested as a derived CTE so the two stay in
+    lock-step by construction."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import ORACLES
+
+    return _KEEP_BEST_TEMPLATE.replace("%CLUSTER%", ORACLES["dedup_clusters"])
+
+
+_KEEP_BEST_TEMPLATE = """
+    WITH labels AS (%CLUSTER%),
+    qual AS (
+        SELECT doc_id,
+               COALESCE(len(list_distinct(regexp_extract_all(lower(text), '[a-z'']+'))), -1)
+                 AS n_distinct_words
+        FROM documents
+    ),
+    ranked AS (
+        SELECT l.cluster_id, l.doc_id, q.n_distinct_words,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY q.n_distinct_words DESC, l.doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+        FROM labels l JOIN qual q ON q.doc_id = l.doc_id
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           n_distinct_words AS kept_distinct_words
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("dedup_cluster_keep_best", oracle=_keep_best_oracle())
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step every dedup pipeline runs
+    AFTER clustering: within each duplicate cluster (exact ∪ near-dup
+    connected components, same graph as ``dedup_clusters``), keep the
+    single highest-quality member.  Quality here is lexical richness
+    (distinct word count; NULL text ranks last via the -1 sentinel), ties
+    broken by smallest doc_id so the choice is deterministic.  Output is
+    one row per cluster: the keeper, the cluster size, and the keeper's
+    quality — exactly the frame a training-data build joins back against
+    to materialize the deduplicated corpus.
+
+    Scale posture: reuses the session-shared shingle/cluster frames, then
+    adds one uniform-key shuffle (cluster_id) for the window argmax; the
+    quality column is zero-shuffle codegen array math.  Cluster ids are
+    near-unique (clusters are tiny), so the window partitioning cannot
+    skew."""
+    from pyspark.sql import Window
+
+    labels = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z']+"), 0)
+    qual = docs.select(
+        "doc_id",
+        F.coalesce(F.size(F.array_distinct(toks)), F.lit(-1)).alias("n_distinct_words"),
+    )
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_distinct_words"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        labels.join(qual, "doc_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            "n_distinct_words",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_all).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_members",
+            F.col("n_distinct_words").alias("kept_distinct_words"),
+        )
+    )

@@ -162,3 +162,48 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("group_size"),
         (F.count("*") >= 5).cast("int").alias("is_k_anonymous"),
     )
+
+
+@register(
+    "compaction_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(doc_id) AS sum_doc_id,
+           SUM(octet_length(encode(COALESCE(text, '')))) AS sum_text_bytes,
+           COUNT(DISTINCT source) AS n_sources,
+           1 AS n_files_after
+    FROM documents
+    """,
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the oracle: fragment the documents table
+    into 64 tiny parquet files (the classic streaming-ingest pathology),
+    run ``maintenance.compact`` back to the planned file count, and
+    hash-check the COMPACTED copy's content — row count, key sum, UTF-8
+    text byte total, source cardinality — against the source table, plus
+    the achieved file count against the plan's target (1 at this volume).
+    Proves the rewrite is lossless and actually consolidates, not merely
+    that it runs; complements ``storage_file_report`` (the metadata side,
+    rows-only) with a hash-checked data side.
+
+    Scale posture: ``compact`` is a map-side ``coalesce`` rewrite — no
+    shuffle, no driver data; at 100 TB the same plan runs per partition
+    with ``target_bytes`` sizing output files to the scan-friendly range."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators import maintenance as mt
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import work_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = work_dir("compaction")
+    frag, out = f"{root}/frag", f"{root}/compacted"
+    docs.repartition(64).write.parquet(frag)
+    plan = mt.compact(spark, frag, out, target_bytes=256 * 1024 * 1024)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))).alias(
+            "sum_text_bytes"
+        ),
+        F.count_distinct("source").alias("n_sources"),
+        F.lit(plan["n_files_after"]).cast("int").alias("n_files_after"),
+    )

@@ -12,25 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_in_docker_rpyc_spark.operators import wordcount as wc
+from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import work_dir as _work_dir
 from distributed_mapreduce_in_docker_rpyc_spark.registry import register
 from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
 
-def _work_dir(name: str) -> str:
-    """Deterministic per-process scratch directory, WIPED on every call.
-
-    The sink/ingest queries need a filesystem path to round-trip through;
-    ``tempfile.mkdtemp`` per invocation leaked one directory per run (three
-    per median-of-3 bench pass — ADVICE r3).  A fixed ``<tmp>/sg-work-<name>-
-    <pid>`` path makes every rerun overwrite the previous one, so a process
-    owns at most one copy per query."""
-    import os
-    import shutil
-    import tempfile
-
-    path = os.path.join(tempfile.gettempdir(), f"sg-work-{name}-{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
-    return path
 
 
 # Tokenizer must match functions/text.py (reference worker/worker.py:7,18).
@@ -236,3 +221,64 @@ def ziptext_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_ziptext(spark)
     lines = spark.read.format("ziptext").load(zpath)
     return word_counts(lines, "value")
+
+
+@register(
+    "jsonl_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_good,
+           3 AS n_corrupt,
+           SUM(doc_id) AS sum_doc_id,
+           SUM(octet_length(encode(COALESCE(text, '')))) AS sum_text_bytes,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (newline-delimited JSON) source round-trip with corrupt-record
+    isolation — the de-facto interchange format of LLM training corpora.
+    The first 200 documents are written as JSONL THROUGH Spark's
+    distributed JSON writer (one file per partition, exactly how a 100 TB
+    corpus lands in object storage), three deliberately malformed lines are
+    appended as an extra shard, and the directory is read back with a
+    pinned schema in PERMISSIVE mode.  The aggregate proves (a) the
+    round-trip is byte-lossless — the read-back UTF-8 text byte total
+    equals the source table's, (b) the three corrupt lines are isolated
+    into ``_corrupt_record`` instead of failing the scan, and (c) no good
+    row is lost or duplicated.
+
+    Scale posture: write and read are both one-task-per-file with no
+    shuffle; the final single-row aggregate is a partial-agg reduce.
+    Schema is PINNED, never inferred — inference at 100 TB is a full extra
+    pass over the data."""
+    import os
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text", "lang", "source")
+    )
+    out = _work_dir("jsonl")
+    docs.repartition(4).write.mode("overwrite").json(out)
+    with open(os.path.join(out, "part-corrupt.json"), "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": 9001, "text": "truncated\n')
+        fh.write('not json at all\n')
+        fh.write('{"doc_id": "wrong-type-and-unclosed"\n')
+    back = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).cast("int").alias("n_corrupt"),
+        F.sum(F.when(good, F.col("doc_id"))).alias("sum_doc_id"),
+        F.sum(
+            F.when(good, F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")))
+        ).alias("sum_text_bytes"),
+        F.count_distinct(F.when(good, F.col("lang"))).alias("n_langs"),
+    )

@@ -45,11 +45,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   slots 12-13 — sim_topk_ivf / sim_ann_recall_report, upgraded this round
 #                 from rows-only to hash-checked (deterministic SQL-expressible
 #                 IVF quantizer replaces driver KMeans);
-#   slots 14-37 — the 24 queries BUILT in round 4 (graph, corpus ops, CEP,
+#   slots 14-39 — the 26 queries BUILT in round 4 (graph, corpus ops, CEP,
 #                 interpolation, stats, hybrid retrieval, span dedup, Gram
-#                 matrix, recursive CTE, watermark finalization, MAD outliers), each locally
+#                 matrix, recursive CTE, watermark finalization, MAD outliers,
+#                 byte entropy, JSONL round-trip), each locally
 #                 green on the driver-identical gate;
-#   slots 38-50 — the stalest green rows: r1-verified wordcount/ingest plus
+#   slots 40-50 — the stalest green rows: r1-verified wordcount/ingest plus
 #                 the relational family head (fixtures drift between rounds —
 #                 re-prove them on current data).  The rest follow for r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -93,6 +94,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_phash",
     "multimodal_phash_pairs",
     "emb_whiten_diag",
+    "text_byte_entropy",
+    "jsonl_roundtrip",
     # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",
@@ -105,9 +108,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_order_priority_check",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    # --- 50-slot budget line falls here (39 + 11) ---
     "q10_returned_items",
     "q14_promo_revenue_share",
-    # --- 50-slot budget line falls here (37 + 13) ---
     "q18_large_volume_customers",
     "filter_project_pushdown",
     "join_broadcast_dim",

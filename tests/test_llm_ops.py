@@ -393,3 +393,43 @@ def test_phash_near_images_closer_than_unrelated(spark, tmp_path):
     assert out[1] == out[4]                      # identical bytes, identical hash
     assert ham(out[1], out[2]) < ham(out[1], out[3])
     assert ham(out[1], out[2]) <= 16             # one-word change: most bits stable
+
+
+def test_byte_entropy_semantics(spark, tmp_path):
+    """Entropy ground truths: a one-symbol document has 0 bits, a document
+    over 4 equally-frequent ASCII bytes has exactly 2 bits, and empty/NULL
+    text collapses to 0 with an empty histogram.  Cross-checked against a
+    direct Python/Counter computation for a mixed multibyte document."""
+    import math
+    from collections import Counter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaaaaaa"),
+            (1, "abcdabcd"),
+            (2, ""),
+            (3, None),
+            (4, "héllo wörld — mixed"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sf")
+    docs.write.parquet(path + "/documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["text_byte_entropy"](spark, path).collect()
+    }
+    assert rows[0].byte_entropy == pytest.approx(0.0)
+    assert rows[0].n_distinct_bytes == 1
+    assert rows[1].byte_entropy == pytest.approx(2.0)
+    assert rows[1].passes_entropy_gate == 0  # below the [3, 6] band
+    assert rows[2].byte_entropy == pytest.approx(0.0) and rows[2].n_bytes == 0
+    assert rows[3].byte_entropy == pytest.approx(0.0) and rows[3].n_bytes == 0
+    raw = "héllo wörld — mixed".encode("utf-8")
+    counts = Counter(raw)
+    expect = -sum((c / len(raw)) * math.log2(c / len(raw)) for c in counts.values())
+    assert rows[4].byte_entropy == pytest.approx(expect)
+    assert rows[4].n_bytes == len(raw)
+    assert rows[4].ascii_fraction == pytest.approx(
+        sum(1 for b in raw if b < 0x80) / len(raw)
+    )
