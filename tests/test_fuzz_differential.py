@@ -1,8 +1,8 @@
 """Differential query fuzzing (SQLancer-style, seeded and deterministic).
 
-A small grammar generates 221 seeded queries across fourteen families — GROUP
+A small grammar generates 233 seeded queries across fifteen families — GROUP
 BY / filter / HAVING, inner/left joins, window frames, distinct aggregates,
-semi/anti joins (EXISTS / IN subqueries), set operations, grouping sets,
+semi/anti joins (EXISTS / IN subqueries), nullable IN / NOT IN three-valued logic, set operations, grouping sets,
 CASE/COALESCE/NULLIF conditionals, correlated & uncorrelated scalar
 subqueries, string/date scalar expressions, time-bucketed event
 analytics, LATERAL correlated derived tables, and explicit-NULLS top-N
@@ -612,3 +612,45 @@ def test_fuzzed_null_safe_join_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["orders", "lineitem"])
     sql = gen_null_safe_join_query(random.Random(14_000 + seed))
     compare(spark.sql(sql), sql, sf_dir)
+
+
+def gen_nullable_in_query(rng: random.Random) -> str:
+    """Nullable IN / NOT IN family — the canonical three-valued-logic trap
+    the semi/anti family cannot hit (its subquery keys are never NULL):
+    one NULL in a NOT IN list makes the predicate UNKNOWN for every
+    non-matching probe row, collapsing the result to the matches' complement
+    of nothing.  NULLIF plants NULLs on the subquery side (one key residue)
+    and sometimes on the probe side too; modulo folding keeps the domain
+    dense so IN hits and misses both occur."""
+    metric = rng.choice(METRICS)
+    lo, hi = PRED_RANGES[metric]
+    thresh = round(rng.uniform(lo, hi), 4)
+    m = rng.choice([7, 13, 101])
+    shape = rng.choice(["IN", "NOT IN", "IN", "NOT IN", "IN"])
+    sub_null = rng.random() < 0.7
+    probe_null = rng.random() < 0.3
+    sub_expr = f"l_orderkey % {m}"
+    if sub_null:
+        sub_expr = f"NULLIF({sub_expr}, {rng.randrange(m)})"
+    probe_expr = f"o_orderkey % {m}"
+    if probe_null:
+        probe_expr = f"NULLIF({probe_expr}, {rng.randrange(m)})"
+    group = rng.choice(["o_orderstatus", "o_orderpriority"])
+    o_pred = ""
+    if rng.random() < 0.5:
+        year = rng.choice([1993, 1995, 1997])
+        o_pred = f" AND o_orderdate >= CAST('{year}-01-01' AS TIMESTAMP)"
+    return (
+        f"SELECT {group}, COUNT(*) AS n, "
+        f"CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total "
+        f"FROM orders WHERE {probe_expr} {shape} "
+        f"(SELECT {sub_expr} FROM lineitem WHERE {metric} {op_for(rng)} {thresh})"
+        f"{o_pred} GROUP BY {group}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_nullable_in_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    sql = gen_nullable_in_query(random.Random(15_000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
