@@ -15,6 +15,122 @@ from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
 
 _HASH_DIM = 32
 
+# Cramer's-rule solve of the 3x3 normal equations for OLS with intercept
+# (regressors 1, x1, x2).  The SAME expression strings feed Spark's
+# selectExpr and the DuckDB oracle, so the double arithmetic is evaluated
+# in an identical shape in both engines over bit-identical inputs (the
+# sufficient statistics are exact DECIMAL sums cast to double once).
+_LR_DETS = {
+    "det": "n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)",
+    "det0": "sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)",
+    "det1": "n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)",
+    "det2": "n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)",
+}
+_LR_BETAS = {
+    "b0": f"(({_LR_DETS['det0']}) / ({_LR_DETS['det']}))",
+    "b1": f"(({_LR_DETS['det1']}) / ({_LR_DETS['det']}))",
+    "b2": f"(({_LR_DETS['det2']}) / ({_LR_DETS['det']}))",
+}
+_LR_R2 = (
+    f"1 - (syy - ({_LR_BETAS['b0']}*sy + {_LR_BETAS['b1']}*s1y + {_LR_BETAS['b2']}*s2y))"
+    " / (syy - sy*sy/n)"
+)
+# The sufficient-statistics aggregate, shared verbatim by both engines.
+# Inputs stay DOUBLE; each product is computed in IEEE double (bit-identical
+# across engines) then cast to DECIMAL(38,6) — the money() trick: the true
+# products have <=4 decimal places, the double is within ulps of them, so
+# the cast recovers the exact decimal and the SUM is order- and
+# engine-independent.  DECIMAL x DECIMAL is avoided entirely (DuckDB caps
+# multiply width and overflows at (18,6) x (18,6)).
+_LR_SUMS = """
+    CAST(COUNT(*) AS DOUBLE)                           AS n,
+    CAST(SUM(CAST(x1    AS DECIMAL(38,6))) AS DOUBLE)  AS s1,
+    CAST(SUM(CAST(x2    AS DECIMAL(38,6))) AS DOUBLE)  AS s2,
+    CAST(SUM(CAST(y     AS DECIMAL(38,6))) AS DOUBLE)  AS sy,
+    CAST(SUM(CAST(x1*x1 AS DECIMAL(38,6))) AS DOUBLE)  AS s11,
+    CAST(SUM(CAST(x1*x2 AS DECIMAL(38,6))) AS DOUBLE)  AS s12,
+    CAST(SUM(CAST(x2*x2 AS DECIMAL(38,6))) AS DOUBLE)  AS s22,
+    CAST(SUM(CAST(x1*y  AS DECIMAL(38,6))) AS DOUBLE)  AS s1y,
+    CAST(SUM(CAST(x2*y  AS DECIMAL(38,6))) AS DOUBLE)  AS s2y,
+    CAST(SUM(CAST(y*y   AS DECIMAL(38,6))) AS DOUBLE)  AS syy
+"""
+
+
+@register(
+    "linreg_normal_equations",
+    oracle=f"""
+    WITH obs AS (
+        SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL
+    ),
+    stats AS (SELECT {_LR_SUMS} FROM obs)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           ROUND({_LR_BETAS['b0']}, 6) AS intercept,
+           ROUND({_LR_BETAS['b1']}, 6) AS coef_quantity,
+           ROUND({_LR_BETAS['b2']}, 6) AS coef_discount,
+           ROUND({_LR_R2}, 6) AS r2
+    FROM stats
+    """,
+)
+def linreg_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS training via sufficient statistics — the way linear
+    models are actually fit at 100 TB: one map-side-combined pass computes
+    the ten exact moment sums (n, Sx, Sxx, Sxy, ...), and the 3x3 normal
+    equations solve on a one-row frame by Cramer's rule.  Fits
+    ``extendedprice ~ quantity + discount`` and reports coefficients + R².
+
+    No per-row Python, no iteration, no gram-matrix shuffle: the entire
+    model reduces to a single HashAggregate whose output is ~10 doubles,
+    identical in cost shape to a COUNT(*).  Exactness: all products ride
+    DECIMAL(38,12) (inputs have <=2 decimal places), so both engines feed
+    bit-identical doubles into the textually-shared Cramer expressions."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .selectExpr(
+            "l_quantity AS x1",
+            "l_discount AS x2",
+            "l_extendedprice AS y",
+        )
+    )
+    stats = li.groupBy().agg(
+        *[
+            F.expr(part.strip())
+            for part in _split_agg_exprs(_LR_SUMS)
+        ]
+    )
+    return stats.selectExpr(
+        "CAST(n AS BIGINT) AS n_obs",
+        f"ROUND({_LR_BETAS['b0']}, 6) AS intercept",
+        f"ROUND({_LR_BETAS['b1']}, 6) AS coef_quantity",
+        f"ROUND({_LR_BETAS['b2']}, 6) AS coef_discount",
+        f"ROUND({_LR_R2}, 6) AS r2",
+    )
+
+
+def _split_agg_exprs(sums_sql: str) -> list[str]:
+    """Split the shared sufficient-statistics SELECT-list into individual
+    aggregate expressions (they contain no nested commas outside parens)."""
+    out, depth, cur = [], 0, []
+    for ch in sums_sql:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [e.strip() for e in out if e.strip()]
+
 
 def _bucket(col):
     """Portable hash-mod-32 of a string column: first 8 md5 hex digits as an

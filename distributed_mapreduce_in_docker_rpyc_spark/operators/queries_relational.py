@@ -2097,3 +2097,47 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("right_n"))
     )
     return o.join(li, F.col("k").eqNullSafe(F.col("k2"))).select("k", "left_n", "right_n")
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_total,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS max_total
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'sum_total', sum_total FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'max_total', max_total FROM wide
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of ``pivot_status_by_flag``: a wide
+    per-priority metrics frame relationalized into (key, metric, value) long
+    form via the native ``DataFrame.unpivot`` (Spark's Expand operator, the
+    same physical node grouping sets use).  The long form is what metric
+    stores and plotting layers ingest.
+
+    Scale posture: one groupBy on a 5-value key, then Expand multiplies
+    rows x metrics with no shuffle — unpivot is projection-shaped, never a
+    join.  Oracle uses the portable UNION ALL formulation."""
+    wide = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("double").alias("n_orders"),
+            money_sum("o_totalprice").alias("sum_total"),
+            F.max(money("o_totalprice")).cast("double").alias("max_total"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "sum_total", "max_total"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

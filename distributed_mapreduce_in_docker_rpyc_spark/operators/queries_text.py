@@ -1904,3 +1904,85 @@ def text_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             entropy.between(3.0, 6.0).cast("int").alias("passes_entropy_gate"),
         )
     )
+
+
+# Binary-presence mutual information between a token and the document's
+# class label.  The SAME term string feeds Spark's F.expr and the DuckDB
+# oracle so the double math is shape-identical in both engines; all counts
+# (ntc, nt, nc, nn) are exact integers, so the only float work is the final
+# p*ln(ratio) terms, summed over <=5 classes and rounded to 6 places.
+_MI_TERM = """
+  (CASE WHEN ntc > 0
+        THEN (CAST(ntc AS DOUBLE) / nn)
+             * ln(CAST(nn AS DOUBLE) * ntc / (CAST(nt AS DOUBLE) * nc))
+        ELSE 0 END)
++ (CASE WHEN nc - ntc > 0 AND nn - nt > 0
+        THEN (CAST(nc - ntc AS DOUBLE) / nn)
+             * ln(CAST(nn AS DOUBLE) * (nc - ntc) / (CAST(nn - nt AS DOUBLE) * nc))
+        ELSE 0 END)
+"""
+_MI_MIN_DF = 5
+
+
+@register(
+    "token_label_mi",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents
+    ),
+    ntc_t AS (SELECT word, lang, COUNT(*) AS ntc FROM tok GROUP BY 1, 2),
+    nt_t  AS (SELECT word, CAST(SUM(ntc) AS BIGINT) AS nt FROM ntc_t GROUP BY 1),
+    cls   AS (SELECT lang, COUNT(*) AS nc FROM documents GROUP BY 1),
+    tot   AS (SELECT COUNT(*) AS nn FROM documents),
+    grid  AS (
+        SELECT nt_t.word, nt_t.nt, cls.lang, cls.nc, tot.nn,
+               COALESCE(x.ntc, 0) AS ntc
+        FROM nt_t CROSS JOIN cls CROSS JOIN tot
+        LEFT JOIN ntc_t x ON x.word = nt_t.word AND x.lang = cls.lang
+    )
+    SELECT word, nt AS df, ROUND(SUM({_MI_TERM}), 6) AS mi
+    FROM grid
+    GROUP BY word, nt
+    HAVING nt >= {_MI_MIN_DF}
+    ORDER BY mi DESC, word ASC
+    LIMIT 50
+    """,
+)
+def token_label_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature selection for corpus classifiers: mutual information between
+    binary token presence and the document's language label (Manning &
+    Schütze's MI feature-selection formulation) — the statistic that ranks
+    which tokens carry label signal before training a fastText-style filter
+    or a quality classifier.  Top 50 tokens by MI, deterministic tie-break.
+
+    Shape at 100 TB: one token scan → per-(token,label) doc counts (a
+    vocabulary x n_labels agg on uniform keys), then everything downstream
+    operates on vocabulary-sized frames; the label marginals (5 rows) and
+    the corpus total (1 row) ride broadcast frames.  The full
+    token x label grid is materialized via a broadcast cross join so
+    zero-count cells contribute their absent-cell term — no collect, no
+    Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(tokenize_column("text"))).alias("word")
+    )
+    ntc = tok.groupBy("word", "lang").agg(F.count("*").alias("ntc"))
+    nt = ntc.groupBy("word").agg(F.sum("ntc").cast("long").alias("nt"))
+    cls = docs.groupBy("lang").agg(F.count("*").alias("nc"))
+    tot = docs.agg(F.count("*").alias("nn"))
+    grid = (
+        nt.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(tot))
+        .join(ntc, ["word", "lang"], "left")
+        .withColumn("ntc", F.coalesce(F.col("ntc"), F.lit(0)))
+    )
+    return (
+        grid.withColumn("term", F.expr(_MI_TERM))
+        .groupBy("word", F.col("nt").alias("df"))
+        .agg(F.round(F.sum("term"), 6).alias("mi"))
+        .filter(F.col("df") >= _MI_MIN_DF)
+        .orderBy(F.desc("mi"), F.asc("word"))
+        .limit(50)
+    )

@@ -96,6 +96,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_whiten_diag",
     "text_byte_entropy",
     "jsonl_roundtrip",
+    "linreg_normal_equations",
+    "token_label_mi",
+    "unpivot_order_metrics",
     # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",
@@ -106,9 +109,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority_check",
+    # --- 50-slot budget line falls here (42 + 8) ---
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    # --- 50-slot budget line falls here (39 + 11) ---
     "q10_returned_items",
     "q14_promo_revenue_share",
     "q18_large_volume_customers",

@@ -1,12 +1,13 @@
 """Differential query fuzzing (SQLancer-style, seeded and deterministic).
 
-A small grammar generates 233 seeded queries across fifteen families — GROUP
+A small grammar generates 261 seeded queries across seventeen families — GROUP
 BY / filter / HAVING, inner/left joins, window frames, distinct aggregates,
 semi/anti joins (EXISTS / IN subqueries), nullable IN / NOT IN three-valued logic, set operations, grouping sets,
 CASE/COALESCE/NULLIF conditionals, correlated & uncorrelated scalar
 subqueries, string/date scalar expressions, time-bucketed event
 analytics, LATERAL correlated derived tables, and explicit-NULLS top-N
-(ORDER BY / LIMIT / OFFSET) — over lineitem/orders/customer/events; the
+(ORDER BY / LIMIT / OFFSET), CTE chains with twice-referenced CTEs, and
+QUALIFY-style rank-then-filter top-N — over lineitem/orders/customer/events; the
 SAME SQL text runs on Spark and DuckDB and
 the results must agree row-for-row.  This catches whole classes of engine-integration mistakes the
 hand-written oracles can't: type-coercion drift, null-handling divergence,
@@ -653,4 +654,89 @@ def gen_nullable_in_query(rng: random.Random) -> str:
 def test_fuzzed_nullable_in_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["orders", "lineitem"])
     sql = gen_nullable_in_query(random.Random(15_000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_cte_chain_query(rng: random.Random) -> str:
+    """CTE-chain variant: a WITH clause whose first CTE aggregates, whose
+    second derives from the first, and whose body REFERENCES A CTE TWICE
+    (self-join on the aggregate) — exercising subplan reuse, alias scoping,
+    and aggregate-of-aggregate typing that single-block families never
+    touch."""
+    a, b = rng.sample(GROUP_COLS, 2)
+    metric = rng.choice(METRICS)
+    agg = rng.choice(AGGS)
+    pred_col = rng.choice(METRICS)
+    lo, hi = PRED_RANGES[pred_col]
+    thresh = round(rng.uniform(lo, hi), 4)
+    min_n = rng.randint(2, 15)
+    shape = rng.random()
+    base = (
+        f"base AS (SELECT {a}, {b}, "
+        f"CAST(ROUND({agg}({metric}), 2) AS DOUBLE) AS m, COUNT(*) AS n "
+        f"FROM lineitem WHERE {pred_col} {op_for(rng)} {thresh} "
+        f"GROUP BY {a}, {b})"
+    )
+    if shape < 0.5:
+        # second CTE re-aggregates the first; body joins both levels
+        return (
+            f"WITH {base}, "
+            f"roll AS (SELECT {a}, CAST(ROUND(SUM(m), 2) AS DOUBLE) AS tot, "
+            f"SUM(n) AS total_n FROM base GROUP BY {a}) "
+            f"SELECT base.{a}, base.{b}, base.m, roll.tot, roll.total_n "
+            f"FROM base JOIN roll ON base.{a} = roll.{a} "
+            f"WHERE base.n >= {min_n}"
+        )
+    # body references the same CTE twice: pair each group with its sibling
+    # groups under the same first key (self equi-join, anti-reflexive)
+    return (
+        f"WITH {base} "
+        f"SELECT x.{a}, x.{b} AS b_x, y.{b} AS b_y, x.m AS m_x, y.m AS m_y "
+        f"FROM base x JOIN base y ON x.{a} = y.{a} AND x.{b} < y.{b} "
+        f"WHERE x.n >= {min_n}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_fuzzed_cte_chain_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["lineitem"])
+    sql = gen_cte_chain_query(random.Random(16_000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+RANK_FUNCS = ["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "NTILE(4)"]
+
+
+def gen_rank_filter_query(rng: random.Random) -> str:
+    """QUALIFY-style variant: rank inside a derived table, filter on the
+    rank outside — the top-N-per-group shape.  RANK/DENSE_RANK are ordered
+    by a deliberately COARSE key (ties are the point: both engines must
+    agree on gap semantics); ROW_NUMBER/NTILE get the total order so the
+    assignment itself is deterministic."""
+    part = rng.choice(["l_returnflag", "l_linestatus", "o_orderpriority"])
+    table = "orders" if part.startswith("o_") else "lineitem"
+    fn = rng.choice(RANK_FUNCS)
+    if table == "orders":
+        tie_order = "o_totalprice DESC, o_orderkey"
+        coarse = "o_orderstatus"  # massive tie groups — rank-gap semantics
+        keys = "o_orderkey"
+    else:
+        tie_order = f"{_TOTAL_ORDER}"
+        coarse = "l_linenumber"  # 7 distinct values — massive tie groups
+        keys = "l_orderkey, l_linenumber"
+    order = coarse if fn in ("RANK()", "DENSE_RANK()") else tie_order
+    k = rng.randint(1, 8)
+    cmp_op = rng.choice(["<=", "=", "<"])
+    return (
+        f"SELECT {keys}, {part}, rnk FROM ("
+        f"SELECT {keys}, {part}, {fn} OVER (PARTITION BY {part} "
+        f"ORDER BY {order}) AS rnk FROM {table}"
+        f") ranked WHERE rnk {cmp_op} {k}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_fuzzed_rank_filter_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["lineitem", "orders"])
+    sql = gen_rank_filter_query(random.Random(17_000 + seed))
     compare(spark.sql(sql), sql, sf_dir, float_places=2)

@@ -392,6 +392,7 @@ BNLJ_ALLOWED = {
     "target_encode_brand": "broadcast side = 1-row global prior mean",
     "target_encode_kfold": "broadcast side = 1-row global prior mean",
     "ab_test_conversion": "broadcast side = 1-row pooled totals",
+    "token_label_mi": "broadcast sides = label marginals (<= n_labels rows) and 1-row corpus total",
 }
 
 
