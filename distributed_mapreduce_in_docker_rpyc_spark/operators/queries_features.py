@@ -84,7 +84,7 @@ def linreg_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     No per-row Python, no iteration, no gram-matrix shuffle: the entire
     model reduces to a single HashAggregate whose output is ~10 doubles,
     identical in cost shape to a COUNT(*).  Exactness: all products ride
-    DECIMAL(38,12) (inputs have <=2 decimal places), so both engines feed
+    DECIMAL(38,6) (inputs have <=2 true decimal places), so both engines feed
     bit-identical doubles into the textually-shared Cramer expressions."""
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -308,4 +308,58 @@ def target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("encoded_oof"),
         )
+    )
+
+
+@register(
+    "linreg_by_returnflag",
+    oracle=f"""
+    WITH obs AS (
+        SELECT l_returnflag AS grp, l_quantity AS x1, l_discount AS x2,
+               l_extendedprice AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    stats AS (SELECT grp, {_LR_SUMS} FROM obs GROUP BY grp)
+    SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n_obs,
+           ROUND({_LR_BETAS['b0']}, 6) AS intercept,
+           ROUND({_LR_BETAS['b1']}, 6) AS coef_quantity,
+           ROUND({_LR_BETAS['b2']}, 6) AS coef_discount,
+           ROUND({_LR_R2}, 6) AS r2
+    FROM stats
+    """,
+)
+def linreg_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS — one independent regression PER GROUP in a single pass:
+    the segment-model pattern (a model per tenant/market/category) that at
+    100 TB replaces thousands of sequential fits with one grouped
+    aggregation.  Identical sufficient-statistics + Cramer machinery as
+    ``linreg_normal_equations``, keyed by l_returnflag; the shuffle carries
+    ten doubles per group, nothing else."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+            & F.col("l_returnflag").isNotNull()
+        )
+        .selectExpr(
+            "l_returnflag AS grp",
+            "l_quantity AS x1",
+            "l_discount AS x2",
+            "l_extendedprice AS y",
+        )
+    )
+    stats = li.groupBy("grp").agg(
+        *[F.expr(part) for part in _split_agg_exprs(_LR_SUMS)]
+    )
+    return stats.selectExpr(
+        "grp AS l_returnflag",
+        "CAST(n AS BIGINT) AS n_obs",
+        f"ROUND({_LR_BETAS['b0']}, 6) AS intercept",
+        f"ROUND({_LR_BETAS['b1']}, 6) AS coef_quantity",
+        f"ROUND({_LR_BETAS['b2']}, 6) AS coef_discount",
+        f"ROUND({_LR_R2}, 6) AS r2",
     )

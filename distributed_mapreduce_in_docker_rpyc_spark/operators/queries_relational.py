@@ -2141,3 +2141,57 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "skyline_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+          AND q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+      )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-dominance) query: the parts for which no other part
+    is both cheaper-or-equal AND larger-or-equal with at least one strict —
+    the multi-objective shortlist shape (Börzsönyi et al.'s SKYLINE OF
+    operator).  The ORACLE is the textbook O(n²) NOT EXISTS; the ENGINE
+    plan is the O(n log n) sort-scan decomposition: collapse to max-size
+    per distinct price, prefix-max over the price-sorted frontier frame,
+    keep prices whose max size strictly exceeds every cheaper price's, and
+    join the survivors back.  Ties on both dimensions don't dominate each
+    other, so all tied parts surface.
+
+    Scale posture: one groupBy on price + a window over the DISTINCT-PRICE
+    frame (cardinality ~sqrt of the fact here, bounded by the price domain
+    — the single-partition window touches only that tiny frame), then a
+    broadcast join back to the fact.  No n² anywhere in the plan."""
+    base = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    per_price = base.groupBy("p_retailprice").agg(F.max("p_size").alias("smax"))
+    w_prev = (
+        Window.orderBy(F.asc("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_price.withColumn("prev_max", F.max("smax").over(w_prev))
+        .filter(F.col("prev_max").isNull() | (F.col("smax") > F.col("prev_max")))
+        .select(
+            F.col("p_retailprice").alias("f_price"), F.col("smax").alias("f_size")
+        )
+    )
+    return base.join(
+        F.broadcast(frontier),
+        (F.col("p_retailprice") == F.col("f_price"))
+        & (F.col("p_size") == F.col("f_size")),
+    ).select("p_partkey", "p_retailprice", "p_size")

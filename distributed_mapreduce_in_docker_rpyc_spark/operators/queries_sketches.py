@@ -340,3 +340,100 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_STATS_COLS)}, {', '.join(rows)}) "
         "AS (col_name, n_nulls, ndv, min_num, max_num, min_str, max_str)"
     )
+
+
+_KMV_K = 32
+# Uniform (0,1] hash of a user id: first 12 md5 hex digits over 2^48 —
+# portable (Spark spells it conv(..., 16, 10), DuckDB CAST('0x'||...), the
+# established two-sided md5 idiom) and collision-free at any realistic
+# cardinality.  The KMV estimator is DETERMINISTIC given the hash, so
+# unlike HLL the whole error report is hash-checkable.
+_KMV_U_SQL = (
+    "CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) "
+    "AS DOUBLE) / 281474976710656.0"
+)
+
+
+@register(
+    "kmv_daily_distinct",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    hashed AS (SELECT day, {_KMV_U_SQL} AS u FROM du),
+    ranked AS (
+        SELECT day, u,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY u ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY day) AS nd
+        FROM hashed
+    ),
+    est AS (
+        SELECT day, nd AS exact_distinct,
+               CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) / MAX(CASE WHEN rn = {_KMV_K} THEN u END)
+               END AS kmv_estimate
+        FROM ranked
+        GROUP BY day, nd
+    )
+    SELECT day, exact_distinct,
+           ROUND(kmv_estimate, 6) AS kmv_estimate,
+           ROUND(ABS(kmv_estimate - exact_distinct) / exact_distinct, 6)
+               AS rel_error
+    FROM est
+    """,
+)
+def kmv_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) per
+    event day, with its error against the exact count — the
+    mergeable-sketch pattern HLL uses, but built from a DETERMINISTIC
+    portable hash, so the estimate itself is oracle-hash-checked (the HLL
+    report can only ever be rows-only: its register hashing is
+    Spark-internal).  Estimator: with u_(k) the k-th smallest of the
+    distinct keys' uniform hashes, distinct ≈ (k-1)/u_(k); days with fewer
+    than k keys fall back to the exact count (the sketch stores all of
+    them).
+
+    Shape at 100 TB: per-(day, user) distinct is one shuffle on uniform
+    keys; ranking the k minima is a per-day window over the distinct-user
+    frame.  At real scale the k minima would fold map-side (a
+    min-k-by-partition then merge, O(k) state per day per task — the
+    mergeability the estimator exists for); the window form keeps the
+    day-local semantics identical and the plan windows-over-shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        / F.lit(281474976710656.0)
+    )
+    hashed = du.select("day", u.alias("u"))
+    w_rank = Window.partitionBy("day").orderBy(F.asc("u"))
+    w_all = Window.partitionBy("day")
+    ranked = hashed.select(
+        "day",
+        "u",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("nd"),
+    )
+    est = ranked.groupBy("day", "nd").agg(
+        F.when(F.col("nd") < _KMV_K, F.col("nd").cast("double"))
+        .otherwise(
+            F.lit(_KMV_K - 1)
+            / F.max(F.when(F.col("rn") == _KMV_K, F.col("u")))
+        )
+        .alias("kmv_estimate")
+    )
+    return est.select(
+        "day",
+        F.col("nd").alias("exact_distinct"),
+        F.round("kmv_estimate", 6).alias("kmv_estimate"),
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("nd")) / F.col("nd"), 6
+        ).alias("rel_error"),
+    )

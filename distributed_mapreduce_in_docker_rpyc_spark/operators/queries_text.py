@@ -1986,3 +1986,117 @@ def token_label_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mi"), F.asc("word"))
         .limit(50)
     )
+
+
+# Multinomial naive Bayes with add-1 smoothing.  The log-likelihood and
+# score expressions are shared verbatim between Spark and the oracle; all
+# inputs to the float math (token counts ntc, per-class token totals nc,
+# vocabulary size vv, doc/class counts) are exact integers, and per-class
+# scores are rounded to 6 places BEFORE the argmax so the predicted label
+# is stable against summation-order jitter in either engine.
+_NB_LL = "ln(CAST(ntc + 1 AS DOUBLE) / (nc + vv))"
+
+
+@register(
+    "naive_bayes_langid",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents
+    ),
+    ntc_t AS (SELECT word, lang, COUNT(*) AS ntc FROM tok GROUP BY 1, 2),
+    nc_t  AS (SELECT lang, COUNT(*) AS nc FROM tok GROUP BY 1),
+    vocab AS (SELECT DISTINCT word FROM tok),
+    vv_t  AS (SELECT COUNT(*) AS vv FROM vocab),
+    prior AS (
+        SELECT lang, COUNT(*) AS ndc,
+               (SELECT COUNT(*) FROM documents) AS nd
+        FROM documents GROUP BY lang
+    ),
+    ll_in AS (
+        SELECT v.word, c.lang, c.nc, vv_t.vv, COALESCE(x.ntc, 0) AS ntc
+        FROM vocab v
+        CROSS JOIN nc_t c CROSS JOIN vv_t
+        LEFT JOIN ntc_t x ON x.word = v.word AND x.lang = c.lang
+    ),
+    ll AS (SELECT word, lang, {_NB_LL} AS ll FROM ll_in),
+    scored AS (
+        SELECT t.doc_id, ll.lang,
+               ROUND(SUM(ll.ll) + ln(CAST(p.ndc AS DOUBLE) / p.nd), 6) AS score
+        FROM tok t
+        JOIN ll ON ll.word = t.word
+        JOIN prior p ON p.lang = ll.lang
+        GROUP BY t.doc_id, ll.lang, p.ndc, p.nd
+    ),
+    pred AS (
+        SELECT doc_id, lang AS pred_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang ASC) AS rn
+        FROM scored
+    )
+    SELECT d.lang AS true_lang, pred.pred_lang, COUNT(*) AS n
+    FROM documents d
+    JOIN pred ON pred.doc_id = d.doc_id AND pred.rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRAINED language classifier over the corpus — multinomial naive
+    Bayes with add-1 smoothing, fit and evaluated distributively (the
+    fastText-style quality/language filter of a training-data pipeline,
+    reduced to joins and aggregates): per-class token log-likelihoods from
+    one token scan, per-document class scores by a vocabulary-grid join,
+    argmax with a deterministic tie-break, and the 5x5 confusion matrix
+    against the fixture's true labels as output.
+
+    Shape at 100 TB: the model (vocab x 5 log-likelihoods) is
+    vocabulary-sized and BROADCASTS — training is one groupBy, scoring is a
+    broadcast-join + per-(doc, class) sum, exactly how you score 100 TB of
+    text against a dictionary model without shuffling the corpus.  Scores
+    are rounded to 6 places before the argmax so engine summation order
+    cannot flip a prediction."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokenize_column("text")).alias("word")
+    )
+    ntc = tok.groupBy("word", "lang").agg(F.count("*").alias("ntc"))
+    nc = tok.groupBy("lang").agg(F.count("*").alias("nc"))
+    vocab = tok.select("word").distinct()
+    vv = vocab.agg(F.count("*").alias("vv"))
+    nd = docs.count()
+    prior = docs.groupBy("lang").agg(
+        F.count("*").alias("ndc"), F.lit(nd).alias("nd")
+    )
+    ll = (
+        vocab.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(vv))
+        .join(ntc, ["word", "lang"], "left")
+        .withColumn("ntc", F.coalesce(F.col("ntc"), F.lit(0)))
+        .select("word", "lang", F.expr(_NB_LL).alias("ll"))
+    )
+    scored = (
+        tok.select("doc_id", "word")
+        .join(F.broadcast(ll), "word")
+        .join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum("ll")
+                + F.first(F.log(F.col("ndc").cast("double") / F.col("nd"))),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )

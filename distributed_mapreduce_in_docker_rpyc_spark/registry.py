@@ -45,14 +45,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   slots 12-13 — sim_topk_ivf / sim_ann_recall_report, upgraded this round
 #                 from rows-only to hash-checked (deterministic SQL-expressible
 #                 IVF quantizer replaces driver KMeans);
-#   slots 14-39 — the 26 queries BUILT in round 4 (graph, corpus ops, CEP,
+#   slots 14-45 — the 32 queries BUILT in round 4 (graph, corpus ops, CEP,
 #                 interpolation, stats, hybrid retrieval, span dedup, Gram
 #                 matrix, recursive CTE, watermark finalization, MAD outliers,
-#                 byte entropy, JSONL round-trip), each locally
-#                 green on the driver-identical gate;
-#   slots 40-50 — the stalest green rows: r1-verified wordcount/ingest plus
-#                 the relational family head (fixtures drift between rounds —
-#                 re-prove them on current data).  The rest follow for r5.
+#                 byte entropy, JSONL round-trip, OLS via normal equations,
+#                 token-label MI, unpivot, naive Bayes, KMV sketch, skyline),
+#                 each locally green on the driver-identical gate;
+#   slots 47-50 — the stalest green rows: r1-verified wordcount/ingest
+#                 (fixtures drift between rounds — re-prove them on current
+#                 data).  The rest follow for r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (1) oracle-backed, never driver-checked — land rows first
     "jsondict_roundtrip",
@@ -99,17 +100,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "linreg_normal_equations",
     "token_label_mi",
     "unpivot_order_metrics",
+    "naive_bayes_langid",
+    "kmv_daily_distinct",
+    "skyline_parts",
+    "linreg_by_returnflag",
     # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",
     "wordcount_rdd_core",
     "inverted_index_stats",
+    # --- 50-slot budget line falls here (46 + 4) ---
     "ingest_zip_wordcount",
     "ziptext_datasource_scan",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority_check",
-    # --- 50-slot budget line falls here (42 + 8) ---
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",

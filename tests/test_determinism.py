@@ -56,6 +56,11 @@ RISK_SET = [
     "corpus_packing_plan",
     "corpus_shuffle_shards",
     "heavy_hitters_verified",
+    # round-4 additions with rank/argmax/top-N shapes
+    "token_label_mi",
+    "naive_bayes_langid",
+    "kmv_daily_distinct",
+    "skyline_parts",
 ]
 
 

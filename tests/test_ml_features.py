@@ -8,6 +8,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from distributed_mapreduce_in_docker_rpyc_spark.registry import ORACLES, QUERIES, load_all
 from tests.oracle import compare
@@ -21,6 +22,10 @@ ORACLE_CHECKED = [
     "feature_hashing_trick",
     "target_encode_brand",
     "target_encode_kfold",
+    "naive_bayes_langid",
+    "kmv_daily_distinct",
+    "skyline_parts",
+    "linreg_by_returnflag",
 ]
 
 
@@ -78,3 +83,50 @@ def test_unpivot_roundtrips_the_wide_frame(spark, sf_dir):
     for metrics in per_key.values():
         assert set(metrics) == {"n_orders", "sum_total", "max_total"}
         assert metrics["max_total"] <= metrics["sum_total"]
+
+
+def test_naive_bayes_confusion_covers_every_doc(spark, sf_dir):
+    """Each document gets exactly one prediction: confusion-matrix counts
+    sum to the corpus size, and the trained classifier beats the majority
+    class on its own training set (a sanity floor, not a benchmark)."""
+    rows = QUERIES["naive_bayes_langid"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    assert sum(r["n"] for r in rows) == n_docs
+    correct = sum(r["n"] for r in rows if r["true_lang"] == r["pred_lang"])
+    majority = max(
+        r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    )
+    assert correct >= majority
+
+
+def test_kmv_estimate_brackets_exact_count(spark, sf_dir):
+    """KMV with k=32 on ~1e2 distinct keys stays within a loose multiple of
+    the exact count (theory: rel std err ~ 1/sqrt(k-2) ~ 18%), and the
+    small-cardinality fallback returns the exact count."""
+    for r in QUERIES["kmv_daily_distinct"](spark, sf_dir).collect():
+        assert r["exact_distinct"] > 0
+        assert 0.3 * r["exact_distinct"] <= r["kmv_estimate"] <= 3.0 * r["exact_distinct"]
+        if r["exact_distinct"] < 32:
+            assert r["kmv_estimate"] == float(r["exact_distinct"])
+
+
+def test_skyline_no_survivor_dominates_another(spark, sf_dir):
+    """Pairwise non-dominance among survivors (the defining property), and
+    every non-survivor is dominated by some survivor (completeness)."""
+    sky = QUERIES["skyline_parts"](spark, sf_dir).collect()
+    assert sky
+    pts = [(r["p_retailprice"], r["p_size"]) for r in sky]
+    for i, (pi, si) in enumerate(pts):
+        for j, (pj, sj) in enumerate(pts):
+            if i != j:
+                assert not (pj <= pi and sj >= si and (pj < pi or sj > si))
+    allp = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_retailprice", "p_size"
+    ).dropna().collect()
+    skyset = set(pts)
+    for r in allp:
+        p0, s0 = r["p_retailprice"], r["p_size"]
+        if (p0, s0) in skyset:
+            continue
+        assert any(pj <= p0 and sj >= s0 and (pj < p0 or sj > s0) for pj, sj in pts)

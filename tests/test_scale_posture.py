@@ -393,6 +393,7 @@ BNLJ_ALLOWED = {
     "target_encode_kfold": "broadcast side = 1-row global prior mean",
     "ab_test_conversion": "broadcast side = 1-row pooled totals",
     "token_label_mi": "broadcast sides = label marginals (<= n_labels rows) and 1-row corpus total",
+    "naive_bayes_langid": "broadcast sides = per-class token totals (<= n_labels rows) and 1-row vocab size",
 }
 
 
