@@ -45,15 +45,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   slots 12-13 — sim_topk_ivf / sim_ann_recall_report, upgraded this round
 #                 from rows-only to hash-checked (deterministic SQL-expressible
 #                 IVF quantizer replaces driver KMeans);
-#   slots 14-45 — the 32 queries BUILT in round 4 (graph, corpus ops, CEP,
+#   slots 14-48 — the queries BUILT in round 4 (graph, corpus ops, CEP,
 #                 interpolation, stats, hybrid retrieval, span dedup, Gram
 #                 matrix, recursive CTE, watermark finalization, MAD outliers,
 #                 byte entropy, JSONL round-trip, OLS via normal equations,
-#                 token-label MI, unpivot, naive Bayes, KMV sketch, skyline),
-#                 each locally green on the driver-identical gate;
-#   slots 47-50 — the stalest green rows: r1-verified wordcount/ingest
-#                 (fixtures drift between rounds — re-prove them on current
-#                 data).  The rest follow for r5.
+#                 token-label MI, unpivot, naive Bayes, KMV sketch, skyline,
+#                 prefix-filter + sorted-neighborhood dedup), each locally
+#                 green on the driver-identical gate;
+#   slots 49-50 — the stalest green rows: r1-verified wordcount (fixtures
+#                 drift between rounds — re-prove them on current data).
+#                 The rest follow for r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (1) oracle-backed, never driver-checked — land rows first
     "jsondict_roundtrip",
@@ -104,6 +105,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "kmv_daily_distinct",
     "skyline_parts",
     "linreg_by_returnflag",
+    "dedup_prefix_filter",
+    "dedup_sorted_neighborhood",
     # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",

@@ -41,6 +41,8 @@ ORACLE_CHECKED = [
     "dedup_substring_coverage",
     "emb_gram_matrix",
     "corpus_chunk_windows",
+    "dedup_prefix_filter",
+    "dedup_sorted_neighborhood",
 ]
 
 
@@ -433,3 +435,41 @@ def test_byte_entropy_semantics(spark, tmp_path):
     assert rows[4].ascii_fraction == pytest.approx(
         sum(1 for b in raw if b < 0x80) / len(raw)
     )
+
+
+def test_prefix_filter_prunes_but_loses_nothing(spark, sf_dir):
+    """The prefix-filter join must (a) equal the exhaustive shared-shingle
+    Jaccard join at the same threshold — losslessness — while (b) probing
+    strictly fewer candidate shingle keys than the doc sets contain."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    shd = _shingles(spark, sf_dir)
+    exhaustive = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dd.jaccard_pairs(docs, threshold=0.6, shingles=shd).collect()
+    }
+    filtered = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in QUERIES["dedup_prefix_filter"](spark, sf_dir).collect()
+    }
+    assert filtered == exhaustive and len(filtered) > 0
+
+
+def test_sorted_neighborhood_full_recall_on_fixture(spark, sf_dir):
+    """SNM is a heuristic (candidates limited to 5 sort-neighbors within a
+    4-char block); on the fixture every planted near-dup pair survives it —
+    the pairs found must EQUAL the exhaustive ≥0.3 join without the df cap."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    shd = _shingles(spark, sf_dir)
+    exhaustive = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(docs, threshold=0.3, shingles=shd).collect()
+    }
+    snm = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_sorted_neighborhood"](spark, sf_dir).collect()
+    }
+    assert snm == exhaustive and len(snm) > 0
