@@ -492,3 +492,84 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("conv_rate"),
         F.round((rate - other) / se, 6).alias("z_vs_other"),
     )
+
+
+@register(
+    "events_sequence_loglik",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    trans AS (SELECT user_id, src, dst FROM seq WHERE dst IS NOT NULL),
+    model AS (
+        SELECT src, dst, count(*) AS cnt FROM trans GROUP BY src, dst
+    ),
+    tot AS (SELECT src, sum(cnt) AS n FROM model GROUP BY src),
+    k AS (SELECT count(DISTINCT event_type) AS n_types FROM events),
+    probs AS (
+        SELECT m.src, m.dst,
+               ln((CAST(m.cnt AS DOUBLE) + 1.0) / (CAST(t.n AS DOUBLE) + k.n_types))
+                   AS lp
+        FROM model m JOIN tot t ON t.src = m.src CROSS JOIN k
+    )
+    SELECT tr.user_id,
+           count(*) AS n_transitions,
+           ROUND(sum(p.lp) / count(*), 6) AS avg_loglik
+    FROM trans tr
+    JOIN probs p ON p.src = tr.src AND p.dst = tr.dst
+    GROUP BY tr.user_id
+    """,
+)
+def events_sequence_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequence plausibility under the corpus's own first-order
+    Markov model: each user's event stream is scored by the average
+    add-1-smoothed log transition probability — the classic
+    sequence-anomaly detector (users whose behavior deviates from global
+    transition structure score low; bots and replay attacks surface here).
+
+    Two passes over the same windowed transition frame: pass one aggregates
+    the global model (K² rows max — broadcast back), pass two joins each
+    user's transitions against it and averages.  The transition frame is
+    computed ONCE per pass from a (user, time) window — at 100 TB both the
+    model agg and the per-user agg shuffle on uniform keys
+    ((src,dst) / user_id); the model join is a broadcast hash join.
+    Laplace smoothing makes every observed transition scoreable; ln() sums
+    differ across engines by ulps only, absorbed by the 6-dp round."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .persist()
+    )
+    model = trans.groupBy("src", "dst").agg(F.count("*").alias("cnt"))
+    tot = model.groupBy("src").agg(F.sum("cnt").alias("n"))
+    k = ev.agg(F.countDistinct("event_type").alias("n_types"))
+    probs = (
+        model.join(tot, "src")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "src",
+            "dst",
+            F.log(
+                (F.col("cnt").cast("double") + F.lit(1.0))
+                / (F.col("n").cast("double") + F.col("n_types"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        trans.join(F.broadcast(probs), ["src", "dst"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.round(F.sum("lp") / F.count("*"), 6).alias("avg_loglik"),
+        )
+    )

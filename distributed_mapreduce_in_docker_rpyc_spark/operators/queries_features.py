@@ -363,3 +363,124 @@ def linreg_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_LR_BETAS['b2']}, 6) AS coef_discount",
         f"ROUND({_LR_R2}, 6) AS r2",
     )
+
+
+# --- Logistic-style classifier via fixed-unroll gradient descent ----------
+#
+# The engine-portable construction: the link is the ALGEBRAIC "fast sigmoid"
+# s(z) = 0.5*(1 + z/(1+|z|)) — same shape as the logistic curve but built
+# from +,-,*,/,abs only, all of which IEEE-754 requires to be correctly
+# rounded.  exp() is NOT correctly-rounded-guaranteed across libm
+# implementations, so classic logistic GD can drift between engines by an
+# ulp per row; this link cannot.  Per-row gradient terms are computed in
+# double (bit-identical given bit-identical inputs), then quantized to
+# DECIMAL(38,6) before summation — fixed-point gradient accumulation, the
+# standard trick for DETERMINISTIC parallel reduction (sum of decimals is
+# exact and order-independent, so Spark's partial aggregation over any
+# partitioning equals DuckDB's serial sum bit-for-bit).  Every expression
+# string below feeds BOTH engines verbatim; explicit parentheses pin the
+# association order.
+_GD_X1 = "((CAST(l_quantity AS DOUBLE) / 50.0) - 0.5)"
+_GD_X2 = "((CAST(l_discount AS DOUBLE) * 10.0) - 0.5)"
+_GD_Y = "(CASE WHEN l_extendedprice > 36000 THEN 1.0 ELSE 0.0 END)"
+_GD_Z = "((b0 + (b1 * x1)) + (b2 * x2))"
+_GD_P = f"(0.5 * (1.0 + ({_GD_Z} / (1.0 + abs({_GD_Z})))))"
+_GD_GRAD = f"""
+    CAST(SUM(CAST(({_GD_P} - y) AS DECIMAL(38,6))) AS DOUBLE)          AS g0,
+    CAST(SUM(CAST((({_GD_P} - y) * x1) AS DECIMAL(38,6))) AS DOUBLE)   AS g1,
+    CAST(SUM(CAST((({_GD_P} - y) * x2) AS DECIMAL(38,6))) AS DOUBLE)   AS g2,
+    CAST(COUNT(*) AS DOUBLE)                                           AS n
+"""
+_GD_STEP = [
+    "(b0 - (2.0 * (g0 / n))) AS b0",
+    "(b1 - (2.0 * (g1 / n))) AS b1",
+    "(b2 - (2.0 * (g2 / n))) AS b2",
+]
+_GD_ITERS = 6
+_GD_CORRECT = f"(CASE WHEN ({_GD_Z} >= 0.0) = (y = 1.0) THEN 1 ELSE 0 END)"
+
+
+def _logreg_oracle() -> str:
+    parts = [
+        f"""
+    WITH obs AS (
+        SELECT {_GD_X1} AS x1, {_GD_X2} AS x2, {_GD_Y} AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL
+    ),
+    it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)
+    """
+    ]
+    for i in range(1, _GD_ITERS + 1):
+        parts.append(
+            f""",
+    gr{i} AS (SELECT {_GD_GRAD} FROM obs, it{i - 1}),
+    it{i} AS (SELECT {", ".join(_GD_STEP)} FROM it{i - 1}, gr{i})"""
+        )
+    parts.append(
+        f""",
+    fin AS (
+        SELECT COUNT(*) AS n_obs,
+               CAST(SUM({_GD_CORRECT}) AS DOUBLE) / COUNT(*) AS acc
+        FROM obs, it{_GD_ITERS}
+    )
+    SELECT fin.n_obs AS n_obs,
+           ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+           ROUND(acc, 6) AS train_accuracy
+    FROM fin, it{_GD_ITERS}
+    """
+    )
+    return "".join(parts)
+
+
+@register("logreg_gradient_descent", oracle=_logreg_oracle())
+def logreg_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier trained by 6 full-batch gradient-descent steps
+    (fast-sigmoid link, lr=2.0) predicting high-value line items
+    (extendedprice > 36000) from scaled quantity/discount — iterative ML
+    training as ONE declarative DAG, hash-checked against a fixed-unroll
+    DuckDB oracle.
+
+    How iterative optimization runs at 100 TB: model state is a 1-row
+    broadcast frame (3 doubles), each step is one map-side-combined
+    aggregate over the observations producing a 4-double gradient row —
+    per-step shuffle traffic is CONSTANT, independent of data size, and the
+    driver never sees the data (no collect; the chain is
+    obs ⨯ broadcast(βᵢ) → agg → βᵢ₊₁).  The observation frame is persisted
+    once and re-scanned per step — GD is inherently multi-pass.
+
+    Cross-engine exactness (see the _GD_* block comment): algebraic link
+    (no libm), pinned association order, and fixed-point DECIMAL(38,6)
+    gradient accumulation make every βᵢ bit-identical in Spark and DuckDB —
+    which is what lets an ITERATIVE training loop be oracle-hash-checked at
+    all.  On this fixture price⊥quantity (corr≈0.003), so training
+    converges toward the base-rate intercept; the operator's claim is the
+    machinery, not the model."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .selectExpr(f"{_GD_X1} AS x1", f"{_GD_X2} AS x2", f"{_GD_Y} AS y")
+        .persist()
+    )
+    beta = spark.range(1).selectExpr("0.0 AS b0", "0.0 AS b1", "0.0 AS b2")
+    for _ in range(_GD_ITERS):
+        grads = li.crossJoin(F.broadcast(beta)).agg(
+            *[F.expr(e) for e in _split_agg_exprs(_GD_GRAD)]
+        )
+        beta = grads.crossJoin(F.broadcast(beta)).selectExpr(*_GD_STEP)
+    fin = li.crossJoin(F.broadcast(beta)).agg(
+        F.expr("COUNT(*) AS n_obs"),
+        F.expr(f"CAST(SUM({_GD_CORRECT}) AS DOUBLE) / COUNT(*) AS acc"),
+    )
+    return fin.crossJoin(F.broadcast(beta)).selectExpr(
+        "n_obs",
+        "ROUND(b0, 6) AS b0",
+        "ROUND(b1, 6) AS b1",
+        "ROUND(b2, 6) AS b2",
+        "ROUND(acc, 6) AS train_accuracy",
+    )

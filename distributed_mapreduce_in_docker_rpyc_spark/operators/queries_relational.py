@@ -2195,3 +2195,180 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") == F.col("f_price"))
         & (F.col("p_size") == F.col("f_size")),
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled fixed-round k-core peeling as DuckDB SQL (the
+    ``_pagerank_oracle`` technique).  Each round references the previous
+    alive-set TWICE (once per edge endpoint), so every round CTE is
+    ``AS MATERIALIZED`` — without it DuckDB inlines the chain and the plan
+    doubles per round (2^10 evaluations of the base self-join; measured as a
+    hang at sf0.01, 0.1 s materialized)."""
+    sql = [
+        """
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+        SELECT a.l_partkey AS w1, b.l_partkey AS w2
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    sym AS MATERIALIZED (
+        SELECT w1 AS src, w2 AS dst FROM e UNION ALL SELECT w2, w1 FROM e
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)
+    """
+    ]
+    for i in range(1, rounds + 1):
+        sql.append(
+            f""",
+    a{i} AS MATERIALIZED (
+        SELECT ed.src AS node
+        FROM sym ed
+        JOIN a{i - 1} s ON s.node = ed.src
+        JOIN a{i - 1} d ON d.node = ed.dst
+        GROUP BY ed.src
+        HAVING count(*) >= {k}
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT ed.src AS part_key, count(*) AS core_degree
+    FROM sym ed
+    JOIN a{rounds} s ON s.node = ed.src
+    JOIN a{rounds} d ON d.node = ed.dst
+    GROUP BY ed.src
+    """
+    )
+    return "".join(sql)
+
+
+@register("graph_kcore_parts", oracle=_kcore_oracle())
+def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition of the part co-purchase graph (parts linked when
+    bought together in ≥2 orders) by 10 fixed rounds of parallel peeling:
+    each round drops every node whose degree among surviving nodes is < 3,
+    the distributed k-core algorithm (Montresor et al., "Distributed k-core
+    decomposition", and the standard Pregel formulation).  Output: surviving
+    parts with their within-core degree (the dense co-purchase communities a
+    recommender mines).  On this fixture peeling removes 50% of nodes
+    (1880 → 935 over the 10 rounds).
+
+    Scale shape: each round is one self-join of the CURRENT edge list with
+    the alive set on both endpoints + a groupBy — all uniform-key shuffles
+    that SHRINK monotonically as peeling proceeds; ``localCheckpoint`` every
+    3 rounds truncates the growing lineage (the iterative-Spark failure
+    mode).  Round count is fixed, so the loop is SQL-expressible and the
+    result hash-checked against a fixed-unroll MATERIALIZED-CTE oracle;
+    at a true 100 TB you would iterate to a fixpoint with an early-exit
+    count check instead — semantics per round are identical."""
+    items = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("w1"), F.col("b.l_partkey").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("w1", "w2")
+    )
+    sym = edges.selectExpr("w1 AS src", "w2 AS dst").union(
+        edges.selectExpr("w2 AS src", "w1 AS dst")
+    ).persist()
+    alive = sym.select(F.col("src").alias("node")).distinct()
+    for i in range(10):
+        nxt = (
+            sym.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select(F.col("src").alias("node"))
+        )
+        alive = nxt.localCheckpoint(eager=True) if i % 3 == 2 else nxt
+    return (
+        sym.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("part_key"))
+        .agg(F.count("*").alias("core_degree"))
+    )
+
+
+@register(
+    "basket_association_rules",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nord AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    pc AS (SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    directed AS (
+        SELECT part_a AS antecedent, part_b AS consequent, n_both FROM pairs
+        UNION ALL
+        SELECT part_b, part_a, n_both FROM pairs
+    )
+    SELECT d.antecedent, d.consequent, d.n_both,
+           ROUND((CAST(d.n_both AS DOUBLE) / ca.n_part), 6) AS confidence,
+           ROUND(((CAST(d.n_both AS DOUBLE) * no.n_orders)
+                  / (CAST(ca.n_part AS DOUBLE) * cb.n_part)), 6) AS lift
+    FROM directed d
+    JOIN pc ca ON ca.l_partkey = d.antecedent
+    JOIN pc cb ON cb.l_partkey = d.consequent
+    CROSS JOIN nord no
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for every directed part pair
+    with ≥2 co-orders, confidence P(consequent|antecedent) and lift
+    conf / P(consequent) — the scoring pass that turns basket_part_pairs'
+    candidates into a recommender (Agrawal & Srikant's support/confidence
+    framework, pair rules).
+
+    Scale shape: pair generation is the bounded per-order self-join
+    (≤C(7,2) pairs/order — see basket_part_pairs); scoring joins each
+    directed rule to the per-part order counts (uniform keys) and the
+    corpus order total rides along as a broadcast 1×1 frame, not a
+    driver-side collect.  Lift's association order is pinned textually so
+    both engines produce bit-identical doubles before the 6-dp round."""
+    items = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    nord = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    directed = pairs.selectExpr("part_a AS antecedent", "part_b AS consequent", "n_both").union(
+        pairs.selectExpr("part_b", "part_a", "n_both")
+    )
+    ca = pc.selectExpr("l_partkey AS antecedent", "n_part AS na")
+    cb = pc.selectExpr("l_partkey AS consequent", "n_part AS nb")
+    return (
+        directed.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(nord))
+        .selectExpr(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "ROUND((CAST(n_both AS DOUBLE) / na), 6) AS confidence",
+            "ROUND(((CAST(n_both AS DOUBLE) * n_orders) / (CAST(na AS DOUBLE) * nb)), 6) AS lift",
+        )
+    )

@@ -437,3 +437,113 @@ def kmv_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("kmv_estimate") - F.col("nd")) / F.col("nd"), 6
         ).alias("rel_error"),
     )
+
+
+@register(
+    "kmv_weekly_merge",
+    oracle=f"""
+    WITH du AS (
+        SELECT CAST(ts AS DATE) AS day, user_id
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    hashed AS (SELECT day, user_id, {_KMV_U_SQL} AS u FROM du),
+    daily_sketch AS (
+        SELECT day, u FROM (
+            SELECT day, u,
+                   ROW_NUMBER() OVER (PARTITION BY day ORDER BY u ASC) AS rn
+            FROM hashed
+        ) WHERE rn <= {_KMV_K}
+    ),
+    merged AS (
+        SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week, u
+        FROM daily_sketch
+    ),
+    mranked AS (
+        SELECT week, u,
+               ROW_NUMBER() OVER (PARTITION BY week ORDER BY u ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY week) AS ns
+        FROM merged
+    ),
+    est AS (
+        SELECT week,
+               CASE WHEN ns < {_KMV_K} THEN CAST(ns AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) / MAX(CASE WHEN rn = {_KMV_K} THEN u END)
+               END AS kmv_estimate
+        FROM mranked
+        GROUP BY week, ns
+    ),
+    exact AS (
+        SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+               COUNT(DISTINCT user_id) AS exact_distinct
+        FROM du GROUP BY 1
+    )
+    SELECT e.week, x.exact_distinct,
+           ROUND(e.kmv_estimate, 6) AS kmv_estimate,
+           ROUND(ABS(e.kmv_estimate - x.exact_distinct) / x.exact_distinct, 6)
+               AS rel_error
+    FROM est e JOIN exact x ON x.week = e.week
+    """,
+)
+def kmv_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGEABILITY: weekly distinct-user estimates computed by
+    merging the 7 per-day sketches (union the ≤32 stored minima, keep the 32
+    smallest), never re-touching the raw events — the property that makes
+    bottom-k sketches the right distinct-count structure for a 100 TB
+    lake (per-partition/per-day sketches fold up a rollup tree in O(k)
+    state per merge, exactly how Spark's own partial aggregation folds).
+
+    Merging daily sketches is EXACT here, not approximate-on-approximate:
+    every one of the week's 32 smallest hashes is necessarily among its own
+    day's 32 smallest, so the merged sketch equals the sketch of the raw
+    week (``test_kmv_merge_equals_direct``).  The estimate is the standard
+    (k-1)/u_(k); weeks with fewer than k stored values fall back to the
+    exact count (the sketch holds every member).  Deterministic md5 hash →
+    the whole pipeline hash-checks against the oracle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        / F.lit(281474976710656.0)
+    )
+    hashed = du.select("day", "user_id", u.alias("u"))
+    daily_sketch = (
+        hashed.select(
+            "day",
+            "u",
+            F.row_number().over(Window.partitionBy("day").orderBy(F.asc("u"))).alias("rn"),
+        )
+        .filter(F.col("rn") <= _KMV_K)
+        .select("day", "u")
+    )
+    merged = daily_sketch.select(
+        F.date_trunc("week", "day").cast("date").alias("week"), "u"
+    ).distinct()
+    mranked = merged.select(
+        "week",
+        "u",
+        F.row_number().over(Window.partitionBy("week").orderBy(F.asc("u"))).alias("rn"),
+        F.count("*").over(Window.partitionBy("week")).alias("ns"),
+    )
+    est = mranked.groupBy("week", "ns").agg(
+        F.when(F.col("ns") < _KMV_K, F.col("ns").cast("double"))
+        .otherwise(F.lit(_KMV_K - 1) / F.max(F.when(F.col("rn") == _KMV_K, F.col("u"))))
+        .alias("kmv_estimate")
+    )
+    exact = du.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(exact, "week").select(
+        "week",
+        "exact_distinct",
+        F.round("kmv_estimate", 6).alias("kmv_estimate"),
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )

@@ -107,6 +107,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "linreg_by_returnflag",
     "dedup_prefix_filter",
     "dedup_sorted_neighborhood",
+    "logreg_gradient_descent",
+    "graph_kcore_parts",
+    "kmv_weekly_merge",
+    "basket_association_rules",
+    "events_sequence_loglik",
     # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",

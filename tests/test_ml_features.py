@@ -26,6 +26,11 @@ ORACLE_CHECKED = [
     "kmv_daily_distinct",
     "skyline_parts",
     "linreg_by_returnflag",
+    "logreg_gradient_descent",
+    "kmv_weekly_merge",
+    "basket_association_rules",
+    "graph_kcore_parts",
+    "events_sequence_loglik",
 ]
 
 
@@ -130,3 +135,125 @@ def test_skyline_no_survivor_dominates_another(spark, sf_dir):
         if (p0, s0) in skyset:
             continue
         assert any(pj <= p0 and sj >= s0 and (pj < p0 or sj > s0) for pj, sj in pts)
+
+
+def test_logreg_gd_matches_numpy_reference(spark, sf_dir):
+    """Re-run the exact GD recipe (fast-sigmoid link, lr=2, 6 iters) in
+    numpy float64 and require the Spark coefficients to agree to ~1e-5 —
+    numpy sums in a different order and skips the DECIMAL quantization, so
+    agreement bounds the quantization error, not just self-consistency."""
+    import numpy as np
+
+    row = QUERIES["logreg_gradient_descent"](spark, sf_dir).first()
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "CAST(l_quantity AS DOUBLE)/50.0 - 0.5 AS x1",
+            "CAST(l_discount AS DOUBLE)*10.0 - 0.5 AS x2",
+            "CAST(CASE WHEN l_extendedprice > 36000 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y",
+        )
+        .toPandas()
+    )
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1.values, pdf.x2.values])
+    y = pdf.y.values
+    b = np.zeros(3)
+    for _ in range(6):
+        z = X @ b
+        p = 0.5 * (1 + z / (1 + np.abs(z)))
+        b = b - 2.0 * ((p - y) @ X) / len(y)
+    assert abs(row.b0 - b[0]) < 1e-4
+    assert abs(row.b1 - b[1]) < 1e-4
+    assert abs(row.b2 - b[2]) < 1e-4
+    assert row.n_obs == len(pdf)
+    assert 0.0 <= row.train_accuracy <= 1.0
+
+
+def test_kmv_merged_sketch_equals_direct_weekly_sketch(spark, sf_dir):
+    """Mergeability is exact: the k smallest hashes of the union of daily
+    sketches equal the k smallest of the raw week, so the weekly estimate
+    from merged daily sketches must equal the estimate computed directly
+    from the week's distinct users."""
+    from pyspark.sql import Window
+
+    merged = {
+        (str(r.week), r.kmv_estimate)
+        for r in QUERIES["kmv_weekly_merge"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(F.col("user_id").isNotNull())
+    du = ev.selectExpr(
+        "CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week", "user_id"
+    ).distinct()
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10).cast("double")
+        / F.lit(281474976710656.0)
+    )
+    ranked = du.select("week", u.alias("u")).select(
+        "week",
+        "u",
+        F.row_number().over(Window.partitionBy("week").orderBy(F.asc("u"))).alias("rn"),
+        F.count("*").over(Window.partitionBy("week")).alias("ns"),
+    )
+    direct = {
+        (str(r.week), round(r.est, 6))
+        for r in ranked.groupBy("week", "ns")
+        .agg(
+            F.when(F.col("ns") < 32, F.col("ns").cast("double"))
+            .otherwise(F.lit(31) / F.max(F.when(F.col("rn") == 32, F.col("u"))))
+            .alias("est")
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_association_rules_probability_axioms(spark, sf_dir):
+    """Confidence is a conditional probability (0 < conf ≤ 1); lift is
+    symmetric across the two directions of a pair (lift(a→b) == lift(b→a)
+    up to the 6-dp round); antecedent/consequent counts are consistent."""
+    rows = QUERIES["basket_association_rules"](spark, sf_dir).collect()
+    assert rows
+    lifts = {}
+    for r in rows:
+        assert 0 < r.confidence <= 1
+        assert r.lift > 0
+        key = (min(r.antecedent, r.consequent), max(r.antecedent, r.consequent))
+        lifts.setdefault(key, []).append(r.lift)
+    assert all(len(v) == 2 and abs(v[0] - v[1]) <= 2e-6 for v in lifts.values())
+
+
+def test_kcore_every_member_has_core_degree(spark, sf_dir):
+    """Every surviving node reports degree ≥ 3 computed strictly within the
+    surviving set, and peeling removed something (fixture has degree-1
+    pendants)."""
+    core = QUERIES["graph_kcore_parts"](spark, sf_dir).collect()
+    assert core
+    assert all(r.core_degree >= 3 for r in core)
+    items = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_parts_with_pair = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey"))
+        .distinct()
+        .count()
+    )
+    assert len(core) < n_parts_with_pair  # strictly peeled
+
+
+def test_sequence_loglik_bounds(spark, sf_dir):
+    """Log probabilities are negative; the transition counts tie out to the
+    total number of per-user consecutive pairs."""
+    rows = QUERIES["events_sequence_loglik"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.avg_loglik < 0 for r in rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
