@@ -394,6 +394,9 @@ BNLJ_ALLOWED = {
     "ab_test_conversion": "broadcast side = 1-row pooled totals",
     "token_label_mi": "broadcast sides = label marginals (<= n_labels rows) and 1-row corpus total",
     "naive_bayes_langid": "broadcast sides = per-class token totals (<= n_labels rows) and 1-row vocab size",
+    "logreg_gradient_descent": "broadcast side = 1-row model-state frame (3 coefficients) per GD step",
+    "basket_association_rules": "broadcast side = 1-row corpus order total",
+    "events_sequence_loglik": "broadcast sides = 1-row event-type count and the <= K^2-row transition model",
 }
 
 
