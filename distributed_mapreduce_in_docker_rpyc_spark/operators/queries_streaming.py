@@ -282,12 +282,16 @@ def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
-def _replay_feed(spark, sf_dir: str, cols: list[str], work_name: str):
-    """Replay the events table as a THREE-FILE out-of-order feed (history /
-    straggler band / head — see ``stream_watermark_finalize``) projecting
+def _replay_feed(spark, sf_dir: str, cols: list[str], work_name: str, splits=None):
+    """Replay the events table as a multi-file micro-batch feed projecting
     ``cols``; returns (work_root, streaming DataFrame reading it one file
-    per micro-batch, oldest mtime first).  No driver collect: the split
-    predicates ride a broadcast 1-row max-timestamp frame."""
+    per micro-batch, oldest mtime first).  Default ``splits`` is the
+    THREE-FILE out-of-order feed (history / straggler band / head — see
+    ``stream_watermark_finalize``); callers may pass their own
+    ``[(tag, predicate)]`` list over ``ts`` and the broadcast 1-row ``mx``
+    max-timestamp column — the left-outer join uses a strictly time-ordered
+    two-split so no row arrives below the advancing watermark.  No driver
+    collect: the split predicates ride the broadcast mx frame."""
     import glob
     import os
     import shutil
@@ -298,15 +302,16 @@ def _replay_feed(spark, sf_dir: str, cols: list[str], work_name: str):
     ev = load_table(spark, sf_dir, "events").select(*cols)
     mx = ev.agg(F.max("ts").alias("mx"))
     cls = ev.crossJoin(F.broadcast(mx))
-    band = (F.col("ts") > F.col("mx") - F.expr("INTERVAL 8 HOUR")) & (
-        F.col("ts") <= F.col("mx") - F.expr("INTERVAL 5 HOUR")
-    )
-    head_cut = F.col("ts") <= F.col("mx") - F.expr("INTERVAL 3 HOUR")
-    splits = [
-        ("0-history", (~band) & head_cut),
-        ("1-stragglers", band),
-        ("2-head", ~head_cut),
-    ]
+    if splits is None:
+        band = (F.col("ts") > F.col("mx") - F.expr("INTERVAL 8 HOUR")) & (
+            F.col("ts") <= F.col("mx") - F.expr("INTERVAL 5 HOUR")
+        )
+        head_cut = F.col("ts") <= F.col("mx") - F.expr("INTERVAL 3 HOUR")
+        splits = [
+            ("0-history", (~band) & head_cut),
+            ("1-stragglers", band),
+            ("2-head", ~head_cut),
+        ]
     root = _work_dir(work_name)
     feed = os.path.join(root, "feed")
     os.makedirs(feed)
@@ -445,3 +450,91 @@ def stream_upsert_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value").cast("double").alias("total_value"),
         "last_ts",
     )
+
+
+@register(
+    "stream_join_left_outer",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    m AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                 - INTERVAL '2 hours' AS wm)
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+    UNION ALL
+    SELECT p.user_id, p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id,
+           p.ts AS purchase_ts, CAST(NULL AS TIMESTAMP) AS click_ts
+    FROM p, m
+    WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+          )
+      AND p.ts < m.wm
+    """,
+)
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join with watermarked state: purchases with
+    no attributable click in the preceding 30 minutes emit ONCE,
+    null-extended, only after the watermark proves no matching click can
+    still arrive — the outer-join finalization semantics Structured
+    Streaming layers on top of the inner interval join
+    (``stream_stream_join_attribution``).
+
+    The feed is a strictly time-ordered two-file replay (history ≤ mx−3h,
+    then head), so the watermark ratchets mid-stream and nothing arrives
+    late.  The oracle encodes the EXACT emission contract of the state
+    store: matched pairs always emit; an unmatched purchase emits iff
+    ``purchase_ts < least(max click_ts, max purchase_ts) − 2h`` — each
+    ``withWatermark`` operator tracks the max event time IT has seen
+    (clicks and purchases separately, not the whole events table), the
+    query's global watermark is the MIN across them
+    (spark.sql.streaming.multipleWatermarkPolicy default), and a buffered
+    purchase below that line can never match a future click.  Purchases
+    above the line are still sitting in the state store when the
+    availableNow run drains, exactly as they would be on a live cluster
+    (verified to the row against the running query at two scale factors).
+
+    State at 100 TB: both sides' buffers are bounded by watermark + interval
+    (eviction is by event time, not row count), keyed on user_id — uniform
+    partitioning, no skew amplification beyond the data's own."""
+    ordered = [
+        ("0-history", F.col("ts") <= F.col("mx") - F.expr("INTERVAL 3 HOUR")),
+        ("1-head", F.col("ts") > F.col("mx") - F.expr("INTERVAL 3 HOUR")),
+    ]
+    _, stream = _replay_feed(
+        spark, sf_dir, ["ts", "event_id", "user_id", "event_type"],
+        "outerjoinfeed", splits=ordered,
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+        "leftOuter",
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id", "purchase_ts", "click_ts"
+    )
+    table = _run(joined, output_mode="append", checkpoint=True)
+    return spark.table(table)

