@@ -911,3 +911,59 @@ def emb_whiten_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("long").alias("i"),
         F.round((F.col("x") - F.col("mu")) / F.greatest(F.col("sd"), F.lit(1e-12)), 5).alias("z"),
     )
+
+
+@register(
+    "emb_quantile_normalize",
+    oracle="""
+    WITH idx AS (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS dim
+        FROM embeddings
+    ),
+    long AS (
+        SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM idx
+    ),
+    ranked AS (
+        SELECT vec_id, dim, x,
+               ROW_NUMBER() OVER (PARTITION BY dim ORDER BY x, vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY dim) AS n
+        FROM long
+    )
+    SELECT vec_id, dim,
+           ROUND((CAST(rn - 1 AS DOUBLE) / (n - 1)), 6) AS q
+    FROM ranked
+    """,
+)
+def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile (rank) normalization of the embedding corpus:
+    every dimension's values are replaced by their empirical quantile
+    position (rank−1)/(n−1) — the distribution-free rescaling that makes
+    heterogeneous feature dimensions comparable (and the first step of a
+    rank-based whitening; contrast emb_whiten_diag's parametric z-scores).
+    Ties break on vec_id so the map is a deterministic bijection per dim.
+
+    Shape at 100 TB: posexplode → one window per dimension index — ~64
+    uniform partitions each sorting its own dimension's values, the exact
+    shape of a column-wise distributed sort; no all-pairs anything.  At
+    real scale the rank would come from a quantile-sketch join (t-digest
+    per dim) instead of a full sort; the window form keeps the semantics
+    exact and hash-checkable."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "xf")
+    ).select("vec_id", (F.col("d0") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
+    w_rank = Window.partitionBy("dim").orderBy("x", "vec_id")
+    w_all = Window.partitionBy("dim")
+    return long.select(
+        "vec_id",
+        "dim",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round((F.col("rn") - 1).cast("double") / (F.col("n") - 1), 6).alias("q"),
+    )

@@ -205,3 +205,66 @@ def ts_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.cast("double").alias("revenue"),
         rev.isNotNull().alias("is_observed"),
     )
+
+
+@register(
+    "ts_rolling_median_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, day, ROUND(revenue, 6) AS revenue,
+           ROUND(quantile_cont(revenue, 0.5) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS rolling_median_7,
+           ROUND(abs(revenue - quantile_cont(revenue, 0.5) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           )), 6) AS abs_dev
+    FROM daily
+    """,
+)
+def ts_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-observation rolling MEDIAN of daily revenue per order priority —
+    the robust smoother (median filters shrug off the spikes that wreck
+    rolling means), plus each day's absolute deviation from it, the
+    building block of a rolling-MAD anomaly detector
+    (cf. text_length_outliers_mad for the static variant).
+
+    Spark has no median window function; ``percentile(x, 0.5)`` IS a
+    window-capable aggregate and computes the same linear-interpolated
+    quantile as DuckDB's ``quantile_cont`` — both interpolate
+    ``a + (b-a)/2`` over bit-identical doubles (daily sums ride the exact
+    DECIMAL money path, cast to double once), so even the interpolated
+    midpoints hash-match at 6 dp.
+
+    Scale shape: the rolling window partitions by priority and frames 7
+    ROWS — state per window is O(7), the sort is within uniform series
+    keys; at 100 TB-per-series granularity you'd pre-bucket by (series,
+    month) and carry 6 rows of overlap, same frame semantics."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.relational import money_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(money_sum(F.col("o_totalprice")).alias("revenue"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    med = F.expr("percentile(revenue, 0.5D)").over(w)
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        F.round("revenue", 6).alias("revenue"),
+        F.round(med, 6).alias("rolling_median_7"),
+        F.round(F.abs(F.col("revenue") - med), 6).alias("abs_dev"),
+    )

@@ -112,6 +112,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "kmv_weekly_merge",
     "basket_association_rules",
     "events_sequence_loglik",
+    "stream_join_left_outer",
+    "ts_rolling_median_revenue",
+    "emb_quantile_normalize",
     # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",

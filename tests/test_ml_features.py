@@ -257,3 +257,34 @@ def test_sequence_loglik_bounds(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r.n_transitions for r in rows) == n_events - n_users
+
+
+def test_rolling_median_window_is_exact(spark, sf_dir):
+    """Recompute one series' rolling median in pure Python over the collected
+    daily frame — implementation-independent ground truth for the
+    percentile-over-window path."""
+    import statistics
+
+    rows = QUERIES["ts_rolling_median_revenue"](spark, sf_dir).collect()
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r.o_orderpriority, []).append(r)
+    prio, series = sorted(by_prio.items())[0]
+    series.sort(key=lambda r: r.day)
+    for i, r in enumerate(series):
+        window = [s.revenue for s in series[max(0, i - 6) : i + 1]]
+        assert abs(r.rolling_median_7 - round(statistics.median(window), 6)) <= 2e-6
+        assert abs(r.abs_dev - round(abs(r.revenue - statistics.median(window)), 6)) <= 4e-6
+
+
+def test_quantile_normalize_is_uniform_bijection_per_dim(spark, sf_dir):
+    """Per dimension: q values are exactly the uniform grid {0, 1/(n-1), ...,
+    1} (each rank used once), and the map preserves the value order."""
+    rows = QUERIES["emb_quantile_normalize"](spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    dims = {}
+    for r in rows:
+        dims.setdefault(r.dim, []).append(r.q)
+    expected = sorted(round((i) / (n_vecs - 1), 6) for i in range(n_vecs))
+    for qs in dims.values():
+        assert sorted(qs) == expected
