@@ -547,3 +547,146 @@ def kmv_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+# Inverse-CDF thresholds for Poisson(1): P(X <= k) partial sums of e^-1/k!,
+# written as literal constants so both engines compare the SAME doubles
+# against the SAME md5-uniform — no libm exp() in either plan.
+_POIS_CDF = [
+    (0.36787944117144233, 0),
+    (0.7357588823428847, 1),
+    (0.9196986029286058, 2),
+    (0.9810118431238462, 3),
+    (0.9963401531726563, 4),
+    (0.9994058151824183, 5),
+    (0.9999167588507119, 6),
+    (0.9999897508033253, 7),
+]
+_POIS_W = (
+    "CASE "
+    + " ".join(f"WHEN u < {c!r} THEN {k}" for c, k in _POIS_CDF)
+    + " ELSE 8 END"
+)
+_BOOT_B = 32
+# The (orderkey, replica) uniform: first 12 md5 hex digits over 2^48.  The
+# hex->int spelling is engine-specific (Spark: conv(.., 16, 10); DuckDB:
+# CAST('0x'||.. AS BIGINT)) but both yield the same integer, hence the same
+# double — the established two-sided md5 idiom (_KMV_U_SQL).
+_BOOT_U_ORACLE = (
+    "CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-' || "
+    "CAST(b AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE) / 281474976710656.0"
+)
+_BOOT_U_SPARK = (
+    "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || '-' || "
+    "CAST(b AS STRING)), 1, 12), 16, 10) AS DOUBLE) / 281474976710656.0"
+)
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT o.o_orderkey, o.o_totalprice,
+               unnest(generate_series(1, {_BOOT_B})) AS b
+        FROM orders o
+    ),
+    weighted AS (
+        SELECT b, o_totalprice, {_POIS_W} AS w
+        FROM (SELECT o_orderkey, o_totalprice, b, {_BOOT_U_ORACLE} AS u FROM reps)
+    ),
+    per_rep AS (
+        SELECT b,
+               CAST(CAST(SUM(w * CAST(o_totalprice AS DECIMAL(24,6)))
+                    AS DOUBLE) / SUM(w) AS DECIMAL(38,6)) AS m
+        FROM weighted GROUP BY b
+    ),
+    center AS (
+        SELECT CAST(AVG(m) AS DECIMAL(38,6)) AS boot_mean FROM per_rep
+    ),
+    spread AS (
+        SELECT CAST(SUM(CAST((CAST(m AS DOUBLE) - CAST(boot_mean AS DOUBLE))
+                             * (CAST(m AS DOUBLE) - CAST(boot_mean AS DOUBLE))
+                             AS DECIMAL(38,6))) AS DOUBLE)
+               / ({_BOOT_B} - 1) AS var_m
+        FROM per_rep, center
+    ),
+    base AS (
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+                   / COUNT(*) AS sample_mean
+        FROM orders
+    )
+    SELECT base.n_orders, ROUND(base.sample_mean, 6) AS sample_mean,
+           {_BOOT_B} AS n_replicas,
+           ROUND(CAST(center.boot_mean AS DOUBLE), 6) AS boot_mean,
+           ROUND(sqrt(spread.var_m), 6) AS boot_se,
+           ROUND(CAST(center.boot_mean AS DOUBLE) - 1.96 * sqrt(spread.var_m), 6)
+               AS ci_lo,
+           ROUND(CAST(center.boot_mean AS DOUBLE) + 1.96 * sqrt(spread.var_m), 6)
+               AS ci_hi
+    FROM base, center, spread
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value —
+    THE uncertainty estimator for massive data (Chamandy et al., 'Estimating
+    Uncertainty for Massive Data Streams', 2012): instead of resampling n
+    rows B times (impossible distributedly), each row draws a Poisson(1)
+    weight per replica, which converges to multinomial resampling and needs
+    only ONE streaming pass.  B=32 replicas, 95% normal-interval CI from
+    the replica spread.
+
+    Determinism/portability: the per-(row, replica) Poisson draw inverts a
+    literal CDF table against the md5-uniform of (orderkey, replica) — no
+    RNG state, no libm, same weights in any engine, any partitioning, any
+    retry (the property that makes deterministic bootstrap auditable).
+    Replica means ride exact DECIMAL sums and are quantized to
+    DECIMAL(38,6) before the cross-replica variance, so every arithmetic
+    step is order-independent.
+
+    Shape at 100 TB: explode×32 → one groupBy(replica) with map-side
+    partial aggregation — shuffle carries 32 rows of sufficient statistics
+    TOTAL; the final variance is over a 32-row frame.  No extra pass over
+    the data versus a plain mean."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = o.select(
+        "o_orderkey", "o_totalprice",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    weighted = reps.selectExpr(
+        "b", "o_totalprice", f"{_BOOT_U_SPARK} AS u"
+    ).selectExpr("b", "o_totalprice", f"{_POIS_W} AS w")
+    per_rep = weighted.groupBy("b").agg(
+        F.expr(
+            "CAST(CAST(SUM(w * CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE)"
+            " / SUM(w) AS DECIMAL(38,6)) AS m"
+        )
+    )
+    center = per_rep.agg(F.expr("CAST(AVG(m) AS DECIMAL(38,6)) AS boot_mean"))
+    spread = per_rep.crossJoin(F.broadcast(center)).agg(
+        F.expr(
+            "CAST(SUM(CAST((CAST(m AS DOUBLE) - CAST(boot_mean AS DOUBLE))"
+            " * (CAST(m AS DOUBLE) - CAST(boot_mean AS DOUBLE))"
+            f" AS DECIMAL(38,6))) AS DOUBLE) / ({_BOOT_B} - 1) AS var_m"
+        )
+    )
+    base = o.agg(
+        F.expr("COUNT(*) AS n_orders"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE)"
+            " / COUNT(*) AS sample_mean"
+        ),
+    )
+    return (
+        base.crossJoin(F.broadcast(center))
+        .crossJoin(F.broadcast(spread))
+        .selectExpr(
+            "n_orders",
+            "ROUND(sample_mean, 6) AS sample_mean",
+            f"{_BOOT_B} AS n_replicas",
+            "ROUND(CAST(boot_mean AS DOUBLE), 6) AS boot_mean",
+            "ROUND(sqrt(var_m), 6) AS boot_se",
+            "ROUND(CAST(boot_mean AS DOUBLE) - 1.96 * sqrt(var_m), 6) AS ci_lo",
+            "ROUND(CAST(boot_mean AS DOUBLE) + 1.96 * sqrt(var_m), 6) AS ci_hi",
+        )
+    )

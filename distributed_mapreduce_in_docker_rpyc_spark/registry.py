@@ -115,6 +115,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_join_left_outer",
     "ts_rolling_median_revenue",
     "emb_quantile_normalize",
+    "bootstrap_mean_ci",
     # (4) stalest greens: last driver contact was round 1, oldest fixtures
     "wordcount_top20",
     "wordcount_full",

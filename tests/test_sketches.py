@@ -62,3 +62,26 @@ def test_approx_percentile_error_within_tolerance(spark, sf_dir):
     for r in rows:
         assert r.rel_err_p50 <= 0.01, r
         assert r.rel_err_p95 <= 0.01, r
+
+
+def test_bootstrap_se_tracks_classical_se(spark, sf_dir):
+    """The Poisson-bootstrap SE must agree with the classical sd/sqrt(n)
+    within 40% (B=32 replicas), the CI must bracket both means, and the
+    bootstrap center must sit within ~3 SE of the sample mean."""
+    import math
+
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES
+
+    row = QUERIES["bootstrap_mean_ci"](spark, sf_dir).first()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "CAST(o_totalprice AS DOUBLE) AS x"
+    )
+    stats = o.agg(
+        F.count("*").alias("n"), F.avg("x").alias("mu"), F.stddev("x").alias("sd")
+    ).first()
+    classical_se = stats.sd / math.sqrt(stats.n)
+    assert row.n_orders == stats.n
+    assert abs(row.sample_mean - stats.mu) < 1e-3
+    assert 0.6 * classical_se <= row.boot_se <= 1.4 * classical_se
+    assert row.ci_lo < row.boot_mean < row.ci_hi
+    assert abs(row.boot_mean - row.sample_mean) <= 3 * row.boot_se
