@@ -45,16 +45,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   slots 12-13 — sim_topk_ivf / sim_ann_recall_report, upgraded this round
 #                 from rows-only to hash-checked (deterministic SQL-expressible
 #                 IVF quantizer replaces driver KMeans);
-#   slots 14-48 — the queries BUILT in round 4 (graph, corpus ops, CEP,
+#   slots 14-50 — the queries BUILT in round 4 (graph, corpus ops, CEP,
 #                 interpolation, stats, hybrid retrieval, span dedup, Gram
 #                 matrix, recursive CTE, watermark finalization, MAD outliers,
-#                 byte entropy, JSONL round-trip, OLS via normal equations,
-#                 token-label MI, unpivot, naive Bayes, KMV sketch, skyline,
-#                 prefix-filter + sorted-neighborhood dedup), each locally
-#                 green on the driver-identical gate;
-#   slots 49-50 — the stalest green rows: r1-verified wordcount (fixtures
-#                 drift between rounds — re-prove them on current data).
-#                 The rest follow for r5.
+#                 byte entropy, JSONL round-trip, OLS + GD training,
+#                 token-label MI, unpivot, naive Bayes, KMV sketch + merge,
+#                 skyline, prefix-filter + sorted-neighborhood dedup, k-core,
+#                 association rules, sequence log-lik, left-outer stream
+#                 join, rolling median, quantile normalization, Poisson
+#                 bootstrap), each locally green on the driver-identical
+#                 gate.  Round 4 built MORE never-checked queries than the
+#                 50-slot budget holds; the overflow (last ~7 of this group
+#                 plus the stale-green wordcount re-proofs below) is queued
+#                 in the same never-checked-first ranking for round 5.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (1) oracle-backed, never driver-checked — land rows first
     "jsondict_roundtrip",
