@@ -268,3 +268,100 @@ def ts_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(med, 6).alias("rolling_median_7"),
         F.round(F.abs(F.col("revenue") - med), 6).alias("abs_dev"),
     )
+
+
+_EWMA_K = 20  # trailing lags; 2^-20 < the 1e-6 quantization grain anyway
+
+
+@register(
+    "ts_ewma_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT o_orderpriority, day, revenue,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY day) AS rn
+        FROM daily
+    ),
+    lags AS (
+        SELECT o_orderpriority, day, rn,
+               unnest(generate_series(0, {_EWMA_K - 1})) AS k
+        FROM seq
+    ),
+    terms AS (
+        SELECT l.o_orderpriority, l.day,
+               CAST(s.revenue / CAST((CAST(1 AS BIGINT) << l.k) AS DOUBLE)
+                    AS DECIMAL(38,6)) AS num_t,
+               CAST(1.0 / CAST((CAST(1 AS BIGINT) << l.k) AS DOUBLE)
+                    AS DECIMAL(38,6)) AS den_t
+        FROM lags l
+        JOIN seq s ON s.o_orderpriority = l.o_orderpriority
+                  AND s.rn = l.rn - l.k
+    )
+    SELECT o_orderpriority, day,
+           CAST(SUM(num_t) AS DOUBLE) / CAST(SUM(den_t) AS DOUBLE) AS ewma
+    FROM terms
+    GROUP BY o_orderpriority, day
+    """,
+)
+def ts_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (decay 1/2) of daily revenue
+    per priority, truncated at 20 trailing observations — the classic
+    recency-weighted smoother, built WITHOUT recursion so it distributes:
+    y_t = Σ_k 2^-k·x_{t-k} / Σ_k 2^-k over available lags.
+
+    Engine-exactness by construction: the weights are exact binary
+    fractions spelled as bit-shifts (1/(1<<k) — no pow(), no libm), each
+    term quantizes to DECIMAL(38,6) (order-independent exact sums), and the
+    lag join is a pure EQUI-join (explode k=0..19, join on rn−k) — the
+    trick that turns a "recursive" smoother into one shuffle.  Truncation
+    at 20 lags loses < 2⁻¹⁹ of the weight mass, below the 1e-6 grain the
+    quantization already imposes.
+
+    Shape at 100 TB: series-key-partitioned window for rn, then a 20×
+    explode + equi-join — candidate volume exactly 20 rows/observation,
+    uniform keys throughout."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.relational import money_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(money_sum(F.col("o_totalprice")).alias("revenue"))
+    seq = daily.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("o_orderpriority").orderBy("day")),
+    ).persist()
+    lags = seq.select(
+        "o_orderpriority", "day", "rn",
+        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_K - 1))).alias("k"),
+    )
+    src = seq.select(
+        F.col("o_orderpriority").alias("sp"),
+        F.col("rn").alias("srn"),
+        F.col("revenue").alias("x"),
+    )
+    terms = lags.join(
+        src,
+        (F.col("sp") == F.col("o_orderpriority")) & (F.col("srn") == F.col("rn") - F.col("k")),
+    ).selectExpr(
+        "o_orderpriority",
+        "day",
+        "CAST(x / CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE) AS DECIMAL(38,6)) AS num_t",
+        "CAST(1.0 / CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE) AS DECIMAL(38,6)) AS den_t",
+    )
+    # NOT rounded engine-side: the quotient of micro-integer sums lands
+    # near a 6-dp boundary for ~25% of rows (quotient grid ~0.5e-6), where
+    # Spark's BigDecimal HALF_UP and DuckDB's multiply-round diverge by one
+    # ulp-of-grid (measured: 2186/8623 rows off by exactly 1e-6).  The raw
+    # quotient is BIT-identical in both engines (exact decimal sums, one
+    # double division), and the driver rounds both sides with the same
+    # pandas call — exact equality without the boundary lottery.
+    return terms.groupBy("o_orderpriority", "day").agg(
+        F.expr("CAST(SUM(num_t) AS DOUBLE) / CAST(SUM(den_t) AS DOUBLE) AS ewma")
+    )
