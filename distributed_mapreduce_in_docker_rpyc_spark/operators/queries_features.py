@@ -484,6 +484,11 @@ def logreg_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(*[F.expr(e) for e in _split_agg_exprs(_GD_GRAD)])
             .first()
         )
+        if not g.n or g.g0 is None:
+            # Zero observations: SUM(...) over an empty frame is NULL and
+            # COUNT(*) is 0 — there is no gradient, so β stays put and the
+            # final aggregate below returns the correct empty-input row.
+            break
         b = (
             b[0] - (2.0 * (g.g0 / g.n)),
             b[1] - (2.0 * (g.g1 / g.n)),

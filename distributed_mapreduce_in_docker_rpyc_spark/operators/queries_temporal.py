@@ -279,7 +279,7 @@ _EWMA_K = 20  # trailing lags; 2^-20 < the 1e-6 quantization grain anyway
     WITH daily AS (
         SELECT o_orderpriority,
                CAST(o_orderdate AS DATE) AS day,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DECIMAL(24,6)) AS revenue
         FROM orders GROUP BY 1, 2
     ),
     seq AS (
@@ -294,10 +294,9 @@ _EWMA_K = 20  # trailing lags; 2^-20 < the 1e-6 quantization grain anyway
     ),
     terms AS (
         SELECT l.o_orderpriority, l.day,
-               CAST(s.revenue / CAST((CAST(1 AS BIGINT) << l.k) AS DOUBLE)
-                    AS DECIMAL(38,6)) AS num_t,
-               CAST(1.0 / CAST((CAST(1 AS BIGINT) << l.k) AS DOUBLE)
-                    AS DECIMAL(38,6)) AS den_t
+               CAST(s.revenue * CAST((CAST(1 AS BIGINT) << ({_EWMA_K - 1} - l.k))
+                    AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS num_t,
+               (CAST(1 AS BIGINT) << ({_EWMA_K - 1} - l.k)) AS den_t
         FROM lags l
         JOIN seq s ON s.o_orderpriority = l.o_orderpriority
                   AND s.rn = l.rn - l.k
@@ -314,25 +313,31 @@ def ts_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency-weighted smoother, built WITHOUT recursion so it distributes:
     y_t = Σ_k 2^-k·x_{t-k} / Σ_k 2^-k over available lags.
 
-    Engine-exactness by construction: the weights are exact binary
-    fractions spelled as bit-shifts (1/(1<<k) — no pow(), no libm), each
-    term quantizes to DECIMAL(38,6) (order-independent exact sums), and the
-    lag join is a pure EQUI-join (explode k=0..19, join on rn−k) — the
+    Engine-exactness by construction: both numerator and denominator are
+    scaled by 2^(K-1), turning every weight into the INTEGER 2^(K-1-k)
+    (a bit-shift — no pow(), no libm, and crucially no division): each
+    term is decimal-exact (DECIMAL(24,6) revenue × DECIMAL(7,0) weight
+    fits (32,6) with zero rounding), sums are exact and order-independent,
+    and the only inexact operation in the whole query is ONE final double
+    division of two exactly-computed operands — bit-identical across
+    engines.  (The earlier per-term x/2^k form quantized each term to the
+    1e-6 grain where Spark's HALF_UP and DuckDB's rounding disagree,
+    drifting up to 2e-6 over 20 terms — driver-red in its first check.)
+    The lag join is a pure EQUI-join (explode k=0..19, join on rn−k) — the
     trick that turns a "recursive" smoother into one shuffle.  Truncation
-    at 20 lags loses < 2⁻¹⁹ of the weight mass, below the 1e-6 grain the
-    quantization already imposes.
+    at 20 lags loses < 2⁻¹⁹ of the weight mass.
 
     Shape at 100 TB: series-key-partitioned window for rn, then a 20×
     explode + equi-join — candidate volume exactly 20 rows/observation,
     uniform keys throughout."""
     from pyspark.sql import Window
 
-    from distributed_mapreduce_in_docker_rpyc_spark.operators.relational import money_sum
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.relational import money
 
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(
         "o_orderpriority", F.to_date("o_orderdate").alias("day")
-    ).agg(money_sum(F.col("o_totalprice")).alias("revenue"))
+    ).agg(F.sum(money(F.col("o_totalprice"))).cast("decimal(24,6)").alias("revenue"))
     seq = daily.withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("o_orderpriority").orderBy("day")),
@@ -352,16 +357,14 @@ def ts_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "o_orderpriority",
         "day",
-        "CAST(x / CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE) AS DECIMAL(38,6)) AS num_t",
-        "CAST(1.0 / CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE) AS DECIMAL(38,6)) AS den_t",
+        f"CAST(x * CAST(shiftleft(CAST(1 AS BIGINT), {_EWMA_K - 1} - k) AS DECIMAL(7,0))"
+        " AS DECIMAL(38,6)) AS num_t",
+        f"shiftleft(CAST(1 AS BIGINT), {_EWMA_K - 1} - k) AS den_t",
     )
-    # NOT rounded engine-side: the quotient of micro-integer sums lands
-    # near a 6-dp boundary for ~25% of rows (quotient grid ~0.5e-6), where
-    # Spark's BigDecimal HALF_UP and DuckDB's multiply-round diverge by one
-    # ulp-of-grid (measured: 2186/8623 rows off by exactly 1e-6).  The raw
-    # quotient is BIT-identical in both engines (exact decimal sums, one
-    # double division), and the driver rounds both sides with the same
-    # pandas call — exact equality without the boundary lottery.
+    # NOT rounded engine-side: every term is decimal-exact (integer weights,
+    # see docstring), so the quotient of the two exact sums is one IEEE
+    # double division — BIT-identical in both engines; the driver rounds
+    # both sides with the same pandas call.
     return terms.groupBy("o_orderpriority", "day").agg(
         F.expr("CAST(SUM(num_t) AS DOUBLE) / CAST(SUM(den_t) AS DOUBLE) AS ewma")
     )

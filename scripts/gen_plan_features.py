@@ -64,6 +64,17 @@ def plan_features(plan: str) -> dict[str, int]:
 
 
 def compute_all(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict[str, dict[str, int]]:
+    # Plan extraction must be independent of prior session state: Spark's
+    # cache manager substitutes ANY previously-persisted plan fragment into
+    # new plans (InMemoryRelation embeds its build plan, inflating the
+    # scan/exchange counts), so a session that already ran the memo-backed
+    # families would produce different features than a fresh one.  Clear the
+    # cache and the session memo so gen and test always see the same state.
+    from distributed_mapreduce_in_docker_rpyc_spark.operators import _shared
+
+    spark.catalog.clearCache()
+    if hasattr(spark, _shared._MEMO_ATTR):
+        delattr(spark, _shared._MEMO_ATTR)
     out = {}
     for name in stable_query_names():
         plan = registry.QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()

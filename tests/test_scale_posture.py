@@ -397,6 +397,7 @@ BNLJ_ALLOWED = {
     "logreg_gradient_descent": "broadcast side = 1-row model-state frame (3 coefficients) per GD step",
     "basket_association_rules": "broadcast side = 1-row corpus order total",
     "events_sequence_loglik": "broadcast sides = 1-row event-type count and the <= K^2-row transition model",
+    "bootstrap_mean_ci": "broadcast sides = 1-row center/spread/base scalar aggregates (three crossJoins)",
 }
 
 
