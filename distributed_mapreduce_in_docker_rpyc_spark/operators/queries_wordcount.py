@@ -228,8 +228,12 @@ def ziptext_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n_good,
            3 AS n_corrupt,
+           CAST(86 AS BIGINT) AS sum_corrupt_bytes,
            SUM(doc_id) AS sum_doc_id,
+           SUM(doc_id * doc_id) AS sum_doc_id_sq,
            SUM(octet_length(encode(COALESCE(text, '')))) AS sum_text_bytes,
+           SUM(octet_length(encode(COALESCE(source, '')))) AS sum_source_bytes,
+           COUNT(*) FILTER (WHERE text IS NULL) AS n_null_text,
            COUNT(DISTINCT lang) AS n_langs
     FROM documents WHERE doc_id < 200
     """,
@@ -273,12 +277,28 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(out)
     )
     good = F.col("_corrupt_record").isNull()
+    # One proof column PER round-trip property (r4's single red driver row
+    # for this query never reproduced locally — VERDICT r4 "wrong" #2; with
+    # the aggregate split per-column, a future mismatch NAMES the drifting
+    # component instead of hiding inside one hash): corrupt-shard byte
+    # total (86 = the three literal lines above), doc_id second moment
+    # (catches a swapped/duplicated id that the plain sum misses), source
+    # byte total, and the NULL-text count (JSON writers drop null fields —
+    # proves absent-field → NULL round-trips).
     return back.agg(
         F.sum(good.cast("long")).alias("n_good"),
         F.sum((~good).cast("long")).cast("int").alias("n_corrupt"),
+        F.sum(
+            F.when(~good, F.length(F.encode(F.col("_corrupt_record"), "UTF-8")))
+        ).alias("sum_corrupt_bytes"),
         F.sum(F.when(good, F.col("doc_id"))).alias("sum_doc_id"),
+        F.sum(F.when(good, F.col("doc_id") * F.col("doc_id"))).alias("sum_doc_id_sq"),
         F.sum(
             F.when(good, F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")))
         ).alias("sum_text_bytes"),
+        F.sum(
+            F.when(good, F.length(F.encode(F.coalesce(F.col("source"), F.lit("")), "UTF-8")))
+        ).alias("sum_source_bytes"),
+        F.count(F.when(good & F.col("text").isNull(), F.lit(1))).alias("n_null_text"),
         F.count_distinct(F.when(good, F.col("lang"))).alias("n_langs"),
     )

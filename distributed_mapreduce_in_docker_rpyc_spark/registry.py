@@ -36,82 +36,30 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The round driver verifies 50 queries per round in registration order.
-# Round-4 budget (VERDICT r3 "Next round" #1-#2, extended for the queries
-# built DURING round 4 — never-driver-checked oracle-backed queries outrank
-# stale-green re-proofs, the same ranking VERDICT r3 applied):
-#   slots 1-11  — the 11 oracle-backed queries with no driver row yet (added
-#                 or fixed during r3, all locally green on the driver-identical
-#                 gate);
-#   slots 12-13 — sim_topk_ivf / sim_ann_recall_report, upgraded this round
-#                 from rows-only to hash-checked (deterministic SQL-expressible
-#                 IVF quantizer replaces driver KMeans);
-#   slots 14-50 — the queries BUILT in round 4 (graph, corpus ops, CEP,
-#                 interpolation, stats, hybrid retrieval, span dedup, Gram
-#                 matrix, recursive CTE, watermark finalization, MAD outliers,
-#                 byte entropy, JSONL round-trip, OLS + GD training,
-#                 token-label MI, unpivot, naive Bayes, KMV sketch + merge,
-#                 skyline, prefix-filter + sorted-neighborhood dedup, k-core,
-#                 association rules, sequence log-lik, left-outer stream
-#                 join, rolling median, quantile normalization, Poisson
-#                 bootstrap), each locally green on the driver-identical
-#                 gate.  Round 4 built MORE never-checked queries than the
-#                 50-slot budget holds; the overflow (last ~7 of this group
-#                 plus the stale-green wordcount re-proofs below) is queued
-#                 in the same never-checked-first ranking for round 5.
+# Round-5 budget (VERDICT r4 "Next round" #2 and #5 — the exact ranking the
+# judge prescribed):
+#   slot  1     — jsonl_roundtrip, the registry's ONLY red row (r4 hash
+#                 mismatch, unreproduced locally); its aggregate is now
+#                 split into per-column proof columns so a second red row
+#                 localizes the drifting component before anything else.
+#   slots 2-11  — the 10 oracle-backed queries that have NEVER had a driver
+#                 row: the 7 the r4 window overflowed plus the 3 that were
+#                 not pinned at all last round (dedup_cluster_keep_best,
+#                 compaction_roundtrip, ts_ewma_revenue — the last one
+#                 fixed this round: integer-weight EWMA terms replaced the
+#                 per-term quantization that drifted 2e-6 vs DuckDB).
+#   next        — queries BUILT in round 5, never driver-checked (grow as
+#                 the round adds operators; never-checked outranks
+#                 stale-green re-proofs, the standing VERDICT ranking).
+#   remainder   — the STALEST greens: the r1-era wordcount/ingest/relational
+#                 families have had no driver contact for three fixture
+#                 generations (VERDICT r4 "missing" #3 — the r4 comment
+#                 claiming they were inside the window was wrong; they were
+#                 not).  Oldest-first until the 50-slot budget line.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (1) oracle-backed, never driver-checked — land rows first
-    "jsondict_roundtrip",
-    "multimodal_decode_bmp",
-    "multimodal_decode_wav",
-    "text_unigram_logprob",
-    "bpe_merge_pairs",
-    "sim_lsh_recall",
-    "pagerank_word_graph",
-    "sim_topk_vectorized",
-    "sim_quantized_recall",
-    "grouped_zscore_pandas",
-    "q12_priority_by_flag",
-    # (2) upgraded rows-only → hash-checked this round
-    "sim_topk_ivf",
-    "sim_ann_recall_report",
-    # (3) built in round 4 — oracle-backed, never driver-checked
-    "bfs_word_distances",
-    "corpus_shuffle_shards",
-    "stream_cep_funnel",
-    "ts_interpolate_daily",
-    "analyze_table_stats",
-    "hybrid_search_rrf",
-    "corpus_temperature_mixture",
-    "quantile_binning",
-    "c4_line_dedup",
-    "dedup_substring_coverage",
-    "emb_gram_matrix",
-    "recursive_cte_inventory",
-    "stream_watermark_finalize",
-    "text_length_outliers_mad",
-    "join_null_safe",
-    "corpus_chunk_windows",
-    "feature_hashing_trick",
-    "target_encode_brand",
-    "target_encode_kfold",
-    "ab_test_conversion",
-    "stream_upsert_user_state",
-    "multimodal_phash",
-    "multimodal_phash_pairs",
-    "emb_whiten_diag",
-    "text_byte_entropy",
+    # (1) the one red row, instrumented for localization
     "jsonl_roundtrip",
-    "linreg_normal_equations",
-    "token_label_mi",
-    "unpivot_order_metrics",
-    "naive_bayes_langid",
-    "kmv_daily_distinct",
-    "skyline_parts",
-    "linreg_by_returnflag",
-    "dedup_prefix_filter",
-    "dedup_sorted_neighborhood",
-    "logreg_gradient_descent",
-    "graph_kcore_parts",
+    # (2) oracle-backed, never driver-checked (r4 overflow + r4 unpinned)
     "kmv_weekly_merge",
     "basket_association_rules",
     "events_sequence_loglik",
@@ -119,12 +67,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_rolling_median_revenue",
     "emb_quantile_normalize",
     "bootstrap_mean_ci",
-    # (4) stalest greens: last driver contact was round 1, oldest fixtures
+    "dedup_cluster_keep_best",
+    "compaction_roundtrip",
+    "ts_ewma_revenue",
+    # (3) built in round 5 — oracle-backed, never driver-checked
+    # (appended as the round builds them)
+    # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",
     "wordcount_rdd_core",
     "inverted_index_stats",
-    # --- 50-slot budget line falls here (46 + 4) ---
     "ingest_zip_wordcount",
     "ziptext_datasource_scan",
     "q1_pricing_summary",
@@ -169,6 +121,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q17_small_quantity_revenue",
     "q19_disjunctive_predicates",
+    # r2/r3-era greens queue behind in plain registration order; they rotate
+    # into future windows as the budget allows.
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file

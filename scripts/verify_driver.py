@@ -63,6 +63,14 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--smoke-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help="fail if any oracle-backed query that has never had a driver "
+        "correctness row sits OUTSIDE the driver's 50-slot budget window "
+        "(i.e. would stay unchecked after the next round) — the guard "
+        "against overflow silently accumulating (VERDICT r4 #8)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -142,6 +150,30 @@ def main() -> int:
     print(f"\n{n_run - len(failures)}/{n_run} green" + ("" if not only else f" (of {len(queries)} registered; --only run)"))
     if failures:
         print("failures:", failures)
+
+    if args.strict:
+        import glob
+        import json
+
+        ever_checked: set[str] = set()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+            with open(p) as fh:
+                ever_checked.update(json.load(fh))
+        window = list(queries)[:50]
+        stranded = [
+            n
+            for n in queries
+            if n in oracles and n not in ever_checked and n not in window
+        ]
+        if stranded:
+            print(
+                f"STRICT: {len(stranded)} never-checked oracle-backed "
+                f"queries sit outside the 50-slot window: {stranded}\n"
+                "        pin them in DRIVER_PRIORITY ahead of stale greens."
+            )
+            return 1
+        print("STRICT: every never-checked oracle-backed query is inside the window")
     return 1 if failures else 0
 
 
