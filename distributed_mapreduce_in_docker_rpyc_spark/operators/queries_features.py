@@ -510,3 +510,132 @@ def logreg_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(acc, 6) AS train_accuracy",
         )
     )
+
+
+# Weighted Gini impurity of a binary split, spelled with explicit multiplies
+# (no POWER()) so Spark and DuckDB evaluate the identical IEEE expression
+# over identical integer counts — the argmin rank can then use the raw
+# doubles with no boundary lottery.
+_STUMP_GINI = (
+    "(nl * (1.0 - (CAST(posl AS DOUBLE)/nl) * (CAST(posl AS DOUBLE)/nl)"
+    "            - (CAST(nl - posl AS DOUBLE)/nl) * (CAST(nl - posl AS DOUBLE)/nl))"
+    " + nr * (1.0 - (CAST(posr AS DOUBLE)/nr) * (CAST(posr AS DOUBLE)/nr)"
+    "             - (CAST(nr - posr AS DOUBLE)/nr) * (CAST(nr - posr AS DOUBLE)/nr))"
+    ") / CAST(nl + nr AS DOUBLE)"
+)
+
+
+@register(
+    "decision_stump_train",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS quantity,
+               CAST(l_discount AS DOUBLE) AS discount,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+              AND l_returnflag IS NOT NULL
+    ),
+    long AS (
+        SELECT 'quantity' AS feature, quantity AS v, y FROM obs
+        UNION ALL
+        SELECT 'discount' AS feature, discount AS v, y FROM obs
+    ),
+    hist AS (
+        SELECT feature, v, COUNT(*) AS n, SUM(y) AS pos
+        FROM long GROUP BY feature, v
+    ),
+    cum AS (
+        SELECT feature, v,
+               SUM(n)   OVER (PARTITION BY feature ORDER BY v) AS nl,
+               SUM(pos) OVER (PARTITION BY feature ORDER BY v) AS posl,
+               SUM(n)   OVER (PARTITION BY feature) AS n_tot,
+               SUM(pos) OVER (PARTITION BY feature) AS pos_tot
+        FROM hist
+    ),
+    splits AS (
+        SELECT feature, v AS threshold,
+               nl, n_tot - nl AS nr, posl, pos_tot - posl AS posr
+        FROM cum WHERE n_tot - nl > 0
+    ),
+    scored AS (
+        SELECT feature, threshold, nl AS n_left, nr AS n_right,
+               {_STUMP_GINI} AS gini
+        FROM splits
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY gini ASC, feature ASC, threshold ASC) AS rk
+        FROM scored
+    )
+    SELECT feature, threshold, ROUND(gini, 6) AS gini,
+           CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right
+    FROM best WHERE rk = 1
+    """,
+)
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a decision stump (the root split of a decision tree) predicting
+    returned line items (l_returnflag = 'R') over two numeric features:
+    exact optimal (feature, threshold) by weighted Gini impurity.
+
+    The scalable formulation is the point: instead of scoring each of the
+    N × V candidate splits against the observations (the naive quadratic),
+    the observations collapse to a per-(feature, value) HISTOGRAM (one
+    map-side-combined shuffle, ≤ V rows per feature), and every split's
+    left/right class counts come from a cumulative-sum WINDOW over the
+    ordered histogram — O(V) split scoring after one linear pass, the same
+    histogram trick distributed GBDT frameworks use for split finding.
+    The final argmin is a 1-row TakeOrdered.  Gini is computed with
+    explicit multiplies over identical integer counts in both engines, so
+    the raw-double ranking is engine-stable; ties break (feature ASC,
+    threshold ASC)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
+    obs = li.select(
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    long = obs.selectExpr("'quantity' AS feature", "quantity AS v", "y").unionAll(
+        obs.selectExpr("'discount' AS feature", "discount AS v", "y")
+    )
+    hist = long.groupBy("feature", "v").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    w_cum = Window.partitionBy("feature").orderBy("v")
+    w_all = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "v",
+        F.sum("n").over(w_cum).alias("nl"),
+        F.sum("pos").over(w_cum).alias("posl"),
+        F.sum("n").over(w_all).alias("n_tot"),
+        F.sum("pos").over(w_all).alias("pos_tot"),
+    )
+    splits = cum.filter(F.col("n_tot") - F.col("nl") > 0).select(
+        "feature",
+        F.col("v").alias("threshold"),
+        "nl",
+        (F.col("n_tot") - F.col("nl")).alias("nr"),
+        "posl",
+        (F.col("pos_tot") - F.col("posl")).alias("posr"),
+    )
+    scored = splits.selectExpr(
+        "feature", "threshold", "nl AS n_left", "nr AS n_right", f"{_STUMP_GINI} AS gini"
+    )
+    w_best = Window.orderBy(F.asc("gini"), F.asc("feature"), F.asc("threshold"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "feature",
+            "threshold",
+            F.round("gini", 6).alias("gini"),
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+        )
+    )

@@ -967,3 +967,98 @@ def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.round((F.col("rn") - 1).cast("double") / (F.col("n") - 1), 6).alias("q"),
     )
+
+
+@register(
+    "knn_label_vote",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, embedding, label,
+               sqrt((SELECT SUM(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))
+                     FROM generate_series(1, 64) g(i))) AS nrm
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    sims AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               n.vec_id AS neighbor_id, n.label AS n_label,
+               ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                      FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) AS sim
+        FROM norms q JOIN norms n ON n.vec_id >= 50
+        WHERE q.vec_id < 50
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM sims
+    ),
+    votes AS (
+        SELECT query_id, true_label, n_label, COUNT(*) AS cnt
+        FROM ranked WHERE rnk <= 10
+        GROUP BY query_id, true_label, n_label
+    ),
+    winner AS (
+        SELECT query_id, true_label, n_label AS pred_label, cnt,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cnt DESC, n_label ASC) AS vr
+        FROM votes
+    )
+    SELECT query_id, true_label, pred_label, cnt AS n_votes,
+           CAST(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END AS INT) AS correct
+    FROM winner WHERE vr = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier over the embedding corpus: the 50 held-out vectors
+    (vec_id < 50) are each labeled by majority vote of their 10 nearest
+    training neighbors by cosine (sim rounded to 6 BEFORE ranking so libm
+    ulp differences can't flip a rank boundary; vote ties break on the
+    smaller label) — the classic embedding-space classifier an LLM data
+    pipeline uses for cheap domain/quality tagging of new documents.
+
+    Shape at 100 TB: the probe set is a CONSTANT 50-vector broadcast (the
+    same vetted tiny-broadcast BNLJ pattern as sim_topk_bruteforce); the
+    corpus side streams linearly with no shuffle until the per-query
+    top-10 window, whose input is 50 × |corpus| similarities reduced by
+    the ranking window's partial top-k (TakeOrdered per query key).  The
+    vote itself is a 500-row aggregate.  The reference has no vector
+    operators at all (SURVEY.md §2.2)."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("_qv"),
+    )
+    train = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("_nv"),
+    )
+    cores = spark.sparkContext.defaultParallelism
+    if train.rdd.getNumPartitions() < cores:
+        train = train.repartition(cores)
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    neigh = (
+        train.join(F.broadcast(q), F.lit(True))
+        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 10)
+    )
+    votes = neigh.groupBy("query_id", "true_label", "n_label").agg(F.count("*").alias("cnt"))
+    w_vote = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("n_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            F.col("cnt").alias("n_votes"),
+            (F.col("true_label") == F.col("pred_label")).cast("int").alias("correct"),
+        )
+    )

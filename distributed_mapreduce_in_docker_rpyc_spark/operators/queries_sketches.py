@@ -690,3 +690,127 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(CAST(boot_mean AS DOUBLE) + 1.96 * sqrt(var_m), 6) AS ci_hi",
         )
     )
+
+
+# Bloom positions: 16-bit slot from the first 4 md5 hex nibbles of
+# 'j:key' — spelled as nibble arithmetic so DuckDB (no conv()) and Spark
+# compute the identical integer.
+_BLOOM_K = 3
+_BLOOM_NIBBLE = "(strpos('0123456789abcdef', substr(md5({s}), {i}, 1)) - 1)"
+
+
+def _bloom_pos_sql(key_expr: str, j_expr: str) -> str:
+    """DuckDB form: nibble arithmetic (DuckDB has no conv())."""
+    s = f"CAST({j_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
+    nib = [_BLOOM_NIBBLE.format(s=f"({s})", i=i) for i in (1, 2, 3, 4)]
+    return f"({nib[0]} * 4096 + {nib[1]} * 256 + {nib[2]} * 16 + {nib[3]})"
+
+
+def _bloom_pos_spark(key_expr: str, j_expr: str) -> str:
+    """Spark form: conv() on the same first-4-hex-digit slice — the same
+    16-bit integer as the oracle's nibble arithmetic."""
+    s = f"CAST({j_expr} AS STRING) || ':' || CAST({key_expr} AS STRING)"
+    return f"CAST(conv(substr(md5({s}), 1, 4), 16, 10) AS BIGINT)"
+
+
+@register(
+    "bloom_filter_probe",
+    oracle=f"""
+    WITH member AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+        SELECT DISTINCT {_bloom_pos_sql('m.k', 'g.j')} AS pos
+        FROM member m, generate_series(0, {_BLOOM_K - 1}) g(j)
+    ),
+    probe AS (
+        SELECT c.c_custkey AS k, g.j, {_bloom_pos_sql('c.c_custkey', 'g.j')} AS pos
+        FROM customer c, generate_series(0, {_BLOOM_K - 1}) g(j)
+    ),
+    verdicts AS (
+        SELECT p.k,
+               MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS positive
+        FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+        GROUP BY p.k
+    ),
+    labeled AS (
+        SELECT v.k, v.positive,
+               CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+        FROM verdicts v LEFT JOIN member m ON m.k = v.k
+    )
+    SELECT (SELECT COUNT(*) FROM member) AS n_keys,
+           (SELECT COUNT(*) FROM bits) AS n_bits_set,
+           COUNT(*) AS n_probes,
+           CAST(SUM(positive) AS BIGINT) AS n_positive,
+           CAST(SUM(CASE WHEN positive = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_pos,
+           ROUND(CAST(SUM(CASE WHEN positive = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN is_member = 0 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS fpr
+    FROM labeled
+    """,
+)
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter, built and probed as dataflow: a 65536-slot
+    / 3-hash filter over the urgent-order customer set, probed with every
+    customer, with EXACT false-positive accounting (the sketch's verdict
+    joined back against true membership).  Bloom membership is the
+    workhorse of 100 TB anti-joins: ship the bit set, not the key set.
+
+    Scale posture: the materialized filter is AT MOST 65536 rows no matter
+    how many build keys stream in (DISTINCT over a bounded position space)
+    — it broadcasts forever, so the probe side is a map-side hash lookup
+    with NO shuffle on the big table; build and probe are each one linear
+    pass.  All 3 positions must match (MIN over the k probes) for a
+    positive — no false negatives by construction, which
+    tests/test_sketches.py pins as an invariant.  The md5-nibble slot
+    arithmetic is engine-portable, so the whole report (including the
+    false-positive RATE) hash-checks against the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    member = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    js = spark.range(_BLOOM_K).select(F.col("id").alias("j"))
+    bits = (
+        member.crossJoin(F.broadcast(js))
+        .selectExpr(f"{_bloom_pos_spark('k', 'j')} AS pos")
+        .distinct()
+    )
+    probe = (
+        cust.select(F.col("c_custkey").alias("k"))
+        .crossJoin(F.broadcast(js))
+        .selectExpr("k", f"{_bloom_pos_spark('k', 'j')} AS pos")
+    )
+    verdicts = (
+        probe.join(F.broadcast(bits).withColumn("hit", F.lit(1)), "pos", "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("positive"))
+    )
+    labeled = verdicts.join(
+        member.withColumn("is_member", F.lit(1)), "k", "left"
+    ).withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(0)))
+    n_keys = member.agg(F.count("*").alias("n_keys"))
+    n_bits = bits.agg(F.count("*").alias("n_bits_set"))
+    return (
+        labeled.agg(
+            F.count("*").alias("n_probes"),
+            F.sum("positive").cast("bigint").alias("n_positive"),
+            F.sum(
+                ((F.col("positive") == 1) & (F.col("is_member") == 0)).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.round(
+                F.sum(((F.col("positive") == 1) & (F.col("is_member") == 0)).cast("int"))
+                .cast("double")
+                / F.sum((F.col("is_member") == 0).cast("int")).cast("double"),
+                6,
+            ).alias("fpr"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(n_bits))
+        .select("n_keys", "n_bits_set", "n_probes", "n_positive", "n_false_pos", "fpr")
+    )

@@ -72,6 +72,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_ewma_revenue",
     # (3) built in round 5 — oracle-backed, never driver-checked
     # (appended as the round builds them)
+    "knn_label_vote",
+    "decision_stump_train",
+    "bloom_filter_probe",
+    "theilsen_daily_trend",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

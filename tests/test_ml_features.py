@@ -290,3 +290,80 @@ def test_quantile_normalize_is_uniform_bijection_per_dim(spark, sf_dir):
     expected = sorted(round((i) / (n_vecs - 1), 6) for i in range(n_vecs))
     for qs in dims.values():
         assert sorted(qs) == expected
+
+
+def test_knn_label_vote_invariants(spark, sf_dir):
+    """50 held-out rows, one verdict each; every prediction is an actually
+    observed training label; votes bounded by k=10; correct == (true==pred)."""
+    rows = QUERIES["knn_label_vote"](spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert len({r.query_id for r in rows}) == 50
+    train_labels = {
+        r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id >= 50 AND label IS NOT NULL")
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r.pred_label in train_labels
+        assert 1 <= r.n_votes <= 10
+        assert r.correct == int(r.true_label == r.pred_label)
+
+
+def test_bloom_filter_probe_no_false_negatives(spark, sf_dir):
+    """The defining Bloom invariant: every true member tests positive —
+    n_positive >= n_keys — plus the bit set is bounded by min(k*n, m) and
+    the FPR accounting ties out."""
+    r = QUERIES["bloom_filter_probe"](spark, sf_dir).collect()[0]
+    assert r.n_bits_set <= min(3 * r.n_keys, 65536)
+    # no false negatives: positives cover all members (+ the false positives)
+    assert r.n_positive == r.n_keys + r.n_false_pos
+    assert 0.0 <= r.fpr <= 1.0
+
+
+def test_decision_stump_beats_majority_class(spark, sf_dir):
+    """The chosen split's weighted Gini must be <= the no-split Gini of the
+    label distribution (a stump can always fall back to not splitting), and
+    the side counts tie out to the observation count."""
+    import pyspark.sql.functions as SF
+
+    row = QUERIES["decision_stump_train"](spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        "l_quantity IS NOT NULL AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL"
+    )
+    n = li.count()
+    pos = li.filter(SF.col("l_returnflag") == "R").count()
+    p = pos / n
+    root_gini = 1.0 - p * p - (1.0 - p) * (1.0 - p)
+    assert row.n_left + row.n_right == n
+    assert row.gini <= root_gini + 1e-9
+    assert row.feature in ("quantity", "discount")
+
+
+def test_theilsen_slope_bounded_by_extreme_pair(spark, sf_dir):
+    """The median pairwise slope lies within the min/max banded pairwise
+    slope recomputed in pure Python for one priority — implementation-
+    independent ground truth."""
+    rows = {r.o_orderpriority: r for r in QUERIES["theilsen_daily_trend"](spark, sf_dir).collect()}
+    assert rows
+    import pyspark.sql.functions as SF
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prio = sorted(rows)[0]
+    daily = (
+        o.filter(SF.col("o_orderpriority") == prio)
+        .groupBy(SF.to_date("o_orderdate").alias("day"))
+        .agg(SF.sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+    pts = sorted((r.day.toordinal(), float(r.rev)) for r in daily)
+    slopes = [
+        (r2 - r1) / (d2 - d1)
+        for i, (d1, r1) in enumerate(pts)
+        for (d2, r2) in pts[i + 1 :]
+        if 0 < d2 - d1 <= 90
+    ]
+    assert len(slopes) == rows[prio].n_pairs
+    assert min(slopes) - 1e-6 <= rows[prio].theil_sen_slope <= max(slopes) + 1e-6
