@@ -368,3 +368,53 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).where(F.col("hamming") <= 6)
+
+
+@register(
+    "multimodal_wav_energy",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0 THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents
+    ),
+    samples AS (
+        SELECT r.doc_id, g.j // 256 AS frame_idx,
+               (strpos('0123456789ABCDEF', substr(r.hx, 2 * g.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(r.hx, 2 * g.j + 2, 1)) - 1) - 128 AS v
+        FROM raw r, unnest(generate_series(0, length(r.hx) // 2 - 1)) AS g(j)
+    ),
+    frames AS (
+        SELECT doc_id, frame_idx, SUM(v * v) AS energy
+        FROM samples GROUP BY doc_id, frame_idx
+    ),
+    ranked AS (
+        SELECT doc_id, frame_idx, energy,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY energy DESC, frame_idx ASC) AS rk
+        FROM frames
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(f.energy) AS BIGINT) AS total_energy,
+           CAST(MAX(CASE WHEN r.rk = 1 THEN r.frame_idx END) AS BIGINT) AS peak_frame_idx,
+           CAST(MAX(CASE WHEN r.rk = 1 THEN r.energy END) AS BIGINT) AS peak_frame_energy
+    FROM frames f JOIN ranked r ON r.doc_id = f.doc_id AND r.frame_idx = f.frame_idx
+    GROUP BY f.doc_id
+    """,
+)
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy (VAD/loudness front end): every document's WAV
+    payload is decoded and its 8-bit PCM stream split into 256-sample
+    frames; the report carries frame count, total energy, and the peak
+    frame (index + energy, ties to the earlier frame).  Energy is the
+    exact integer sum of squared midpoint deviations, so the whole frame
+    walk hash-checks against SQL recomputing it from the text bytes.
+
+    Scale posture: the samples never become rows — each Arrow batch
+    reshapes its payloads in NumPy and emits ONE row per document; the
+    shuffle-free mapInPandas is the entire job (the oracle's per-sample
+    unnest is the oracle's problem, not the engine's)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.frame_energies(mm.attach_wav_payload(docs))

@@ -2100,3 +2100,179 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle="""
+    WITH n_corpus AS (SELECT COUNT(*) AS n FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    w AS (
+        /* integer-quantized tf-idf: idf_q = (1e6*(N+1)) // (df+1), weight =
+           tf * idf_q — EXACT integers, so dot products and norms are exact
+           decimal sums with no float-accumulation order lottery */
+        SELECT t.doc_id, t.word,
+               CAST(t.tf * ((1000000 * (n.n + 1)) // (d.df + 1)) AS DECIMAL(38,0)) AS w
+        FROM tf t JOIN df d USING (word), n_corpus n
+        WHERE d.df * 10 <= n.n
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
+        FROM w a JOIN w b ON b.word = a.word AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= 0.3
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse document similarity (Bayardo et al., WWW'07 shape):
+    TF-IDF-weighted cosine over the token space, computed by an INVERTED-
+    INDEX equi-join — never a doc × doc product.  Two scale levers: the
+    document-frequency cap (df ≤ N/10 drops stopword-grade terms whose
+    postings would dominate candidate volume while contributing almost no
+    discrimination), and the similarity threshold (0.3) pruning the output.
+
+    Exactness by construction: weights are integer-quantized tf-idf
+    (idf_q = (1e6·(N+1)) ÷ (df+1), integer division; weight = tf·idf_q),
+    so every dot product and norm is an EXACT decimal integer sum —
+    order- and engine-independent — and the only float ops are one sqrt
+    and one division per pair, IEEE-identical in both engines.
+
+    Shape at 100 TB: tf/df are map-side-combined token aggregates; the
+    pair join shuffles postings by TERM (uniform after the DF cap), and
+    per-term candidate work is bounded by the cap squared — the same
+    asymptotics as the prefix-filter join (dedup_prefix_filter), traded
+    for exact weighted cosine instead of set overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_corpus = docs.agg(F.count("*").alias("n"))
+    tok = docs.select("doc_id", F.explode(tokenize_column("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_corpus))
+        .filter(F.col("df") * 10 <= F.col("n"))
+        .selectExpr(
+            "doc_id",
+            "word",
+            "CAST(tf * ((1000000 * (n + 1)) DIV (df + 1)) AS DECIMAL(38,0)) AS w",
+        )
+        .persist()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), F.col("word").alias("word_b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, (F.col("word_b") == F.col("word")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        # norms is O(docs) — NOT broadcast-hinted; at 100 TB this is a
+        # doc-key equi-join (AQE still broadcasts it at small scale).
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cos_sim", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("doc_a", "doc_b", "cos_sim")
+    )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS t
+        FROM documents
+    ),
+    doc_bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM doc_bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT unnest.word) AS v
+              FROM (SELECT unnest(t) AS word FROM toks) AS unnest(word)),
+    scored AS (
+        SELECT d.doc_id,
+               ln((CAST(b.c12 AS DOUBLE) + 1.0)
+                  / (CAST(c.c1 AS DOUBLE) + CAST(vb.v AS DOUBLE))) AS lp
+        FROM doc_bg d
+        JOIN bg b ON b.w1 = d.w1 AND b.w2 = d.w2
+        JOIN ctx c ON c.w1 = d.w1, vocab vb
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-AVG(lp), 6) AS mean_neg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed bigram language-model score per document — the
+    n-gram step up from ``text_unigram_logprob``'s KenLM stand-in: train
+    bigram counts over the corpus, then score every document's bigrams by
+    −avg ln((c(w1,w2)+1)/(c(w1)+V)).  High scores flag out-of-distribution
+    or shuffled/garbled text that unigram statistics miss (unigram models
+    can't see word ORDER).
+
+    Shape at 100 TB: one bigram explode feeds both the model aggregate and
+    the scoring join; the bigram model is vocabulary-bounded (≪ corpus) so
+    the scoring join shuffles on the uniform bigram key; V and the context
+    totals ride broadcast frames.  No Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.regexp_extract_all(
+            F.array_join(toks, " "), F.lit(r"(?<![a-z'])(?=([a-z']+ [a-z']+))"), 1
+        ),
+    ).otherwise(F.array())
+    doc_bg = (
+        docs.select("doc_id", F.explode(bigrams).alias("bgm"))
+        .withColumn("w1", F.split(F.col("bgm"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bgm"), " ").getItem(1))
+        .drop("bgm")
+        .persist()
+    )
+    bg = doc_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = docs.select(F.explode(toks).alias("word")).agg(
+        F.count_distinct("word").alias("v")
+    )
+    return (
+        doc_bg.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c12").cast("double") + F.lit(1.0))
+                / (F.col("c1").cast("double") + F.col("v").cast("double"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(-F.avg("lp"), 6).alias("mean_neg_logprob"),
+        )
+    )

@@ -76,6 +76,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "decision_stump_train",
     "bloom_filter_probe",
     "theilsen_daily_trend",
+    "tfidf_cosine_pairs",
+    "text_bigram_lm_score",
+    "multimodal_wav_energy",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

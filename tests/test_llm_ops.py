@@ -473,3 +473,102 @@ def test_sorted_neighborhood_full_recall_on_fixture(spark, sf_dir):
         for r in QUERIES["dedup_sorted_neighborhood"](spark, sf_dir).collect()
     }
     assert snm == exhaustive and len(snm) > 0
+
+
+def test_tfidf_cosine_pairs_against_python_brute_force(spark, sf_dir):
+    """Recompute the DF-capped integer-quantized tf-idf cosine for every
+    emitted pair in pure Python over the raw documents — implementation-
+    independent ground truth — and spot-check completeness: any pair of
+    EXACT duplicate documents (identical token multisets, both with at
+    least one surviving term) must appear with cos_sim = 1."""
+    import re
+    from collections import Counter
+
+    rows = QUERIES["tfidf_cosine_pairs"](spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    word = re.compile(r"[a-z']+")
+    tf = {r.doc_id: Counter(word.findall((r.text or "").lower())) for r in docs}
+    n = len(docs)
+    df = Counter(w for c in tf.values() for w in c)
+    keep = {w for w, d in df.items() if d * 10 <= n}
+    wv = {
+        d: {w: t * ((1_000_000 * (n + 1)) // (df[w] + 1)) for w, t in c.items() if w in keep}
+        for d, c in tf.items()
+    }
+    import math
+
+    def cos(a, b):
+        dot = sum(va * b[w] for w, va in a.items() if w in b)
+        na = math.sqrt(float(sum(v * v for v in a.values())))
+        nb = math.sqrt(float(sum(v * v for v in b.values())))
+        return float(dot) / (na * nb) if na and nb else 0.0
+
+    for r in rows:
+        assert abs(r.cos_sim - round(cos(wv[r.doc_a], wv[r.doc_b]), 6)) <= 2e-6
+        assert r.doc_a < r.doc_b
+    # completeness spot-check via exact duplicates
+    emitted = {(r.doc_a, r.doc_b) for r in rows}
+    by_tokens = {}
+    for d, c in tf.items():
+        if any(w in keep for w in c):
+            by_tokens.setdefault(frozenset(c.items()), []).append(d)
+    dup_pairs = {
+        (a, b)
+        for ids in by_tokens.values()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    }
+    for a, b in dup_pairs:
+        assert (min(a, b), max(a, b)) in emitted
+
+
+def test_bigram_lm_score_matches_python(spark, sf_dir):
+    """Recompute the Laplace bigram score for three documents in pure
+    Python over the corpus counts."""
+    import math
+    import re
+    from collections import Counter
+
+    rows = {r.doc_id: r for r in QUERIES["text_bigram_lm_score"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    word = re.compile(r"[a-z']+")
+    toks = {r.doc_id: word.findall((r.text or "").lower()) for r in docs}
+    bg = Counter()
+    for t in toks.values():
+        bg.update(zip(t, t[1:]))
+    ctx = Counter()
+    for (w1, _), c in bg.items():
+        ctx[w1] += c
+    v = len({w for t in toks.values() for w in t})
+    checked = 0
+    for did, t in sorted(toks.items()):
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            assert did not in rows
+            continue
+        score = -sum(math.log((bg[p] + 1.0) / (ctx[p[0]] + float(v))) for p in pairs) / len(pairs)
+        assert rows[did].n_bigrams == len(pairs)
+        assert abs(rows[did].mean_neg_logprob - round(score, 6)) <= 2e-6
+        checked += 1
+        if checked >= 3:
+            break
+
+
+def test_wav_energy_matches_python(spark, sf_dir):
+    """Recompute the 256-sample frame energies from the raw text bytes for
+    every document: exact integer equality."""
+    rows = {r.doc_id: r for r in QUERIES["multimodal_wav_energy"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    for r in docs:
+        b = (r.text or "").encode("utf-8") or b"\x00"
+        frames = [
+            sum((x - 128) ** 2 for x in b[i : i + 256]) for i in range(0, len(b), 256)
+        ]
+        got = rows[r.doc_id]
+        assert got.n_frames == len(frames)
+        assert got.total_energy == sum(frames)
+        peak = max(range(len(frames)), key=lambda i: (frames[i], -i))
+        assert got.peak_frame_idx == peak
+        assert got.peak_frame_energy == frames[peak]

@@ -400,6 +400,8 @@ BNLJ_ALLOWED = {
     "bootstrap_mean_ci": "broadcast sides = 1-row center/spread/base scalar aggregates (three crossJoins)",
     "knn_label_vote": "broadcast side = constant 50-vector held-out probe set (same pattern as sim_topk_bruteforce)",
     "bloom_filter_probe": "broadcast sides = 3-row hash-index spine and two 1-row count frames; the bit set itself is a bounded-65536-row broadcast equi-join",
+    "tfidf_cosine_pairs": "broadcast side = 1-row corpus count (idf quantization input)",
+    "text_bigram_lm_score": "broadcast side = 1-row vocabulary size (Laplace denominator)",
 }
 
 
