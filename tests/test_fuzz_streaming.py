@@ -1,15 +1,21 @@
 """Differential streaming fuzzing: stream ≡ batch over randomized configs.
 
 The hand-written M5 tests pin stream≡batch at one shape per operator; this
-grammar varies the knobs that change state-store behavior — window width,
-slide (tumbling vs overlapping), session gap, watermark delay, event-type
-filters, grouping columns, and aggregate set — and asserts the incremental
-execution (file source → availableNow → memory sink, complete mode) emits
-exactly the batch answer on the same parquet.  Complete mode is the right
-gate here: with a finite backfill it must reproduce every window regardless
-of watermark delay, so watermark variation fuzzes STATE MANAGEMENT without
-changing the expected answer (append-mode drop semantics are pinned
-separately in test_streaming.py).
+grammar varies the knobs that change state-store behavior across FOUR
+families (25 seeded configs total): windowed aggregations (width, slide,
+session gap, watermark delay, filters, grouping, aggregate set),
+stream-stream interval joins (event-type pair, join horizon, independent
+per-side watermarks), dedup gates (dropDuplicates over randomized key
+subsets), and out-of-order replays (a randomized straggler band arriving
+after the watermark advanced).  Each asserts the incremental execution
+(file source → availableNow → memory sink) emits exactly the batch answer
+on the same parquet.  Complete mode is the right gate for aggregations:
+with a finite backfill it must reproduce every window regardless of
+watermark delay, so watermark variation fuzzes STATE MANAGEMENT without
+changing the expected answer; inner joins and dedup emit in append mode,
+where a finite backfill likewise pins the full match/distinct set
+(append-mode window FINALIZATION/drop semantics are pinned separately by
+stream_watermark_finalize and test_streaming.py).
 """
 
 from __future__ import annotations
@@ -77,7 +83,7 @@ def apply_query(df, cfg, *, streaming: bool):
     return out.select(*cols, "n", *( ["tv"] if cfg["sum_value"] else [] ))
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(12))
 def test_fuzzed_stream_equals_batch(spark, sf_dir, seed):
     cfg = gen_config(random.Random(11_000 + seed))
     table = f"fuzz_stream_{seed}"
@@ -86,4 +92,176 @@ def test_fuzzed_stream_equals_batch(spark, sf_dir, seed):
     got = {tuple(r) for r in spark.table(table).collect()}
     batch = load_table(spark, sf_dir, "events")
     want = {tuple(r) for r in apply_query(batch, cfg, streaming=False).collect()}
+    assert got == want and got, cfg
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join fuzz: vary the event-type pair, the join
+# horizon, and both watermarks.  Inner interval joins over a finite
+# availableNow backfill must emit EXACTLY the batch join's matches — the
+# watermarks only bound state, never the (complete-input) answer.
+# ---------------------------------------------------------------------------
+
+JOIN_PAIRS = [
+    ("click", "purchase"),
+    ("view", "click"),
+    ("signup", "purchase"),
+    ("view", "purchase"),
+    ("click", "error"),
+]
+JOIN_WINDOWS = ["10 minutes", "30 minutes", "1 hour", "2 hours"]
+
+
+def gen_join_config(rng: random.Random) -> dict:
+    return {
+        "pair": rng.choice(JOIN_PAIRS),
+        "window": rng.choice(JOIN_WINDOWS),
+        "wm_left": rng.choice(WATERMARKS),
+        "wm_right": rng.choice(WATERMARKS),
+    }
+
+
+def apply_join(df, cfg, *, streaming: bool):
+    lt, rt = cfg["pair"]
+    left = df.filter(F.col("event_type") == lt).select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    right = df.filter(F.col("event_type") == rt).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    if streaming:
+        left = left.withWatermark("l_ts", cfg["wm_left"])
+        right = right.withWatermark("r_ts", cfg["wm_right"])
+    return right.join(
+        left,
+        (F.col("r_user") == F.col("l_user"))
+        & (F.col("l_ts") <= F.col("r_ts"))
+        & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {cfg['window']}")),
+    ).select("r_user", "l_id", "r_id", "l_ts", "r_ts")
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzzed_stream_stream_join_equals_batch(spark, sf_dir, seed):
+    cfg = gen_join_config(random.Random(12_000 + seed))
+    table = f"fuzz_ssjoin_{seed}"
+    stream = jobs.events_stream(spark, sf_dir)
+    jobs.run_to_memory(apply_join(stream, cfg, streaming=True), table, output_mode="append")
+    got = {tuple(r) for r in spark.table(table).collect()}
+    batch = load_table(spark, sf_dir, "events")
+    want = {tuple(r) for r in apply_join(batch, cfg, streaming=False).collect()}
+    assert got == want and got, cfg
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup-gate fuzz: dropDuplicates over randomized key subsets
+# (including a truncated-hour time key) with randomized watermark — the
+# emitted SET must equal batch DISTINCT over the same projection.
+# ---------------------------------------------------------------------------
+
+
+def gen_dedup_config(rng: random.Random) -> dict:
+    keys = rng.choice(
+        [
+            ["user_id", "event_type"],
+            ["event_type"],
+            ["user_id"],
+            ["user_id", "event_type", "h"],
+            ["event_type", "h"],
+        ]
+    )
+    return {"keys": keys, "watermark": rng.choice(WATERMARKS)}
+
+
+def apply_dedup(df, cfg, *, streaming: bool):
+    df = df.withColumn("h", F.date_trunc("hour", F.col("ts")))
+    if streaming:
+        return (
+            df.withWatermark("ts", cfg["watermark"])
+            .select(*cfg["keys"], "ts")
+            .dropDuplicates(cfg["keys"])
+            .select(*cfg["keys"])
+        )
+    return df.select(*cfg["keys"]).distinct()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzzed_dedup_gate_equals_batch(spark, sf_dir, seed):
+    cfg = gen_dedup_config(random.Random(13_000 + seed))
+    table = f"fuzz_dedup_{seed}"
+    stream = jobs.events_stream(spark, sf_dir)
+    jobs.run_to_memory(apply_dedup(stream, cfg, streaming=True), table, output_mode="append")
+    got = {tuple(r) for r in spark.table(table).collect()}
+    batch = load_table(spark, sf_dir, "events")
+    want = {tuple(r) for r in apply_dedup(batch, cfg, streaming=False).collect()}
+    assert got == want and got, cfg
+
+
+# ---------------------------------------------------------------------------
+# Late-data placement fuzz: replay the events table as an OUT-OF-ORDER
+# multi-file feed (a randomized straggler band arrives after newer data has
+# advanced the watermark), one file per micro-batch.  In COMPLETE mode the
+# watermark never evicts aggregation state, so the tumbling counts must
+# still equal batch exactly — this fuzzes multi-batch state management
+# under genuinely late arrivals, the axis the in-order fuzzer above can't
+# reach.  (Append-mode finalization/drop semantics are pinned separately by
+# stream_watermark_finalize.)
+# ---------------------------------------------------------------------------
+
+
+def gen_late_config(rng: random.Random) -> dict:
+    band_hi = rng.randint(5, 12)           # straggler band = (mx-hi, mx-lo]
+    band_lo = rng.randint(3, band_hi - 1)
+    return {
+        "band_hi": band_hi,
+        "band_lo": band_lo,
+        "head_cut": rng.randint(1, band_lo),  # head = newest head_cut hours
+        "width": rng.choice(WIDTHS),
+        "watermark": rng.choice(["137 seconds", "30 minutes", "2 hours"]),
+        "group_type": rng.random() < 0.5,
+    }
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzzed_late_replay_tumbling_equals_batch(spark, sf_dir, seed):
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_streaming import _replay_feed
+
+    cfg = gen_late_config(random.Random(14_000 + seed))
+    band = (
+        F.col("ts") > F.col("mx") - F.expr(f"INTERVAL {cfg['band_hi']} HOUR")
+    ) & (F.col("ts") <= F.col("mx") - F.expr(f"INTERVAL {cfg['band_lo']} HOUR"))
+    head_cut = F.col("ts") <= F.col("mx") - F.expr(f"INTERVAL {cfg['head_cut']} HOUR")
+    splits = [
+        ("0-history", (~band) & head_cut),
+        ("1-stragglers", band),
+        ("2-head", ~head_cut),
+    ]
+    _, stream = _replay_feed(
+        spark, sf_dir, ["ts", "event_type"], f"fuzzlate{seed}", splits=splits
+    )
+    keys = [F.window("ts", cfg["width"]).alias("w")] + (
+        ["event_type"] if cfg["group_type"] else []
+    )
+    agg = (
+        stream.withWatermark("ts", cfg["watermark"])
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+    )
+    sel = [F.col("w.start").alias("ws"), F.col("w.end").alias("we")] + (
+        ["event_type"] if cfg["group_type"] else []
+    ) + ["n"]
+    table = f"fuzz_late_{seed}"
+    jobs.run_to_memory(agg.select(*sel), table)
+    got = {tuple(r) for r in spark.table(table).collect()}
+    batch = load_table(spark, sf_dir, "events")
+    bkeys = [F.window("ts", cfg["width"]).alias("w")] + (
+        ["event_type"] if cfg["group_type"] else []
+    )
+    want = {
+        tuple(r)
+        for r in batch.groupBy(*bkeys).agg(F.count("*").alias("n")).select(*sel).collect()
+    }
     assert got == want and got, cfg
