@@ -302,3 +302,128 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(good & F.col("text").isNull(), F.lit(1))).alias("n_null_text"),
         F.count_distinct(F.when(good, F.col("lang"))).alias("n_langs"),
     )
+
+
+@register(
+    "csv_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_good,
+           3 AS n_corrupt,
+           CAST(89 AS BIGINT) AS sum_corrupt_bytes,
+           SUM(o_orderkey) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_price,
+           MIN(CAST(o_orderdate AS DATE)) AS min_day,
+           MAX(CAST(o_orderdate AS DATE)) AS max_day,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip with corrupt-record isolation — the sibling of
+    ``jsonl_roundtrip`` for the other ubiquitous interchange format.  500
+    orders are written as headerless CSV through Spark's distributed
+    writer, three deliberately type-broken lines (bad long / bad double /
+    bad date) are appended as an extra shard, and the directory is read
+    back with a PINNED schema in PERMISSIVE mode.  The per-column proof
+    aggregate shows (a) numeric round-trip is exact (Java's shortest
+    double rendering reparses to the identical double, summed as exact
+    decimals), (b) dates survive the string form, (c) all three corrupt
+    lines land in ``_corrupt_record`` with their exact byte total, and
+    (d) no good row is lost or duplicated.
+
+    Scale posture: write and read are one-task-per-file, shuffle-free;
+    schema is pinned (inference at 100 TB is an extra full pass)."""
+    import os
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("d"),
+            "o_orderpriority",
+        )
+    )
+    out = _work_dir("csvrt")
+    o.repartition(4).write.mode("overwrite").option("header", "false").csv(out)
+    with open(os.path.join(out, "part-corrupt.csv"), "w", encoding="utf-8") as fh:
+        fh.write("not-a-long,AA,1.0,1999-01-01,X\n")
+        fh.write("99991,XX,not-a-number,1999-01-01,Y\n")
+        fh.write("99992,YY,2.5,not-a-date,Z\n")
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double, "
+            "d date, o_orderpriority string, _corrupt_record string"
+        )
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).cast("int").alias("n_corrupt"),
+        F.sum(
+            F.when(~good, F.length(F.encode(F.col("_corrupt_record"), "UTF-8")))
+        ).alias("sum_corrupt_bytes"),
+        F.sum(F.when(good, F.col("o_orderkey"))).alias("sum_key"),
+        F.sum(F.when(good, F.col("o_totalprice").cast("decimal(24,6)")))
+        .cast("double")
+        .alias("sum_price"),
+        F.min(F.when(good, F.col("d"))).alias("min_day"),
+        F.max(F.when(good, F.col("d"))).alias("max_day"),
+        F.count_distinct(F.when(good, F.col("o_orderpriority"))).alias("n_priorities"),
+    )
+
+
+@register(
+    "orc_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_price,
+           COUNT(DISTINCT l_returnflag) AS n_flags,
+           MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+           MAX(CAST(l_shipdate AS DATE)) AS max_ship
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar round-trip: a lineitem slice written through Spark's
+    native ORC writer and scanned back, proof-aggregated against the
+    ORIGINAL parquet values via the oracle — the second columnar format a
+    lakehouse engine must speak (the reference speaks only text files,
+    SURVEY.md §2.2 'Scans').  Longs, doubles, strings and dates all cross
+    the format boundary losslessly; sums ride exact decimals so the check
+    is order-independent.
+
+    Scale posture: both writers are one-task-per-partition with column
+    pruning and predicate pushdown on rescan (ORC carries min/max stripe
+    stats exactly as parquet does)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+            F.to_date("l_shipdate").alias("ship"),
+        )
+    )
+    out = _work_dir("orcrt")
+    li.repartition(4).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(24,6)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count_distinct("l_returnflag").alias("n_flags"),
+        F.min("ship").alias("min_ship"),
+        F.max("ship").alias("max_ship"),
+    )

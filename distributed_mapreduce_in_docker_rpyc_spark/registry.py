@@ -79,6 +79,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_cosine_pairs",
     "text_bigram_lm_score",
     "multimodal_wav_energy",
+    "csv_roundtrip",
+    "orc_roundtrip",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",
