@@ -573,3 +573,100 @@ def events_sequence_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lp") / F.count("*"), 6).alias("avg_loglik"),
         )
     )
+
+
+@register(
+    "events_attribution_credit",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts
+        FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+        SELECT p.purchase_id, p.user_id, c.click_id,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.ts ASC, c.click_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+        FROM p JOIN c ON c.user_id = p.user_id
+                     AND c.ts < p.ts
+                     AND c.ts >= p.ts - INTERVAL '2 hours'
+    )
+    SELECT purchase_id, user_id,
+           CAST(MAX(n_touches) AS BIGINT) AS n_touches,
+           MAX(CASE WHEN rn = 1 THEN click_id END) AS first_click_id,
+           MAX(CASE WHEN rn = n_touches THEN click_id END) AS last_click_id,
+           CAST(CASE WHEN MAX(n_touches) = 1 THEN 10000
+                     WHEN MAX(n_touches) = 2 THEN 5000
+                     ELSE 4000 END AS BIGINT) AS first_credit_bp,
+           CAST(CASE WHEN MAX(n_touches) = 1 THEN 0
+                     WHEN MAX(n_touches) = 2 THEN 5000
+                     ELSE 4000 END AS BIGINT) AS last_credit_bp,
+           CAST(CASE WHEN MAX(n_touches) >= 3 THEN 2000 ELSE 0 END AS BIGINT)
+               AS mid_credit_bp
+    FROM touches
+    GROUP BY purchase_id, user_id
+    """,
+)
+def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every purchase is
+    joined to the same user's clicks in the preceding 2 hours and credit is
+    split 40/20/40 between first touch, middle touches, and last touch
+    (100%/50-50% for 1- and 2-touch paths) — in integer BASIS POINTS, so
+    the report is exact and engine-portable (float credit splits would
+    re-introduce the sum-order lottery).
+
+    Scale posture: the touch join is the BINNED interval join
+    (operators/temporal.py — equi-join on (user, time-bucket) + residual
+    range filter, never a nested-loop range scan), the position rank is a
+    per-purchase window over the bounded 2-hour touch set, and the final
+    aggregate is one row per purchase."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators import temporal as tp
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("w_start"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    touches = tp.interval_join_binned(
+        clicks,
+        purchases,
+        on="user_id",
+        point_ts="c_ts",
+        start_ts="w_start",
+        end_ts="p_ts",
+        bin_seconds=3600,
+    ).filter(F.col("c_ts") < F.col("p_ts"))
+    w_rank = Window.partitionBy("purchase_id").orderBy(F.asc("c_ts"), F.asc("click_id"))
+    w_all = Window.partitionBy("purchase_id")
+    ranked = touches.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n_touches"),
+    )
+    n = F.max("n_touches")
+    return ranked.groupBy("purchase_id", "user_id").agg(
+        n.cast("bigint").alias("n_touches"),
+        F.max(F.when(F.col("rn") == 1, F.col("click_id"))).alias("first_click_id"),
+        F.max(F.when(F.col("rn") == F.col("n_touches"), F.col("click_id"))).alias(
+            "last_click_id"
+        ),
+        F.when(n == 1, 10000).when(n == 2, 5000).otherwise(4000).cast("bigint").alias(
+            "first_credit_bp"
+        ),
+        F.when(n == 1, 0).when(n == 2, 5000).otherwise(4000).cast("bigint").alias(
+            "last_credit_bp"
+        ),
+        F.when(n >= 3, 2000).otherwise(0).cast("bigint").alias("mid_credit_bp"),
+    )

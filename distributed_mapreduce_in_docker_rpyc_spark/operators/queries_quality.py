@@ -207,3 +207,45 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("source").alias("n_sources"),
         F.lit(plan["n_files_after"]).cast("int").alias("n_files_after"),
     )
+
+
+@register(
+    "dq_l_diversity",
+    oracle="""
+    WITH buckets AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(COALESCE(c_acctbal, 0) / 2000) AS BIGINT) AS bal_bucket
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT bal_bucket) AS BIGINT) AS l_distinct,
+           CAST(CASE WHEN COUNT(DISTINCT bal_bucket) >= 3 THEN 1 ELSE 0 END AS INT)
+               AS is_l_diverse
+    FROM buckets
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the step past
+    ``dq_k_anonymity``: a quasi-identifier group can be large (k-anonymous)
+    yet still leak its members' sensitive attribute if every member shares
+    one value.  Per (nation, segment) equivalence class: the number of
+    DISTINCT sensitive values (account-balance band, 2000-wide) and the
+    l >= 3 verdict.  Groups failing it need suppression or generalization
+    before release.
+
+    One composite-key hash aggregation with a distinct count — the
+    partial-agg + distinct-expand shape Spark plans for count_distinct;
+    output is group-count-sized, never data-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.coalesce(F.col("c_acctbal"), F.lit(0)) / 2000).cast("bigint")
+    return (
+        cust.withColumn("bal_bucket", bucket)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            F.count_distinct("bal_bucket").cast("bigint").alias("l_distinct"),
+            (F.count_distinct("bal_bucket") >= 3).cast("int").alias("is_l_diverse"),
+        )
+    )

@@ -1062,3 +1062,69 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_label") == F.col("pred_label")).cast("int").alias("correct"),
         )
     )
+
+
+@register(
+    "sim_kmeans_report",
+    oracle=_COSINE_CTES
+    + _ivf_ctes(5)
+    + """,
+    final_d2 AS (
+        SELECT e.vec_id, c.cluster,
+               ROUND(SUM((CAST(e.embedding[c.d] AS DOUBLE) - c.c)
+                       * (CAST(e.embedding[c.d] AS DOUBLE) - c.c)), 6) AS d2
+        FROM embeddings e CROSS JOIN ivfc2 c
+        GROUP BY e.vec_id, c.cluster
+    ),
+    final_assign AS (
+        SELECT vec_id, cluster, d2 FROM (
+            SELECT vec_id, cluster, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cluster ASC) AS rnk
+            FROM final_d2
+        ) WHERE rnk = 1
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS inertia
+    FROM final_assign GROUP BY cluster
+    """,
+)
+def sim_kmeans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means CLUSTERING REPORT over the deterministic Lloyd-trained index
+    (md5-seeded picks, 2 rounds — ``similarity.ivf_index``): per-cluster
+    membership count and inertia (sum of squared distance to the owned
+    centroid).  Where ``sim_topk_ivf`` uses the index for ANN retrieval,
+    this is the index AS ANALYSIS — the elbow-curve / cluster-balance
+    surface an embedding-corpus triage step reads, and a full iterative
+    k-means TRAINING loop hash-checked cross-engine (the oracle replays
+    both Lloyd rounds in unrolled SQL).
+
+    Exactness: every d2 is rounded to 6 before the argmin (engine-stable
+    assignment, as sim_topk_ivf), and inertia sums ride DECIMAL(18,6) so
+    the per-cluster totals are order-independent.  Scale posture: the
+    centroid table is broadcast-sized forever; assignment is one linear
+    scan; the report is 16 rows."""
+    assigned, cent = _ivf(spark, sf_dir)
+    d2 = (
+        assigned.join(F.broadcast(cent), "cluster")
+        .withColumn(
+            "_d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.col("centroid"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+        .select("cluster", "_d2")
+    )
+    return d2.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum(F.col("_d2").cast("decimal(18,6)")).cast("double").alias("inertia"),
+    )

@@ -81,6 +81,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_wav_energy",
     "csv_roundtrip",
     "orc_roundtrip",
+    "events_attribution_credit",
+    "dq_l_diversity",
+    "sim_kmeans_report",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",
