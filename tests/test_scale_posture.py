@@ -402,6 +402,7 @@ BNLJ_ALLOWED = {
     "bloom_filter_probe": "broadcast sides = 3-row hash-index spine and two 1-row count frames; the bit set itself is a bounded-65536-row broadcast equi-join",
     "tfidf_cosine_pairs": "broadcast side = 1-row corpus count (idf quantization input)",
     "text_bigram_lm_score": "broadcast side = 1-row vocabulary size (Laplace denominator)",
+    "sim_kmeans_report": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf)",
 }
 
 
