@@ -2372,3 +2372,90 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(((CAST(n_both AS DOUBLE) * n_orders) / (CAST(na AS DOUBLE) * nb)), 6) AS lift",
         )
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+               lag(o_orderpriority) OVER w AS prev_prio
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes_raw AS (
+        SELECT o_custkey, o_orderkey, o_orderpriority AS priority,
+               o_orderdate AS valid_from
+        FROM ordered
+        WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+    ),
+    changes AS (
+        /* same-day double changes collapse to the LAST one (max orderkey)
+           so the as-of match is deterministic */
+        SELECT o_custkey, valid_from, MAX_BY(priority, o_orderkey) AS priority
+        FROM changes_raw GROUP BY o_custkey, valid_from
+    ),
+    probes AS (
+        SELECT o_orderkey, o_custkey,
+               o_orderdate - INTERVAL 30 DAY AS t
+        FROM orders
+    )
+    SELECT p.o_orderkey, p.o_custkey, p.t,
+           c.priority AS priority_at_t
+    FROM probes p ASOF LEFT JOIN changes c
+      ON p.o_custkey = c.o_custkey AND p.t >= c.valid_from
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join against an SCD2 dimension: every order is
+    matched to the customer's priority regime that was valid 30 days
+    BEFORE the order — the temporal-correctness join behind every
+    leakage-free feature store ("what did we know at time t", never
+    "what do we know now").  The dimension is the change history that
+    ``scd2_priority_history`` builds, collapsed to one change per
+    (customer, day) so the as-of match is deterministic; probes earlier
+    than the first change correctly resolve to NULL.
+
+    Scale posture: the as-of join is the partition-and-sort merge of
+    ``operators/temporal.py`` (one shuffle on the customer key, ordered
+    within partitions), not a range nested loop; the change dimension is a
+    compressed fraction of the fact table by construction."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators import temporal as tp
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.lag("o_orderpriority").over(w).alias("prev_prio"),
+    )
+    changes_raw = ordered.filter(
+        F.col("prev_prio").isNull() | (F.col("prev_prio") != F.col("o_orderpriority"))
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+    )
+    changes = changes_raw.groupBy("o_custkey", "valid_from").agg(
+        F.max_by("priority", "o_orderkey").alias("priority")
+    )
+    probes = o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderdate") - F.expr("INTERVAL 30 DAYS")).alias("t"),
+    )
+    joined = tp.asof_join(
+        probes,
+        changes.select("o_custkey", F.col("valid_from").alias("ts"), "priority"),
+        on="o_custkey",
+        left_ts="t",
+        right_ts="ts",
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey", "t", F.col("priority_right").alias("priority_at_t")
+    )

@@ -2276,3 +2276,72 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg("lp"), 6).alias("mean_neg_logprob"),
         )
     )
+
+
+@register(
+    "phrase_search_positional",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS t
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS phrase
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    top5 AS (
+        SELECT phrase FROM (
+            SELECT phrase, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, phrase ASC) AS rk
+            FROM tri GROUP BY phrase
+        ) WHERE rk <= 5
+    )
+    SELECT tri.phrase, tri.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM tri JOIN top5 USING (phrase)
+    GROUP BY tri.phrase, tri.doc_id
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search over the corpus via a positional inverted index —
+    the search-engine primitive bag-of-words retrieval can't express: a
+    phrase matches only where its words are ADJACENT.  The corpus's 5 most
+    frequent trigram phrases (ties broken lexically) are searched back
+    against the index; output is per (phrase, doc) occurrence counts.
+
+    The positional index (word, doc, pos) is built with one posexplode;
+    phrase instances come from self-joining positions at +1/+2 offsets —
+    equi-joins on (doc, pos) keys, the classic positional-index merge.  At
+    100 TB the index shuffles once on the uniform (doc, pos) composite and
+    phrase probes are semi-joins against a broadcast phrase list (here the
+    mining and probing share the instance frame outright)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize_column("text")).alias("pos", "word")
+    )
+    t1 = tok.select("doc_id", "pos", F.col("word").alias("w1"))
+    t2 = tok.select("doc_id", (F.col("pos") - 1).alias("pos"), F.col("word").alias("w2"))
+    t3 = tok.select("doc_id", (F.col("pos") - 2).alias("pos"), F.col("word").alias("w3"))
+    tri = (
+        t1.join(t2, ["doc_id", "pos"])
+        .join(t3, ["doc_id", "pos"])
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
+        )
+        .persist()
+    )
+    w_rk = Window.orderBy(F.desc("cnt"), F.asc("phrase"))
+    top5 = (
+        tri.groupBy("phrase")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 5)
+        .select("phrase")
+    )
+    return (
+        tri.join(F.broadcast(top5), "phrase")
+        .groupBy("phrase", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )

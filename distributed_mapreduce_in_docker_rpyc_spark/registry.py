@@ -84,6 +84,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_attribution_credit",
     "dq_l_diversity",
     "sim_kmeans_report",
+    "phrase_search_positional",
+    "scd2_point_in_time_join",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",
