@@ -472,3 +472,41 @@ def frame_energies(df: DataFrame, id_col: str = "doc_id", payload_col: str = "wa
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(per_batch, schema=ENERGY_SCHEMA)
+
+
+HIST_SCHEMA = "doc_id long, bucket long, n_bytes long"
+
+
+def pixel_histograms(df: DataFrame, id_col: str = "doc_id", payload_col: str = "bmp") -> DataFrame:
+    """16-bin pixel-value histogram per image (bucket = high nibble of each
+    raster byte, padding stripped) — the luminance/exposure profile step of
+    an image-quality triage pipeline, decoded from the real BMP container
+    inside Arrow batches.  Only occupied buckets are emitted."""
+    import struct
+
+    import numpy as np
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out = {"doc_id": [], "bucket": [], "n_bytes": []}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                _magic, _fs, _r1, _r2, off = struct.unpack_from("<2sIHHI", data, 0)
+                _hs, w, h_signed, _pl, _bpp = struct.unpack_from("<IiiHH", data, 14)
+                h = abs(h_signed)
+                row_size = (3 * w + 3) // 4 * 4
+                stream = b"".join(
+                    data[off + y * row_size : off + y * row_size + 3 * w]
+                    for y in range(h)
+                )
+                arr = np.frombuffer(stream, dtype=np.uint8)
+                counts = np.bincount(arr >> 4, minlength=16)
+                for bucket in np.nonzero(counts)[0]:
+                    out["doc_id"].append(int(did))
+                    out["bucket"].append(int(bucket))
+                    out["n_bytes"].append(int(counts[bucket]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(per_batch, schema=HIST_SCHEMA)

@@ -670,3 +670,55 @@ def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(n >= 3, 2000).otherwise(0).cast("bigint").alias("mid_credit_bp"),
     )
+
+
+@register(
+    "events_active_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    islands AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                          AS INTEGER) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, COUNT(*) AS streak_len
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user CONSECUTIVE-day activity streaks via the
+    classic day-minus-rank island key (consecutive days share a constant
+    difference between the calendar day and the activity rank) — the
+    retention/engagement metric behind every "7-day streak" feature, and
+    the canonical relational answer to sequence analysis without
+    self-joins or per-user loops.
+
+    Shape at 100 TB: one distinct on (user, day), one ranking window and
+    two aggregations — all on the uniform user key, each output strictly
+    smaller than its input."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(F.count("*").alias("streak_len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").cast("bigint").alias("n_active_days"),
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )

@@ -418,3 +418,46 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnest is the oracle's problem, not the engine's)."""
     docs = load_table(spark, sf_dir, "documents")
     return mm.frame_energies(mm.attach_wav_payload(docs))
+
+
+@register(
+    "multimodal_pixel_histogram",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0 THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents
+    ),
+    meta AS (
+        SELECT doc_id, hx, length(hx) // 2 AS n,
+               3 * (1 + ((length(hx) // 2) * 7) % 16)
+                 * (1 + ((length(hx) // 2) * 13) % 16) AS t
+        FROM raw
+    ),
+    bytes AS (
+        /* byte i of the source appears ceil((T - i)/n) times in the cycled
+           (w x h) raster — counted arithmetically, never unrolled to T rows */
+        SELECT doc_id,
+               strpos('0123456789ABCDEF', substr(hx, 2 * g.i + 1, 1)) - 1 AS bucket,
+               (t - g.i + n - 1) // n AS cnt
+        FROM meta, unnest(generate_series(0, n - 1)) AS g(i)
+        WHERE g.i < t  /* a raster SHORTER than the source truncates the cycle */
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(cnt) AS BIGINT) AS n_bytes
+    FROM bytes GROUP BY doc_id, bucket
+    """,
+)
+def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 16-bin pixel histogram (high nibble of every raster byte)
+    decoded from the real BMP container — the exposure/value-distribution
+    profile an image-quality gate reads before expensive model scoring.
+    The oracle reproduces the tiled raster's byte multiplicities
+    ARITHMETICALLY (byte i of an n-byte source appears ceil((T−i)/n)
+    times in the T-byte cycle), so it never materializes per-pixel rows.
+
+    Scale posture: pixels never become rows engine-side either — NumPy
+    bincount per Arrow batch, ≤16 output rows per image, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.pixel_histograms(mm.attach_bmp_payload(docs))

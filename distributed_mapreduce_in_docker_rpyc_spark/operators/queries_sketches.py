@@ -814,3 +814,114 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_bits))
         .select("n_keys", "n_bits_set", "n_probes", "n_positive", "n_false_pos", "fpr")
     )
+
+
+@register(
+    "kmv_type_intersection",
+    oracle=f"""
+    WITH a AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE user_id IS NOT NULL AND event_type = 'click'
+    ),
+    b AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE user_id IS NOT NULL AND event_type = 'purchase'
+    ),
+    ha AS (SELECT {_KMV_U_SQL} AS u FROM a),
+    hb AS (SELECT {_KMV_U_SQL} AS u FROM b),
+    hu AS (SELECT u FROM (SELECT u FROM ha UNION SELECT u FROM hb)),
+    est_a AS (
+        SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) / MAX(CASE WHEN rn = {_KMV_K} THEN u END)
+               END AS e
+        FROM (SELECT u, ROW_NUMBER() OVER (ORDER BY u ASC) AS rn FROM ha)
+    ),
+    est_b AS (
+        SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) / MAX(CASE WHEN rn = {_KMV_K} THEN u END)
+               END AS e
+        FROM (SELECT u, ROW_NUMBER() OVER (ORDER BY u ASC) AS rn FROM hb)
+    ),
+    est_u AS (
+        SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) / MAX(CASE WHEN rn = {_KMV_K} THEN u END)
+               END AS e
+        FROM (SELECT u, ROW_NUMBER() OVER (ORDER BY u ASC) AS rn FROM hu)
+    )
+    SELECT (SELECT COUNT(*) FROM a) AS exact_a,
+           (SELECT COUNT(*) FROM b) AS exact_b,
+           (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS exact_intersection,
+           ROUND(est_a.e, 6) AS kmv_a,
+           ROUND(est_b.e, 6) AS kmv_b,
+           ROUND(est_u.e, 6) AS kmv_union,
+           ROUND(GREATEST(est_a.e + est_b.e - est_u.e, 0.0), 6) AS kmv_intersection
+    FROM est_a, est_b, est_u
+    """,
+)
+def kmv_type_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA: estimate the overlap between the click and
+    purchase user populations by inclusion–exclusion over three sketches —
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is just the
+    k smallest hashes of the two sketches' union (the mergeability that
+    makes sketches composable without re-reading data).  The exact counts
+    ride along so the estimate's error is visible; everything is the
+    deterministic md5-uniform hash, so even the ESTIMATES hash-check
+    cross-engine.
+
+    Shape at 100 TB: each sketch is one distinct-shuffle + a k-row window;
+    the union estimate needs only the two k-row sketches, never the data —
+    the entire set-overlap analysis ships 3k doubles."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u_expr = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(281474976710656.0)
+    )
+
+    def sketch(df):
+        hashed = df.select(u_expr.alias("u")).distinct()
+        w = Window.orderBy(F.asc("u"))
+        ranked = hashed.select("u", F.row_number().over(w).alias("rn"))
+        return ranked.agg(
+            F.when(F.count("*") < _KMV_K, F.count("*").cast("double"))
+            .otherwise(
+                F.lit(float(_KMV_K - 1))
+                / F.max(F.when(F.col("rn") == _KMV_K, F.col("u")))
+            )
+            .alias("e")
+        )
+
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    est_a = sketch(a).withColumnRenamed("e", "ea")
+    est_b = sketch(b).withColumnRenamed("e", "eb")
+    est_u = sketch(a.unionAll(b)).withColumnRenamed("e", "eu")
+    exact = (
+        a.withColumn("ina", F.lit(1))
+        .join(b.withColumn("inb", F.lit(1)), "user_id", "full")
+        .agg(
+            F.sum("ina").alias("exact_a"),
+            F.sum("inb").alias("exact_b"),
+            F.sum(
+                (F.col("ina").isNotNull() & F.col("inb").isNotNull()).cast("int")
+            ).alias("exact_intersection"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_intersection",
+            F.round("ea", 6).alias("kmv_a"),
+            F.round("eb", 6).alias("kmv_b"),
+            F.round("eu", 6).alias("kmv_union"),
+            F.round(F.greatest(F.col("ea") + F.col("eb") - F.col("eu"), F.lit(0.0)), 6).alias(
+                "kmv_intersection"
+            ),
+        )
+    )

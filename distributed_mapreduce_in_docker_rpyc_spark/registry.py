@@ -86,6 +86,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_kmeans_report",
     "phrase_search_positional",
     "scd2_point_in_time_join",
+    "kmv_type_intersection",
+    "events_active_streaks",
+    "multimodal_pixel_histogram",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",
