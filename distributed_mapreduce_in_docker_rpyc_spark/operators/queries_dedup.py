@@ -845,3 +845,127 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return dd.jaccard_pairs(docs, candidates=cands, threshold=0.3, shingles=shd)
+
+
+def _lsh_tuning_oracle() -> str:
+    """Unrolled per-config SQL for the (bands x rows) tuning sweep: for each
+    rows-per-band r in (1, 2, 4) over the same 16 minhashes, candidate count,
+    verified-true count (Jaccard >= 0.5), and precision."""
+    per_cfg = []
+    for r in (2, 4, 8):
+        per_cfg.append(f"""
+    bands{r} AS (
+        SELECT doc_id, seed // {r} AS band,
+               md5(string_agg(h, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // {r}
+    ),
+    cand{r} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands{r} a
+        JOIN bands{r} b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+    ),
+    inter{r} AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand{r} c
+        JOIN shd x ON x.doc_id = c.doc_a
+        JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    truth{r} AS (
+        SELECT COUNT(*) AS n FROM inter{r} i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - i.n_inter) >= 0.5
+    ),
+    ncand{r} AS (SELECT COUNT(*) AS n FROM cand{r})""")
+    selects = [
+        f"""
+    SELECT {r} AS rows_per_band, {16 // r} AS n_bands,
+           ncand{r}.n AS n_candidates, truth{r}.n AS n_true_pairs,
+           ROUND(CASE WHEN ncand{r}.n = 0 THEN 0.0
+                      ELSE CAST(truth{r}.n AS DOUBLE) / ncand{r}.n END, 6)
+               AS precision_at_05
+    FROM ncand{r}, truth{r}"""
+        for r in (2, 4, 8)
+    ]
+    return (
+        _SHINGLE_CTES
+        + """,
+    mh AS (
+        SELECT shd.doc_id, g.seed,
+               MIN(md5(g.seed::VARCHAR || ':' || shd.shingle)) AS h
+        FROM shd, generate_series(0, 15) g(seed)
+        GROUP BY shd.doc_id, g.seed
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shd GROUP BY doc_id),"""
+        + ",".join(per_cfg)
+        + " ".join(f"{s} UNION ALL" for s in selects[:-1])
+        + selects[-1]
+    )
+
+
+@register("dedup_lsh_tuning_report", oracle=_lsh_tuning_oracle())
+def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-configuration TUNING SWEEP: the same 16 minhashes regrouped
+    as (8 bands x 2 rows), (4 x 4) and (2 x 8), each config's candidate
+    pair count, verified-true count (exact Jaccard >= 0.5 on the candidate
+    set), and precision — the measurement that turns the S-curve tradeoff
+    (more rows per band = fewer, more precise candidates) from folklore
+    into a number for THIS corpus, which is how a 100 TB dedup run chooses
+    its band geometry before burning a cluster-day.
+
+    Cost discipline: the shingle frame, minhash frame, and verification
+    machinery are all shared (session memo + one persisted signature
+    frame); each config adds only its band equi-join and the Jaccard
+    verification of ITS candidates — never an all-pairs arm."""
+    docs = load_table(spark, sf_dir, "documents")
+    shd = _shingles(spark, sf_dir)
+    mh = dd.minhash_signatures(docs, shingles=shd).persist()
+    reports = []
+    for r in (2, 4, 8):
+        n_bands = 16 // r
+        sigs = mh.select(
+            "doc_id",
+            F.posexplode(
+                dd.band_signatures(F.col("minhash"), n_bands=n_bands, rows=r)
+            ).alias("band", "sig"),
+        )
+        a, b = sigs.alias("a"), sigs.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+            .persist()
+        )
+        true_n = dd.jaccard_pairs(
+            docs, candidates=cand, threshold=0.5, shingles=shd
+        ).agg(F.count("*").alias("n_true"))
+        reports.append(
+            cand.agg(F.count("*").alias("n_candidates"))
+            .crossJoin(F.broadcast(true_n))
+            .select(
+                F.lit(r).alias("rows_per_band"),
+                F.lit(n_bands).alias("n_bands"),
+                "n_candidates",
+                F.col("n_true").alias("n_true_pairs"),
+                F.round(
+                    F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
+                        F.col("n_true").cast("double") / F.col("n_candidates")
+                    ),
+                    6,
+                ).alias("precision_at_05"),
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionAll(rep)
+    return out

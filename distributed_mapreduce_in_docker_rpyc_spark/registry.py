@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "kmv_type_intersection",
     "events_active_streaks",
     "multimodal_pixel_histogram",
+    "dedup_lsh_tuning_report",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

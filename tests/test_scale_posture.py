@@ -403,6 +403,8 @@ BNLJ_ALLOWED = {
     "tfidf_cosine_pairs": "broadcast side = 1-row corpus count (idf quantization input)",
     "text_bigram_lm_score": "broadcast side = 1-row vocabulary size (Laplace denominator)",
     "sim_kmeans_report": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf)",
+    "kmv_type_intersection": "broadcast sides = three 1-row KMV estimate frames crossed into the exact counts",
+    "dedup_lsh_tuning_report": "broadcast sides = per-config 1-row true-pair count frames crossed into the 1-row candidate counts",
 }
 
 
