@@ -722,3 +722,126 @@ def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").cast("bigint").alias("longest_streak"),
         F.count("*").cast("bigint").alias("n_streaks"),
     )
+
+
+_MARKOV_ITERS = 8
+
+
+def _markov_oracle() -> str:
+    """Unrolled 8-step power iteration over the per-user transition matrix.
+    Each step's mass sums are quantized to DECIMAL(38,12) (products are
+    engine-identical doubles; the quantized sum is order-independent), so
+    every iterate is bit-identical cross-engine — the GD fixed-point trick
+    applied to an eigenvector computation."""
+    steps = []
+    prev = "it0"
+    for i in range(1, _MARKOV_ITERS + 1):
+        steps.append(f"""
+    it{i} AS (
+        SELECT pr.dst AS s,
+               CAST(SUM(CAST({prev}.pi * pr.pv AS DECIMAL(38,12))) AS DOUBLE) AS pi
+        FROM {prev} JOIN pr ON pr.src = {prev}.s
+        GROUP BY pr.dst
+    )""")
+        prev = f"it{i}"
+    return (
+        """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS src, next_type AS dst, COUNT(*) AS cnt
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    states AS (SELECT DISTINCT src FROM pairs),
+    pf AS (
+        SELECT p.src, p.dst, p.cnt FROM pairs p
+        JOIN states s ON s.src = p.dst
+    ),
+    tot AS (SELECT src, SUM(cnt) AS n FROM pf GROUP BY src),
+    pr AS (
+        SELECT pf.src, pf.dst, CAST(pf.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS pv
+        FROM pf JOIN tot t ON t.src = pf.src
+    ),
+    k AS (SELECT COUNT(*) AS k FROM states),
+    it0 AS (SELECT src AS s, 1.0 / CAST(k.k AS DOUBLE) AS pi FROM states, k),"""
+        + ",".join(steps)
+        + f"""
+    SELECT s AS event_type, ROUND(pi, 6) AS stationary_p
+    FROM it{_MARKOV_ITERS}
+    """
+    )
+
+
+@register("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain by POWER
+    ITERATION: 8 steps of pi <- pi P over the row-normalized transition
+    matrix (restricted to states with outgoing transitions, so P is
+    stochastic) — where users' sessions settle in the long run, the
+    eigenvector analysis behind engagement-loop detection.  Another
+    iterative-algorithm-as-dataflow entry alongside GD training and Lloyd
+    clustering: per step ONE tiny join + aggregate, mass sums quantized to
+    DECIMAL(38,12) so all 8 iterates are bit-identical cross-engine and
+    the final vector hash-checks.
+
+    Scale posture: the transition matrix is K^2-bounded (event-type
+    vocabulary, not data) and broadcast; each step's traffic is K doubles.
+    The heavy work — building the matrix — is one window pass + one
+    aggregate over the events table, exactly once."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    states = pairs.select("src").distinct()
+    pf = pairs.join(
+        states.select(F.col("src").alias("dst")), "dst"
+    )  # drop transitions into sink-only states
+    tot = pf.groupBy("src").agg(F.sum("cnt").alias("n"))
+    pr = (
+        pf.join(tot, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("pv"),
+        )
+        .persist()
+    )
+    state_rows = sorted(r.src for r in states.collect())  # K event types (~5)
+    if not state_rows:
+        return pr.select(
+            F.col("src").alias("event_type"), F.col("pv").alias("stationary_p")
+        )
+    pi = {s: 1.0 / float(len(state_rows)) for s in state_rows}
+    for _ in range(_MARKOV_ITERS):
+        pi_df = spark.createDataFrame(
+            [(s, p) for s, p in pi.items()], "s string, pi double"
+        )
+        rows = (
+            pr.join(F.broadcast(pi_df), F.col("src") == F.col("s"))
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("pi") * F.col("pv")).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("pi_new")
+            )
+            .collect()
+        )
+        pi = {r.dst: r.pi_new for r in rows}
+    out = spark.createDataFrame(
+        [(s, p) for s, p in pi.items()], "event_type string, stationary_p double"
+    )
+    return out.select("event_type", F.round("stationary_p", 6).alias("stationary_p"))

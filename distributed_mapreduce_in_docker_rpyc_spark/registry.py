@@ -90,6 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_active_streaks",
     "multimodal_pixel_histogram",
     "dedup_lsh_tuning_report",
+    "events_markov_stationary",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",
