@@ -367,3 +367,116 @@ def test_theilsen_slope_bounded_by_extreme_pair(spark, sf_dir):
     ]
     assert len(slopes) == rows[prio].n_pairs
     assert min(slopes) - 1e-6 <= rows[prio].theil_sen_slope <= max(slopes) + 1e-6
+
+
+def test_attribution_credit_conservation(spark, sf_dir):
+    """Every attributed purchase's credits sum to exactly 10000 bp, and the
+    single/double-touch degenerate splits hold."""
+    rows = QUERIES["events_attribution_credit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.first_credit_bp + r.last_credit_bp + r.mid_credit_bp == 10000
+        assert r.n_touches >= 1
+        if r.n_touches == 1:
+            assert r.first_click_id == r.last_click_id
+            assert (r.first_credit_bp, r.mid_credit_bp) == (10000, 0)
+        if r.n_touches == 2:
+            assert r.first_credit_bp == r.last_credit_bp == 5000
+
+
+def test_streaks_python_ground_truth(spark, sf_dir):
+    """Recompute one user's streak decomposition in pure Python."""
+    rows = {r.user_id: r for r in QUERIES["events_active_streaks"](spark, sf_dir).collect()}
+    assert rows
+    uid = sorted(rows)[0]
+    days = sorted(
+        {
+            r.day.toordinal()
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .filter(f"user_id = {uid}")
+            .selectExpr("CAST(ts AS DATE) AS day")
+            .collect()
+        }
+    )
+    streaks, cur = [], 1
+    for a, b in zip(days, days[1:]):
+        if b == a + 1:
+            cur += 1
+        else:
+            streaks.append(cur)
+            cur = 1
+    streaks.append(cur)
+    got = rows[uid]
+    assert got.n_active_days == len(days)
+    assert got.longest_streak == max(streaks)
+    assert got.n_streaks == len(streaks)
+
+
+def test_markov_stationary_is_distribution(spark, sf_dir):
+    """The iterated vector is non-negative and sums to 1 (up to the
+    DECIMAL(38,12) per-step truncation drift over 8 iterations)."""
+    rows = QUERIES["events_markov_stationary"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.stationary_p for r in rows)
+    assert all(r.stationary_p >= 0 for r in rows)
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_kmv_intersection_consistency(spark, sf_dir):
+    """Inclusion-exclusion internal consistency plus estimate-vs-exact
+    bracketing at k=32 (rel err ~18%; allow 3x)."""
+    r = QUERIES["kmv_type_intersection"](spark, sf_dir).collect()[0]
+    assert r.exact_intersection <= min(r.exact_a, r.exact_b)
+    assert r.kmv_intersection >= 0
+    assert abs(round(r.kmv_a + r.kmv_b - r.kmv_union, 6)) >= r.kmv_intersection - 1e-6
+    for est, exact in ((r.kmv_a, r.exact_a), (r.kmv_b, r.exact_b)):
+        assert 0.3 * exact <= est <= 3.0 * exact
+
+
+def test_lsh_tuning_configs_are_nested(spark, sf_dir):
+    """Bands nest (an 8-row band match implies its 4- and 2-row sub-band
+    matches), so candidate counts must be monotone decreasing in rows-per-
+    band, and true pairs never exceed candidates."""
+    rows = {r.rows_per_band: r for r in QUERIES["dedup_lsh_tuning_report"](spark, sf_dir).collect()}
+    assert set(rows) == {2, 4, 8}
+    assert rows[2].n_candidates >= rows[4].n_candidates >= rows[8].n_candidates
+    for r in rows.values():
+        assert 0 <= r.n_true_pairs <= r.n_candidates
+        assert 0.0 <= r.precision_at_05 <= 1.0
+
+
+def test_phrase_search_counts_match_python(spark, sf_dir):
+    """Recompute one phrase's per-doc occurrence counts with a pure-Python
+    sliding window."""
+    import re
+
+    rows = QUERIES["phrase_search_positional"](spark, sf_dir).collect()
+    assert rows
+    phrase = sorted({r.phrase for r in rows})[0]
+    target = tuple(phrase.split(" "))
+    got = {r.doc_id: r.n_occurrences for r in rows if r.phrase == phrase}
+    word = re.compile(r"[a-z']+")
+    want = {}
+    for d in spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect():
+        toks = word.findall((d.text or "").lower())
+        n = sum(1 for i in range(len(toks) - 2) if tuple(toks[i : i + 3]) == target)
+        if n:
+            want[d.doc_id] = n
+    assert got == want
+
+
+def test_pit_join_covers_every_order_with_correct_nulls(spark, sf_dir):
+    """One output row per order; NULL priority exactly when the probe time
+    precedes the customer's first recorded change."""
+    rows = QUERIES["scd2_point_in_time_join"](spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert len(rows) == o.count()
+    first_change = {
+        r.o_custkey: r.first_day
+        for r in o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_day")).collect()
+    }
+    for r in rows[:500]:
+        if r.priority_at_t is None:
+            assert r.t < first_change[r.o_custkey]
+        else:
+            assert r.t >= first_change[r.o_custkey]
