@@ -249,3 +249,59 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count_distinct("bal_bucket") >= 3).cast("int").alias("is_l_diverse"),
         )
     )
+
+
+@register(
+    "dq_benford_leading_digit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS d
+        FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+    ),
+    n_tot AS (SELECT COUNT(*) AS n FROM digits),
+    obs AS (SELECT d, COUNT(*) AS observed FROM digits GROUP BY d)
+    SELECT o.d AS leading_digit,
+           o.observed,
+           ROUND(CAST(o.observed AS DOUBLE) / t.n, 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / o.d), 6) AS benford_p,
+           ROUND(CAST(o.observed AS DOUBLE) / t.n - log10(1.0 + 1.0 / o.d), 6)
+               AS deviation
+    FROM obs o, n_tot t
+    """,
+)
+def dq_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the observed leading-digit
+    distribution against log10(1 + 1/d) — the forensic-accounting test for
+    fabricated or truncated numeric columns (organic multiplicative data
+    follows Benford; clipped, capped, or synthetic-uniform data does not,
+    which makes the DEVIATION column itself a data-quality feature).
+
+    Leading digit extracted from the DECIMAL(18,2) decimal rendering (not
+    the float repr, which can open with '9.999...e' artifacts) — identical
+    text in both engines.  One scan, one 9-group aggregate, a broadcast
+    1-row total."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") >= 1)
+    )
+    digits = o.select(
+        F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("d")
+    )
+    n_tot = digits.agg(F.count("*").alias("n"))
+    obs = digits.groupBy("d").agg(F.count("*").alias("observed"))
+    return (
+        obs.crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            "observed",
+            F.round(F.col("observed").cast("double") / F.col("n"), 6).alias("observed_p"),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_p"),
+            F.round(
+                F.col("observed").cast("double") / F.col("n")
+                - F.log10(1.0 + 1.0 / F.col("d")),
+                6,
+            ).alias("deviation"),
+        )
+    )

@@ -2345,3 +2345,57 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase", "doc_id")
         .agg(F.count("*").cast("bigint").alias("n_occurrences"))
     )
+
+
+@register(
+    "text_readability_scores",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z'']+')) AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_vowel_groups
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_vowel_groups AS BIGINT) AS n_syllables_approx,
+           ROUND(CASE WHEN n_words = 0 THEN 0.0
+                 ELSE 206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                      - 84.6 * (CAST(n_vowel_groups AS DOUBLE) / n_words)
+                 END, 6) AS flesch_score
+    FROM counts
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable
+    approximation — the classic readability feature of a text-quality
+    model (very high or very low scores flag word salad and boilerplate
+    respectively).  Sentence count floors at 1 so fragment-only documents
+    score rather than divide by zero.
+
+    Pure codegen regexes, one scan, no shuffle at all — the cheapest kind
+    of 100 TB operator (the score is literally three counters per row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokenize_column("text"))
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    n_vowels = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sentences.cast("bigint").alias("n_sentences"),
+        n_vowels.cast("bigint").alias("n_syllables_approx"),
+        F.round(
+            F.when(n_words == 0, F.lit(0.0)).otherwise(
+                F.lit(206.835)
+                - F.lit(1.015) * (n_words.cast("double") / n_sentences)
+                - F.lit(84.6) * (n_vowels.cast("double") / n_words)
+            ),
+            6,
+        ).alias("flesch_score"),
+    )

@@ -91,6 +91,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_pixel_histogram",
     "dedup_lsh_tuning_report",
     "events_markov_stationary",
+    "dq_benford_leading_digit",
+    "text_readability_scores",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",
