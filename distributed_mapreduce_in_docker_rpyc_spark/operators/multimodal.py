@@ -510,3 +510,64 @@ def pixel_histograms(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(per_batch, schema=HIST_SCHEMA)
+
+
+WHT_N = 64
+WHT_SCHEMA = "doc_id long, seq_idx long, coef long, energy long"
+
+
+def hadamard_spectrum(df: DataFrame, id_col: str = "doc_id", payload_col: str = "wav") -> DataFrame:
+    """Walsh–Hadamard sequency spectrum of each clip's first 64 PCM samples:
+    coefficient c_k = sum_j v_j * (-1)^popcount(k AND j) over the midpoint-
+    centered samples (missing samples are silence, v=0) — the integer-exact
+    stand-in for an FFT front end: WHT weights are all ±1, so the whole
+    spectrum is integer arithmetic and hash-checks across engines where a
+    real DFT's cos/sin would drift by libm ulps.  Parseval holds exactly:
+    sum_k c_k^2 == 64 * sum_j v_j^2.
+
+    NumPy computes H @ v per payload inside the Arrow batch (H built once
+    from the popcount parity of the index outer-AND); exactly 64 rows per
+    document leave the executor — samples never become rows."""
+    import numpy as np
+
+    idx = np.arange(WHT_N)
+    parity = np.zeros((WHT_N, WHT_N), dtype=np.int64)
+    for k in range(WHT_N):
+        v = k & idx
+        # popcount parity of (k AND j) via the xor-fold trick
+        v = v ^ (v >> 32)
+        v = v ^ (v >> 16)
+        v = v ^ (v >> 8)
+        v = v ^ (v >> 4)
+        v = v ^ (v >> 2)
+        v = v ^ (v >> 1)
+        parity[k] = v & 1
+    H = 1 - 2 * parity  # (+1/-1) Hadamard matrix, natural (hadamard) order
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out = {"doc_id": [], "seq_idx": [], "coef": [], "energy": []}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                wav_decode(data)  # validates RIFF structure, raises on malformed
+                pos, samples = 12, b""
+                while pos + 8 <= len(data):
+                    cid, csize = struct.unpack_from("<4sI", data, pos)
+                    if cid == b"data":
+                        samples = data[pos + 8 : pos + 8 + csize]
+                    pos += 8 + csize + (csize % 2)
+                arr = np.frombuffer(samples[:WHT_N], dtype=np.uint8).astype(np.int64) - 128
+                v = np.zeros(WHT_N, dtype=np.int64)
+                v[: len(arr)] = arr
+                coefs = H @ v
+                out["doc_id"].extend([int(did)] * WHT_N)
+                out["seq_idx"].extend(range(WHT_N))
+                out["coef"].extend(int(c) for c in coefs)
+                out["energy"].extend(int(c) * int(c) for c in coefs)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(per_batch, schema=WHT_SCHEMA)

@@ -750,7 +750,7 @@ def _markov_oracle() -> str:
         SELECT user_id, event_type, ts, event_id,
                lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS next_type
-        FROM events
+        FROM events WHERE event_type IS NOT NULL
     ),
     pairs AS (
         SELECT event_type AS src, next_type AS dst, COUNT(*) AS cnt
@@ -795,7 +795,10 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the events table, exactly once."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # Untyped (NULL event_type) events are not states: drop them from the
+    # sequence BEFORE lead(), so a null cell neither becomes a phantom
+    # state (it crashed the driver-side sort) nor breaks a real transition.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(

@@ -454,3 +454,112 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_pairs"),
         F.round(F.percentile(F.col("slope"), F.lit(0.5)), 6).alias("theil_sen_slope"),
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DECIMAL(24,6)) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    tr AS (
+        SELECT o_orderpriority, day, rev,
+               dayofweek(day) + 1 AS dow,
+               CAST(SUM(rev) OVER w7 AS DECIMAL(32,6)) AS num,
+               COUNT(*) OVER w7 AS den
+        FROM daily
+        WINDOW w7 AS (PARTITION BY o_orderpriority ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT o_orderpriority, day, dow, rev, num, den,
+               CAST(CAST(rev * CAST(den AS DECIMAL(2,0)) AS DECIMAL(32,6)) - num
+                    AS DECIMAL(32,6))
+               * CAST(420 // den AS DECIMAL(3,0)) AS det_scaled
+        FROM tr
+    ),
+    seas AS (
+        SELECT o_orderpriority, dow,
+               CAST(SUM(det_scaled) AS DOUBLE)
+               / CAST(420 * COUNT(*) AS DOUBLE) AS seasonal
+        FROM det GROUP BY o_orderpriority, dow
+    )
+    SELECT d.o_orderpriority, d.day, CAST(d.dow AS BIGINT) AS dow,
+           CAST(d.rev AS DOUBLE) AS revenue,
+           CAST(d.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS trend,
+           s.seasonal,
+           (CAST(d.rev AS DOUBLE) - CAST(d.num AS DOUBLE) / CAST(d.den AS DOUBLE))
+               - s.seasonal AS residual
+    FROM det d JOIN seas s
+      ON s.o_orderpriority = d.o_orderpriority AND s.dow = d.dow
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue per
+    priority: trend = centered 7-row moving mean, seasonal = day-of-week
+    mean of the detrended series, residual = the rest — the
+    moving-average STL precursor every demand/forecast pipeline runs
+    first, and the feature split (trend/seasonal/residual) its anomaly
+    detectors consume.
+
+    Engine-exactness by the ``ts_ewma_revenue`` construction: the trend is
+    ONE double division of a decimal-exact window sum by its row count;
+    the detrended value is kept as the exact rational (rev·den − num)/den
+    and rescaled to the common denominator 420 (= lcm 1..7, so 420/den is
+    an INTEGER for every edge-window width) — the day-of-week seasonal
+    mean is then again exact-decimal sums with one final double division.
+    The only inexact steps are three double divisions/subtractions of
+    bit-identical operands, evaluated as the same IEEE expression tree on
+    both engines.
+
+    Scale shape: one map-side-combined aggregate over the fact table
+    collapses to the (priority, day) spine; everything after is windows
+    and a 35-row broadcast join on the spine — calendar-bounded,
+    data-volume-independent."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.relational import money
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(money(F.col("o_totalprice"))).cast("decimal(24,6)").alias("rev"))
+    w7 = (
+        Window.partitionBy("o_orderpriority").orderBy("day").rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "o_orderpriority",
+        "day",
+        "rev",
+        F.dayofweek("day").alias("dow"),
+        F.sum("rev").over(w7).cast("decimal(32,6)").alias("num"),
+        F.count("*").over(w7).alias("den"),
+    )
+    det = tr.withColumn(
+        "det_scaled",
+        F.expr(
+            "CAST(CAST(rev * CAST(den AS DECIMAL(2,0)) AS DECIMAL(32,6)) - num"
+            " AS DECIMAL(32,6)) * CAST(420 div den AS DECIMAL(3,0))"
+        ),
+    ).persist()
+    seas = det.groupBy("o_orderpriority", "dow").agg(
+        F.expr(
+            "CAST(SUM(det_scaled) AS DOUBLE) / CAST(420 * COUNT(*) AS DOUBLE)"
+        ).alias("seasonal")
+    )
+    trend = F.col("num").cast("double") / F.col("den").cast("double")
+    return (
+        det.join(F.broadcast(seas), ["o_orderpriority", "dow"])
+        .select(
+            "o_orderpriority",
+            "day",
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("rev").cast("double").alias("revenue"),
+            trend.alias("trend"),
+            "seasonal",
+            ((F.col("rev").cast("double") - trend) - F.col("seasonal")).alias("residual"),
+        )
+    )

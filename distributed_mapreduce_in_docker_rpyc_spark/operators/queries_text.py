@@ -2399,3 +2399,151 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch_score"),
     )
+
+
+@register(
+    "corpus_reservoir_sample",
+    oracle="""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               CAST(n_chars + 1 AS DOUBLE)
+               / CAST(CAST(('0x' || substr(md5('reservoir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) + 1 AS DOUBLE) AS priority
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_chars, priority,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY priority DESC, doc_id) AS rank
+        FROM pri
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE sample: exactly min(10, group size) documents per source,
+    drawn by deterministic hash priority weighted toward longer documents —
+    the distributed reservoir-sampling shape (every row gets a priority key,
+    top-k per group survive), complementing ``corpus_weighted_sample``
+    (Bernoulli, fixed RATE, random size) and ``corpus_stratified_sample``
+    (rate per stratum).  Priority = (n_chars+1) / (h+1) with h the salted
+    md5 hash — size-biased like Efraimidis–Spirakis A-ES but with a
+    rational priority instead of u^(1/w): the ordering is then ONE double
+    division of two exact integers, bit-identical across engines, where
+    A-ES's pow() would hash-mismatch on libm differences.
+
+    Scale shape: one shuffle on the group key, O(k) retained per group by
+    the rank filter — at 100 TB you'd add a per-partition top-k combine
+    (Spark's window already sorts within uniform source keys; a two-level
+    top-k drops the sort to O(n log k)).  No collects, no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("reservoir:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pri = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            (F.col("n_chars") + F.lit(1)).cast("double")
+            / (h + F.lit(1)).cast("double")
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        pri.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+_VOCAB_SIZE = 500
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+            FROM words GROUP BY word
+        ) WHERE rk <= {_VOCAB_SIZE}
+    ),
+    in_vocab AS (
+        SELECT w.doc_id, COUNT(*) AS n_in_vocab
+        FROM words w JOIN vocab v ON v.word = w.word
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_extract_all(lower(d.text), '[a-z'']+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(d.text), '[a-z'']+'))
+                - COALESCE(n_in_vocab, 0) AS BIGINT) AS n_oov,
+           CAST(len(regexp_extract_all(lower(d.text), '[a-z'']+'))
+                - COALESCE(n_in_vocab, 0) AS DOUBLE)
+           / greatest(len(regexp_extract_all(lower(d.text), '[a-z'']+')), 1) AS oov_rate
+    FROM documents d LEFT JOIN in_vocab iv ON iv.doc_id = d.doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-500 word vocabulary — the tokenizer-coverage diagnostic a
+    training pipeline runs before committing to a vocab: documents with
+    high OOV rates are the ones a fixed vocabulary will shred into UNKs
+    (or byte-fallback blowup under BPE).  Vocabulary selection ties break
+    by frequency DESC then word ASC, so the cut at rank 500 is
+    deterministic on both engines.
+
+    Two aggregations and one broadcast join: corpus word counts (map-side
+    combined), rank-filtered to the bounded vocab (broadcastable by
+    construction — 500 rows), then a per-doc in-vocab count
+    joined back to the documents scan.  The global vocab-ranking window
+    runs over the distinct-words frame, not the corpus — at 100 TB that is
+    millions of rows (bounded by lexicon size, not data volume); beyond
+    that you'd pre-aggregate to the top-k per partition before the global
+    rank, same cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokenize_column("text")).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("word"))),
+        )
+        .filter(F.col("rk") <= _VOCAB_SIZE)
+        .select("word")
+    )
+    in_vocab = (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_in_vocab"))
+    )
+    n_tokens = F.size(tokenize_column("text"))
+    return (
+        docs.join(in_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            (n_tokens - F.coalesce("n_in_vocab", F.lit(0))).cast("bigint").alias("n_oov"),
+            (
+                (n_tokens - F.coalesce("n_in_vocab", F.lit(0))).cast("double")
+                / F.greatest(n_tokens, F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

@@ -93,6 +93,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_markov_stationary",
     "dq_benford_leading_digit",
     "text_readability_scores",
+    "corpus_reservoir_sample",
+    "vocab_oov_rate",
+    "ts_seasonal_decompose",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

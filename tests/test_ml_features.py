@@ -480,3 +480,91 @@ def test_pit_join_covers_every_order_with_correct_nulls(spark, sf_dir):
             assert r.t < first_change[r.o_custkey]
         else:
             assert r.t >= first_change[r.o_custkey]
+
+
+def test_reservoir_sample_exact_group_sizes(spark, sf_dir):
+    """Each source yields exactly min(10, group size) rows, ranks are the
+    contiguous prefix 1..k, and a rerun selects the identical sample
+    (hash priorities, no RNG)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    out = QUERIES["corpus_reservoir_sample"](spark, sf_dir)
+    got = out.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("rank").alias("max_rank")
+    ).collect()
+    sizes = {
+        r["source"]: r["count"]
+        for r in load_table(spark, sf_dir, "documents").groupBy("source").count().collect()
+    }
+    assert got
+    for r in got:
+        expect = min(10, sizes[r.source])
+        assert (r.n, r.max_rank) == (expect, expect)
+    a = sorted((r.source, r.doc_id) for r in out.collect())
+    b = sorted(
+        (r.source, r.doc_id)
+        for r in QUERIES["corpus_reservoir_sample"](spark, sf_dir).collect()
+    )
+    assert a == b
+
+
+def test_reservoir_sample_is_size_biased(spark, oracle_sf_dir):
+    """The n_chars-weighted priority must pull the sample mean length above
+    the corpus mean (the point of weighting) — a distribution-level check
+    that the weight actually reaches the rank key.  Runs at sf0.01, where
+    groups exceed the reservoir size so selection is actually exercised
+    (at sf0.001 every group fits in the reservoir and sample == corpus)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    sample_mean = (
+        QUERIES["corpus_reservoir_sample"](spark, oracle_sf_dir)
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    corpus_mean = (
+        load_table(spark, oracle_sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    assert sample_mean > corpus_mean
+
+
+def test_oov_rate_bounds_and_vocab_coverage(spark, sf_dir):
+    """0 <= n_oov <= n_tokens with rate consistent; empty docs rate 0; and
+    the corpus-wide OOV mass must be a minority share, since the top-500
+    vocab by construction covers the head of a Zipfian corpus."""
+    rows = QUERIES["vocab_oov_rate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        expect = (r.n_oov / r.n_tokens) if r.n_tokens else 0.0
+        assert abs(r.oov_rate - expect) < 1e-12
+    total_oov = sum(r.n_oov for r in rows)
+    total_tok = sum(r.n_tokens for r in rows)
+    assert total_oov < 0.5 * total_tok
+
+
+def test_seasonal_decompose_identity_and_shape(spark, sf_dir):
+    """revenue == trend + seasonal + residual bit-for-bit up to fp assoc
+    (the residual is defined as that difference), dow covers 1..7, and each
+    priority contributes one row per observed day."""
+    out = QUERIES["ts_seasonal_decompose"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 1 <= r.dow <= 7
+        assert abs(r.revenue - (r.trend + r.seasonal + r.residual)) < 1e-6
+    by_key = {(r.o_orderpriority, r.day) for r in out}
+    assert len(by_key) == len(out)
+
+
+def test_seasonal_decompose_seasonal_is_dow_mean_of_detrended(spark, sf_dir):
+    """Per (priority, dow), mean(revenue - trend) must equal the seasonal
+    value on every member row — recompute it driver-side from the output."""
+    from collections import defaultdict
+
+    out = QUERIES["ts_seasonal_decompose"](spark, sf_dir).collect()
+    groups = defaultdict(list)
+    for r in out:
+        groups[(r.o_orderpriority, r.dow)].append(r)
+    for (_, _), rows in groups.items():
+        mean_det = sum(r.revenue - r.trend for r in rows) / len(rows)
+        for r in rows:
+            assert abs(r.seasonal - mean_det) < 1e-6
