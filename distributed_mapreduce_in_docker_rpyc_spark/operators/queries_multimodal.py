@@ -461,3 +461,52 @@ def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bincount per Arrow batch, ≤16 output rows per image, shuffle-free."""
     docs = load_table(spark, sf_dir, "documents")
     return mm.pixel_histograms(mm.attach_bmp_payload(docs))
+
+
+@register(
+    "multimodal_wav_hadamard",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0 THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents
+    ),
+    samples AS (
+        SELECT r.doc_id, g.j,
+               (strpos('0123456789ABCDEF', substr(r.hx, 2 * g.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(r.hx, 2 * g.j + 2, 1)) - 1) - 128 AS v
+        FROM raw r,
+             unnest(generate_series(0, least(length(r.hx) // 2, 64) - 1)) AS g(j)
+    ),
+    ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+    coefs AS (
+        SELECT s.doc_id, ks.k,
+               SUM(s.v * (1 - 2 * (bit_count(CAST(ks.k AS BIGINT)
+                                             & CAST(s.j AS BIGINT)) % 2))) AS coef
+        FROM samples s CROSS JOIN ks
+        GROUP BY s.doc_id, ks.k
+    )
+    SELECT d.doc_id, CAST(ks.k AS BIGINT) AS seq_idx,
+           CAST(COALESCE(c.coef, 0) AS BIGINT) AS coef,
+           CAST(COALESCE(c.coef, 0) * COALESCE(c.coef, 0) AS BIGINT) AS energy
+    FROM documents d
+    CROSS JOIN ks
+    LEFT JOIN coefs c ON c.doc_id = d.doc_id AND c.k = ks.k
+    """,
+)
+def multimodal_wav_hadamard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walsh–Hadamard sequency spectrum of each audio clip's first 64 PCM
+    samples — the integer-exact spectral front end (all WHT weights are ±1,
+    so the 64 coefficients are pure integer arithmetic where a cos/sin DFT
+    would drift by libm ulps between engines).  Parseval holds exactly:
+    Σ_k coef² = 64 · Σ_j v_j², property-tested.  Every document emits
+    exactly 64 (sequency, coefficient, energy) rows; absent samples are
+    silence (v = 0).
+
+    Scale posture: the transform is a 64×64 integer matmul per clip inside
+    the Arrow batch (samples never become rows engine-side; the oracle's
+    per-sample unnest is the oracle's cost, not the engine's), shuffle-free
+    end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.hadamard_spectrum(mm.attach_wav_payload(docs))

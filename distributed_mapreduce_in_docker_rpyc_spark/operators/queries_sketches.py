@@ -925,3 +925,121 @@ def kmv_type_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "bitmap_index_intersection",
+    oracle="""
+    WITH keys_r AS (
+        SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    keys_f AS (
+        SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_linestatus = 'F'
+    ),
+    bm_r AS (
+        SELECT k // 32 AS blk,
+               SUM(CAST(1 AS BIGINT) << CAST(k % 32 AS INT)) AS w
+        FROM keys_r GROUP BY k // 32
+    ),
+    bm_f AS (
+        SELECT k // 32 AS blk,
+               SUM(CAST(1 AS BIGINT) << CAST(k % 32 AS INT)) AS w
+        FROM keys_f GROUP BY k // 32
+    ),
+    merged AS (
+        SELECT COALESCE(r.blk, f.blk) AS blk,
+               COALESCE(r.w, 0) AS wr, COALESCE(f.w, 0) AS wf
+        FROM bm_r r FULL OUTER JOIN bm_f f ON f.blk = r.blk
+    ),
+    bitmap AS (
+        SELECT CAST(SUM(bit_count(wr)) AS BIGINT) AS n_returned,
+               CAST(SUM(bit_count(wf)) AS BIGINT) AS n_finished,
+               CAST(SUM(bit_count(wr & wf)) AS BIGINT) AS n_both_bitmap,
+               CAST(SUM(bit_count(wr | wf)) AS BIGINT) AS n_either_bitmap
+        FROM merged
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r,
+               MAX(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS has_f
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    direct AS (
+        SELECT CAST(SUM(CASE WHEN has_r = 1 AND has_f = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both_direct,
+               CAST(SUM(CASE WHEN has_r = 1 OR has_f = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_either_direct
+        FROM per_order
+    )
+    SELECT b.n_returned, b.n_finished, b.n_both_bitmap, b.n_either_bitmap,
+           d.n_both_direct, d.n_either_direct
+    FROM bitmap b CROSS JOIN direct d
+    """,
+)
+def bitmap_index_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index emulation over plain parquet, on the ORDER-KEY domain:
+    one bitmap per predicate ("order contains a returned item",
+    "order contains a finished-status item") as 32-bit words keyed by
+    key-block, then the conjunction/disjunction counts answered with
+    bitwise AND/OR + popcount on the word pairs — the access path OLAP
+    engines (Oracle bitmap indexes, Druid, Pinot, Kylin) use for
+    multi-predicate membership queries.  The bitmap is built over DISTINCT
+    qualifying keys, so each bit is set at most once and the word SUM is
+    exactly the bitwise OR (the fact table itself has duplicate
+    (orderkey, linenumber) pairs in these fixtures — a row-level rowid is
+    NOT unique, which is why the indexed domain is the key space).  The
+    same output row carries the direct per-order scan counts, so the
+    result is self-certifying: bitmap == direct or the hash fails
+    (property-tested too).
+
+    Words are 32-bit on purpose: a 64-bit word with bit 63 set would
+    overflow BIGINT summation on the Spark side (DuckDB silently promotes
+    to HUGEINT — an engine divergence this layout never enters).
+
+    Scale posture: per predicate one distinct + one map-side-combined
+    aggregate on the uniform block key; the AND is a full-outer equi-join
+    on block — no row-level intersection ever materializes, and the
+    bitmap's size is the key-domain density, not the fact-table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bitmap(pred, name):
+        return (
+            li.filter(pred)
+            .select(F.col("l_orderkey").alias("k"))
+            .distinct()
+            .groupBy(F.expr("k div 32").alias("blk"))
+            .agg(
+                F.expr(
+                    "SUM(shiftleft(CAST(1 AS BIGINT), CAST(k % 32 AS INT)))"
+                ).alias(name)
+            )
+        )
+
+    bm_r = bitmap(F.col("l_returnflag") == "R", "wr")
+    bm_f = bitmap(F.col("l_linestatus") == "F", "wf")
+    merged = (
+        bm_r.join(bm_f, "blk", "full_outer")
+        .select(
+            F.coalesce("wr", F.lit(0)).alias("wr"),
+            F.coalesce("wf", F.lit(0)).alias("wf"),
+        )
+    )
+    bitmap_counts = merged.agg(
+        F.sum(F.bit_count("wr")).cast("bigint").alias("n_returned"),
+        F.sum(F.bit_count("wf")).cast("bigint").alias("n_finished"),
+        F.sum(F.bit_count(F.col("wr").bitwiseAND(F.col("wf")))).cast("bigint").alias("n_both_bitmap"),
+        F.sum(F.bit_count(F.col("wr").bitwiseOR(F.col("wf")))).cast("bigint").alias("n_either_bitmap"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"),
+        F.max((F.col("l_linestatus") == "F").cast("int")).alias("has_f"),
+    )
+    direct = per_order.agg(
+        F.sum(((F.col("has_r") == 1) & (F.col("has_f") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("n_both_direct"),
+        F.sum(((F.col("has_r") == 1) | (F.col("has_f") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("n_either_direct"),
+    )
+    return bitmap_counts.crossJoin(direct)

@@ -2547,3 +2547,137 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+_RAKE_STOPS = (
+    "'the','and','of','to','a','in','is','it','for','on','with','as','was','at','by'"
+)
+
+
+@register(
+    "text_rake_phrases",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS arr
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, g.i AS pos, arr[g.i] AS word
+        FROM arrs, unnest(generate_series(1, len(arr))) AS g(i)
+    ),
+    marked AS (
+        SELECT doc_id, pos, word,
+               CASE WHEN word IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END AS is_stop
+        FROM words
+    ),
+    grp AS (
+        SELECT doc_id, pos, word, is_stop,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS g
+        FROM marked
+    ),
+    phrases AS (
+        SELECT doc_id, g,
+               string_agg(word, ' ' ORDER BY pos) AS phrase,
+               COUNT(*) AS plen
+        FROM grp WHERE is_stop = 0
+        GROUP BY doc_id, g
+    ),
+    wordstats AS (
+        SELECT gr.word, COUNT(*) AS freq, SUM(p.plen) AS deg
+        FROM grp gr
+        JOIN phrases p ON p.doc_id = gr.doc_id AND p.g = gr.g
+        WHERE gr.is_stop = 0
+        GROUP BY gr.word
+    ),
+    instances AS (
+        SELECT phrase, COUNT(*) AS n_occurrences, MAX(plen) AS n_words
+        FROM phrases GROUP BY phrase
+    ),
+    scored AS (
+        SELECT i.phrase, i.n_words, i.n_occurrences,
+               (SELECT SUM(ws.deg)
+                FROM unnest(string_split(i.phrase, ' ')) AS u(word)
+                JOIN wordstats ws ON ws.word = u.word) AS degree_score
+        FROM instances i
+    )
+    SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(degree_score AS BIGINT) AS degree_score
+    FROM scored
+    ORDER BY degree_score DESC, phrase ASC
+    LIMIT 20
+    """,
+)
+def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), integer-scored: candidate
+    phrases are maximal stopword-free word runs (gaps-and-islands on the
+    running stopword count); each word's degree = Σ of the lengths of the
+    phrases containing it (frequency-weighted co-occurrence); a phrase
+    scores the sum of its words' degrees.  The classic RAKE score divides
+    degree by frequency — a per-word double whose summation order differs
+    between engines — so this variant keeps the integer numerator
+    (degree-sum), preserving RAKE's ranking bias toward longer, denser
+    phrases while staying bit-exact cross-engine.  Top 20 by (score,
+    phrase) — a total order, so the cut is deterministic.
+
+    Scale shape: one posexplode + per-doc window (uniform doc key), two
+    bounded aggregations (phrase table ≤ token count, word stats ≤ lexicon
+    size), and a split-rejoin on the DISTINCT phrase texts only.  No
+    driver loops, no quadratic arm."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(tokenize_column("text")).alias("pos", "word")
+    )
+    stops = [s.strip("'") for s in _RAKE_STOPS.split(",")]
+    marked = words.withColumn("is_stop", F.col("word").isin(stops).cast("int"))
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = marked.withColumn("g", F.sum("is_stop").over(w_run))
+    phrases = (
+        grp.filter(F.col("is_stop") == 0)
+        .groupBy("doc_id", "g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .persist()
+    )
+    wordstats = (
+        grp.filter(F.col("is_stop") == 0)
+        .join(phrases.select("doc_id", "g", "plen"), ["doc_id", "g"])
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+    )
+    instances = phrases.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"), F.max("plen").alias("n_words")
+    )
+    scored = (
+        instances.select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+        .join(wordstats.select("word", "deg"), "word")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(F.sum("deg").alias("degree_score"))
+    )
+    return (
+        scored.orderBy(F.desc("degree_score"), F.asc("phrase"))
+        .limit(20)
+        .select(
+            "phrase",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.col("degree_score").cast("bigint").alias("degree_score"),
+        )
+    )

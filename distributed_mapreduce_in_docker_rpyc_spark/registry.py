@@ -96,6 +96,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_reservoir_sample",
     "vocab_oov_rate",
     "ts_seasonal_decompose",
+    "multimodal_wav_hadamard",
+    "bitmap_index_intersection",
+    "text_rake_phrases",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

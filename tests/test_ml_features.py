@@ -568,3 +568,55 @@ def test_seasonal_decompose_seasonal_is_dow_mean_of_detrended(spark, sf_dir):
         mean_det = sum(r.revenue - r.trend for r in rows) / len(rows)
         for r in rows:
             assert abs(r.seasonal - mean_det) < 1e-6
+
+
+def test_wav_hadamard_parseval_exact(spark, sf_dir):
+    """Unnormalized WHT Parseval: per document, sum of coefficient energies
+    equals exactly 64x the energy of the (zero-padded) 64-sample input —
+    recomputed here from the raw text bytes, integer-exact."""
+    from collections import defaultdict
+
+    rows = QUERIES["multimodal_wav_hadamard"](spark, sf_dir).collect()
+    assert rows
+    energy = defaultdict(int)
+    coef0 = {}
+    for r in rows:
+        energy[r.doc_id] += r.energy
+        assert r.energy == r.coef * r.coef
+        if r.seq_idx == 0:
+            coef0[r.doc_id] = r.coef
+    docs = {
+        r.doc_id: (r.text or "").encode("utf-8") or b"\x00"
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for did, data in docs.items():
+        v = [b - 128 for b in data[:64]]
+        assert energy[did] == 64 * sum(x * x for x in v)
+        # sequency 0 is the plain sample sum (all +1 weights)
+        assert coef0[did] == sum(v)
+
+
+def test_bitmap_counts_equal_direct_scan(spark, sf_dir):
+    """The defining invariant: popcount over the AND/OR bitmaps equals the
+    direct predicate scan, and inclusion-exclusion ties all four together."""
+    r = QUERIES["bitmap_index_intersection"](spark, sf_dir).first()
+    assert r.n_both_bitmap == r.n_both_direct
+    assert r.n_either_bitmap == r.n_either_direct
+    assert r.n_returned + r.n_finished == r.n_both_bitmap + r.n_either_bitmap
+
+
+def test_rake_phrases_are_stopword_free_runs(spark, sf_dir):
+    """No extracted phrase contains a stopword; scores are positive and the
+    output is totally ordered by (score desc, phrase asc)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import _RAKE_STOPS
+
+    stops = {s.strip("'") for s in _RAKE_STOPS.split(",")}
+    rows = QUERIES["text_rake_phrases"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert not (set(words) & stops)
+        assert r.n_words >= 1
+        assert r.degree_score >= r.n_words  # each word's degree >= its phrase len
+    keys = [(-r.degree_score, r.phrase) for r in rows]
+    assert keys == sorted(keys)
