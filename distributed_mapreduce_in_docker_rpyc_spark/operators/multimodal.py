@@ -571,3 +571,56 @@ def hadamard_spectrum(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(per_batch, schema=WHT_SCHEMA)
+
+
+GRAD_SCHEMA = "doc_id long, width long, height long, grad_energy long, mean_abs_grad double"
+
+
+def gradient_energies(df: DataFrame, id_col: str = "doc_id", payload_col: str = "bmp") -> DataFrame:
+    """Per-image horizontal gradient energy: the sum of |b[t+3] − b[t]| over
+    same-channel byte pairs within each raster row (stride 3 = same color
+    channel of the neighboring pixel) — the classic sharpness/contrast
+    proxy a vision-data quality gate computes before expensive model
+    scoring (uniform or heavily blurred images score near zero).  Integer
+    arithmetic end to end; the mean is one double division of two exact
+    integers.
+
+    NumPy diffs each decoded raster inside the Arrow batch (one output row
+    per image; pixels never become rows engine-side)."""
+    import struct
+
+    import numpy as np
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in ("doc_id", "width", "height", "grad_energy", "mean_abs_grad")}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                _magic, _fs, _r1, _r2, off = struct.unpack_from("<2sIHHI", data, 0)
+                _hs, w, h_signed, _pl, _bpp = struct.unpack_from("<IiiHH", data, 14)
+                h = abs(h_signed)
+                row_size = (3 * w + 3) // 4 * 4
+                rows = np.stack(
+                    [
+                        np.frombuffer(
+                            data[off + y * row_size : off + y * row_size + 3 * w],
+                            dtype=np.uint8,
+                        ).astype(np.int64)
+                        for y in range(h)
+                    ]
+                )
+                if rows.shape[1] > 3:
+                    energy = int(np.abs(rows[:, 3:] - rows[:, :-3]).sum())
+                    m = h * (3 * w - 3)
+                else:
+                    energy, m = 0, 0
+                out["doc_id"].append(int(did))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["grad_energy"].append(energy)
+                out["mean_abs_grad"].append(float(energy) / m if m else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(per_batch, schema=GRAD_SCHEMA)

@@ -510,3 +510,56 @@ def multimodal_wav_hadamard(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end."""
     docs = load_table(spark, sf_dir, "documents")
     return mm.hadamard_spectrum(mm.attach_wav_payload(docs))
+
+
+@register(
+    "multimodal_bmp_gradient",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0 THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents
+    ),
+    meta AS (
+        SELECT doc_id, hx, length(hx) // 2 AS n,
+               1 + ((length(hx) // 2) * 7) % 16 AS w,
+               1 + ((length(hx) // 2) * 13) % 16 AS h
+        FROM raw
+    ),
+    grads AS (
+        /* raster byte at position t is source byte (t mod n); same-channel
+           horizontal neighbors are 3 bytes apart, pairs stay inside a row */
+        SELECT m.doc_id,
+               abs(((strpos('0123456789ABCDEF', substr(m.hx, 2 * ((g.t + 3) % m.n) + 1, 1)) - 1) * 16
+                  + (strpos('0123456789ABCDEF', substr(m.hx, 2 * ((g.t + 3) % m.n) + 2, 1)) - 1))
+                 - ((strpos('0123456789ABCDEF', substr(m.hx, 2 * (g.t % m.n) + 1, 1)) - 1) * 16
+                  + (strpos('0123456789ABCDEF', substr(m.hx, 2 * (g.t % m.n) + 2, 1)) - 1))) AS d
+        FROM meta m,
+             unnest(generate_series(0, 3 * m.w * m.h - 1)) AS g(t)
+        WHERE (g.t % (3 * m.w)) < 3 * m.w - 3
+    ),
+    agg AS (
+        SELECT doc_id, SUM(d) AS grad_energy FROM grads GROUP BY doc_id
+    )
+    SELECT m.doc_id, CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+           CAST(COALESCE(a.grad_energy, 0) AS BIGINT) AS grad_energy,
+           CASE WHEN m.w > 1
+                THEN CAST(COALESCE(a.grad_energy, 0) AS DOUBLE)
+                     / CAST(m.h * (3 * m.w - 3) AS DOUBLE)
+                ELSE 0.0 END AS mean_abs_grad
+    FROM meta m LEFT JOIN agg a ON a.doc_id = m.doc_id
+    """,
+)
+def multimodal_bmp_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image sharpness profile: per-image horizontal gradient energy
+    (sum of |same-channel byte difference| between neighboring pixels,
+    within raster rows) decoded from the real BMP container — the
+    blur/flatness signal a vision-training quality gate uses to drop
+    uniform or out-of-focus images.  Integer-exact; the oracle recomputes
+    the cycled raster's byte pairs arithmetically from the source bytes.
+
+    Scale posture: NumPy row-diff per Arrow batch, one output row per
+    image, shuffle-free (the oracle's per-byte unnest is its own cost)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.gradient_energies(mm.attach_bmp_payload(docs))

@@ -2459,3 +2459,75 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "o_orderkey", "o_custkey", "t", F.col("priority_right").alias("priority_at_t")
     )
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via BUCKETED tables: both sides are
+    written bucketed by the join key (8 buckets, one file per bucket), so
+    the join compiles to a ZERO-EXCHANGE sort-merge over co-located
+    buckets — the pre-shuffle a 100 TB warehouse pays ONCE at ingest
+    instead of on every query (Hive/Spark bucketing; Iceberg bucket
+    transforms).  A local in-partition sort below the join remains (Spark
+    >= 3.0 dropped the bucketed scan output-ordering guarantee,
+    SPARK-28632) — linear per bucket, never a shuffle.  The
+    revenue-per-priority result hash-checks against the plain join, and
+    ``tests/test_scale_posture.py`` asserts the bucketed plan really
+    contains no Exchange on either join side — the property this operator
+    exists to prove.
+
+    The bucket count is a fixture-scale stand-in: production sizing is
+    data/bucket ≈ executor-memory-sized, and both tables MUST agree on
+    (count, key) or Spark silently falls back to exchanging."""
+    import os
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import work_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    root = work_dir("bucketed")
+    pid_tag = os.getpid()
+    tables = {}
+    for name, df, key in (("lineitem", li, "l_orderkey"), ("orders", o, "o_orderkey")):
+        tbl = f"sg_bucketed_{name}_{pid_tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            # repartition on the bucket key first: ONE file per bucket, or
+            # Spark drops the sortBy guarantee at read time and re-sorts
+            # below the join (many writer tasks -> many files per bucket)
+            df.repartition(8, F.col(key))
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{root}/{name}")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        tables[name] = tbl
+    lb = spark.table(tables["lineitem"])
+    ob = spark.table(tables["orders"])
+    # The MERGE hint forces the sort-merge strategy even where the fixture-
+    # sized orders side would broadcast — at 100 TB neither side broadcasts
+    # and the bucketed SMJ is exactly the plan this operator exists to
+    # demonstrate (zero exchange, zero sort below the join — asserted in
+    # tests/test_scale_posture.py).
+    joined = lb.hint("merge").join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(
+            F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))")
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

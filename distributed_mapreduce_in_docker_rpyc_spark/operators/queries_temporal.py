@@ -563,3 +563,110 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("rev").cast("double") - trend) - F.col("seasonal")).alias("residual"),
         )
     )
+
+
+@register(
+    "asof_nearest_purchase",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, MAX(event_id) AS pid
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    uni AS (
+        SELECT user_id, ts, NULL AS pid, event_id AS eid, 1 AS is_err
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT user_id, ts, pid, NULL AS eid, 0 AS is_err FROM p
+    ),
+    walked AS (
+        SELECT user_id, ts, eid, is_err,
+               last_value(CASE WHEN is_err = 0 THEN ts END IGNORE NULLS)
+                   OVER w_prev AS prev_ts,
+               last_value(CASE WHEN is_err = 0 THEN pid END IGNORE NULLS)
+                   OVER w_prev AS prev_pid,
+               first_value(CASE WHEN is_err = 0 THEN ts END IGNORE NULLS)
+                   OVER w_next AS next_ts,
+               first_value(CASE WHEN is_err = 0 THEN pid END IGNORE NULLS)
+                   OVER w_next AS next_pid
+        FROM uni
+        WINDOW
+          w_prev AS (PARTITION BY user_id ORDER BY ts, is_err
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY user_id ORDER BY ts, is_err DESC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT eid AS error_event_id, user_id,
+           CASE WHEN prev_ts IS NOT NULL
+                     AND (next_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts)
+                             <= epoch_us(next_ts) - epoch_us(ts))
+                THEN prev_pid ELSE next_pid END AS nearest_purchase_id,
+           CASE WHEN prev_ts IS NOT NULL
+                     AND (next_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts)
+                             <= epoch_us(next_ts) - epoch_us(ts))
+                THEN epoch_us(ts) - epoch_us(prev_ts)
+                ELSE epoch_us(next_ts) - epoch_us(ts) END AS dt_us
+    FROM walked WHERE is_err = 1
+    """,
+)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join: each error event matched to the
+    closest purchase by the same user in EITHER time direction (ties to
+    the earlier purchase) — the sensor-alignment/nearest-fill variant of
+    the backward-only as-of (``asof_purchase_click``), which neither
+    Spark nor DuckDB's ASOF JOIN expresses directly.  Formulated as two
+    IGNORE-NULLS window walks over the unioned per-user timeline: the
+    backward walk orders same-timestamp purchases BEFORE the error
+    (inclusive match), the forward walk orders them after — so a
+    simultaneous purchase is a 0-distance backward match on both engines.
+    Distances are exact integer microseconds (epoch_us both sides); no
+    unmatched error is dropped (users with no purchases emit NULLs).
+
+    Scale posture: one shuffle on the uniform user key, two linear window
+    passes — no range join, no per-user loop, state O(1) per row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pid"))
+        .select("user_id", "ts", "pid", F.lit(None).cast("long").alias("eid"), F.lit(0).alias("is_err"))
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("pid"),
+        F.col("event_id").alias("eid"), F.lit(1).alias("is_err"),
+    )
+    uni = e.unionByName(p)
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("ts", "is_err")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id").orderBy("ts", F.desc("is_err"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    purchase_ts = F.when(F.col("is_err") == 0, F.col("ts"))
+    purchase_id = F.when(F.col("is_err") == 0, F.col("pid"))
+    walked = uni.select(
+        "user_id", "ts", "eid", "is_err",
+        F.last(purchase_ts, ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.last(purchase_id, ignorenulls=True).over(w_prev).alias("prev_pid"),
+        F.first(purchase_ts, ignorenulls=True).over(w_next).alias("next_ts"),
+        F.first(purchase_id, ignorenulls=True).over(w_next).alias("next_pid"),
+    ).filter(F.col("is_err") == 1)
+    prev_dt = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    next_dt = F.unix_micros("next_ts") - F.unix_micros("ts")
+    take_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (prev_dt <= next_dt)
+    )
+    return walked.select(
+        F.col("eid").alias("error_event_id"),
+        "user_id",
+        F.when(take_prev, F.col("prev_pid")).otherwise(F.col("next_pid")).alias(
+            "nearest_purchase_id"
+        ),
+        F.when(take_prev, prev_dt).otherwise(next_dt).alias("dt_us"),
+    )

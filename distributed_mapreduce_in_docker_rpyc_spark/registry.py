@@ -99,6 +99,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_wav_hadamard",
     "bitmap_index_intersection",
     "text_rake_phrases",
+    "multimodal_bmp_gradient",
+    "asof_nearest_purchase",
+    "bucketed_join_colocated",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

@@ -620,3 +620,58 @@ def test_rake_phrases_are_stopword_free_runs(spark, sf_dir):
         assert r.degree_score >= r.n_words  # each word's degree >= its phrase len
     keys = [(-r.degree_score, r.phrase) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_bmp_gradient_matches_python_recompute(spark, sf_dir):
+    """Independent ground truth: recompute each image's horizontal gradient
+    energy from the raw text bytes (cycled raster, stride-3 same-channel
+    pairs) in plain Python and require exact integer equality."""
+    rows = {r.doc_id: r for r in QUERIES["multimodal_bmp_gradient"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert rows
+    for d in docs:
+        src = (d.text or "").encode("utf-8") or b"\x00"
+        n = len(src)
+        w, h = 1 + (n * 7) % 16, 1 + (n * 13) % 16
+        rw = 3 * w
+        expect = sum(
+            abs(src[(t + 3) % n] - src[t % n])
+            for t in range(rw * h)
+            if (t % rw) < rw - 3
+        )
+        r = rows[d.doc_id]
+        assert (r.width, r.height, r.grad_energy) == (w, h, expect)
+        m = h * (rw - 3)
+        assert r.mean_abs_grad == (expect / m if m else 0.0)
+
+
+def test_asof_nearest_is_truly_nearest(spark, sf_dir):
+    """For every matched error the reported purchase is at minimal |dt|
+    among ALL the user's purchases (recomputed driver-side), ties resolve
+    to the earlier purchase, and users with no purchases emit NULLs."""
+    from collections import defaultdict
+
+    out = QUERIES["asof_nearest_purchase"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    purchases = defaultdict(list)
+    errors = {}
+    for e in ev:
+        if e.event_type == "purchase":
+            purchases[e.user_id].append(e)
+        elif e.event_type == "error":
+            errors[e.event_id] = e
+    assert out
+    n_checked = 0
+    for r in out[:800]:
+        err = errors[r.error_event_id]
+        ps = purchases.get(r.user_id)
+        if not ps:
+            assert r.nearest_purchase_id is None and r.dt_us is None
+            continue
+        def us(td):
+            return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+
+        best = min(abs(us(p.ts - err.ts)) for p in ps)
+        assert r.dt_us == best
+        n_checked += 1
+    assert n_checked > 0

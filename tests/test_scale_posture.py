@@ -510,3 +510,28 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_bucketed_query_joins_without_exchange(spark, sf_dir):
+    """The registered bucketed_join_colocated query (vs the synthetic
+    layout test above): its sort-merge join must consume the bucketed,
+    pre-sorted scans directly — the plan's ONLY exchange is the final
+    5-group aggregate's, and no Sort node exists below the join."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["bucketed_join_colocated"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # the one exchange must be the aggregate's (priority key), not a join
+    # input: it hashes o_orderpriority, never the orderkey
+    ex_line = next(ln for ln in plan.splitlines() if "Exchange" in ln)
+    assert "o_orderpriority" in ex_line, plan
+    assert "orderkey" not in ex_line, plan
+    # (a LOCAL in-partition Sort below the join remains: Spark >= 3.0
+    # dropped bucketed scans' output-ordering guarantee, SPARK-28632 — the
+    # sort is linear per co-located bucket, never a shuffle)
+    assert "Bucketed: true" in plan, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan
