@@ -56,6 +56,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #                 generations (VERDICT r4 "missing" #3 — the r4 comment
 #                 claiming they were inside the window was wrong; they were
 #                 not).  Oldest-first until the 50-slot budget line.
+#                 WHERE THE LINE FALLS THIS ROUND: sections 1-3 hold
+#                 1 + 10 + 30 = 41 names, so the 50-query window reaches 9
+#                 entries into section 4 — through q4_order_priority_check;
+#                 `verify_driver.py --strict` recomputes this, don't trust
+#                 the comment alone.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (1) the one red row, instrumented for localization
     "jsonl_roundtrip",

@@ -34,6 +34,8 @@ SHOWN = [
     "dedup_substring_coverage",
     "emb_gram_matrix",
     "join_null_safe",
+    "bucketed_join_colocated",
+    "asof_nearest_purchase",
 ]
 
 
