@@ -1,13 +1,15 @@
 """Differential query fuzzing (SQLancer-style, seeded and deterministic).
 
-A small grammar generates 261 seeded queries across seventeen families — GROUP
+A small grammar generates 303 seeded queries across twenty families — GROUP
 BY / filter / HAVING, inner/left joins, window frames, distinct aggregates,
 semi/anti joins (EXISTS / IN subqueries), nullable IN / NOT IN three-valued logic, set operations, grouping sets,
 CASE/COALESCE/NULLIF conditionals, correlated & uncorrelated scalar
 subqueries, string/date scalar expressions, time-bucketed event
 analytics, LATERAL correlated derived tables, and explicit-NULLS top-N
-(ORDER BY / LIMIT / OFFSET), CTE chains with twice-referenced CTEs, and
-QUALIFY-style rank-then-filter top-N — over lineitem/orders/customer/events; the
+(ORDER BY / LIMIT / OFFSET), CTE chains with twice-referenced CTEs,
+QUALIFY-style rank-then-filter top-N, aggregate FILTER clauses,
+PERCENTILE_CONT/DISC WITHIN GROUP ordered-set aggregates, and inline
+VALUES lookup-table joins — over lineitem/orders/customer/events; the
 SAME SQL text runs on Spark and DuckDB and
 the results must agree row-for-row.  This catches whole classes of engine-integration mistakes the
 hand-written oracles can't: type-coercion drift, null-handling divergence,
@@ -739,4 +741,101 @@ def gen_rank_filter_query(rng: random.Random) -> str:
 def test_fuzzed_rank_filter_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["lineitem", "orders"])
     sql = gen_rank_filter_query(random.Random(17_000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_filter_clause_query(rng: random.Random) -> str:
+    """Aggregate FILTER clause variant: per-aggregate predicates
+    (`COUNT(*) FILTER (WHERE ...)`, filtered SUM next to an unfiltered
+    one) — the conditional-aggregation path that otherwise hides inside
+    CASE WHEN rewrites; both engines support the standard syntax
+    natively."""
+    groups = rng.sample(GROUP_COLS, rng.randint(1, 2))
+    m1, m2 = rng.sample(METRICS, 2)
+    lo1, hi1 = PRED_RANGES[m1]
+    t1 = round(rng.uniform(lo1, hi1), 4)
+    lo2, hi2 = PRED_RANGES[m2]
+    t2 = round(rng.uniform(lo2, hi2), 4)
+    flag = rng.choice(["'A'", "'N'", "'R'"])
+    gcols = ", ".join(groups)
+    extra = ""
+    if rng.random() < 0.5:
+        extra = (
+            f", CAST(ROUND(SUM({m2}) FILTER (WHERE l_returnflag = {flag}), 2) "
+            f"AS DOUBLE) AS s_flagged"
+        )
+    return (
+        f"SELECT {gcols}, "
+        f"COUNT(*) FILTER (WHERE {m1} {op_for(rng)} {t1}) AS n_hot, "
+        f"CAST(ROUND(SUM({m1}) FILTER (WHERE {m2} {op_for(rng)} {t2}), 2) "
+        f"AS DOUBLE) AS s_cond{extra}, COUNT(*) AS n "
+        f"FROM lineitem GROUP BY {gcols}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_fuzzed_filter_clause_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["lineitem"])
+    sql = gen_filter_clause_query(random.Random(18_000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_ordered_set_agg_query(rng: random.Random) -> str:
+    """Ordered-set aggregate variant: PERCENTILE_CONT / PERCENTILE_DISC
+    WITHIN GROUP (ORDER BY ...) per group — the interpolated and discrete
+    quantile paths (both engines implement the standard clause; the
+    interpolation arithmetic must agree bit-for-bit at 2-dp rounding)."""
+    groups = rng.sample(GROUP_COLS, rng.randint(1, 2))
+    metric = rng.choice(METRICS)
+    q = rng.choice([0.1, 0.25, 0.5, 0.75, 0.9])
+    fn = rng.choice(["PERCENTILE_CONT", "PERCENTILE_DISC"])
+    direction = rng.choice(["ASC", "DESC"])
+    pred_col = rng.choice(METRICS)
+    lo, hi = PRED_RANGES[pred_col]
+    thresh = round(rng.uniform(lo, hi), 4)
+    gcols = ", ".join(groups)
+    return (
+        f"SELECT {gcols}, "
+        f"CAST(ROUND({fn}({q}) WITHIN GROUP (ORDER BY {metric} {direction}), 2) "
+        f"AS DOUBLE) AS pctl, COUNT(*) AS n "
+        f"FROM lineitem WHERE {pred_col} {op_for(rng)} {thresh} "
+        f"GROUP BY {gcols}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_fuzzed_ordered_set_agg_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["lineitem"])
+    sql = gen_ordered_set_agg_query(random.Random(19_000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_values_join_query(rng: random.Random) -> str:
+    """Inline VALUES table variant: join the fact table against a literal
+    `(VALUES ...) AS t(col, w)` lookup — constant-folding + join-on-literal
+    paths, and the broadcast-a-literal pattern users write for small
+    mapping tables."""
+    flags = ["A", "N", "R"]
+    rng.shuffle(flags)
+    k = rng.randint(2, 3)
+    weights = [rng.randint(1, 9) for _ in range(k)]
+    rows = ", ".join(f"('{f}', {w})" for f, w in zip(flags[:k], weights))
+    metric = rng.choice(METRICS)
+    pred_col = rng.choice(METRICS)
+    lo, hi = PRED_RANGES[pred_col]
+    thresh = round(rng.uniform(lo, hi), 4)
+    return (
+        f"SELECT t.w, l_linestatus, COUNT(*) AS n, "
+        f"CAST(ROUND(SUM({metric} * t.w), 2) AS DOUBLE) AS weighted "
+        f"FROM lineitem JOIN (VALUES {rows}) AS t(flag, w) "
+        f"ON l_returnflag = t.flag "
+        f"WHERE {pred_col} {op_for(rng)} {thresh} "
+        f"GROUP BY t.w, l_linestatus"
+    )
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_fuzzed_values_join_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["lineitem"])
+    sql = gen_values_join_query(random.Random(20_000 + seed))
     compare(spark.sql(sql), sql, sf_dir, float_places=2)
