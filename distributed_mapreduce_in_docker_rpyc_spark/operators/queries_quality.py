@@ -305,3 +305,84 @@ def dq_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation"),
         )
     )
+
+
+_COMPLETENESS_SCHEMA = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def _completeness_oracle() -> str:
+    arms = []
+    for t, cols in _COMPLETENESS_SCHEMA.items():
+        for c in cols:
+            arms.append(
+                f"SELECT '{t}' AS table_name, '{c}' AS column_name,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+                f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null"
+                f" FROM {t}"
+            )
+    return (
+        "SELECT table_name, column_name, n_rows, n_null,"
+        " CAST(n_null AS DOUBLE) / greatest(n_rows, 1) AS null_frac FROM ("
+        + " UNION ALL ".join(arms)
+        + ")"
+    )
+
+
+@register("dq_completeness_matrix", oracle=_completeness_oracle())
+def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide COMPLETENESS profile: one row per (table, column)
+    across all ten tables with row count, null count, and null fraction —
+    the first report any data-quality platform (Deequ, Great Expectations,
+    dbt tests) materializes, and the trigger for the per-table deep dives
+    (`dq_orders_report`, `dq_referential_integrity`, `analyze_table_stats`).
+
+    Each table contributes ONE map-side-combined aggregate emitting its
+    column profile as literal-labeled rows (no per-column scans: Spark
+    collapses the SUM(CASE)s into a single pass per table); the union of
+    ten one-row-per-column frames is metadata-sized.  At 100 TB this is
+    ten linear scans, embarrassingly parallel, with column pruning
+    irrelevant by construction (every column is profiled)."""
+    frames = []
+    for t, cols in _COMPLETENESS_SCHEMA.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")] + [
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"nn_{i}")
+            for i, c in enumerate(cols)
+        ]
+        wide = df.agg(*aggs)
+        long = wide.selectExpr(
+            "stack("
+            + str(len(cols))
+            + ", "
+            + ", ".join(f"'{t}', '{c}', n_rows, nn_{i}" for i, c in enumerate(cols))
+            + ") AS (table_name, column_name, n_rows, n_null)"
+        )
+        frames.append(long)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "table_name",
+        "column_name",
+        "n_rows",
+        "n_null",
+        (F.col("n_null").cast("double") / F.greatest("n_rows", F.lit(1))).alias("null_frac"),
+    )

@@ -538,3 +538,26 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = _run(joined, output_mode="append", checkpoint=True)
     return spark.table(table)
+
+
+@register(
+    "stream_wordcount_totals",
+    oracle="""
+    WITH toks AS (
+        SELECT lower(unnest(regexp_extract_all(lower(text), '[A-Za-z'']+'))) AS word
+        FROM documents
+    )
+    SELECT word, count(*) AS cnt
+    FROM toks
+    GROUP BY word
+    """,
+)
+def stream_wordcount_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own workload (SURVEY.md §2.1 OP-5..OP-10: tokenize,
+    lowercase, per-word counts) executed INCREMENTALLY as a streaming
+    aggregation over the document feed — closing the parity loop in the
+    streaming dimension the reference lacks entirely: the same counts the
+    batch engine produces must come out of the state-store path,
+    micro-batch by micro-batch (stream ≡ batch ≡ oracle)."""
+    table = _run(jobs.wordcount_totals(jobs.documents_stream(spark, sf_dir)))
+    return spark.table(table)

@@ -505,3 +505,23 @@ def tws_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def wordcount_totals(doc_stream: DataFrame) -> DataFrame:
+    """The reference's ENTIRE workload — tokenize [A-Za-z']+, lowercase,
+    count per word (reference worker/worker.py map/reduce) — executed as a
+    STREAMING aggregation over the incoming-document feed: running word
+    totals maintained incrementally in the state store, no watermark
+    (word is not a time key; complete-mode totals are the contract).
+
+    At 100 TB-a-day this is the shape of a continuous ingest counter: the
+    map side (tokenize + partial counts) runs per micro-batch, the state
+    store holds one row per distinct word (lexicon-bounded, not
+    data-bounded)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.text import tokenize_column
+
+    return (
+        doc_stream.select(F.explode(tokenize_column("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )

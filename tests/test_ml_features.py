@@ -675,3 +675,37 @@ def test_asof_nearest_is_truly_nearest(spark, sf_dir):
         assert r.dt_us == best
         n_checked += 1
     assert n_checked > 0
+
+
+def test_stream_wordcount_equals_batch_wordcount(spark, sf_dir):
+    """The streaming state-store path and the batch shuffle path must
+    produce identical word totals — the reference's whole workload, both
+    execution models."""
+    stream = {
+        (r.word, r.cnt)
+        for r in QUERIES["stream_wordcount_totals"](spark, sf_dir).collect()
+    }
+    batch = {
+        (r.word, r.cnt) for r in QUERIES["wordcount_full"](spark, sf_dir).collect()
+    }
+    assert stream == batch
+    assert stream
+
+
+def test_completeness_matrix_covers_every_column(spark, sf_dir):
+    """One row per (table, column) for all ten tables, n_null <= n_rows,
+    and the fraction is consistent; row counts agree with direct counts."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_quality import (
+        _COMPLETENESS_SCHEMA,
+    )
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    rows = QUERIES["dq_completeness_matrix"](spark, sf_dir).collect()
+    seen = {(r.table_name, r.column_name) for r in rows}
+    expect = {(t, c) for t, cols in _COMPLETENESS_SCHEMA.items() for c in cols}
+    assert seen == expect
+    counts = {t: load_table(spark, sf_dir, t).count() for t in _COMPLETENESS_SCHEMA}
+    for r in rows:
+        assert r.n_rows == counts[r.table_name]
+        assert 0 <= r.n_null <= r.n_rows
+        assert r.null_frac == r.n_null / max(r.n_rows, 1)
