@@ -61,6 +61,11 @@ RISK_SET = [
     "naive_bayes_langid",
     "kmv_daily_distinct",
     "skyline_parts",
+    # round-5 additions with rank/top-N/tie-break shapes
+    "corpus_reservoir_sample",
+    "text_rake_phrases",
+    "vocab_oov_rate",
+    "asof_nearest_purchase",
 ]
 
 

@@ -40,6 +40,10 @@ MULTIMODAL_QUERIES = [
     "multimodal_resize",
     "multimodal_phash",
     "multimodal_phash_pairs",
+    "multimodal_pixel_histogram",
+    "multimodal_wav_energy",
+    "multimodal_wav_hadamard",
+    "multimodal_bmp_gradient",
 ]
 
 
