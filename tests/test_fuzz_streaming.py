@@ -1,13 +1,15 @@
 """Differential streaming fuzzing: stream ≡ batch over randomized configs.
 
 The hand-written M5 tests pin stream≡batch at one shape per operator; this
-grammar varies the knobs that change state-store behavior across FOUR
-families (25 seeded configs total): windowed aggregations (width, slide,
+grammar varies the knobs that change state-store behavior across SIX
+families (35 seeded configs total): windowed aggregations (width, slide,
 session gap, watermark delay, filters, grouping, aggregate set),
 stream-stream interval joins (event-type pair, join horizon, independent
 per-side watermarks), dedup gates (dropDuplicates over randomized key
-subsets), and out-of-order replays (a randomized straggler band arriving
-after the watermark advanced).  Each asserts the incremental execution
+subsets), out-of-order replays (a randomized straggler band arriving
+after the watermark advanced), UNBOUNDED stateful running totals (keys
+never expire; every micro-batch merges live state), and composed
+dedup-then-window pipelines (two chained stateful operators).  Each asserts the incremental execution
 (file source → availableNow → memory sink) emits exactly the batch answer
 on the same parquet.  Complete mode is the right gate for aggregations:
 with a finite backfill it must reproduce every window regardless of
@@ -264,4 +266,104 @@ def test_fuzzed_late_replay_tumbling_equals_batch(spark, sf_dir, seed):
         tuple(r)
         for r in batch.groupBy(*bkeys).agg(F.count("*").alias("n")).select(*sel).collect()
     }
+    assert got == want and got, cfg
+
+
+# ---------------------------------------------------------------------------
+# Stateful running-totals fuzz: UNBOUNDED-state aggregation (no time window
+# at all) over randomized key subsets and aggregate sets — complete mode
+# over a finite backfill must equal the batch groupBy exactly.  This is the
+# state-store axis the windowed family can't reach: keys never expire, so
+# every micro-batch merges into live state (the fuzzed twin of the named
+# stream_stateful_user_totals).
+# ---------------------------------------------------------------------------
+
+
+def gen_stateful_config(rng: random.Random) -> dict:
+    return {
+        "keys": rng.choice(
+            [["user_id"], ["event_type"], ["user_id", "event_type"]]
+        ),
+        "types": rng.sample(EVENT_TYPES, rng.randint(2, 4)) if rng.random() < 0.5 else None,
+        "max_too": rng.random() < 0.5,
+    }
+
+
+def apply_stateful(df, cfg):
+    if cfg["types"]:
+        df = df.filter(F.col("event_type").isin(cfg["types"]))
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("tv"),
+    ]
+    if cfg["max_too"]:
+        aggs.append(F.max(F.col("value").cast("decimal(30,6)")).cast("double").alias("mx"))
+    return df.groupBy(*cfg["keys"]).agg(*aggs)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzzed_stateful_totals_equal_batch(spark, sf_dir, seed):
+    cfg = gen_stateful_config(random.Random(15_000 + seed))
+    table = f"fuzz_stateful_{seed}"
+    stream = jobs.events_stream(spark, sf_dir)
+    jobs.run_to_memory(apply_stateful(stream, cfg), table)
+    got = {tuple(r) for r in spark.table(table).collect()}
+    batch = load_table(spark, sf_dir, "events")
+    want = {tuple(r) for r in apply_stateful(batch, cfg).collect()}
+    assert got == want and got, cfg
+
+
+# ---------------------------------------------------------------------------
+# Composed-pipeline fuzz: dropDuplicates THEN windowed aggregation in ONE
+# streaming query — operator composition is where streaming planners break
+# (two stateful operators chained: dedup state feeding window state).  The
+# batch twin is distinct-then-aggregate over the same projection.
+# ---------------------------------------------------------------------------
+
+
+def gen_pipeline_config(rng: random.Random) -> dict:
+    dedup_keys = rng.choice(
+        [["user_id", "event_type", "ts"], ["user_id", "ts"], ["event_type", "ts"]]
+    )
+    return {
+        "dedup_keys": dedup_keys,
+        "width": rng.choice(WIDTHS),
+        "watermark": rng.choice(WATERMARKS),
+        # downstream grouping may only use columns INSIDE the dedup key:
+        # a carried column outside it would be "first arrival wins" in the
+        # stream but "all distinct combinations" in batch — legitimately
+        # different answers, not a bug
+        "group_type": "event_type" in dedup_keys and rng.random() < 0.5,
+    }
+
+
+def apply_pipeline(df, cfg, *, streaming: bool):
+    cols = cfg["dedup_keys"]
+    if streaming:
+        dedup = (
+            df.withWatermark("ts", cfg["watermark"])
+            .select(*cols)
+            .dropDuplicates(cols)
+        )
+    else:
+        dedup = df.select(*cols).distinct()
+    keys = [F.window("ts", cfg["width"]).alias("w")] + (
+        ["event_type"] if cfg["group_type"] else []
+    )
+    out = dedup.groupBy(*keys).agg(F.count("*").alias("n"))
+    sel = [F.col("w.start").alias("ws")] + (
+        ["event_type"] if cfg["group_type"] else []
+    ) + ["n"]
+    return out.select(*sel)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzzed_dedup_then_window_equals_batch(spark, sf_dir, seed):
+    cfg = gen_pipeline_config(random.Random(16_000 + seed))
+    table = f"fuzz_pipe_{seed}"
+    stream = jobs.events_stream(spark, sf_dir)
+    jobs.run_to_memory(apply_pipeline(stream, cfg, streaming=True), table)
+    got = {tuple(r) for r in spark.table(table).collect()}
+    batch = load_table(spark, sf_dir, "events")
+    want = {tuple(r) for r in apply_pipeline(batch, cfg, streaming=False).collect()}
     assert got == want and got, cfg
