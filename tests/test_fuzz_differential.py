@@ -1,6 +1,6 @@
 """Differential query fuzzing (SQLancer-style, seeded and deterministic).
 
-A small grammar generates 303 seeded queries across twenty families — GROUP
+A small grammar generates 327 seeded queries across twenty-two families — GROUP
 BY / filter / HAVING, inner/left joins, window frames, distinct aggregates,
 semi/anti joins (EXISTS / IN subqueries), nullable IN / NOT IN three-valued logic, set operations, grouping sets,
 CASE/COALESCE/NULLIF conditionals, correlated & uncorrelated scalar
@@ -8,8 +8,9 @@ subqueries, string/date scalar expressions, time-bucketed event
 analytics, LATERAL correlated derived tables, and explicit-NULLS top-N
 (ORDER BY / LIMIT / OFFSET), CTE chains with twice-referenced CTEs,
 QUALIFY-style rank-then-filter top-N, aggregate FILTER clauses,
-PERCENTILE_CONT/DISC WITHIN GROUP ordered-set aggregates, and inline
-VALUES lookup-table joins — over lineitem/orders/customer/events; the
+PERCENTILE_CONT/DISC WITHIN GROUP ordered-set aggregates, inline
+VALUES lookup-table joins, time-RANGE window frames (INTERVAL-bounded),
+and GROUP BY ALL inference — over lineitem/orders/customer/events; the
 SAME SQL text runs on Spark and DuckDB and
 the results must agree row-for-row.  This catches whole classes of engine-integration mistakes the
 hand-written oracles can't: type-coercion drift, null-handling divergence,
@@ -838,4 +839,69 @@ def gen_values_join_query(rng: random.Random) -> str:
 def test_fuzzed_values_join_agrees_with_duckdb(spark, sf_dir, seed):
     register_views(spark, sf_dir, ["lineitem"])
     sql = gen_values_join_query(random.Random(20_000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_time_range_frame_query(rng: random.Random) -> str:
+    """Time-RANGE window frame variant: RANGE BETWEEN INTERVAL ... PRECEDING
+    over event time — value-based frames (vs the ROWS frames in the window
+    family) exercise the range-boundary search both engines implement
+    independently; counts and 2-dp sums must agree."""
+    hours = rng.choice([1, 3, 6, 12, 24])
+    et = rng.choice(["'view'", "'click'", "'purchase'", "'error'"])
+    partition = "PARTITION BY user_id " if rng.random() < 0.7 else ""
+    frame = (
+        f"OVER ({partition}ORDER BY ts "
+        f"RANGE BETWEEN INTERVAL {hours} HOUR PRECEDING AND CURRENT ROW)"
+    )
+    expr = rng.choice(
+        [
+            f"COUNT(*) {frame}",
+            f"CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))) {frame}, 2) AS DOUBLE)",
+            f"MIN(event_id) {frame}",
+        ]
+    )
+    return (
+        f"SELECT event_id, user_id, {expr} AS w "
+        f"FROM events WHERE event_type = {et}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_time_range_frame_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["events"])
+    sql = gen_time_range_frame_query(random.Random(21_000 + seed))
+    compare(spark.sql(sql), sql, sf_dir, float_places=2)
+
+
+def gen_group_by_all_query(rng: random.Random) -> str:
+    """GROUP BY ALL variant: the engine must infer the grouping set from the
+    non-aggregate select items — including computed expressions — the same
+    way on both sides."""
+    exprs = rng.sample(
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "CAST(l_quantity AS INT) % 5",
+            "substr(l_returnflag || l_linestatus, 1, 2)",
+        ],
+        rng.randint(1, 2),
+    )
+    metric = rng.choice(METRICS)
+    pred_col = rng.choice(METRICS)
+    lo, hi = PRED_RANGES[pred_col]
+    thresh = round(rng.uniform(lo, hi), 4)
+    cols = ", ".join(f"{e} AS g{i}" for i, e in enumerate(exprs))
+    return (
+        f"SELECT {cols}, COUNT(*) AS n, "
+        f"CAST(ROUND(SUM({metric}), 2) AS DOUBLE) AS s "
+        f"FROM lineitem WHERE {pred_col} {op_for(rng)} {thresh} "
+        f"GROUP BY ALL"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_group_by_all_agrees_with_duckdb(spark, sf_dir, seed):
+    register_views(spark, sf_dir, ["lineitem"])
+    sql = gen_group_by_all_query(random.Random(22_000 + seed))
     compare(spark.sql(sql), sql, sf_dir, float_places=2)
