@@ -709,3 +709,47 @@ def test_completeness_matrix_covers_every_column(spark, sf_dir):
         assert r.n_rows == counts[r.table_name]
         assert 0 <= r.n_null <= r.n_rows
         assert r.null_frac == r.n_null / max(r.n_rows, 1)
+
+
+def test_rake_matches_python_reference(spark, sf_dir):
+    """Independent ground truth for RAKE: recompute candidate phrases, word
+    degrees, and phrase scores from the raw documents in plain Python (the
+    DuckDB oracle shares the relational formulation; this reference
+    doesn't) and require the exact same top-20."""
+    import re
+    from collections import Counter
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import _RAKE_STOPS
+
+    stops = {s.strip("'") for s in _RAKE_STOPS.split(",")}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    phrases: list[tuple[str, ...]] = []
+    for d in docs:
+        cur: list[str] = []
+        for w in re.findall(r"[a-z']+", (d.text or "").lower()):
+            if w in stops:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(tuple(cur))
+    deg: Counter = Counter()
+    for p in phrases:
+        for w in p:
+            deg[w] += len(p)
+    occ = Counter(" ".join(p) for p in phrases)
+    score = {ph: sum(deg[w] for w in ph.split(" ")) for ph in occ}
+    want = sorted(
+        ((ph, len(ph.split(" ")), occ[ph], score[ph]) for ph in occ),
+        key=lambda t: (-t[3], t[0]),
+    )[:20]
+    got = sorted(
+        (
+            (r.phrase, r.n_words, r.n_occurrences, r.degree_score)
+            for r in QUERIES["text_rake_phrases"](spark, sf_dir).collect()
+        ),
+        key=lambda t: (-t[3], t[0]),
+    )
+    assert got == want
