@@ -848,3 +848,64 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, p) for s, p in pi.items()], "event_type string, stationary_p double"
     )
     return out.select("event_type", F.round("stationary_p", 6).alias("stationary_p"))
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS fv
+        FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS fp
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.fv
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.fv AS first_view_ts, p.fp AS first_purchase_ts,
+           CASE WHEN p.fp IS NULL THEN NULL
+                ELSE epoch_us(p.fp) - epoch_us(v.fv) END AS delay_us,
+           CAST(p.fp IS NOT NULL AS INT) AS converted
+    FROM v LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every user who ever viewed, the delay from
+    FIRST view to the first purchase AT OR AFTER it (exact integer
+    microseconds; NULL for users who never converted) — the latency
+    distribution behind every conversion-funnel dashboard, and the
+    survival-analysis input (`events_funnel` counts stage reach; this
+    measures the clock between stages).
+
+    Two map-side-combined MIN aggregates on the uniform user key and one
+    equi-join — no window, no per-user loop; the purchase arm filters
+    ``ts >= first_view`` INSIDE the join so pre-view purchases never count
+    as conversions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    return (
+        v.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("fv").alias("first_view_ts"),
+            F.col("fp").alias("first_purchase_ts"),
+            F.when(
+                F.col("fp").isNotNull(),
+                F.unix_micros("fp") - F.unix_micros("fv"),
+            ).alias("delay_us"),
+            F.col("fp").isNotNull().cast("int").alias("converted"),
+        )
+    )

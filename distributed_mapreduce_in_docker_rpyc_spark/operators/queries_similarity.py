@@ -1128,3 +1128,90 @@ def sim_kmeans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_vectors"),
         F.sum(F.col("_d2").cast("decimal(18,6)")).cast("double").alias("inertia"),
     )
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               sqrt((SELECT SUM(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))
+                     FROM generate_series(1, 64) g(i))) AS nrm,
+               sqrt((SELECT SUM(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))
+                     FROM generate_series(1, 16) g(i))) AS tnrm
+        FROM embeddings
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                                                      FROM generate_series(1, 16) g(i)) / (q.tnrm * n.tnrm), 6) DESC,
+                                               n.vec_id ASC) AS rank
+            FROM norms q JOIN norms n ON q.vec_id < 50 AND n.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                                                      FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
+                                               n.vec_id ASC) AS rank
+            FROM norms q JOIN norms n ON q.vec_id < 50 AND n.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    ),
+    hits AS (
+        SELECT t.query_id, COUNT(*) AS h
+        FROM truth t JOIN approx a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM truth)
+    SELECT 'matryoshka_16_of_64' AS method,
+           ROUND(AVG(COALESCE(h, 0) / 10.0), 4) AS mean_recall_at_10,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(4.0 AS DOUBLE) AS compression_vs_full
+    FROM qs LEFT JOIN hits USING (query_id)
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall: exact top-10 cosine over only the FIRST
+    16 of 64 embedding dimensions vs the full-dimension ground truth — the
+    evaluation a pipeline runs before adopting MRL-style truncated vectors
+    (Kusupati et al. 2022) for its coarse retrieval tier (prefix dims carry
+    most of the signal; 4× less vector IO and memory).  Same recall
+    machinery as ``sim_quantized_recall``: per-query hit counts LEFT-joined
+    onto the query set so a zero-hit query counts as recall 0.
+
+    Scale shape: both arms are the broadcast-query exact scan (linear in
+    corpus); at 100 TB the truncated arm IS the production candidate tier
+    and only the reranker touches full vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, n_queries = 10, 50
+    truth = sim.topk_bruteforce(emb, n_queries, k).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    trunc = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    approx = sim.topk_bruteforce(trunc, n_queries, k, dim=16)
+    hits = (
+        truth.join(
+            approx.select("query_id", "neighbor_id"),
+            (truth.query_id == approx.query_id)
+            & (truth.true_neighbor == approx.neighbor_id),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_query = (
+        truth.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select((F.coalesce("n_hits", F.lit(0)) / k).alias("recall"))
+    )
+    return per_query.agg(
+        F.lit("matryoshka_16_of_64").alias("method"),
+        F.round(F.avg("recall"), 4).alias("mean_recall_at_10"),
+        F.count("*").alias("n_queries"),
+        F.lit(4.0).alias("compression_vs_full"),
+    )

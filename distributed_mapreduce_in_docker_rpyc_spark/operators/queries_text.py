@@ -2681,3 +2681,122 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("degree_score").cast("bigint").alias("degree_score"),
         )
     )
+
+
+_LP_EDGES_CTE = _COOC_EDGES_CTE.replace("count(*) >= 5", "count(*) >= 50")
+
+
+@register(
+    "graph_link_prediction",
+    oracle=_LP_EDGES_CTE
+    + """,
+    sym AS (
+        SELECT w1 AS src, w2 AS dst FROM bg
+        UNION ALL
+        SELECT w2 AS src, w1 AS dst FROM bg
+    ),
+    deg AS (SELECT src AS w, COUNT(*) AS d FROM sym GROUP BY src),
+    wedges AS (
+        SELECT s1.dst AS a, s2.dst AS b, COUNT(*) AS common
+        FROM sym s1 JOIN sym s2 ON s2.src = s1.src AND s1.dst < s2.dst
+        GROUP BY s1.dst, s2.dst
+    ),
+    cand AS (
+        SELECT w.a, w.b, w.common
+        FROM wedges w
+        WHERE NOT EXISTS (SELECT 1 FROM bg WHERE bg.w1 = w.a AND bg.w2 = w.b)
+    ),
+    scored AS (
+        SELECT c.a, c.b, c.common,
+               CAST(c.common AS DOUBLE)
+               / CAST(da.d + db.d - c.common AS DOUBLE) AS jaccard
+        FROM cand c
+        JOIN deg da ON da.w = c.a
+        JOIN deg db ON db.w = c.b
+    )
+    SELECT a, b, CAST(common AS BIGINT) AS common_neighbors, jaccard
+    FROM (
+        SELECT a, b, common, jaccard,
+               ROW_NUMBER() OVER (ORDER BY jaccard DESC, a ASC, b ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the word co-occurrence graph by neighborhood
+    Jaccard (Liben-Nowell & Kleinberg 2003): for every NON-adjacent pair
+    with at least one common neighbor, score |N(a)∩N(b)| / |N(a)∪N(b)| and
+    return the top 20 predicted edges — the classic recommender /
+    knowledge-graph-completion primitive, built from one wedge equi-join
+    (never all-pairs: pairs with no common neighbor never materialize).
+    The score is ONE double division of exact integer counts, so the
+    ranking is bit-identical across engines; ties break on (a, b).
+
+    Scale posture: the wedge join fans out quadratically in the CENTER
+    vertex's degree — at 100 TB you cap or sample hub neighborhoods (the
+    same hub-guard as the triangle count's edge orientation); here the
+    cnt>=50 edge filter bounds the lexicon graph AND keeps it sparse
+    enough that non-adjacent pairs exist — at the triangles' cnt>=5 the
+    31-word fixture graph is near-complete and there is nothing left to
+    predict.  The anti-join
+    against existing edges and the two degree joins are all equi-joins on
+    the word key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.regexp_extract_all(
+            F.array_join(toks, " "), F.lit(r"(?<![a-z'])(?=([a-z']+ [a-z']+))"), 1
+        ),
+    ).otherwise(F.array())
+    pairs = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .select(
+            F.split_part("bg", F.lit(" "), F.lit(1)).alias("x"),
+            F.split_part("bg", F.lit(" "), F.lit(2)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("w1"), F.greatest("x", "y").alias("w2"))
+    )
+    edges = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 50)
+        .persist()
+    )
+    sym = edges.select(F.col("w1").alias("src"), F.col("w2").alias("dst")).unionAll(
+        edges.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("d"))
+    s1 = sym.select(F.col("src").alias("m"), F.col("dst").alias("a"))
+    s2 = sym.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+    wedges = (
+        s1.join(s2, "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    cand = wedges.join(
+        edges.select(F.col("w1").alias("a"), F.col("w2").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.select(F.col("w").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("w").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("a", "b", F.col("common").cast("bigint").alias("common_neighbors"), "jaccard")
+    )

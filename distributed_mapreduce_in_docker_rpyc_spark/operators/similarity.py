@@ -189,6 +189,7 @@ def topk_bruteforce(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (vec_id below the
     given bound), excluding self. Broadcast the small query side; rank with a
@@ -214,7 +215,13 @@ def topk_bruteforce(
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_similarity_col("_qv", "_nv", **({"dim": dim} if dim else {})),
+                6,
+            ),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")

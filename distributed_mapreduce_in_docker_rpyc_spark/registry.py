@@ -57,8 +57,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #                 claiming they were inside the window was wrong; they were
 #                 not).  Oldest-first until the 50-slot budget line.
 #                 WHERE THE LINE FALLS THIS ROUND: sections 1-3 hold
-#                 1 + 10 + 32 = 43 names, so the 50-query window reaches 7
-#                 entries into section 4 — through q1_pricing_summary;
+#                 1 + 10 + 35 = 46 names, so the 50-query window reaches 4
+#                 entries into section 4 — through inverted_index_stats;
 #                 `verify_driver.py --strict` recomputes this, don't trust
 #                 the comment alone.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -109,6 +109,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bucketed_join_colocated",
     "stream_wordcount_totals",
     "dq_completeness_matrix",
+    "emb_matryoshka_recall",
+    "events_time_to_convert",
+    "graph_link_prediction",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

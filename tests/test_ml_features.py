@@ -753,3 +753,68 @@ def test_rake_matches_python_reference(spark, sf_dir):
         key=lambda t: (-t[3], t[0]),
     )
     assert got == want
+
+
+def test_matryoshka_recall_bounds_and_self_consistency(spark, sf_dir):
+    """Recall is in [0, 1] over the full query set, and truncating to ALL
+    64 dims would be recall 1.0 by construction — spot-check that the
+    16-dim recall is meaningfully above chance (10/(N-1) for random picks)."""
+    r = QUERIES["emb_matryoshka_recall"](spark, sf_dir).first()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert 0.0 <= r.mean_recall_at_10 <= 1.0
+    assert r.n_queries == min(50, n_vecs)
+    assert r.mean_recall_at_10 > 10.0 / max(n_vecs - 1, 11)
+
+
+def test_time_to_convert_invariants(spark, sf_dir):
+    """Every viewing user appears exactly once; converted rows have
+    non-negative delays consistent with the timestamps; unconverted rows
+    are all-NULL on the purchase side."""
+    rows = QUERIES["events_time_to_convert"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_viewers = (
+        ev.filter("event_type = 'view' AND user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_viewers
+    for r in rows:
+        if r.converted:
+            assert r.first_purchase_ts >= r.first_view_ts
+            td = r.first_purchase_ts - r.first_view_ts
+            assert r.delay_us == (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+        else:
+            assert r.first_purchase_ts is None and r.delay_us is None
+
+
+def test_link_prediction_candidates_are_nonedges_with_witnesses(spark, sf_dir):
+    """No predicted pair is an existing edge, every pair really has the
+    claimed number of common neighbors (recomputed driver-side), and the
+    output is totally ordered by (jaccard desc, a, b)."""
+    import re
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["graph_link_prediction"](spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cnt: Counter = Counter()
+    for d in docs:
+        ws = re.findall(r"[a-z']+", (d.text or "").lower())
+        for x, y in zip(ws, ws[1:]):
+            if x != y:
+                cnt[(min(x, y), max(x, y))] += 1
+    edges = {p for p, c in cnt.items() if c >= 50}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    keys = []
+    for r in rows:
+        assert (r.a, r.b) not in edges
+        common = adj[r.a] & adj[r.b]
+        assert len(common) == r.common_neighbors > 0
+        union = len(adj[r.a] | adj[r.b])
+        assert abs(r.jaccard - len(common) / union) < 1e-12
+        keys.append((-r.jaccard, r.a, r.b))
+    assert keys == sorted(keys)

@@ -402,6 +402,7 @@ BNLJ_ALLOWED = {
     "bloom_filter_probe": "broadcast sides = 3-row hash-index spine and two 1-row count frames; the bit set itself is a bounded-65536-row broadcast equi-join",
     "tfidf_cosine_pairs": "broadcast side = 1-row corpus count (idf quantization input)",
     "dq_benford_leading_digit": "broadcast side = 1-row global digit total crossed into the 9-digit frame",
+    "emb_matryoshka_recall": "both arms re-use the exact baseline (broadcast 50-query side), 64-dim truth vs 16-dim truncated",
     "bitmap_index_intersection": "broadcast side = 1-row direct-scan counts crossed into the 1-row bitmap counts (self-certifying output)",
     "text_bigram_lm_score": "broadcast side = 1-row vocabulary size (Laplace denominator)",
     "sim_kmeans_report": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf)",
