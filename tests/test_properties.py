@@ -204,3 +204,32 @@ def test_token_spans_tile_exactly(spark, texts, span):
         assert all(1 <= len(s.split(" ")) <= span for s in spans if s)
         expect_n = (len(toks) + span - 1) // span
         assert len(spans) == expect_n
+
+
+@settings(deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=255), min_size=0, max_size=200))
+def test_wht_involution_and_parseval(samples):
+    """The unnormalized Walsh–Hadamard transform used by
+    multimodal_wav_hadamard is a scaled involution (H @ H == 64·I) and
+    satisfies Parseval exactly (Σc² == 64·Σv²) for ARBITRARY byte signals —
+    generated inputs, not just the fixture corpus."""
+    import numpy as np
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.multimodal import WHT_N
+
+    idx = np.arange(WHT_N)
+    parity = np.zeros((WHT_N, WHT_N), dtype=np.int64)
+    for k in range(WHT_N):
+        v = k & idx
+        for sh in (32, 16, 8, 4, 2, 1):
+            v = v ^ (v >> sh)
+        parity[k] = v & 1
+    H = 1 - 2 * parity
+    # scaled involution: applying H twice recovers 64x the input
+    v = np.zeros(WHT_N, dtype=np.int64)
+    arr = np.array(samples[:WHT_N], dtype=np.int64) - 128
+    v[: len(arr)] = arr
+    c = H @ v
+    assert np.array_equal(H @ c, WHT_N * v)
+    # Parseval, exactly, in integers
+    assert int((c * c).sum()) == WHT_N * int((v * v).sum())
