@@ -217,6 +217,12 @@ def load_all() -> None:
     missing = [n for n in (*DRIVER_PRIORITY, *DRIVER_DEMOTE) if n not in QUERIES]
     if missing:
         raise ValueError(f"DRIVER_PRIORITY/DEMOTE names not registered: {missing}")
+    pins = (*DRIVER_PRIORITY, *DRIVER_DEMOTE)
+    dups = sorted({n for n in pins if pins.count(n) > 1})
+    if dups:
+        # a silent duplicate would shift every later name's slot and break
+        # the 50-query budget-line math without failing anything visible
+        raise ValueError(f"duplicate DRIVER_PRIORITY/DEMOTE names: {dups}")
     pinned = {*DRIVER_PRIORITY, *DRIVER_DEMOTE}
     ordered = [
         *DRIVER_PRIORITY,
