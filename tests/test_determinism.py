@@ -66,6 +66,7 @@ RISK_SET = [
     "text_rake_phrases",
     "vocab_oov_rate",
     "asof_nearest_purchase",
+    "graph_link_prediction",
 ]
 
 
