@@ -136,6 +136,31 @@ WINDOW_FUNCS = ["SUM", "AVG", "MIN", "MAX", "COUNT"]
 _TOTAL_ORDER = "l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"
 
 
+def _win_agg(fn: str, metric: str, frame: str) -> str:
+    """Windowed aggregate with ORDER-INDEPENDENT accumulation: SUM and AVG
+    sum the frame's doubles in each engine's own row order, so at tiny
+    magnitudes (discount/tax ~0.0x) the last-ulp difference flips 2-dp
+    rounding at half boundaries (found by the seed-50..99 deep-fuzz sweep).
+    Summing DECIMAL(24,6) instead is exact and order-independent; AVG
+    becomes one IEEE division of exact operands — bit-identical engines.
+
+    Deliberately NO engine-side ROUND on these: the exact-decimal AVG of
+    2-dp money over small frames lands on TRUE .xx5 midpoints, where
+    Spark (BigDecimal HALF_UP on the shortest decimal repr) and DuckDB
+    (round of the binary value) legitimately disagree — the repo-wide
+    finding from ts_interpolate_daily.  The harness's float_places
+    canonicalization rounds both engines' bit-identical doubles with the
+    same pandas call, which is the only midpoint-safe comparison."""
+    if fn == "SUM":
+        return f"CAST(SUM(CAST({metric} AS DECIMAL(24,6))) OVER {frame} AS DOUBLE)"
+    if fn == "AVG":
+        return (
+            f"CAST(SUM(CAST({metric} AS DECIMAL(24,6))) OVER {frame} AS DOUBLE)"
+            f" / (COUNT({metric}) OVER {frame})"
+        )
+    return f"{fn}({metric}) OVER {frame}"
+
+
 def gen_window_query(rng: random.Random) -> str:
     """Window-function variant: ROWS and RANGE frames, LAG with defaults,
     over a total order (see _TOTAL_ORDER) so results are deterministic."""
@@ -145,18 +170,19 @@ def gen_window_query(rng: random.Random) -> str:
     if kind < 0.4:
         n = rng.randint(1, 10)
         fn = rng.choice(WINDOW_FUNCS)
-        wexpr = (
-            f"{fn}({metric}) OVER (PARTITION BY {part} "
-            f"ORDER BY {_TOTAL_ORDER} "
+        frame = (
+            f"(PARTITION BY {part} ORDER BY {_TOTAL_ORDER} "
             f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW)"
         )
+        wexpr = _win_agg(fn, metric, frame)
     elif kind < 0.7:
         n = rng.choice([100, 1000, 5000])
         fn = rng.choice(WINDOW_FUNCS)
-        wexpr = (
-            f"{fn}({metric}) OVER (PARTITION BY {part} ORDER BY l_orderkey "
+        frame = (
+            f"(PARTITION BY {part} ORDER BY l_orderkey "
             f"RANGE BETWEEN {n} PRECEDING AND CURRENT ROW)"
         )
+        wexpr = _win_agg(fn, metric, frame)
     else:
         k = rng.randint(1, 3)
         wexpr = (
@@ -168,7 +194,7 @@ def gen_window_query(rng: random.Random) -> str:
     thresh = round(rng.uniform(lo, hi), 4)
     return (
         f"SELECT l_orderkey, l_linenumber, "
-        f"CAST(ROUND({wexpr}, 2) AS DOUBLE) AS w "
+        f"CAST({wexpr} AS DOUBLE) AS w "
         f"FROM lineitem WHERE {pred_col} {op_for(rng)} {thresh}"
     )
 
