@@ -43,6 +43,28 @@ PRED_RANGES = {
 }
 
 
+def _agg2(agg: str, metric: str) -> str:
+    """Midpoint-safe 2-dp aggregate SQL (see _win_agg): SUM accumulates
+    exact DECIMAL(24,6) (order-independent) and ROUNDs the exact decimal —
+    identical half-up in both engines; AVG is one IEEE division of exact
+    operands with NO engine-side round (the harness canonicalizes);
+    MIN/MAX pick exact stored values, where ROUND is safe.  Plain
+    ROUND(SUM(double), 2) flips at .xx5 midpoints under engine-specific
+    summation order — found by the deep-fuzz seed sweep and structurally
+    possible in every family, so every generator routes through here."""
+    if agg == "SUM":
+        return (
+            f"CAST(ROUND(CAST(SUM(CAST({metric} AS DECIMAL(24,6)))"
+            f" AS DECIMAL(38,6)), 2) AS DOUBLE)"
+        )
+    if agg == "AVG":
+        return (
+            f"CAST(SUM(CAST({metric} AS DECIMAL(24,6))) AS DOUBLE)"
+            f" / COUNT({metric})"
+        )
+    return f"CAST(ROUND({agg}({metric}), 2) AS DOUBLE)"
+
+
 def gen_query(rng: random.Random) -> str:
     groups = rng.sample(GROUP_COLS, rng.randint(1, 2))
     metric = rng.choice(METRICS)
@@ -63,7 +85,7 @@ def gen_query(rng: random.Random) -> str:
         having = f" HAVING COUNT(*) >= {rng.randint(2, 20)}"
     gcols = ", ".join(groups)
     return (
-        f"SELECT {gcols}, CAST(ROUND({agg}({metric}), 2) AS DOUBLE) AS agg_val, "
+        f"SELECT {gcols}, {_agg2(agg, metric)} AS agg_val, "
         f"COUNT(*) AS n "
         f"FROM lineitem WHERE {pred_col} {op} {thresh}{date_pred} "
         f"GROUP BY {gcols}{having}"
@@ -102,13 +124,13 @@ def gen_join_query(rng: random.Random) -> str:
         # Predicates on the right side of a LEFT JOIN belong in ON, not
         # WHERE (WHERE would silently turn it inner) — fuzz exactly that.
         return (
-            f"SELECT {gcols}, CAST(ROUND({agg}({metric}), 2) AS DOUBLE) AS agg_val, "
+            f"SELECT {gcols}, {_agg2(agg, metric)} AS agg_val, "
             f"COUNT(*) AS n FROM orders LEFT JOIN lineitem "
             f"ON {on} AND {pred_col} < {thresh} "
             f"WHERE o_totalprice > 1000{o_pred} GROUP BY {gcols}"
         )
     return (
-        f"SELECT {gcols}, CAST(ROUND({agg}({metric}), 2) AS DOUBLE) AS agg_val, "
+        f"SELECT {gcols}, {_agg2(agg, metric)} AS agg_val, "
         f"COUNT(*) AS n FROM orders {jt} lineitem ON {on} "
         f"WHERE {base_pred} GROUP BY {gcols}"
     )
@@ -219,7 +241,7 @@ def gen_distinct_query(rng: random.Random) -> str:
     plain = ""
     if rng.random() < 0.6:
         m = rng.choice(METRICS)
-        plain = f", CAST(ROUND(SUM({m}), 2) AS DOUBLE) AS s"
+        plain = f", {_agg2('SUM', m)} AS s"
     pred_col = rng.choice(METRICS)
     lo, hi = PRED_RANGES[pred_col]
     thresh = round(rng.uniform(lo, hi), 4)
@@ -262,7 +284,7 @@ def gen_semi_anti_query(rng: random.Random) -> str:
         where = f"o_orderkey {shape} ({sub})"
     return (
         f"SELECT {group}, COUNT(*) AS n, "
-        f"CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total "
+        f"{_agg2('SUM', 'o_totalprice')} AS total "
         f"FROM orders WHERE {where}{o_pred} GROUP BY {group}"
     )
 
@@ -294,7 +316,7 @@ def gen_setop_query(rng: random.Random) -> str:
     # Aggregate on top so the compared result is small and stable.
     return (
         f"SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
-        f"CAST(ROUND(SUM(m), 2) AS DOUBLE) AS s "
+        f"{_agg2('SUM', 'm')} AS s "
         f"FROM ({side1} {op} {side2}) GROUP BY l_returnflag, l_linestatus"
     )
 
@@ -328,7 +350,7 @@ def gen_grouping_sets_query(rng: random.Random) -> str:
         group = f"{kind} ({a}, {b})"
     return (
         f"SELECT {a}, {b}, GROUPING({a}) AS ga, GROUPING({b}) AS gb, "
-        f"CAST(ROUND({agg}({metric}), 2) AS DOUBLE) AS agg_val, COUNT(*) AS n "
+        f"{_agg2(agg, metric)} AS agg_val, COUNT(*) AS n "
         f"FROM lineitem WHERE {pred_col} {op_for(rng)} {thresh} "
         f"GROUP BY {group}"
     )
@@ -379,7 +401,7 @@ def gen_case_query(rng: random.Random) -> str:
     return (
         f"SELECT {key} AS bucket, "
         f"CAST(ROUND({cond_agg}, 2) AS DOUBLE) AS cond_agg, "
-        f"CAST(ROUND(SUM(COALESCE(NULLIF({null_col}, {null_val}), 0)), 2) AS DOUBLE) AS coalesced, "
+        f"{_agg2('SUM', f'COALESCE(NULLIF({null_col}, {null_val}), 0)')} AS coalesced, "
         f"{cond_n} AS cond_n, COUNT(*) AS n "
         f"FROM lineitem GROUP BY {key}"
     )
@@ -431,7 +453,7 @@ def gen_scalar_subquery_query(rng: random.Random) -> str:
         )
         return (
             f"SELECT l_returnflag, COUNT(*) AS n, "
-            f"CAST(ROUND(SUM({metric}), 2) AS DOUBLE) AS s "
+            f"{_agg2('SUM', metric)} AS s "
             f"FROM lineitem WHERE {metric} > ({sub}) GROUP BY l_returnflag"
         )
     # Uncorrelated global scalar threshold (the q22 shape, varied).
@@ -470,7 +492,7 @@ def gen_string_date_query(rng: random.Random) -> str:
         )
         return (
             f"SELECT {sexpr} AS skey, COUNT(*) AS n, "
-            f"CAST(ROUND(SUM(c_acctbal), 2) AS DOUBLE) AS bal, "
+            f"{_agg2('SUM', 'c_acctbal')} AS bal, "
             f"MAX(LENGTH(c_name)) AS max_len "
             f"FROM customer WHERE c_acctbal {op_for(rng)} {rng.randint(-500, 5000)} "
             f"GROUP BY {sexpr}"
@@ -483,7 +505,7 @@ def gen_string_date_query(rng: random.Random) -> str:
         f"SELECT EXTRACT({part} FROM o_orderdate) AS dpart, "
         f"CAST(DATE_TRUNC('{trunc}', o_orderdate) AS DATE) AS dtrunc, "
         f"o_orderstatus, COUNT(*) AS n, "
-        f"CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total "
+        f"{_agg2('SUM', 'o_totalprice')} AS total "
         f"FROM orders WHERE o_totalprice {op_for(rng)} {rng.randint(1000, 200000)} "
         f"GROUP BY EXTRACT({part} FROM o_orderdate), CAST(DATE_TRUNC('{trunc}', o_orderdate) AS DATE), o_orderstatus"
     )
@@ -522,7 +544,7 @@ def gen_events_query(rng: random.Random) -> str:
         return (
             f"SELECT {bucket} AS bucket, c_mktsegment, COUNT(*) AS n, "
             f"COUNT(DISTINCT user_id) AS nu, "
-            f"CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total "
+            f"{_agg2('SUM', 'value')} AS total "
             f"FROM events {jt} customer ON user_id = c_custkey "
             f"WHERE event_type IN ({in_list}) AND value > {vmin}{ts_pred} "
             f"GROUP BY {bucket}, c_mktsegment"
@@ -530,7 +552,7 @@ def gen_events_query(rng: random.Random) -> str:
     return (
         f"SELECT {bucket} AS bucket, event_type, COUNT(*) AS n, "
         f"COUNT(DISTINCT user_id) AS nu, "
-        f"CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total "
+        f"{_agg2('SUM', 'value')} AS total "
         f"FROM events WHERE event_type IN ({in_list}) AND value > {vmin}{ts_pred} "
         f"GROUP BY {bucket}, event_type"
     )
@@ -559,7 +581,7 @@ def gen_lateral_query(rng: random.Random) -> str:
     )
     return (
         f"SELECT {group}, COUNT(*) AS n, "
-        f"CAST(ROUND(SUM(l.m), 2) AS DOUBLE) AS sm, SUM(l.c) AS sc "
+        f"{_agg2('SUM', 'l.m')} AS sm, SUM(l.c) AS sc "
         f"FROM orders, LATERAL ({sub}) AS l "
         f"WHERE o_orderdate >= CAST('{year}-01-01' AS TIMESTAMP) "
         f"GROUP BY {group}"
@@ -672,7 +694,7 @@ def gen_nullable_in_query(rng: random.Random) -> str:
         o_pred = f" AND o_orderdate >= CAST('{year}-01-01' AS TIMESTAMP)"
     return (
         f"SELECT {group}, COUNT(*) AS n, "
-        f"CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total "
+        f"{_agg2('SUM', 'o_totalprice')} AS total "
         f"FROM orders WHERE {probe_expr} {shape} "
         f"(SELECT {sub_expr} FROM lineitem WHERE {metric} {op_for(rng)} {thresh})"
         f"{o_pred} GROUP BY {group}"
@@ -702,7 +724,7 @@ def gen_cte_chain_query(rng: random.Random) -> str:
     shape = rng.random()
     base = (
         f"base AS (SELECT {a}, {b}, "
-        f"CAST(ROUND({agg}({metric}), 2) AS DOUBLE) AS m, COUNT(*) AS n "
+        f"{_agg2(agg, metric)} AS m, COUNT(*) AS n "
         f"FROM lineitem WHERE {pred_col} {op_for(rng)} {thresh} "
         f"GROUP BY {a}, {b})"
     )
@@ -710,7 +732,7 @@ def gen_cte_chain_query(rng: random.Random) -> str:
         # second CTE re-aggregates the first; body joins both levels
         return (
             f"WITH {base}, "
-            f"roll AS (SELECT {a}, CAST(ROUND(SUM(m), 2) AS DOUBLE) AS tot, "
+            f"roll AS (SELECT {a}, {_agg2('SUM', 'm')} AS tot, "
             f"SUM(n) AS total_n FROM base GROUP BY {a}) "
             f"SELECT base.{a}, base.{b}, base.m, roll.tot, roll.total_n "
             f"FROM base JOIN roll ON base.{a} = roll.{a} "
@@ -788,13 +810,15 @@ def gen_filter_clause_query(rng: random.Random) -> str:
     extra = ""
     if rng.random() < 0.5:
         extra = (
-            f", CAST(ROUND(SUM({m2}) FILTER (WHERE l_returnflag = {flag}), 2) "
+            f", CAST(ROUND(CAST(SUM(CAST({m2} AS DECIMAL(24,6))) "
+            f"FILTER (WHERE l_returnflag = {flag}) AS DECIMAL(38,6)), 2) "
             f"AS DOUBLE) AS s_flagged"
         )
     return (
         f"SELECT {gcols}, "
         f"COUNT(*) FILTER (WHERE {m1} {op_for(rng)} {t1}) AS n_hot, "
-        f"CAST(ROUND(SUM({m1}) FILTER (WHERE {m2} {op_for(rng)} {t2}), 2) "
+        f"CAST(ROUND(CAST(SUM(CAST({m1} AS DECIMAL(24,6))) "
+        f"FILTER (WHERE {m2} {op_for(rng)} {t2}) AS DECIMAL(38,6)), 2) "
         f"AS DOUBLE) AS s_cond{extra}, COUNT(*) AS n "
         f"FROM lineitem GROUP BY {gcols}"
     )
@@ -810,8 +834,13 @@ def test_fuzzed_filter_clause_agrees_with_duckdb(spark, sf_dir, seed):
 def gen_ordered_set_agg_query(rng: random.Random) -> str:
     """Ordered-set aggregate variant: PERCENTILE_CONT / PERCENTILE_DISC
     WITHIN GROUP (ORDER BY ...) per group — the interpolated and discrete
-    quantile paths (both engines implement the standard clause; the
-    interpolation arithmetic must agree bit-for-bit at 2-dp rounding)."""
+    quantile paths.  Rounded engine-side at FOUR places, which is
+    midpoint-safe by construction: every interpolation of the 2-dp money
+    grid at these quantile fractions is an exact <=4-dp decimal, so both
+    engines' doubles land within ulps of the same 4-dp center and ROUND
+    cannot flip (at 2 places the .xx5 midpoints ARE reachable — e.g.
+    q=0.75 across a 0.02 gap — and the engines' interpolation expression
+    trees differ by a last ulp; found by the fresh-seed deep sweep)."""
     groups = rng.sample(GROUP_COLS, rng.randint(1, 2))
     metric = rng.choice(METRICS)
     q = rng.choice([0.1, 0.25, 0.5, 0.75, 0.9])
@@ -823,7 +852,7 @@ def gen_ordered_set_agg_query(rng: random.Random) -> str:
     gcols = ", ".join(groups)
     return (
         f"SELECT {gcols}, "
-        f"CAST(ROUND({fn}({q}) WITHIN GROUP (ORDER BY {metric} {direction}), 2) "
+        f"CAST(ROUND({fn}({q}) WITHIN GROUP (ORDER BY {metric} {direction}), 4) "
         f"AS DOUBLE) AS pctl, COUNT(*) AS n "
         f"FROM lineitem WHERE {pred_col} {op_for(rng)} {thresh} "
         f"GROUP BY {gcols}"
@@ -853,7 +882,7 @@ def gen_values_join_query(rng: random.Random) -> str:
     thresh = round(rng.uniform(lo, hi), 4)
     return (
         f"SELECT t.w, l_linestatus, COUNT(*) AS n, "
-        f"CAST(ROUND(SUM({metric} * t.w), 2) AS DOUBLE) AS weighted "
+        f"{_agg2('SUM', f'{metric} * t.w')} AS weighted "
         f"FROM lineitem JOIN (VALUES {rows}) AS t(flag, w) "
         f"ON l_returnflag = t.flag "
         f"WHERE {pred_col} {op_for(rng)} {thresh} "
@@ -920,7 +949,7 @@ def gen_group_by_all_query(rng: random.Random) -> str:
     cols = ", ".join(f"{e} AS g{i}" for i, e in enumerate(exprs))
     return (
         f"SELECT {cols}, COUNT(*) AS n, "
-        f"CAST(ROUND(SUM({metric}), 2) AS DOUBLE) AS s "
+        f"{_agg2('SUM', metric)} AS s "
         f"FROM lineitem WHERE {pred_col} {op_for(rng)} {thresh} "
         f"GROUP BY ALL"
     )
