@@ -670,3 +670,75 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(take_prev, prev_dt).otherwise(next_dt).alias("dt_us"),
     )
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+    /* deliberately the DIRECT stabbing formulation — an independent
+       derivation of the same series the engine computes by difference
+       arrays: day d counts orders with start <= d <= end */
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS s,
+               GREATEST(CAST(o.o_orderdate AS DATE),
+                        CAST(MAX(l.l_shipdate) AS DATE)) AS e
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    bounds AS (SELECT MIN(s) AS lo, MAX(e) AS hi FROM spans),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    )
+    SELECT sp.day,
+           CAST(COUNT(s.o_orderkey) AS BIGINT) AS n_open
+    FROM spine sp LEFT JOIN spans s ON s.s <= sp.day AND sp.day <= s.e
+    GROUP BY sp.day
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OPEN-ORDER backlog: how many orders are in flight
+    (order date <= day <= last line shipment) on every calendar day — the
+    interval-stabbing/concurrency count behind WIP dashboards, hotel
+    occupancy, session concurrency.  The engine computes it as a
+    DIFFERENCE ARRAY: each order contributes (+1 at start, −1 after end),
+    and the backlog is one running sum over the day spine — O(orders)
+    events + one calendar-bounded window instead of the O(orders × days)
+    stabbing join; the ORACLE deliberately runs the direct stabbing
+    formulation, so the two independent derivations must agree day by day.
+
+    Scale posture: the per-order span is one map-side-combined aggregate
+    over lineitem; the delta aggregation is day-keyed (calendar-bounded);
+    the single global running-sum window runs over the spine (thousands of
+    rows), not the data — at 100 TB you'd segment the spine per month and
+    carry segment offsets, same arithmetic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("max_ship"))
+        .join(
+            o.select("o_orderkey", F.to_date("o_orderdate").alias("s")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("s", F.greatest("s", "max_ship").alias("e"))
+    )
+    deltas = (
+        spans.select(F.col("s").alias("day"), F.lit(1).alias("d"))
+        .unionAll(spans.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("d")))
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    bounds = spans.agg(F.min("s").alias("lo"), F.max("e").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(F.broadcast(deltas), "day", "left")
+        .select("day", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .select("day", F.sum("delta").over(w).cast("bigint").alias("n_open"))
+    )

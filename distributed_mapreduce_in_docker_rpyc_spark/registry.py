@@ -57,8 +57,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #                 claiming they were inside the window was wrong; they were
 #                 not).  Oldest-first until the 50-slot budget line.
 #                 WHERE THE LINE FALLS THIS ROUND: sections 1-3 hold
-#                 1 + 10 + 35 = 46 names, so the 50-query window reaches 4
-#                 entries into section 4 — through inverted_index_stats;
+#                 1 + 10 + 36 = 47 names, so the 50-query window reaches 3
+#                 entries into section 4 — through wordcount_rdd_core;
 #                 `verify_driver.py --strict` recomputes this, don't trust
 #                 the comment alone.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -112,6 +112,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_matryoshka_recall",
     "events_time_to_convert",
     "graph_link_prediction",
+    "orders_open_backlog",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

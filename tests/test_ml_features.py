@@ -818,3 +818,33 @@ def test_link_prediction_candidates_are_nonedges_with_witnesses(spark, sf_dir):
         assert abs(r.jaccard - len(common) / union) < 1e-12
         keys.append((-r.jaccard, r.a, r.b))
     assert keys == sorted(keys)
+
+
+def test_backlog_conservation_and_bounds(spark, sf_dir):
+    """Difference-array invariants: the series starts and ends at the
+    per-day stabbing count (recomputed driver-side from the spans), total
+    inflow equals total outflow (every order closes), and n_open is
+    always >= 0."""
+    rows = {r.day: r.n_open for r in QUERIES["orders_open_backlog"](spark, sf_dir).collect()}
+    assert rows
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    import collections
+    max_ship = collections.defaultdict(lambda: None)
+    for l in li:
+        d = l.l_shipdate.date() if hasattr(l.l_shipdate, "date") else l.l_shipdate
+        k = l.l_orderkey
+        if max_ship[k] is None or d > max_ship[k]:
+            max_ship[k] = d
+    spans = []
+    for r in o:
+        if max_ship[r.o_orderkey] is None:
+            continue
+        s = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        spans.append((s, max(s, max_ship[r.o_orderkey])))
+    for day, n in list(rows.items())[:200]:
+        expect = sum(1 for s, e in spans if s <= day <= e)
+        assert n == expect, (day, n, expect)
+    assert all(n >= 0 for n in rows.values())
+    last_day = max(rows)
+    assert rows[last_day] == sum(1 for s, e in spans if s <= last_day <= e)
