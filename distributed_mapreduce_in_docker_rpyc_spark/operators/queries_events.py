@@ -8,7 +8,7 @@ stream ≡ batch on the same parquet.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_in_docker_rpyc_spark.operators.relational import sessionize
@@ -909,3 +909,230 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fp").isNotNull().cast("int").alias("converted"),
         )
     )
+
+
+# --- Bradley-Terry preference strengths -------------------------------------
+#
+# Pairwise-preference aggregation (Bradley & Terry 1952, fitted by the MM
+# algorithm of Hunter 2004) — the model behind preference-data pipelines:
+# given "A beat B" contest counts, recover a latent strength per entity.
+# Entities are the event types; a contest is one (user, day) where two types
+# both occurred, won by the type with the larger exact DECIMAL value total
+# (ties are no-contests).  The MM update
+#
+#     s_i <- W_i / sum_j  n_ij / (s_i + s_j)
+#
+# runs a FIXED 20 iterations.  Cross-engine exactness uses the same recipe
+# as logreg_gradient_descent: every input to the float math (n_ij, W_i) is
+# an exact integer, and the per-entity denominator is an explicit
+# left-associated addition chain in ascending-j order, generated from ONE
+# helper for both the DuckDB recursive-CTE oracle and the driver-side
+# Python loop — identical operands, identical order, bit-identical result.
+# The entity domain is pinned to the fixture's five event types so the
+# chain can be unrolled; unknown types are excluded (documented contract).
+_BT_TYPES = ("click", "error", "purchase", "signup", "view")
+_BT_ITERS = 20
+
+
+def _bt_pair(i: int, j: int) -> str:
+    a, b = min(i, j), max(i, j)
+    return f"n{a}{b}"
+
+
+def _bt_den_sql(i: int) -> str:
+    """den_i as an explicit left-assoc chain, ascending j (1-based)."""
+    terms = [
+        f"(CASE WHEN {_bt_pair(i, j)} > 0 "
+        f"THEN {_bt_pair(i, j)} / (s{i} + s{j}) ELSE 0.0 END)"
+        for j in range(1, 6)
+        if j != i
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bt_oracle() -> str:
+    k = len(_BT_TYPES)
+    in_list = ", ".join(f"'{t}'" for t in _BT_TYPES)
+    n_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN ta = '{_BT_TYPES[a - 1]}' AND "
+        f"tb = '{_BT_TYPES[b - 1]}' THEN n END), 0) AS n{a}{b}"
+        for a in range(1, k + 1)
+        for b in range(a + 1, k + 1)
+    )
+    w_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN ta = '{_BT_TYPES[i - 1]}' THEN wa "
+        f"WHEN tb = '{_BT_TYPES[i - 1]}' THEN wb END), 0) AS w{i}"
+        for i in range(1, k + 1)
+    )
+    mat_pass = ", ".join(
+        [f"n{a}{b}" for a in range(1, k + 1) for b in range(a + 1, k + 1)]
+        + [f"w{i}" for i in range(1, k + 1)]
+    )
+    upd = ", ".join(
+        f"CASE WHEN w{i} > 0 AND {_bt_den_sql(i)} > 0 "
+        f"THEN w{i} / {_bt_den_sql(i)} ELSE 0.0 END"
+        for i in range(1, k + 1)
+    )
+    tot = "(" + " + ".join(f"s{i}" for i in range(1, k + 1)) + ")"
+    strength = (
+        "CASE p.event_type "
+        + " ".join(
+            f"WHEN '{_BT_TYPES[i - 1]}' THEN ROUND(s{i} / {tot}, 6)"
+            for i in range(1, k + 1)
+        )
+        + " END"
+    )
+    # CAST(1.0 AS DOUBLE) seeds: a bare 1.0 literal is DECIMAL(2,1) in
+    # DuckDB, and the recursive arm inherits the non-recursive arm's column
+    # types — strengths would be truncated to one decimal place on every
+    # iteration (s stuck at 1.0, uniform 0.2 output).
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               SUM(CAST(value AS DECIMAL(30,6))) AS tot
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND event_type IN ({in_list})
+        GROUP BY 1, 2, 3
+    ),
+    duels AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CASE WHEN a.tot > b.tot THEN 1
+                    WHEN b.tot > a.tot THEN 2 ELSE 0 END AS win
+        FROM daily a
+        JOIN daily b ON a.user_id = b.user_id AND a.day = b.day
+                    AND a.event_type < b.event_type
+    ),
+    pairs AS (
+        SELECT ta, tb, COUNT(*) AS n,
+               SUM(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS wa,
+               SUM(CASE WHEN win = 2 THEN 1 ELSE 0 END) AS wb
+        FROM duels WHERE win != 0 GROUP BY ta, tb
+    ),
+    mat AS (SELECT {n_cols}, {w_cols} FROM pairs),
+    it AS (
+        SELECT 0 AS t,
+               {", ".join(f"CAST(1.0 AS DOUBLE) AS s{i}" for i in range(1, k + 1))},
+               {mat_pass}
+        FROM mat
+        UNION ALL
+        SELECT t + 1, {upd}, {mat_pass}
+        FROM it WHERE t < {_BT_ITERS}
+    ),
+    per_type AS (
+        SELECT et AS event_type, SUM(w) AS wins, SUM(n) AS contests
+        FROM (SELECT ta AS et, wa AS w, n FROM pairs
+              UNION ALL
+              SELECT tb AS et, wb AS w, n FROM pairs)
+        GROUP BY et
+    )
+    SELECT p.event_type,
+           CAST(p.wins AS BIGINT) AS wins,
+           CAST(p.contests AS BIGINT) AS contests,
+           {strength} AS bt_strength,
+           ROW_NUMBER() OVER (ORDER BY {strength} DESC, p.event_type ASC)
+               AS bt_rank
+    FROM per_type p, (SELECT * FROM it WHERE t = {_BT_ITERS})
+    """
+
+
+@register("bradley_terry_strength", oracle=_bt_oracle())
+def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths over the five event types, fitted
+    by 20 MM iterations (Hunter 2004) — the pairwise-preference model a
+    RLHF/ranking data pipeline runs over comparison logs, expressed as one
+    contest-counting DAG plus a constant-size driver-side fit.
+
+    Contests: within each (user, day), every pair of event types both
+    present duels; the larger exact DECIMAL(30,6) value total wins, ties
+    are dropped.  Self-join fan-out is bounded: per (user, day) group at
+    most K=5 rows -> at most 10 pair rows.
+
+    Shape at 100 TB: the duel build is one shuffle on (user, day) uniform
+    keys; the win matrix is K(K-1)/2 + K = 15 exact integers — a
+    domain-bounded collect (the same bounded-scalar pattern as the GD
+    model state), so driver traffic is CONSTANT regardless of corpus
+    size.  The MM fit itself is O(K^2) per iteration on the driver.
+    Cross-engine bit-identity: the denominator chains in the Python loop
+    below and in the recursive-CTE oracle are generated with the same
+    ascending-j left-associated order over the same exact integers, so
+    20 chained float iterations still hash-match at 6 places."""
+    k = len(_BT_TYPES)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isin(*_BT_TYPES)
+    )
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(30,6)")).alias("tot"))
+    a, b = daily.alias("a"), daily.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+            F.when(F.col("a.tot") > F.col("b.tot"), F.lit(1))
+            .when(F.col("b.tot") > F.col("a.tot"), F.lit(2))
+            .otherwise(F.lit(0))
+            .alias("win"),
+        )
+        .filter(F.col("win") != 0)
+    )
+    pairs = duels.groupBy("ta", "tb").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("win") == 1).cast("int")).alias("wa"),
+        F.sum((F.col("win") == 2).cast("int")).alias("wb"),
+    )
+    pairs = pairs.persist()
+    # Domain-bounded collect: at most K(K-1)/2 = 10 rows of exact integers.
+    idx = {t: i + 1 for i, t in enumerate(_BT_TYPES)}
+    n = [[0] * (k + 1) for _ in range(k + 1)]
+    w = [0] * (k + 1)
+    for row in pairs.collect():
+        i, j = idx[row["ta"]], idx[row["tb"]]
+        n[i][j] = n[j][i] = int(row["n"])
+        w[i] += int(row["wa"])
+        w[j] += int(row["wb"])
+    s = [0.0] * (k + 1)
+    for i in range(1, k + 1):
+        s[i] = 1.0
+    for _ in range(_BT_ITERS):
+        nxt = list(s)
+        for i in range(1, k + 1):
+            den = None
+            for j in range(1, k + 1):
+                if j == i:
+                    continue
+                term = n[i][j] / (s[i] + s[j]) if n[i][j] > 0 else 0.0
+                den = term if den is None else den + term
+            nxt[i] = w[i] / den if (w[i] > 0 and den > 0) else 0.0
+        s = nxt
+    tot = s[1]
+    for i in range(2, k + 1):
+        tot = tot + s[i]
+    per_type = (
+        pairs.select(F.col("ta").alias("et"), F.col("wa").alias("w"), "n")
+        .unionAll(pairs.select(F.col("tb").alias("et"), F.col("wb").alias("w"), "n"))
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(F.sum("w").alias("wins"), F.sum("n").alias("contests"))
+    )
+    strength = F.lit(None).cast("double")
+    for t in _BT_TYPES:
+        # s_i / tot computed here with the same float division the oracle's
+        # final SELECT performs, injected as an exact repr literal; the
+        # 6-place rounding happens ENGINE-side (Spark ROUND == DuckDB ROUND
+        # = half-away-from-zero on positives — Python's banker's round would
+        # not match at a .5 boundary).
+        val = s[idx[t]] / tot if tot > 0 else None
+        strength = F.when(
+            F.col("event_type") == t, F.round(F.lit(val), 6)
+        ).otherwise(strength)
+    out = per_type.withColumn("bt_strength", strength)
+    win = Window.orderBy(F.desc("bt_strength"), F.asc("event_type"))
+    return out.withColumn("bt_rank", F.row_number().over(win).cast("bigint"))

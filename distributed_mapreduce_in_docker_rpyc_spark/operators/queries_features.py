@@ -434,6 +434,32 @@ def _logreg_oracle() -> str:
     return "".join(parts)
 
 
+def _fit_gd(li: DataFrame) -> tuple[float, float, float]:
+    """Run the fixed 6-step GD loop over the persisted observation frame,
+    holding the 3-double model state on the driver (see
+    logreg_gradient_descent's docstring for the traffic argument)."""
+    b = (0.0, 0.0, 0.0)
+    for _ in range(_GD_ITERS):
+        g = (
+            li.withColumn("b0", F.lit(b[0]))
+            .withColumn("b1", F.lit(b[1]))
+            .withColumn("b2", F.lit(b[2]))
+            .agg(*[F.expr(e) for e in _split_agg_exprs(_GD_GRAD)])
+            .first()
+        )
+        if not g.n or g.g0 is None:
+            # Zero observations: SUM(...) over an empty frame is NULL and
+            # COUNT(*) is 0 — there is no gradient, so β stays put and the
+            # caller's final aggregate returns the correct empty-input row.
+            break
+        b = (
+            b[0] - (2.0 * (g.g0 / g.n)),
+            b[1] - (2.0 * (g.g1 / g.n)),
+            b[2] - (2.0 * (g.g2 / g.n)),
+        )
+    return b
+
+
 @register("logreg_gradient_descent", oracle=_logreg_oracle())
 def logreg_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear classifier trained by 6 full-batch gradient-descent steps
@@ -475,25 +501,7 @@ def logreg_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame chained through localCheckpoint — was measured at ~1.6 s/step of
     # pure broadcast/checkpoint job overhead vs 0.04 s for the aggregate
     # itself; per-step driver traffic is identical: 3 doubles.)
-    b = (0.0, 0.0, 0.0)
-    for _ in range(_GD_ITERS):
-        g = (
-            li.withColumn("b0", F.lit(b[0]))
-            .withColumn("b1", F.lit(b[1]))
-            .withColumn("b2", F.lit(b[2]))
-            .agg(*[F.expr(e) for e in _split_agg_exprs(_GD_GRAD)])
-            .first()
-        )
-        if not g.n or g.g0 is None:
-            # Zero observations: SUM(...) over an empty frame is NULL and
-            # COUNT(*) is 0 — there is no gradient, so β stays put and the
-            # final aggregate below returns the correct empty-input row.
-            break
-        b = (
-            b[0] - (2.0 * (g.g0 / g.n)),
-            b[1] - (2.0 * (g.g1 / g.n)),
-            b[2] - (2.0 * (g.g2 / g.n)),
-        )
+    b = _fit_gd(li)
     return (
         li.withColumn("b0", F.lit(b[0]))
         .withColumn("b1", F.lit(b[1]))
@@ -639,3 +647,145 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_right").cast("bigint").alias("n_right"),
         )
     )
+
+
+# --- Calibration of the GD-trained classifier --------------------------------
+#
+# Expected-calibration-error readout (Guo et al. 2017 §2) for the trained
+# linear classifier: confidence = max(p, 1-p) from the algebraic
+# fast-sigmoid (NO libm — the whole scoring path is +,*,/,abs, so both
+# engines compute bit-identical doubles), 10 equal-width confidence bins,
+# per-bin mean confidence vs empirical accuracy, and the n-weighted ECE as
+# a summary row.  Mean confidence is accumulated exactly: each row's
+# confidence is rounded to 9 places then cast DECIMAL(38,9) (the money
+# trick), so the per-bin sums are order- and engine-independent.
+_CAL_CONF = f"(CASE WHEN {_GD_Z} >= 0.0 THEN {_GD_P} ELSE (1.0 - {_GD_P}) END)"
+
+
+def _cal_oracle() -> str:
+    parts = [
+        f"""
+    WITH obs AS (
+        SELECT {_GD_X1} AS x1, {_GD_X2} AS x2, {_GD_Y} AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL
+    ),
+    it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)
+    """
+    ]
+    for i in range(1, _GD_ITERS + 1):
+        parts.append(
+            f""",
+    gr{i} AS (SELECT {_GD_GRAD} FROM obs, it{i - 1}),
+    it{i} AS (SELECT {", ".join(_GD_STEP)} FROM it{i - 1}, gr{i})"""
+        )
+    parts.append(
+        f""",
+    sc AS (
+        SELECT {_CAL_CONF} AS conf, {_GD_CORRECT} AS corr
+        FROM obs, it{_GD_ITERS}
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(conf * 10.0) AS BIGINT), 9) AS bin, conf, corr
+        FROM sc
+    ),
+    perbin AS (
+        SELECT bin, COUNT(*) AS n_obs,
+               SUM(CAST(ROUND(conf, 9) AS DECIMAL(38,9))) AS sconf,
+               SUM(corr) AS ncorr
+        FROM binned GROUP BY bin
+    ),
+    vals AS (
+        SELECT bin, n_obs,
+               CAST(sconf AS DOUBLE) / n_obs AS conf_raw,
+               CAST(ncorr AS DOUBLE) / n_obs AS acc_raw
+        FROM perbin
+    )
+    SELECT bin, n_obs,
+           ROUND(conf_raw, 6) AS avg_conf,
+           ROUND(acc_raw, 6) AS accuracy,
+           ROUND(ABS(conf_raw - acc_raw), 6) AS abs_gap
+    FROM vals
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS bin,
+           CAST(SUM(n_obs) AS BIGINT) AS n_obs,
+           CAST(NULL AS DOUBLE) AS avg_conf,
+           CAST(NULL AS DOUBLE) AS accuracy,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(conf_raw - acc_raw), 9)
+                               AS DECIMAL(18,9))
+                          * CAST(n_obs AS DECIMAL(19,0))) AS DOUBLE)
+                 / SUM(n_obs), 6) AS abs_gap
+    FROM vals
+    """
+    )
+    return "".join(parts)
+
+
+@register("logreg_calibration_bins", oracle=_cal_oracle())
+def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve + expected calibration error (ECE) for the
+    GD-trained linear classifier — the model-evaluation pass a training
+    pipeline runs after fitting: does predicted confidence match empirical
+    accuracy?  Ten equal-width confidence bins, each row carrying bin
+    population, mean confidence, accuracy, and |gap|; the bin = -1 summary
+    row carries the n-weighted ECE.
+
+    Shape at 100 TB: training is the same constant-traffic 6-pass GD
+    (model state = 3 doubles on the driver); the calibration pass is ONE
+    map-side-combined aggregate over the scored observations (10 groups),
+    so the whole readout adds a single linear scan.  The scoring link is
+    algebraic (fast sigmoid), so confidences are bit-identical across
+    engines; per-bin confidence mass accumulates as exact DECIMAL(38,9)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .selectExpr(f"{_GD_X1} AS x1", f"{_GD_X2} AS x2", f"{_GD_Y} AS y")
+        .persist()
+    )
+    b = _fit_gd(li)
+    sc = (
+        li.withColumn("b0", F.lit(b[0]))
+        .withColumn("b1", F.lit(b[1]))
+        .withColumn("b2", F.lit(b[2]))
+        .selectExpr(f"{_CAL_CONF} AS conf", f"{_GD_CORRECT} AS corr")
+    )
+    binned = sc.selectExpr(
+        "LEAST(CAST(FLOOR(conf * 10.0) AS BIGINT), 9) AS bin", "conf", "corr"
+    )
+    perbin = binned.groupBy("bin").agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.expr("CAST(ROUND(conf, 9) AS DECIMAL(38,9))")).alias("sconf"),
+        F.sum("corr").alias("ncorr"),
+    )
+    vals = perbin.selectExpr(
+        "bin",
+        "n_obs",
+        "CAST(sconf AS DOUBLE) / n_obs AS conf_raw",
+        "CAST(ncorr AS DOUBLE) / n_obs AS acc_raw",
+    )
+    bins_out = vals.selectExpr(
+        "bin",
+        "n_obs",
+        "ROUND(conf_raw, 6) AS avg_conf",
+        "ROUND(acc_raw, 6) AS accuracy",
+        "ROUND(ABS(conf_raw - acc_raw), 6) AS abs_gap",
+    )
+    summary = vals.agg(
+        F.expr("SUM(n_obs) AS tot"),
+        F.expr(
+            "SUM(CAST(ROUND(ABS(conf_raw - acc_raw), 9) AS DECIMAL(18,9))"
+            " * CAST(n_obs AS DECIMAL(19,0))) AS gsum"
+        ),
+    ).selectExpr(
+        "CAST(-1 AS BIGINT) AS bin",
+        "tot AS n_obs",
+        "CAST(NULL AS DOUBLE) AS avg_conf",
+        "CAST(NULL AS DOUBLE) AS accuracy",
+        "ROUND(CAST(gsum AS DOUBLE) / tot, 6) AS abs_gap",
+    )
+    return bins_out.unionByName(summary)

@@ -1043,3 +1043,158 @@ def bitmap_index_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_either_direct"),
     )
     return bitmap_counts.crossJoin(direct)
+
+
+# Portable HyperLogLog (Flajolet et al. 2007): m=256 registers keyed by the
+# first md5 byte, rank rho = leading-zero count of the next 48 hash bits + 1.
+# Everything that decides a register value is INTEGER/STRING logic (hex-digit
+# leading-zero walk, no floating log2 whose boundary rounding could differ
+# between engines), and the register sum Σ 2^(-M_j) is carried as the exact
+# integer Σ 2^(49-M_j) (≤ 256·2^48 < 2^63), so both engines feed the SAME
+# integers into one identical float expression.  Unlike Spark's built-in
+# approx_count_distinct (whose register hashing is engine-internal — the
+# rows-only `hll_daily_distinct_error`), this sketch is deterministic and
+# portable, so the ESTIMATE ITSELF is oracle-hash-checked.
+_HLL_M = 256
+_HLL_TWO49 = 1 << 49
+# leading zero BITS contributed by the first non-zero hex digit
+_HLL_EXTRA_SQL = (
+    "CASE WHEN d IN ('4','5','6','7') THEN 1 "
+    "WHEN d IN ('2','3') THEN 2 WHEN d = '1' THEN 3 ELSE 0 END"
+)
+
+
+@register(
+    "hll_portable_daily",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    h AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS hx FROM du),
+    parts AS (
+        SELECT day,
+               CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS INT) AS idx,
+               substr(hx, 3, 12) AS rem
+        FROM h
+    ),
+    z AS (
+        SELECT day, idx, rem,
+               length(regexp_extract(rem, '^0*')) AS nz,
+               substr(rem, length(regexp_extract(rem, '^0*')) + 1, 1) AS d
+        FROM parts
+    ),
+    rho AS (
+        SELECT day, idx,
+               CASE WHEN nz = 12 THEN 49
+                    ELSE 4 * nz + ({_HLL_EXTRA_SQL}) + 1 END AS rho
+        FROM z
+    ),
+    regs AS (SELECT day, idx, MAX(rho) AS reg FROM rho GROUP BY day, idx),
+    per_day AS (
+        SELECT day,
+               COUNT(*) AS n_present,
+               SUM(CAST(power(2.0, 49 - reg) AS BIGINT)) AS s_present
+        FROM regs GROUP BY day
+    ),
+    est AS (
+        SELECT day,
+               {_HLL_M} - n_present AS v,
+               ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+                   * 562949953421312.0
+                   / CAST(s_present + ({_HLL_M} - n_present)
+                          * {_HLL_TWO49} AS DOUBLE) AS e_raw
+        FROM per_day
+    ),
+    fin AS (
+        SELECT day,
+               CASE WHEN e_raw <= 640.0 AND v > 0
+                    THEN 256.0 * ln(256.0 / v) ELSE e_raw END AS hll_estimate
+        FROM est
+    ),
+    exact AS (SELECT day, COUNT(*) AS exact_distinct FROM du GROUP BY day)
+    SELECT x.day, x.exact_distinct,
+           ROUND(f.hll_estimate, 6) AS hll_estimate,
+           ROUND(ABS(f.hll_estimate - x.exact_distinct) / x.exact_distinct, 6)
+               AS rel_error
+    FROM exact x JOIN fin f ON f.day = x.day
+    """,
+)
+def hll_portable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user estimate from a PORTABLE HyperLogLog built on
+    md5 — the register construction (first hash byte selects one of 256
+    registers, rank = leading-zero count of the next 48 bits + 1) is pure
+    integer/string logic shared verbatim with the DuckDB oracle, so the
+    HLL ESTIMATE is hash-checked cross-engine, not just sanity-bounded
+    (the built-in ``approx_count_distinct`` report can only ever be
+    rows-only: its register hashing is Spark-internal).
+
+    Shape at 100 TB: registers fold MAP-SIDE — ``MAX(rho) GROUP BY (day,
+    idx)`` is a partial aggregate with ≤256 rows of state per day per
+    task, and register frames MERGE by the same max, which is why HLL is
+    the counting sketch every warehouse ships.  Linear-counting correction
+    (``m·ln(m/V)``) applies below 2.5m, exactly as published; the register
+    sum is carried as an exact integer so no float-accumulation order can
+    drift the estimate."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    h = du.select("day", F.md5(F.col("user_id").cast("string")).alias("hx"))
+    parts = h.select(
+        "day",
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("idx"),
+        F.substring("hx", 3, 12).alias("rem"),
+    )
+    z = parts.select(
+        "day",
+        "idx",
+        F.length(F.regexp_extract("rem", "^0*", 0)).alias("nz"),
+        F.expr(
+            "substr(rem, length(regexp_extract(rem, '^0*', 0)) + 1, 1)"
+        ).alias("d"),
+    )
+    rho = z.select(
+        "day",
+        "idx",
+        F.when(F.col("nz") == 12, F.lit(49))
+        .otherwise(F.col("nz") * 4 + F.expr(_HLL_EXTRA_SQL) + 1)
+        .alias("rho"),
+    )
+    regs = rho.groupBy("day", "idx").agg(F.max("rho").alias("reg"))
+    per_day = regs.groupBy("day").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), F.lit(49) - F.col("reg")).cast("bigint")).alias(
+            "s_present"
+        ),
+    )
+    est = per_day.select(
+        "day",
+        (F.lit(_HLL_M) - F.col("n_present")).alias("v"),
+        (
+            F.lit((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+            * F.lit(562949953421312.0)
+            / (
+                F.col("s_present")
+                + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(_HLL_TWO49)
+            ).cast("double")
+        ).alias("e_raw"),
+    )
+    fin = est.select(
+        "day",
+        F.when(
+            (F.col("e_raw") <= 640.0) & (F.col("v") > 0),
+            F.lit(256.0) * F.log(F.lit(256.0) / F.col("v")),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("hll_estimate"),
+    )
+    exact = du.groupBy("day").agg(F.count("*").alias("exact_distinct"))
+    return exact.join(fin, "day").select(
+        "day",
+        "exact_distinct",
+        F.round("hll_estimate", 6).alias("hll_estimate"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )

@@ -57,8 +57,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #                 claiming they were inside the window was wrong; they were
 #                 not).  Oldest-first until the 50-slot budget line.
 #                 WHERE THE LINE FALLS THIS ROUND: sections 1-3 hold
-#                 1 + 10 + 36 = 47 names, so the 50-query window reaches 3
-#                 entries into section 4 — through wordcount_rdd_core;
+#                 1 + 10 + 39 = 50 names — the window is exactly the
+#                 never-checked set (the standing ranking: never-checked
+#                 outranks stale-green re-proofs, so the three r1-era
+#                 wordcount re-proofs rotate to round 6);
 #                 `verify_driver.py --strict` recomputes this, don't trust
 #                 the comment alone.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -113,6 +115,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_time_to_convert",
     "graph_link_prediction",
     "orders_open_backlog",
+    "hll_portable_daily",
+    "bradley_terry_strength",
+    "logreg_calibration_bins",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",
