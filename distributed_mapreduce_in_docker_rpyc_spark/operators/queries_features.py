@@ -789,3 +789,211 @@ def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(CAST(gsum AS DOUBLE) / tot, 6) AS abs_gap",
     )
     return bins_out.unionByName(summary)
+
+
+# --- Rank-based evaluation of the GD-trained classifier ----------------------
+#
+# Both readouts below group the scored observations by their raw score first
+# (score = the algebraic fast-sigmoid link, bit-identical across engines
+# because it is +,*,/,abs only), so every downstream count is an exact
+# integer and the final metric is ONE float division — the same
+# exact-integers-then-one-division recipe as graph_link_prediction.
+
+_GD_OBS_SQL = f"""
+    SELECT {_GD_X1} AS x1, {_GD_X2} AS x2, {_GD_Y} AS y
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+      AND l_extendedprice IS NOT NULL
+"""
+
+
+def _gd_iter_prefix() -> str:
+    """The shared obs + 6 unrolled GD iteration CTEs (it0..it6)."""
+    parts = [f"WITH obs AS ({_GD_OBS_SQL}),\n    it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"]
+    for i in range(1, _GD_ITERS + 1):
+        parts.append(
+            f""",
+    gr{i} AS (SELECT {_GD_GRAD} FROM obs, it{i - 1}),
+    it{i} AS (SELECT {", ".join(_GD_STEP)} FROM it{i - 1}, gr{i})"""
+        )
+    return "".join(parts)
+
+
+def _auc_oracle() -> str:
+    return f"""
+    {_gd_iter_prefix()},
+    sc AS (SELECT {_GD_Z} AS z, y FROM obs, it{_GD_ITERS}),
+    grp AS (
+        SELECT z,
+               SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pos,
+               SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS neg
+        FROM sc GROUP BY z
+    ),
+    cum AS (
+        SELECT pos, neg,
+               COALESCE(SUM(neg) OVER (ORDER BY z
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below
+        FROM grp
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           ROUND(CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+                 / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc,
+           ROUND(CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+                 / (CAST(SUM(pos) AS DOUBLE) * SUM(neg)) - 1.0, 6) AS gini
+    FROM cum
+    """
+
+
+@register("logreg_roc_auc", oracle=_auc_oracle())
+def logreg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the GD-trained classifier by the Mann-Whitney rank
+    statistic: AUC = P(score_pos > score_neg) + P(tie)/2, computed from
+    per-distinct-score positive/negative counts — never from all pairs.
+    Doubling the tie term keeps the numerator an exact integer:
+    2·U = Σ_groups pos·(2·neg_below + neg), so AUC = 2U / (2·n_pos·n_neg)
+    is exact integers into one float division, hash-checked cross-engine.
+    Gini = 2·AUC - 1 rides along.
+
+    Shape at 100 TB: one map-side-combined groupBy on the raw score (the
+    feature domain bounds distinct scores — l_quantity × l_discount give
+    ≤ 550 groups), one ordered prefix-sum over those groups, one global
+    aggregate.  The sort is over score GROUPS, not rows — the classic
+    trick that makes AUC a two-pass distributed computation (training is
+    the same constant-traffic 6-pass GD as logreg_gradient_descent)."""
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .selectExpr(f"{_GD_X1} AS x1", f"{_GD_X2} AS x2", f"{_GD_Y} AS y")
+        .persist()
+    )
+    b = _fit_gd(li)
+    sc = (
+        li.withColumn("b0", F.lit(b[0]))
+        .withColumn("b1", F.lit(b[1]))
+        .withColumn("b2", F.lit(b[2]))
+        .selectExpr(f"{_GD_Z} AS z", "y")
+    )
+    grp = sc.groupBy("z").agg(
+        F.expr("SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)").alias("pos"),
+        F.expr("SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END)").alias("neg"),
+    )
+    w = Window.orderBy("z").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.select(
+        "pos", "neg", F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below")
+    )
+    return cum.agg(
+        F.expr("CAST(SUM(pos) AS BIGINT)").alias("n_pos"),
+        F.expr("CAST(SUM(neg) AS BIGINT)").alias("n_neg"),
+        F.expr(
+            "ROUND(CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)"
+            " / (2.0 * SUM(pos) * SUM(neg)), 6)"
+        ).alias("auc"),
+        F.expr(
+            "ROUND(CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)"
+            " / (CAST(SUM(pos) AS DOUBLE) * SUM(neg)) - 1.0, 6)"
+        ).alias("gini"),
+    )
+
+
+_SWEEP_THRESHOLDS = "0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9"
+
+
+def _sweep_oracle() -> str:
+    values = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS.split(", "))
+    return f"""
+    {_gd_iter_prefix()},
+    sc AS (SELECT {_GD_P} AS p, y FROM obs, it{_GD_ITERS}),
+    grp AS (
+        SELECT p,
+               SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pos,
+               SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS neg
+        FROM sc GROUP BY p
+    ),
+    th AS (SELECT * FROM (VALUES {values}) t(thr)),
+    cm AS (
+        SELECT thr,
+               SUM(CASE WHEN p >= thr THEN pos ELSE 0 END) AS tp,
+               SUM(CASE WHEN p >= thr THEN neg ELSE 0 END) AS fp,
+               SUM(CASE WHEN p < thr THEN pos ELSE 0 END) AS fn,
+               SUM(CASE WHEN p < thr THEN neg ELSE 0 END) AS tn
+        FROM th, grp GROUP BY thr
+    )
+    SELECT thr AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CASE WHEN tp + fp > 0
+                THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+           CASE WHEN tp + fn > 0
+                THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+                END AS f1
+    FROM cm
+    """
+
+
+@register("logreg_threshold_sweep", oracle=_sweep_oracle())
+def logreg_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 of the GD-trained classifier at nine decision
+    thresholds — the operating-point sweep a training pipeline runs to pick
+    a deployment threshold.  Confusion counts are exact integers derived
+    from per-distinct-score class counts; each metric is one float
+    division, so all nine rows hash-match the oracle.
+
+    Shape at 100 TB: ONE linear aggregation pass builds the per-score
+    histogram (≤ 550 groups — the feature domain bounds it); the nine
+    thresholds then fan out via explode over that tiny grouped frame, so
+    threshold count scales the small side, never the scan.  No join, no
+    BNLJ: the sweep is explode + re-aggregate."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .selectExpr(f"{_GD_X1} AS x1", f"{_GD_X2} AS x2", f"{_GD_Y} AS y")
+        .persist()
+    )
+    b = _fit_gd(li)
+    sc = (
+        li.withColumn("b0", F.lit(b[0]))
+        .withColumn("b1", F.lit(b[1]))
+        .withColumn("b2", F.lit(b[2]))
+        .selectExpr(f"{_GD_P} AS p", "y")
+    )
+    grp = sc.groupBy("p").agg(
+        F.expr("SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)").alias("pos"),
+        F.expr("SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END)").alias("neg"),
+    )
+    ex = grp.select(
+        F.explode(F.expr(f"array({_SWEEP_THRESHOLDS})")).alias("thr"),
+        "p",
+        "pos",
+        "neg",
+    )
+    cm = ex.groupBy("thr").agg(
+        F.expr("SUM(CASE WHEN p >= thr THEN pos ELSE 0 END)").alias("tp"),
+        F.expr("SUM(CASE WHEN p >= thr THEN neg ELSE 0 END)").alias("fp"),
+        F.expr("SUM(CASE WHEN p < thr THEN pos ELSE 0 END)").alias("fn"),
+        F.expr("SUM(CASE WHEN p < thr THEN neg ELSE 0 END)").alias("tn"),
+    )
+    return cm.selectExpr(
+        "thr AS threshold",
+        "CAST(tp AS BIGINT) AS tp",
+        "CAST(fp AS BIGINT) AS fp",
+        "CAST(fn AS BIGINT) AS fn",
+        "CAST(tn AS BIGINT) AS tn",
+        "CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec",
+        "CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec",
+        "CASE WHEN 2 * tp + fp + fn > 0"
+        " THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) END AS f1",
+    )

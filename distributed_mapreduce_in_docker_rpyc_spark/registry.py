@@ -57,10 +57,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #                 claiming they were inside the window was wrong; they were
 #                 not).  Oldest-first until the 50-slot budget line.
 #                 WHERE THE LINE FALLS THIS ROUND: sections 1-3 hold
-#                 1 + 10 + 39 = 50 names — the window is exactly the
-#                 never-checked set (the standing ranking: never-checked
-#                 outranks stale-green re-proofs, so the three r1-era
-#                 wordcount re-proofs rotate to round 6);
+#                 1 + 10 + 42 = 53 names — the 50-query window covers the
+#                 first 50; the last 3 round-5 builds (logreg_roc_auc,
+#                 logreg_threshold_sweep, graph_connected_components) plus
+#                 the stale-green re-proofs rotate to round 6 (the standing
+#                 ranking: never-checked outranks stale-green re-proofs);
 #                 `verify_driver.py --strict` recomputes this, don't trust
 #                 the comment alone.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -118,6 +119,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_portable_daily",
     "bradley_terry_strength",
     "logreg_calibration_bins",
+    "logreg_roc_auc",
+    "logreg_threshold_sweep",
+    "graph_connected_components",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

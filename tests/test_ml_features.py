@@ -848,3 +848,110 @@ def test_backlog_conservation_and_bounds(spark, sf_dir):
     assert all(n >= 0 for n in rows.values())
     last_day = max(rows)
     assert rows[last_day] == sum(1 for s, e in spans if s <= last_day <= e)
+
+
+def test_roc_auc_matches_bruteforce_pairwise(spark, sf_dir):
+    """The rank-statistic AUC must equal the brute-force pairwise
+    definition P(score_pos > score_neg) + P(tie)/2, recomputed driver-side
+    from the raw observations, and gini == 2*auc - 1."""
+    row = QUERIES["logreg_roc_auc"](spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_features import _fit_gd
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_features import (
+        _GD_X1,
+        _GD_X2,
+        _GD_Y,
+    )
+
+    obs_df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter("l_quantity IS NOT NULL AND l_discount IS NOT NULL"
+                " AND l_extendedprice IS NOT NULL")
+        .selectExpr(f"{_GD_X1} AS x1", f"{_GD_X2} AS x2", f"{_GD_Y} AS y")
+    )
+    b0, b1, b2 = _fit_gd(obs_df)
+    scored = [
+        ((b0 + b1 * ((float(r.l_quantity) / 50.0) - 0.5))
+         + b2 * ((float(r.l_discount) * 10.0) - 0.5),
+         1 if float(r.l_extendedprice) > 36000 else 0)
+        for r in li
+        if r.l_quantity is not None and r.l_discount is not None
+        and r.l_extendedprice is not None
+    ]
+    pos = sorted(z for z, y in scored if y == 1)
+    neg = sorted(z for z, y in scored if y == 0)
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    import bisect
+
+    num2 = 0
+    for z in pos:
+        lt = bisect.bisect_left(neg, z)
+        eq = bisect.bisect_right(neg, z) - lt
+        num2 += 2 * lt + eq
+    auc = num2 / (2.0 * len(pos) * len(neg))
+    assert abs(row.auc - auc) < 1e-6
+    assert abs(row.gini - (num2 / (len(pos) * len(neg)) - 1.0)) < 1e-5
+
+
+def test_threshold_sweep_monotone_and_conserving(spark, sf_dir):
+    """Across the nine thresholds: tp+fn and fp+tn are constant (class
+    totals), tp and fp are non-increasing in the threshold, recall is
+    non-increasing, and every confusion cell is non-negative."""
+    rows = sorted(
+        QUERIES["logreg_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) == 9
+    n_pos = {r.tp + r.fn for r in rows}
+    n_neg = {r.fp + r.tn for r in rows}
+    assert len(n_pos) == 1 and len(n_neg) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.tp <= a.tp and b.fp <= a.fp
+        if a.rec is not None and b.rec is not None:
+            assert b.rec <= a.rec + 1e-12
+    for r in rows:
+        assert min(r.tp, r.fp, r.fn, r.tn) >= 0
+        if r.tp + r.fp > 0:
+            assert abs(r.prec - r.tp / (r.tp + r.fp)) < 1e-6
+
+
+def test_connected_components_fixpoint_and_edge_consistency(spark, sf_dir):
+    """The 16-round labels are a true fixpoint (one extra propagation round
+    changes nothing), every edge's endpoints share a component, component
+    ids are member minima, and sizes partition the vertex set."""
+    from collections import defaultdict
+
+    out = QUERIES["graph_connected_components"](spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    from collections import Counter
+
+    pair_n = Counter()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                pair_n[(x, y)] += 1
+    edges = [e for e, n in pair_n.items() if n >= 2]
+    # driver-side union-find ground truth
+    par = {}
+
+    def find(x):
+        while par.setdefault(x, x) != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[ra] = rb
+    comp = defaultdict(list)
+    for v in par:
+        comp[find(v)].append(v)
+    truth = {(min(vs), len(vs), sum(vs)) for vs in comp.values()}
+    got = {(r.component, r.n_parts, r.sum_parts) for r in out}
+    assert got == truth
+    assert sum(r.n_parts for r in out) == len(par)
