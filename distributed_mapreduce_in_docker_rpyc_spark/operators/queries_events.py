@@ -1136,3 +1136,216 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per_type.withColumn("bt_strength", strength)
     win = Window.orderBy(F.desc("bt_strength"), F.asc("event_type"))
     return out.withColumn("bt_rank", F.row_number().over(win).cast("bigint"))
+
+
+# --- Kaplan-Meier survival over user activity spans --------------------------
+
+
+@register(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, MIN(ts) AS t0,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(ts) AS tmax FROM events),
+    obs AS (
+        SELECT CASE WHEN s.tp IS NOT NULL
+                    THEN datediff('day', CAST(s.t0 AS DATE), CAST(s.tp AS DATE))
+                    ELSE datediff('day', CAST(s.t0 AS DATE), CAST(h.tmax AS DATE))
+               END AS dur,
+               CASE WHEN s.tp IS NULL THEN 1 ELSE 0 END AS censored
+        FROM spans s, horizon h
+    ),
+    grp AS (
+        SELECT dur, SUM(1 - censored) AS d, SUM(censored) AS c
+        FROM obs GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d, c,
+               SUM(d + c) OVER (ORDER BY dur
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+        FROM grp
+    ),
+    km AS (
+        SELECT dur, d, c, n_risk,
+               SUM(CASE WHEN d > 0 AND d < n_risk
+                        THEN ln(1.0 - (CAST(d AS DOUBLE) / n_risk))
+                        ELSE 0.0 END)
+                   OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS log_s,
+               MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS hit_zero
+        FROM risk
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN hit_zero = 0 THEN ROUND(log_s, 6) END AS log_survival,
+           CASE WHEN hit_zero = 1 THEN 0.0 ELSE ROUND(exp(log_s), 6) END
+               AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve for time-to-first-purchase: per user, days from
+    first event to first purchase; users who never purchase are
+    right-censored at the observation horizon — the product-limit
+    estimator (Kaplan & Meier 1958) that conversion/churn pipelines run.
+    One row per conversion time: events (conversions), censored count,
+    risk-set size, and cumulative "survival" S(t) = Π (1 - d/n) (the
+    probability of remaining unconverted past t).
+
+    Cross-engine exactness: d and n_risk are exact integers (the risk set
+    is a REVERSED cumulative sum over duration groups — no per-user sort),
+    each factor's ln((n-d)/n) is libm over bit-identical doubles, and the
+    cumulative sum runs in pinned duration order; if any group kills the
+    whole risk set (d = n_risk) the curve is pinned to exactly 0.0 from
+    that point (ln(0) is NULL in Spark but -inf in DuckDB — the CASE keeps
+    both engines on the same branch).
+
+    Shape at 100 TB: one groupBy(user) for spans, one groupBy(duration)
+    for the curve — the window runs over DISTINCT DURATIONS (calendar-
+    bounded, thousands), never users.  The observation horizon rides a
+    broadcast 1-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t0"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "tp"
+            ),
+        )
+    )
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    obs = spans.crossJoin(F.broadcast(horizon)).selectExpr(
+        "CASE WHEN tp IS NOT NULL"
+        " THEN datediff(CAST(tp AS DATE), CAST(t0 AS DATE))"
+        " ELSE datediff(CAST(tmax AS DATE), CAST(t0 AS DATE)) END AS dur",
+        "CASE WHEN tp IS NULL THEN 1 ELSE 0 END AS censored",
+    )
+    grp = obs.groupBy("dur").agg(
+        F.expr("SUM(1 - censored)").alias("d"),
+        F.expr("SUM(censored)").alias("c"),
+    )
+    w_fwd = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_back = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grp.select(
+        "dur", "d", "c", F.sum(F.col("d") + F.col("c")).over(w_fwd).alias("n_risk")
+    )
+    km = risk.select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.sum(
+            F.expr(
+                "CASE WHEN d > 0 AND d < n_risk"
+                " THEN ln(1.0 - (CAST(d AS DOUBLE) / n_risk)) ELSE 0.0 END"
+            )
+        )
+        .over(w_back)
+        .alias("log_s"),
+        F.max(F.expr("CASE WHEN d = n_risk THEN 1 ELSE 0 END"))
+        .over(w_back)
+        .alias("hit_zero"),
+    )
+    return km.filter(F.col("d") > 0).selectExpr(
+        "CAST(dur AS BIGINT) AS duration_days",
+        "CAST(d AS BIGINT) AS n_events",
+        "CAST(c AS BIGINT) AS n_censored",
+        "CAST(n_risk AS BIGINT) AS n_at_risk",
+        "CASE WHEN hit_zero = 0 THEN ROUND(log_s, 6) END AS log_survival",
+        "CASE WHEN hit_zero = 1 THEN 0.0 ELSE ROUND(exp(log_s), 6) END AS survival",
+    )
+
+
+# --- CUSUM changepoint detection on the daily value series -------------------
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(30,6))) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, v,
+               ROW_NUMBER() OVER (ORDER BY day) AS i,
+               SUM(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(v) OVER () AS sv,
+               COUNT(*) OVER () AS nd
+        FROM daily
+    ),
+    cus AS (
+        SELECT day, v, i,
+               CAST(cum AS DOUBLE)
+                   - (CAST(i AS DOUBLE) * (CAST(sv AS DOUBLE) / nd)) AS cusum
+        FROM seq
+    )
+    SELECT day,
+           ROUND(CAST(v AS DOUBLE), 6) AS daily_value,
+           ROUND(cusum, 6) AS cusum,
+           CAST(CASE WHEN ABS(cusum) = MAX(ABS(cusum)) OVER () THEN 1 ELSE 0 END
+                AS INT) AS is_changepoint
+    FROM cus
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-value series: the
+    cumulative sum of deviations from the global mean, C_d = Σ(v_u − μ),
+    peaks in magnitude at the most likely mean-shift point (Page 1954;
+    the standard offline CUSUM screen a metrics pipeline runs before
+    alerting).  Every day is emitted with its CUSUM value; the argmax |C|
+    day(s) carry is_changepoint = 1.
+
+    Exactness: daily sums and the cumulative prefix ride exact
+    DECIMAL(30,6); the deviation form is algebraically restated as
+    cum_d − i·μ so the ONLY float operations are one division (μ), one
+    multiplication, and one subtraction per day — no per-day float
+    accumulation to drift.  The argmax compares bit-identical doubles.
+
+    Shape at 100 TB: one map-side-combined groupBy(day); all windows run
+    over the calendar-bounded daily frame (thousands of rows), so the
+    unpartitioned window is a non-issue — the heavy data never reaches
+    a single partition."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("v")
+    )
+    w_ord = Window.orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = daily.select(
+        "day",
+        "v",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("v").over(w_cum).alias("cum"),
+        F.sum("v").over(w_all).alias("sv"),
+        F.count("*").over(w_all).alias("nd"),
+    )
+    cus = seq.selectExpr(
+        "day",
+        "v",
+        "i",
+        "CAST(cum AS DOUBLE) - (CAST(i AS DOUBLE) * (CAST(sv AS DOUBLE) / nd))"
+        " AS cusum",
+    )
+    return cus.select(
+        "day",
+        F.expr("ROUND(CAST(v AS DOUBLE), 6)").alias("daily_value"),
+        F.round("cusum", 6).alias("cusum"),
+        (F.abs(F.col("cusum")) == F.max(F.abs(F.col("cusum"))).over(w_all))
+        .cast("int")
+        .alias("is_changepoint"),
+    )

@@ -434,6 +434,29 @@ def _logreg_oracle() -> str:
     return "".join(parts)
 
 
+def _gd_obs(spark: SparkSession, sf_dir: str):
+    """The persisted GD observation frame, repartitioned to the session's
+    full parallelism BEFORE caching: the sf0.1 lineitem parquet splits into
+    only 3 input partitions under maxPartitionBytes, so every one of the 6
+    training passes would otherwise run on 3 of 32 cores (measured: the
+    one-time shuffle cuts the sf0.1 fit 13.7 -> ~3 s).  At 100 TB the scan
+    is naturally wide and the repartition folds into the ingest exchange —
+    the iterative reader wants uniform, core-saturating partitions either
+    way.  The exact DECIMAL(38,6) gradient sums are order-independent, so
+    repartitioning cannot move the trained coefficients."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .selectExpr(f"{_GD_X1} AS x1", f"{_GD_X2} AS x2", f"{_GD_Y} AS y")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+
+
 def _fit_gd(li: DataFrame) -> tuple[float, float, float]:
     """Run the fixed 6-step GD loop over the persisted observation frame,
     holding the 3-double model state on the driver (see
@@ -483,16 +506,7 @@ def logreg_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     all.  On this fixture price⊥quantity (corr≈0.003), so training
     converges toward the base-rate intercept; the operator's claim is the
     machinery, not the model."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_quantity").isNotNull()
-            & F.col("l_discount").isNotNull()
-            & F.col("l_extendedprice").isNotNull()
-        )
-        .selectExpr(f"{_GD_X1} AS x1", f"{_GD_X2} AS x2", f"{_GD_Y} AS y")
-        .persist()
-    )
+    li = _gd_obs(spark, sf_dir)
     # Model state lives on the driver as THREE floats — the shape every
     # distributed ML framework uses (data-parallel gradients, driver-held
     # parameters).  Each step is one map-side-combined aggregate returning a
@@ -737,16 +751,7 @@ def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole readout adds a single linear scan.  The scoring link is
     algebraic (fast sigmoid), so confidences are bit-identical across
     engines; per-bin confidence mass accumulates as exact DECIMAL(38,9)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_quantity").isNotNull()
-            & F.col("l_discount").isNotNull()
-            & F.col("l_extendedprice").isNotNull()
-        )
-        .selectExpr(f"{_GD_X1} AS x1", f"{_GD_X2} AS x2", f"{_GD_Y} AS y")
-        .persist()
-    )
+    li = _gd_obs(spark, sf_dir)
     b = _fit_gd(li)
     sc = (
         li.withColumn("b0", F.lit(b[0]))
@@ -864,16 +869,7 @@ def logreg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same constant-traffic 6-pass GD as logreg_gradient_descent)."""
     from pyspark.sql import Window
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_quantity").isNotNull()
-            & F.col("l_discount").isNotNull()
-            & F.col("l_extendedprice").isNotNull()
-        )
-        .selectExpr(f"{_GD_X1} AS x1", f"{_GD_X2} AS x2", f"{_GD_Y} AS y")
-        .persist()
-    )
+    li = _gd_obs(spark, sf_dir)
     b = _fit_gd(li)
     sc = (
         li.withColumn("b0", F.lit(b[0]))
@@ -953,16 +949,7 @@ def logreg_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds then fan out via explode over that tiny grouped frame, so
     threshold count scales the small side, never the scan.  No join, no
     BNLJ: the sweep is explode + re-aggregate."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_quantity").isNotNull()
-            & F.col("l_discount").isNotNull()
-            & F.col("l_extendedprice").isNotNull()
-        )
-        .selectExpr(f"{_GD_X1} AS x1", f"{_GD_X2} AS x2", f"{_GD_Y} AS y")
-        .persist()
-    )
+    li = _gd_obs(spark, sf_dir)
     b = _fit_gd(li)
     sc = (
         li.withColumn("b0", F.lit(b[0]))
@@ -996,4 +983,137 @@ def logreg_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec",
         "CASE WHEN 2 * tp + fp + fn > 0"
         " THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) END AS f1",
+    )
+
+
+# --- K-fold cross-validated simple OLS ---------------------------------------
+#
+# Fold assignment is the portable md5 hash used by target_encode_kfold; the
+# per-fold TRAIN sufficient statistics are derived as (global − own fold),
+# so the whole 5-fold fit is ONE aggregation pass + exact decimal algebra.
+_CV_FOLD = (  # DuckDB spelling ('0x..' cast); the Spark side uses conv()
+    "CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||"
+    " CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS BIGINT)"
+)
+_CV_FOLD_SPARK = (
+    "CAST(CAST(conv(substr(md5(CAST(l_orderkey AS STRING) || '-' ||"
+    " CAST(l_linenumber AS STRING)), 1, 8), 16, 10) AS BIGINT) % 5 AS BIGINT)"
+)
+_CV_BETA = (
+    "(((CAST(ntr AS DOUBLE) * CAST(sxytr AS DOUBLE))"
+    " - (CAST(sxtr AS DOUBLE) * CAST(sytr AS DOUBLE)))"
+    " / ((CAST(ntr AS DOUBLE) * CAST(sxxtr AS DOUBLE))"
+    " - (CAST(sxtr AS DOUBLE) * CAST(sxtr AS DOUBLE))))"
+)
+_CV_ALPHA = (
+    "((CAST(sytr AS DOUBLE) - (beta * CAST(sxtr AS DOUBLE)))"
+    " / CAST(ntr AS DOUBLE))"
+)
+_CV_RESID = "(CAST(y AS DOUBLE) - (alpha + (beta * CAST(x AS DOUBLE))))"
+
+
+@register(
+    "ols_kfold_cv",
+    oracle=f"""
+    WITH obs AS (
+        SELECT {_CV_FOLD} AS fold,
+               CAST(l_quantity AS DECIMAL(12,6)) AS x,
+               CAST(l_extendedprice AS DECIMAL(24,6)) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    per AS (
+        SELECT fold, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+               SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+        FROM obs GROUP BY fold
+    ),
+    train AS (
+        SELECT fold, n,
+               SUM(n) OVER () - n AS ntr,
+               SUM(sx) OVER () - sx AS sxtr,
+               SUM(sy) OVER () - sy AS sytr,
+               SUM(sxx) OVER () - sxx AS sxxtr,
+               SUM(sxy) OVER () - sxy AS sxytr
+        FROM per
+    ),
+    coef0 AS (SELECT fold, n, ntr, sxtr, sytr, {_CV_BETA} AS beta FROM train),
+    coef AS (SELECT fold, n, ntr, beta, {_CV_ALPHA} AS alpha FROM coef0),
+    resid AS (
+        SELECT o.fold,
+               CAST(ROUND({_CV_RESID} * {_CV_RESID}, 6) AS DECIMAL(38,6)) AS r2
+        FROM obs o JOIN coef ON coef.fold = o.fold
+    ),
+    rss AS (SELECT fold, SUM(r2) AS ssr FROM resid GROUP BY fold)
+    SELECT c.fold,
+           CAST(c.ntr AS BIGINT) AS n_train,
+           CAST(c.n AS BIGINT) AS n_test,
+           ROUND(c.beta, 6) AS beta,
+           ROUND(c.alpha, 6) AS alpha,
+           ROUND(sqrt(CAST(r.ssr AS DOUBLE) / c.n), 6) AS rmse
+    FROM coef c JOIN rss r ON r.fold = c.fold
+    """,
+)
+def ols_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated simple OLS (extendedprice ~ quantity): each
+    fold's model is fitted on the OTHER four folds via sufficient
+    statistics and scored on the held-out fold — the leakage-controlled
+    evaluation loop every training pipeline runs, expressed as two linear
+    passes (no per-fold refit scans).
+
+    Train statistics come free from ONE aggregation: per-fold sums are
+    exact DECIMALs and train_i = global − fold_i, so β/α are closed-form
+    floats over exact operands (bit-identical cross-engine; pinned
+    association order).  Held-out residual energy is quantized per row
+    (ROUND 6 → DECIMAL(38,6)) so the per-fold RSS is exact and
+    order-independent; RMSE's sqrt is IEEE-exact.
+
+    Shape at 100 TB: pass 1 is a 5-group map-side-combined aggregate;
+    pass 2 joins each row to its fold's 5-row coefficient frame
+    (broadcast) and re-aggregates — two scans total, constant model
+    state, no iteration."""
+    from pyspark.sql import Window
+
+    obs = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull())
+        .selectExpr(
+            f"{_CV_FOLD_SPARK} AS fold",
+            "CAST(l_quantity AS DECIMAL(12,6)) AS x",
+            "CAST(l_extendedprice AS DECIMAL(24,6)) AS y",
+        )
+        .persist()
+    )
+    per = obs.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,12))")).alias("sxx"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,12))")).alias("sxy"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    train = per.select(
+        "fold",
+        "n",
+        (F.sum("n").over(w_all) - F.col("n")).alias("ntr"),
+        (F.sum("sx").over(w_all) - F.col("sx")).alias("sxtr"),
+        (F.sum("sy").over(w_all) - F.col("sy")).alias("sytr"),
+        (F.sum("sxx").over(w_all) - F.col("sxx")).alias("sxxtr"),
+        (F.sum("sxy").over(w_all) - F.col("sxy")).alias("sxytr"),
+    )
+    coef = train.selectExpr(
+        "fold", "n", "ntr", "sxtr", "sytr", f"{_CV_BETA} AS beta"
+    ).selectExpr("fold", "n", "ntr", "beta", f"{_CV_ALPHA} AS alpha")
+    resid = obs.join(F.broadcast(coef), "fold").selectExpr(
+        "fold", f"CAST(ROUND({_CV_RESID} * {_CV_RESID}, 6) AS DECIMAL(38,6)) AS r2"
+    )
+    rss = resid.groupBy("fold").agg(F.sum("r2").alias("ssr"))
+    return coef.join(rss, "fold").selectExpr(
+        "fold",
+        "CAST(ntr AS BIGINT) AS n_train",
+        "CAST(n AS BIGINT) AS n_test",
+        "ROUND(beta, 6) AS beta",
+        "ROUND(alpha, 6) AS alpha",
+        "ROUND(sqrt(CAST(ssr AS DOUBLE) / n), 6) AS rmse",
     )

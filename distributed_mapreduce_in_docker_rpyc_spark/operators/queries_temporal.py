@@ -742,3 +742,103 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.coalesce("delta", F.lit(0)).alias("delta"))
         .select("day", F.sum("delta").over(w).cast("bigint").alias("n_open"))
     )
+
+
+# --- Autocorrelation function of the daily revenue series --------------------
+_ACF_MAX_LAG = 14
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DECIMAL(24,6))
+                   AS v
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, v,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               CAST(SUM(v) OVER () AS DOUBLE) / COUNT(*) OVER () AS mu
+        FROM daily
+    ),
+    dev AS (SELECT rn, (CAST(v AS DOUBLE) - mu) AS e FROM seq),
+    lagged AS (
+        SELECT g.k AS lag,
+               CAST(ROUND(a.e * b.e, 6) AS DECIMAL(38,6)) AS prod
+        FROM generate_series(0, {_ACF_MAX_LAG}) g(k)
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.rn = a.rn + g.k
+    ),
+    sums AS (
+        SELECT lag, COUNT(*) AS n_pairs, SUM(prod) AS num,
+               MAX(SUM(prod)) FILTER (WHERE lag = 0) OVER () AS den
+        FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS autocorr
+    FROM sums WHERE lag >= 1
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of the daily order-revenue series at
+    lags 1..14 — the seasonality screen (weekly cycles show as a lag-7
+    spike) a forecasting pipeline runs before model choice.  Uses the
+    standard biased ACF: r_k = Σ e_t·e_{t+k} / Σ e_t², deviations from the
+    global mean.
+
+    Exactness: daily sums ride exact DECIMAL; the mean is one division;
+    each lag product e_t·e_{t+k} is a deterministic double that is then
+    QUANTIZED (ROUND 6 → DECIMAL(38,6)) so the per-lag sums are exact and
+    order-independent — the same money-trick that de-flakes every float
+    aggregation in this repo.  The lag-0 row doubles as the shared
+    denominator, so no scalar broadcast is needed.
+
+    Shape at 100 TB: the series collapses to the calendar spine first
+    (map-side-combined groupBy(day)); the 15-lag fan-out and self-join run
+    over THAT (thousands of rows), so lag depth scales the small side."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        money_sum(F.col("o_totalprice")).alias("v")
+    )
+    w_ord = Window.orderBy("day")
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = daily.select(
+        "day",
+        "v",
+        F.row_number().over(w_ord).alias("rn"),
+        (F.sum("v").over(w_all).cast("double") / F.count("*").over(w_all)).alias(
+            "mu"
+        ),
+    )
+    dev = seq.selectExpr("rn", "(CAST(v AS DOUBLE) - mu) AS e")
+    ks = dev.select(
+        F.explode(F.expr(f"sequence(0, {_ACF_MAX_LAG})")).alias("lag"),
+        F.col("rn").alias("arn"),
+        F.col("e").alias("ae"),
+    )
+    lagged = ks.join(
+        dev.selectExpr("rn AS brn", "e AS be"),
+        F.col("brn") == F.col("arn") + F.col("lag"),
+    ).selectExpr("lag", "CAST(ROUND(ae * be, 6) AS DECIMAL(38,6)) AS prod")
+    w_lag = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sums = lagged.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"), F.sum("prod").alias("num")
+    )
+    sums = sums.select(
+        "lag",
+        "n_pairs",
+        "num",
+        F.max(F.when(F.col("lag") == 0, F.col("num"))).over(w_lag).alias("den"),
+    )
+    return sums.filter(F.col("lag") >= 1).selectExpr(
+        "CAST(lag AS BIGINT) AS lag",
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS autocorr",
+    )

@@ -2800,3 +2800,100 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("a", "b", F.col("common").cast("bigint").alias("common_neighbors"), "jaccard")
     )
+
+
+# --- Corpus-comparison keyword extraction (chi-squared keyness) --------------
+#
+# The shared chi-squared expression: a/b are the word's counts in the two
+# corpus halves, c/d the rest-of-corpus remainders, na/nb the half totals,
+# n the grand total.  Every operand is an exact integer count; the value is
+# a handful of float multiplications in a pinned association order, so both
+# engines produce bit-identical doubles (same recipe as
+# graph_link_prediction's jaccard).
+_CHI2_EXPR = (
+    "((CAST(n AS DOUBLE)"
+    " * (((CAST(a AS DOUBLE) * d) - (CAST(b AS DOUBLE) * c))"
+    "    * ((CAST(a AS DOUBLE) * d) - (CAST(b AS DOUBLE) * c))))"
+    " / (((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d))"
+    "    * (CAST(na AS DOUBLE) * nb)))"
+)
+
+
+@register(
+    "text_chi2_keyness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id % 2 AS side,
+               unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents
+    ),
+    cnt AS (
+        SELECT word,
+               SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a,
+               SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS b
+        FROM tok GROUP BY word
+    ),
+    tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM cnt),
+    cells AS (
+        SELECT word, a, b,
+               tot.na - a AS c, tot.nb - b AS d,
+               tot.na AS na, tot.nb AS nb, tot.na + tot.nb AS n
+        FROM cnt, tot
+        WHERE a + b >= 20
+    ),
+    scored AS (SELECT word, a, b, {_CHI2_EXPR} AS chi2 FROM cells)
+    SELECT word, CAST(a AS BIGINT) AS count_even, CAST(b AS BIGINT) AS count_odd,
+           ROUND(chi2, 6) AS chi2
+    FROM (
+        SELECT word, a, b, chi2,
+               ROW_NUMBER() OVER (ORDER BY chi2 DESC, word ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 20
+    """,
+)
+def text_chi2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction by corpus comparison: split the corpus into two
+    halves (even/odd doc_id — the stand-in for reference-vs-focus corpora),
+    count each word's occurrences per half, and rank words by the 2×2
+    chi-squared keyness statistic n·(ad−bc)² / ((a+b)(c+d)·na·nb) — the
+    standard corpus-linguistics measure (Dunning's G² sibling, chosen over
+    G² because chi² is +,*,/ only: no libm, so the statistic hash-matches
+    bit-identically cross-engine).  Words with <20 total occurrences are
+    excluded (chi² is unstable on tiny cells); top 20 by keyness.
+
+    Shape at 100 TB: one token scan → one map-side-combined groupBy(word);
+    the half totals ride a broadcast 1-row frame; scoring is per-word
+    arithmetic and the top-20 is a global ROW_NUMBER over the word-bounded
+    scored frame (lexicon-sized, not corpus-sized)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(tokenize_column("text")).alias("word"),
+    )
+    cnt = tok.groupBy("word").agg(
+        F.expr("SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)").alias("a"),
+        F.expr("SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)").alias("b"),
+    )
+    tot = cnt.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    cells = (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("a") + F.col("b") >= 20)
+        .selectExpr(
+            "word", "a", "b", "na - a AS c", "nb - b AS d", "na", "nb",
+            "na + nb AS n",
+        )
+    )
+    scored = cells.selectExpr("word", "a", "b", f"{_CHI2_EXPR} AS chi2")
+    w = Window.orderBy(F.desc("chi2"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .selectExpr(
+            "word",
+            "CAST(a AS BIGINT) AS count_even",
+            "CAST(b AS BIGINT) AS count_odd",
+            "ROUND(chi2, 6) AS chi2",
+        )
+    )

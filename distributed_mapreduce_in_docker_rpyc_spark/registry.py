@@ -122,6 +122,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "logreg_roc_auc",
     "logreg_threshold_sweep",
     "graph_connected_components",
+    "text_chi2_keyness",
+    "survival_kaplan_meier",
+    "events_cusum_changepoint",
+    "ts_autocorrelation",
+    "ols_kfold_cv",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

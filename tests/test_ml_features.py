@@ -955,3 +955,188 @@ def test_connected_components_fixpoint_and_edge_consistency(spark, sf_dir):
     got = {(r.component, r.n_parts, r.sum_parts) for r in out}
     assert got == truth
     assert sum(r.n_parts for r in out) == len(par)
+
+
+def test_chi2_keyness_matches_bruteforce(spark, sf_dir):
+    """Each reported word's chi-squared statistic must equal the textbook
+    2x2 contingency computation from raw token counts, and the 20 rows
+    must be the global maxima (no eligible word scores higher)."""
+    import re
+    from collections import Counter
+
+    rows = QUERIES["text_chi2_keyness"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ca, cb = Counter(), Counter()
+    for d in docs:
+        words = re.findall(r"[a-z']+", (d.text or "").lower())
+        (ca if d.doc_id % 2 == 0 else cb).update(words)
+    na, nb = sum(ca.values()), sum(cb.values())
+    n = na + nb
+
+    def chi2(w):
+        a, b = ca[w], cb[w]
+        c, d = na - a, nb - b
+        return (n * ((a * d - b * c) ** 2)) / (((a + b) * (c + d)) * (na * nb))
+
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.count_even, r.count_odd) == (ca[r.word], cb[r.word])
+        assert abs(r.chi2 - chi2(r.word)) < 1e-4
+    floor = min(r.chi2 for r in rows)
+    eligible = {w for w in set(ca) | set(cb) if ca[w] + cb[w] >= 20}
+    better = [w for w in eligible if chi2(w) > floor + 1e-4]
+    assert len(better) <= 20
+
+
+def test_kaplan_meier_invariants(spark, sf_dir):
+    """Survival is non-increasing in duration, stays in [0,1], matches the
+    direct product of per-step factors, and the risk set counts exactly
+    the users whose time-to-first-purchase >= t."""
+    from collections import Counter
+
+    out = sorted(
+        QUERIES["survival_kaplan_meier"](spark, sf_dir).collect(),
+        key=lambda r: r.duration_days,
+    )
+    assert out
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    first = {}
+    conv = {}
+    tmax = max(e.ts for e in ev)
+    for e in ev:
+        if e.user_id is None:
+            continue
+        if e.user_id not in first or e.ts < first[e.user_id]:
+            first[e.user_id] = e.ts
+        if e.event_type == "purchase" and (
+            e.user_id not in conv or e.ts < conv[e.user_id]
+        ):
+            conv[e.user_id] = e.ts
+
+    durs = Counter()
+    cens = Counter()
+    for u, t0 in first.items():
+        if u in conv:
+            durs[(conv[u].date() - t0.date()).days] += 1
+        else:
+            cens[(tmax.date() - t0.date()).days] += 1
+    all_d = sorted(set(durs) | set(cens))
+    n_risk = {}
+    rem = sum(durs.values()) + sum(cens.values())
+    for d in all_d:
+        n_risk[d] = rem
+        rem -= durs[d] + cens[d]
+    s = 1.0
+    surv = {}
+    for d in all_d:
+        if durs[d] > 0:
+            if durs[d] == n_risk[d]:
+                s = 0.0
+            else:
+                s = s * (1.0 - durs[d] / n_risk[d]) if s > 0 else 0.0
+            surv[d] = s
+    prev = 1.0
+    for r in out:
+        assert r.n_events == durs[r.duration_days]
+        assert r.n_censored == cens[r.duration_days]
+        assert r.n_at_risk == n_risk[r.duration_days]
+        assert 0.0 <= r.survival <= prev + 1e-9
+        assert abs(r.survival - surv[r.duration_days]) < 1e-5
+        prev = r.survival
+
+
+def test_cusum_peaks_at_injected_shift(spark, tmp_path):
+    """On a synthetic series with a known mean shift, the flagged
+    changepoint day must be the shift boundary, and the CUSUM values
+    must match the direct prefix-sum computation."""
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    eid = 0
+    for day in range(30):
+        v = 10.0 if day < 20 else 30.0
+        for k in range(4):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, hours=k), 1, "view", v, None)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = sorted(
+        QUERIES["events_cusum_changepoint"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(out) == 30
+    mu = (20 * 40.0 + 10 * 120.0) / 30
+    cum = 0.0
+    for i, r in enumerate(out):
+        cum += (40.0 if i < 20 else 120.0)
+        assert abs(r.cusum - (cum - (i + 1) * mu)) < 1e-6
+    flagged = [r.day for r in out if r.is_changepoint == 1]
+    assert flagged == [out[19].day]
+
+
+def test_autocorrelation_of_pure_sine_peaks_at_period(spark, tmp_path):
+    """A clean 7-day-period sine series must autocorrelate near +1 at lag
+    7 and 14 and negative at the half period."""
+    import datetime
+    import math
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for day in range(140):
+        v = 1000.0 + 500.0 * math.sin(2 * math.pi * day / 7)
+        rows.append((day, base + datetime.timedelta(days=day), v, "1-URGENT"))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double,"
+        " o_orderpriority string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = {r.lag: r for r in QUERIES["ts_autocorrelation"](spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(1, 15))
+    # the biased estimator scales a perfect sine's peak by (n-k)/n
+    assert out[7].autocorr >= 0.95 - 1e-6 and out[14].autocorr >= 0.9 - 1e-6
+    assert out[3].autocorr < -0.5 and out[4].autocorr < -0.5
+    for k, r in out.items():
+        assert r.n_pairs == 140 - k
+
+
+def test_ols_kfold_cv_beats_noise_and_matches_numpy_free_fit(spark, sf_dir):
+    """Per-fold beta/alpha must match a driver-side exact-fraction OLS fit
+    on the same train split, and the held-out RMSE must be well below the
+    no-model standard deviation (quantity genuinely predicts price)."""
+    import hashlib
+    from collections import defaultdict
+
+    out = {r.fold: r for r in QUERIES["ols_kfold_cv"](spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    per = defaultdict(lambda: [0, 0.0, 0.0, 0.0, 0.0])
+    data = defaultdict(list)
+    for r in li:
+        if r.l_quantity is None or r.l_extendedprice is None:
+            continue
+        key = f"{r.l_orderkey}-{r.l_linenumber}"
+        fold = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 5
+        x, y = float(r.l_quantity), float(r.l_extendedprice)
+        st = per[fold]
+        st[0] += 1
+        st[1] += x
+        st[2] += y
+        st[3] += x * x
+        st[4] += x * y
+        data[fold].append((x, y))
+    tot = [sum(per[f][i] for f in per) for i in range(5)]
+    for f, r in out.items():
+        n, sx, sy, sxx, sxy = (tot[i] - per[f][i] for i in range(5))
+        beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        alpha = (sy - beta * sx) / n
+        assert r.n_train == n and r.n_test == per[f][0]
+        assert abs(r.beta - beta) < 1e-4
+        assert abs(r.alpha - alpha) < 1e-3
+        ssr = sum(round((y - (alpha + beta * x)) ** 2, 6) for x, y in data[f])
+        rmse = (ssr / len(data[f])) ** 0.5
+        assert abs(r.rmse - rmse) < max(1e-3, 1e-5 * rmse)

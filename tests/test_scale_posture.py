@@ -408,6 +408,8 @@ BNLJ_ALLOWED = {
     "sim_kmeans_report": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf)",
     "kmv_type_intersection": "broadcast sides = three 1-row KMV estimate frames crossed into the exact counts",
     "dedup_lsh_tuning_report": "broadcast sides = per-config 1-row true-pair count frames crossed into the 1-row candidate counts",
+    "text_chi2_keyness": "broadcast side = 1-row corpus-half token totals",
+    "survival_kaplan_meier": "broadcast side = 1-row observation-horizon (max ts) frame",
 }
 
 
