@@ -2637,3 +2637,116 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_parts"),
         F.sum("w").cast("bigint").alias("sum_parts"),
     )
+
+
+# --- Revenue concentration: Lorenz deciles + Gini -----------------------------
+_GINI_EXPR = (
+    "((2.0 * CAST(sw AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)))"
+    " - ((CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))"
+)
+
+
+@register(
+    "customer_gini_concentration",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey AS cust,
+               SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cust, rev,
+               ROW_NUMBER() OVER (ORDER BY rev ASC, cust ASC) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(rev) OVER () AS tot
+        FROM rev
+    ),
+    cells AS (
+        SELECT ((i - 1) * 10) // n + 1 AS decile,
+               rev, CAST(i AS DECIMAL(19,0)) * rev AS w, n, tot
+        FROM ranked
+    ),
+    per AS (
+        SELECT decile, COUNT(*) AS n_cust, SUM(rev) AS dec_rev, SUM(w) AS dec_w,
+               MAX(n) AS n, MAX(tot) AS tot
+        FROM cells GROUP BY decile
+    ),
+    fin AS (
+        SELECT decile, n_cust, dec_rev, n, tot,
+               SUM(dec_rev) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               SUM(dec_w) OVER () AS sw
+        FROM per
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_cust AS BIGINT) AS n_customers,
+           ROUND(CAST(dec_rev AS DOUBLE), 2) AS decile_revenue,
+           ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+           ROUND({_GINI_EXPR}, 6) AS gini
+    FROM fin
+    """,
+)
+def customer_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: the Lorenz curve at decile resolution
+    (customers ranked by lifetime revenue, cumulative revenue share per
+    decile) and the Gini coefficient via the rank formula
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n — the inequality readout every
+    marketplace/abuse pipeline keeps (a sudden Gini jump = whale
+    concentration or scraping).
+
+    Exactness: revenues and the rank-weighted sum Σ i·x_(i) are exact
+    DECIMAL products of integers and money (no float accumulation); the
+    Gini is one pinned float expression over exact operands, identical on
+    every output row.
+
+    Shape at 100 TB: one customer-keyed partial agg, then a GLOBAL SORT
+    for ranking — the one genuinely sort-bound step, which is exactly what
+    engines range-partition for (Spark's rangeExchange gives a distributed
+    total order; no single-node bottleneck beyond the 10-row decile
+    frame)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("rev")
+    )
+    w_rank = Window.orderBy(F.asc("rev"), F.asc("cust"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = rev.select(
+        "cust",
+        "rev",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("rev").over(w_all).alias("tot"),
+    )
+    cells = ranked.selectExpr(
+        "((i - 1) * 10) DIV n + 1 AS decile",
+        "rev",
+        "CAST(i AS DECIMAL(19,0)) * rev AS w",
+        "n",
+        "tot",
+    )
+    per = cells.groupBy("decile").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("rev").alias("dec_rev"),
+        F.sum("w").alias("dec_w"),
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    fin = per.select(
+        "decile",
+        "n_cust",
+        "dec_rev",
+        "n",
+        "tot",
+        F.sum("dec_rev").over(w_cum).alias("cum_rev"),
+        F.sum("dec_w").over(w_all).alias("sw"),
+    )
+    return fin.selectExpr(
+        "CAST(decile AS BIGINT) AS decile",
+        "CAST(n_cust AS BIGINT) AS n_customers",
+        "ROUND(CAST(dec_rev AS DOUBLE), 2) AS decile_revenue",
+        "ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share",
+        f"ROUND({_GINI_EXPR}, 6) AS gini",
+    )

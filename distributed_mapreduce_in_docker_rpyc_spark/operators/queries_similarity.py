@@ -808,6 +808,38 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram of the 64-dim embedding corpus, per-batch BLAS
+    partials merged by one 2080-row aggregate, entries rounded to 4 dp (see
+    emb_gram_matrix for the measured 10x win over the explode form).  The
+    4-dp round makes every entry an EXACT decimal both engines agree on,
+    which is what lets downstream iterative consumers (power iteration)
+    stay hash-checkable."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+
+    def partial_gram(batches):
+        acc = np.zeros((64, 64), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                acc += m.T @ m
+                seen = True
+        iu = np.triu_indices(64)
+        if seen:
+            yield pd.DataFrame(
+                {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"), "g": acc[iu]}
+            )
+
+    part = emb.select("embedding").mapInPandas(partial_gram, "i long, j long, g double")
+    return part.groupBy("i", "j").agg(F.round(F.sum("g"), 4).alias("gram"))
+
+
 @register(
     "emb_gram_matrix",
     oracle="""
@@ -841,29 +873,7 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Products are accumulated in float64 (float32 -> float64 is exact) and
     the sums rounded to 4 decimals, far above the ~1e-9 merge-order
     noise."""
-    import numpy as np
-    import pandas as pd
-
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
-    )
-
-    def partial_gram(batches):
-        acc = np.zeros((64, 64), dtype=np.float64)
-        seen = False
-        for pdf in batches:
-            if len(pdf):
-                m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-                acc += m.T @ m
-                seen = True
-        iu = np.triu_indices(64)
-        if seen:
-            yield pd.DataFrame(
-                {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"), "g": acc[iu]}
-            )
-
-    part = emb.select("embedding").mapInPandas(partial_gram, "i long, j long, g double")
-    return part.groupBy("i", "j").agg(F.round(F.sum("g"), 4).alias("gram"))
+    return _gram_frame(spark, sf_dir)
 
 
 @register(
@@ -1214,4 +1224,112 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("recall"), 4).alias("mean_recall_at_10"),
         F.count("*").alias("n_queries"),
         F.lit(4.0).alias("compression_vs_full"),
+    )
+
+
+# --- Distributed PCA: top principal direction by power iteration --------------
+_PCA_ROUNDS = 8
+# One multiply-accumulate round and the normalization, as shared SQL text:
+# every product is quantized (ROUND 9 -> DECIMAL(38,9)) before summation so
+# the 64-term sums are exact and order-independent in both engines; the
+# division and sqrt are then single IEEE ops over identical operands.
+_PCA_TERM = "CAST(ROUND(g * val, 9) AS DECIMAL(38,9))"
+_PCA_NORM = (
+    "sqrt(CAST(SUM(CAST(ROUND(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 9)"
+    " AS DECIMAL(38,9))) OVER () AS DOUBLE))"
+)
+
+
+def _pca_oracle() -> str:
+    rounds = []
+    for r in range(1, _PCA_ROUNDS + 1):
+        rounds.append(
+            f""",
+    y{r} AS MATERIALIZED (
+        SELECT s.i AS dim, SUM({_PCA_TERM}) AS y
+        FROM sym s JOIN it{r - 1} x ON x.dim = s.j
+        GROUP BY s.i
+    ),
+    it{r} AS MATERIALIZED (
+        SELECT dim,
+               CAST(y AS DOUBLE) / {_PCA_NORM} AS val,
+               {_PCA_NORM} AS lam
+        FROM y{r}
+    )"""
+        )
+    return f"""
+    WITH vecs AS (
+        SELECT embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    cells AS (
+        SELECT i, CAST(embedding[i + 1] AS DOUBLE) AS x, embedding
+        FROM vecs, unnest(generate_series(0, 63)) AS g(i)
+    ),
+    gram AS MATERIALIZED (
+        SELECT c.i AS i, j,
+               round(sum(c.x * CAST(c.embedding[j + 1] AS DOUBLE)), 4) AS g
+        FROM cells c, unnest(generate_series(0, 63)) AS h(j)
+        WHERE j >= c.i
+        GROUP BY c.i, j
+    ),
+    sym AS MATERIALIZED (
+        SELECT i, j, g FROM gram
+        UNION ALL
+        SELECT j AS i, i AS j, g FROM gram WHERE j > i
+    ),
+    it0 AS (SELECT DISTINCT i AS dim, 0.125 AS val FROM sym)
+    {"".join(rounds)}
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ROUND(val, 6) AS loading,
+           ROUND(lam, 4) AS eigenvalue
+    FROM it{_PCA_ROUNDS}
+    """
+
+
+@register("emb_pca_power_iteration", oracle=_pca_oracle())
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by 8 rounds of power
+    iteration over the distributed Gram matrix — distributed PCA the way a
+    100 TB vector pipeline actually runs it: the data-sized work is ONE
+    pass (per-batch BLAS partial Gram, d x d accumulator per partition,
+    see emb_gram_matrix); the iteration then runs entirely on the 64x64
+    Gram frame, never touching the vectors again.  Output: the 64 loadings
+    plus the Rayleigh eigenvalue estimate (the final iterate's norm).
+
+    Cross-engine exactness: the 4-dp-rounded Gram entries are exact
+    decimals both engines agree on (emb_gram_matrix is hash-checked);
+    every multiply-accumulate product is quantized (ROUND 9 →
+    DECIMAL(38,9)) before summation so the 64-term sums are exact and
+    order-free; normalization is one division + one IEEE sqrt per round.
+    Fixed 8 rounds keeps the loop SQL-expressible (the k-core / GD / CC
+    recipe); the pinned property test asserts the Rayleigh quotient is
+    non-decreasing across rounds, the power-iteration convergence
+    certificate."""
+    gram = _gram_frame(spark, sf_dir).withColumnRenamed("gram", "g")
+    sym = gram.unionByName(
+        gram.filter(F.col("j") > F.col("i")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    ).persist()
+    x = sym.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(0.125).alias("val")
+    )
+    for r in range(_PCA_ROUNDS):
+        y = (
+            sym.join(x.selectExpr("dim AS j", "val"), "j")
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.expr(f"SUM({_PCA_TERM})").alias("y"))
+        )
+        x = y.selectExpr(
+            "dim",
+            f"CAST(y AS DOUBLE) / {_PCA_NORM} AS val",
+            f"{_PCA_NORM} AS lam",
+        )
+        if r % 3 == 2:
+            x = x.localCheckpoint(eager=True)
+    return x.selectExpr(
+        "CAST(dim AS BIGINT) AS dim",
+        "ROUND(val, 6) AS loading",
+        "ROUND(lam, 4) AS eigenvalue",
     )

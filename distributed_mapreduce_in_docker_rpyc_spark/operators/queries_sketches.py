@@ -1198,3 +1198,93 @@ def hll_portable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+# --- AMS F2 (second frequency moment) sketch ---------------------------------
+#
+# Alon-Matias-Szegedy (1996): J=32 independent ±1-sign estimators, grouped
+# 8 x 4, estimate = median over groups of the mean of Z² within the group.
+# The sign s_j(u) is the parity of the first hex digit of md5(j || ':' || u)
+# — pure integer/string logic shared verbatim with the oracle, so every Z_j
+# is an exact integer and the estimate is exact-integer arithmetic until
+# two final divisions (the same portability recipe as the count-min and KMV
+# sketches).
+_AMS_J = 32
+_AMS_SIGN = (
+    "CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||"
+    " CAST(user_id AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0"
+    " THEN 1 ELSE -1 END"
+)
+_AMS_SIGN_SPARK = (
+    "CASE WHEN CAST(conv(substr(md5(CAST(j AS STRING) || ':' ||"
+    " CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT) % 2 = 0"
+    " THEN 1 ELSE -1 END"
+)
+
+
+@register(
+    "ams_f2_sketch",
+    oracle=f"""
+    WITH freq AS (
+        SELECT user_id, COUNT(*) AS f
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    signs AS (
+        SELECT g.j, ({_AMS_SIGN}) * f AS term
+        FROM freq, generate_series(0, {_AMS_J - 1}) g(j)
+    ),
+    z AS (SELECT j, SUM(term) AS zj FROM signs GROUP BY j),
+    grp AS (
+        SELECT j % 8 AS grp, SUM(zj * zj) AS s4, COUNT(*) AS m
+        FROM z GROUP BY j % 8
+    ),
+    med AS (
+        SELECT quantile_cont(CAST(s4 AS DOUBLE) / m, 0.5) AS est FROM grp
+    ),
+    exact AS (SELECT SUM(f * f) AS f2, COUNT(*) AS n_users FROM freq)
+    SELECT CAST(e.n_users AS BIGINT) AS n_users,
+           CAST(e.f2 AS BIGINT) AS exact_f2,
+           ROUND(m.est, 6) AS ams_estimate,
+           ROUND(ABS(m.est - e.f2) / e.f2, 6) AS rel_error
+    FROM exact e, med m
+    """,
+)
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS sketch estimate of the second frequency moment F2 = Σ f_u² of
+    the user-activity stream (the self-join-size / repeat-rate statistic
+    that drives skew-aware join planning), alongside the exact value and
+    relative error.  32 ±1-sign estimators, median-of-8-means — the
+    textbook variance reduction.
+
+    Cross-engine exactness: signs are md5-parity (shared string logic),
+    each Z_j = Σ f_u·s_j(u) is an exact integer, Z² sums are exact, and
+    the median is quantile_cont over 8 exactly-equal doubles — Spark's
+    ``percentile`` computes the same interpolated midpoint.
+
+    Shape at 100 TB: frequencies first (one user-keyed partial agg), then
+    a ×32 fan-out over the DISTINCT-USER frame (never the raw stream) into
+    a 32-group aggregate — sketch state is 32 integers, mergeable by
+    addition, which is the whole point of AMS."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    freq = ev.groupBy("user_id").agg(F.count("*").alias("f"))
+    signs = freq.select(
+        F.explode(F.expr(f"sequence(0, {_AMS_J - 1})")).alias("j"),
+        "user_id",
+        "f",
+    ).selectExpr("j", f"({_AMS_SIGN_SPARK}) * f AS term")
+    z = signs.groupBy("j").agg(F.sum("term").alias("zj"))
+    grp = z.groupBy((F.col("j") % 8).alias("grp")).agg(
+        F.expr("SUM(zj * zj)").alias("s4"), F.count("*").alias("m")
+    )
+    med = grp.agg(
+        F.expr("percentile(CAST(s4 AS DOUBLE) / m, 0.5D)").alias("est")
+    )
+    exact = freq.agg(
+        F.expr("SUM(f * f)").alias("f2"), F.count("*").alias("n_users")
+    )
+    return exact.crossJoin(F.broadcast(med)).selectExpr(
+        "CAST(n_users AS BIGINT) AS n_users",
+        "CAST(f2 AS BIGINT) AS exact_f2",
+        "ROUND(est, 6) AS ams_estimate",
+        "ROUND(ABS(est - f2) / f2, 6) AS rel_error",
+    )

@@ -57,11 +57,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #                 claiming they were inside the window was wrong; they were
 #                 not).  Oldest-first until the 50-slot budget line.
 #                 WHERE THE LINE FALLS THIS ROUND: sections 1-3 hold
-#                 1 + 10 + 42 = 53 names — the 50-query window covers the
-#                 first 50; the last 3 round-5 builds (logreg_roc_auc,
-#                 logreg_threshold_sweep, graph_connected_components) plus
-#                 the stale-green re-proofs rotate to round 6 (the standing
-#                 ranking: never-checked outranks stale-green re-proofs);
+#                 1 + 10 + 48 = 59 names — the 50-query window covers
+#                 through logreg_calibration_bins; the 9 late-round builds
+#                 after it (logreg_roc_auc .. customer_gini_concentration)
+#                 plus the stale-green re-proofs rotate to round 6 (the
+#                 standing ranking: never-checked outranks stale-green
+#                 re-proofs);
 #                 `verify_driver.py --strict` recomputes this, don't trust
 #                 the comment alone.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -127,6 +128,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_cusum_changepoint",
     "ts_autocorrelation",
     "ols_kfold_cv",
+    "ams_f2_sketch",
+    "emb_pca_power_iteration",
+    "customer_gini_concentration",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

@@ -1140,3 +1140,88 @@ def test_ols_kfold_cv_beats_noise_and_matches_numpy_free_fit(spark, sf_dir):
         ssr = sum(round((y - (alpha + beta * x)) ** 2, 6) for x, y in data[f])
         rmse = (ssr / len(data[f])) ** 0.5
         assert abs(r.rmse - rmse) < max(1e-3, 1e-5 * rmse)
+
+
+def test_ams_f2_matches_driver_reference(spark, sf_dir):
+    """The AMS estimate must equal the driver-side recomputation (same md5
+    signs, same median-of-means), and exact_f2 must equal sum f^2."""
+    import hashlib
+    import statistics
+    from collections import Counter
+
+    row = QUERIES["ams_f2_sketch"](spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    freq = Counter(e.user_id for e in ev if e.user_id is not None)
+    exact = sum(f * f for f in freq.values())
+    assert row.exact_f2 == exact and row.n_users == len(freq)
+    z = [0] * 32
+    for u, f in freq.items():
+        for j in range(32):
+            h = hashlib.md5(f"{j}:{u}".encode()).hexdigest()
+            z[j] += f if int(h[0], 16) % 2 == 0 else -f
+    groups = [[z[j] ** 2 for j in range(32) if j % 8 == g] for g in range(8)]
+    est = statistics.median(sum(gr) / len(gr) for gr in groups)
+    assert abs(row.ams_estimate - est) < 1e-4
+    assert abs(row.rel_error - abs(est - exact) / exact) < 1e-5
+
+
+def test_pca_power_iteration_properties(spark, sf_dir):
+    """Loadings are unit-norm; the eigenvalue estimate matches a driver-side
+    numpy power iteration on the same 4-dp Gram; and the loadings align
+    with the numpy iterate (same fixed rounds) up to quantization noise."""
+    import numpy as np
+
+    out = sorted(
+        QUERIES["emb_pca_power_iteration"](spark, sf_dir).collect(),
+        key=lambda r: r.dim,
+    )
+    assert len(out) == 64
+    x_spark = np.array([r.loading for r in out])
+    lam_spark = out[0].eigenvalue
+    assert abs(np.linalg.norm(x_spark) - 1.0) < 1e-4
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    m = np.array(
+        [e.embedding for e in emb if e.embedding is not None and len(e.embedding) == 64],
+        dtype=np.float64,
+    )
+    g = np.round(m.T @ m, 4)
+    x = np.full(64, 0.125)
+    lam = None
+    prev_rq = -np.inf
+    for _ in range(8):
+        y = g @ x
+        lam = float(np.linalg.norm(y))
+        x = y / lam
+        rq = float(x @ g @ x)
+        assert rq >= prev_rq - 1e-6 * abs(rq)  # power-iteration certificate
+        prev_rq = rq
+    assert abs(lam_spark - lam) / lam < 1e-4
+    assert np.abs(x_spark - x).max() < 1e-4
+
+
+def test_gini_matches_driver_and_lorenz_is_convex(spark, sf_dir):
+    """Gini equals the exact driver-side rank formula, cumulative shares
+    are increasing and convex (sorted ascending ⇒ marginal decile shares
+    non-decreasing), and the final share is 1."""
+    from collections import defaultdict
+
+    out = sorted(
+        QUERIES["customer_gini_concentration"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    rev = defaultdict(float)
+    for o in orders:
+        rev[o.o_custkey] += float(o.o_totalprice)
+    xs = sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(xs)
+    tot = sum(v for _, v in xs)
+    sw = sum((i + 1) * v for i, (_, v) in enumerate(xs))
+    gini = 2 * sw / (n * tot) - (n + 1) / n
+    assert abs(out[0].gini - gini) < 1e-5
+    assert sum(r.n_customers for r in out) == n
+    shares = [r.cum_share for r in out]
+    assert all(b > a for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    marg = [shares[0]] + [b - a for a, b in zip(shares, shares[1:])]
+    assert all(b >= a - 1e-9 for a, b in zip(marg, marg[1:]))

@@ -410,6 +410,7 @@ BNLJ_ALLOWED = {
     "dedup_lsh_tuning_report": "broadcast sides = per-config 1-row true-pair count frames crossed into the 1-row candidate counts",
     "text_chi2_keyness": "broadcast side = 1-row corpus-half token totals",
     "survival_kaplan_meier": "broadcast side = 1-row observation-horizon (max ts) frame",
+    "ams_f2_sketch": "broadcast side = 1-row median-of-means estimate crossed into the 1-row exact count",
 }
 
 
