@@ -1117,3 +1117,334 @@ def ols_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(alpha, 6) AS alpha",
         "ROUND(sqrt(CAST(ssr AS DOUBLE) / n), 6) AS rmse",
     )
+
+
+# --- Rank / location two-sample tests ----------------------------------------
+#
+# Classical nonparametric + parametric two-sample tests over order totals,
+# BUILDING vs MACHINERY market segments.  Both are expressed so the heavy
+# math runs over DISTINCT VALUES (Mann-Whitney) or exact sufficient
+# statistics (Welch), never a global per-row sort — the 100 TB-safe
+# formulation.  Shared expression strings keep the final float algebra
+# bit-identical across engines (same trick as _CV_BETA above).
+_MW_U1 = "(r1 - ((n1 * (n1 + 1.0)) / 2.0))"
+_MW_N2 = "(n - n1)"
+_MW_SIGMA = (
+    f"sqrt((((n1 * {_MW_N2}) / 12.0)"
+    f" * ((n + 1.0) - (tiesum / NULLIF(n * (n - 1.0), 0.0)))))"
+)
+_MW_Z = (
+    f"(({_MW_U1} - ((n1 * {_MW_N2}) / 2.0)) / NULLIF({_MW_SIGMA}, 0.0))"
+)
+
+
+@register(
+    "stat_mannwhitney_u",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS grp,
+               o_totalprice AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          AND o_totalprice IS NOT NULL
+    ),
+    pv AS (
+        SELECT v, COUNT(*) AS t,
+               SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS t1
+        FROM obs GROUP BY v
+    ),
+    rk AS (
+        SELECT t, t1,
+               (CAST(SUM(t) OVER (ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS DOUBLE)
+                - t) + ((t + 1.0) / 2.0) AS r
+        FROM pv
+    ),
+    s AS (
+        SELECT CAST(SUM(t1) AS DOUBLE) AS n1,
+               CAST(SUM(t) AS DOUBLE) AS n,
+               CAST(SUM(CAST(t1 * r AS DECIMAL(38,1))) AS DOUBLE) AS r1,
+               CAST(SUM(t * t * t - t) AS DOUBLE) AS tiesum
+        FROM rk
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_building,
+           CAST({_MW_N2} AS BIGINT) AS n_machinery,
+           ROUND(r1, 1) AS rank_sum_building,
+           ROUND({_MW_U1}, 1) AS u_building,
+           ROUND(((n1 * {_MW_N2}) - {_MW_U1}), 1) AS u_machinery,
+           ROUND({_MW_Z}, 6) AS z_score
+    FROM s
+    """,
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do BUILDING and MACHINERY
+    customers draw order totals from the same distribution?  Average ranks
+    with the standard tie correction; z is the normal approximation
+    (no continuity correction, documented).
+
+    The rank pass is the DISTRIBUTED formulation: ranks depend only on the
+    value, so the engine aggregates per DISTINCT value first (map-side
+    combined) and runs the one cumulative window over the distinct-value
+    frame — bounded by price-grid cardinality, not row count.  Rank sums
+    are exact (average ranks are halves → DECIMAL(38,1)); the z algebra is
+    a shared expression string, bit-identical cross-engine.
+
+    At 100 TB the distinct-value frame is still the small side; if it ever
+    is not, the cumulative sum segments by range partition with carried
+    offsets (two passes) — the arithmetic is unchanged."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("o_totalprice").isNotNull()
+        )
+        .selectExpr(
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS grp",
+            "o_totalprice AS v",
+        )
+    )
+    pv = obs.groupBy("v").agg(
+        F.count("*").alias("t"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END")).alias("t1"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rk = pv.select(
+        "t",
+        "t1",
+        (
+            (F.sum("t").over(w_cum).cast("double") - F.col("t"))
+            + (F.col("t") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("r"),
+    )
+    s = rk.agg(
+        F.sum("t1").cast("double").alias("n1"),
+        F.sum("t").cast("double").alias("n"),
+        F.sum(F.expr("CAST(t1 * r AS DECIMAL(38,1))")).cast("double").alias("r1"),
+        F.sum(F.expr("t * t * t - t")).cast("double").alias("tiesum"),
+    )
+    return s.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_building",
+        f"CAST({_MW_N2} AS BIGINT) AS n_machinery",
+        "ROUND(r1, 1) AS rank_sum_building",
+        f"ROUND({_MW_U1}, 1) AS u_building",
+        f"ROUND(((n1 * {_MW_N2}) - {_MW_U1}), 1) AS u_machinery",
+        f"ROUND({_MW_Z}, 6) AS z_score",
+    )
+
+
+# Welch's t: the shared float algebra over the pivoted sufficient statistics.
+_WT_M1 = "(sx1 / n1)"
+_WT_M2 = "(sx2 / n2)"
+_WT_V1 = "((sxx1 - ((sx1 * sx1) / n1)) / (n1 - 1.0))"
+_WT_V2 = "((sxx2 - ((sx2 * sx2) / n2)) / (n2 - 1.0))"
+_WT_SE1 = f"({_WT_V1} / n1)"
+_WT_SE2 = f"({_WT_V2} / n2)"
+_WT_T = f"(({_WT_M1} - {_WT_M2}) / NULLIF(sqrt({_WT_SE1} + {_WT_SE2}), 0.0))"
+_WT_DF = (
+    f"((({_WT_SE1} + {_WT_SE2}) * ({_WT_SE1} + {_WT_SE2}))"
+    f" / NULLIF((({_WT_SE1} * {_WT_SE1}) / (n1 - 1.0))"
+    f" + (({_WT_SE2} * {_WT_SE2}) / (n2 - 1.0)), 0.0))"
+)
+
+
+@register(
+    "stat_welch_ttest",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS grp,
+               o_totalprice AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          AND o_totalprice IS NOT NULL
+    ),
+    per AS (
+        SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        FROM obs GROUP BY grp
+    ),
+    piv AS (
+        SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n1,
+               MAX(CASE WHEN grp = 0 THEN sx END) AS sx1,
+               MAX(CASE WHEN grp = 0 THEN sxx END) AS sxx1,
+               MAX(CASE WHEN grp = 1 THEN n END) AS n2,
+               MAX(CASE WHEN grp = 1 THEN sx END) AS sx2,
+               MAX(CASE WHEN grp = 1 THEN sxx END) AS sxx2
+        FROM per
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_building,
+           CAST(n2 AS BIGINT) AS n_machinery,
+           ROUND({_WT_M1}, 6) AS mean_building,
+           ROUND({_WT_M2}, 6) AS mean_machinery,
+           ROUND({_WT_T}, 6) AS t_stat,
+           ROUND({_WT_DF}, 6) AS welch_df
+    FROM piv
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on mean order total, BUILDING vs
+    MACHINERY — the parametric partner of `stat_mannwhitney_u`, with the
+    Welch-Satterthwaite effective degrees of freedom.
+
+    One map-side-combined aggregation produces exact decimal sufficient
+    statistics per group (Σx exact at 2 dp; Σx² rides the same
+    cross-engine-identical DECIMAL(38,12) cast as `ols_kfold_cv`); the
+    pivot to one row and the t/df algebra are shared expression strings —
+    bit-identical across engines, constant driver state.  Scale cost: one
+    scan, two groups."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("o_totalprice").isNotNull()
+        )
+        .selectExpr(
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS grp",
+            "o_totalprice AS v",
+        )
+    )
+    per = obs.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.expr("CAST(v AS DECIMAL(24,6))")).cast("double").alias("sx"),
+        F.sum(F.expr("CAST(v * v AS DECIMAL(38,12))")).cast("double").alias("sxx"),
+    )
+    piv = per.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("grp") == 0, F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 1, F.col("sx"))).alias("sx2"),
+        F.max(F.when(F.col("grp") == 1, F.col("sxx"))).alias("sxx2"),
+    )
+    return piv.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_building",
+        "CAST(n2 AS BIGINT) AS n_machinery",
+        f"ROUND({_WT_M1}, 6) AS mean_building",
+        f"ROUND({_WT_M2}, 6) AS mean_machinery",
+        f"ROUND({_WT_T}, 6) AS t_stat",
+        f"ROUND({_WT_DF}, 6) AS welch_df",
+    )
+
+
+# Spearman: Pearson over average ranks; all rank sums exact decimals.
+_SP_RHO = (
+    "(((n * srxy) - (srx * sry))"
+    " / NULLIF(sqrt((n * sxx) - (srx * srx))"
+    " * sqrt((n * syy) - (sry * sry)), 0.0))"
+)
+
+
+@register(
+    "stat_spearman_corr",
+    oracle=f"""
+    WITH obs AS (
+        SELECT l_returnflag AS flag, l_quantity AS x, l_extendedprice AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    rx AS (
+        SELECT flag, x,
+               (CAST(SUM(t) OVER (PARTITION BY flag ORDER BY x
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS DOUBLE)
+                - t) + ((t + 1.0) / 2.0) AS rnk
+        FROM (SELECT flag, x, COUNT(*) AS t FROM obs GROUP BY flag, x)
+    ),
+    ry AS (
+        SELECT flag, y,
+               (CAST(SUM(t) OVER (PARTITION BY flag ORDER BY y
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS DOUBLE)
+                - t) + ((t + 1.0) / 2.0) AS rnk
+        FROM (SELECT flag, y, COUNT(*) AS t FROM obs GROUP BY flag, y)
+    ),
+    ranked AS (
+        SELECT o.flag, rx.rnk AS rxv, ry.rnk AS ryv
+        FROM obs o
+        JOIN rx ON rx.flag = o.flag AND rx.x = o.x
+        JOIN ry ON ry.flag = o.flag AND ry.y = o.y
+    ),
+    s AS (
+        SELECT flag, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(rxv AS DECIMAL(38,1))) AS DOUBLE) AS srx,
+               CAST(SUM(CAST(ryv AS DECIMAL(38,1))) AS DOUBLE) AS sry,
+               CAST(SUM(CAST(ROUND(rxv * ryv, 2) AS DECIMAL(38,2))) AS DOUBLE)
+                   AS srxy,
+               CAST(SUM(CAST(ROUND(rxv * rxv, 2) AS DECIMAL(38,2))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(ROUND(ryv * ryv, 2) AS DECIMAL(38,2))) AS DOUBLE)
+                   AS syy
+        FROM ranked GROUP BY flag
+    )
+    SELECT flag AS l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND({_SP_RHO}, 6) AS spearman_rho
+    FROM s
+    """,
+)
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price, per
+    return flag — the monotone-association screen that is robust where
+    Pearson (see `stat_corr_matrix`) is distorted by heavy tails.
+
+    Ranks are average ranks computed over DISTINCT (flag, value) pairs
+    (tie-correct by construction) and joined back by equi-join — no global
+    per-row sort anywhere.  Rank sums are exact (halves → DECIMAL(38,1);
+    rank products are quarters → ROUND 2 → DECIMAL(38,2)), so the Pearson
+    formula over ranks runs once over exact operands via a shared
+    expression string.
+
+    At 100 TB: two distinct-value aggregations (map-side combined), two
+    per-group cumulative windows over distinct-value frames, two uniform
+    equi-joins back — the quantity rank map is tiny (integer grid) and the
+    price map is bounded by the price grid, both far below row count."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).selectExpr("l_returnflag AS flag", "l_quantity AS x", "l_extendedprice AS y")
+
+    def rank_map(col: str) -> DataFrame:
+        pv = obs.groupBy("flag", col).agg(F.count("*").alias("t"))
+        w_cum = (
+            Window.partitionBy("flag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return pv.select(
+            "flag",
+            col,
+            (
+                (F.sum("t").over(w_cum).cast("double") - F.col("t"))
+                + (F.col("t") + F.lit(1.0)) / F.lit(2.0)
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = obs.join(rank_map("x"), ["flag", "x"]).join(rank_map("y"), ["flag", "y"])
+    s = ranked.groupBy("flag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.expr("CAST(r_x AS DECIMAL(38,1))")).cast("double").alias("srx"),
+        F.sum(F.expr("CAST(r_y AS DECIMAL(38,1))")).cast("double").alias("sry"),
+        F.sum(F.expr("CAST(ROUND(r_x * r_y, 2) AS DECIMAL(38,2))"))
+        .cast("double")
+        .alias("srxy"),
+        F.sum(F.expr("CAST(ROUND(r_x * r_x, 2) AS DECIMAL(38,2))"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(ROUND(r_y * r_y, 2) AS DECIMAL(38,2))"))
+        .cast("double")
+        .alias("syy"),
+    )
+    return s.selectExpr(
+        "flag AS l_returnflag",
+        "CAST(n AS BIGINT) AS n_rows",
+        f"ROUND({_SP_RHO}, 6) AS spearman_rho",
+    )

@@ -131,6 +131,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ams_f2_sketch",
     "emb_pca_power_iteration",
     "customer_gini_concentration",
+    "stat_mannwhitney_u",
+    "stat_welch_ttest",
+    "stat_spearman_corr",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

@@ -1225,3 +1225,122 @@ def test_gini_matches_driver_and_lorenz_is_convex(spark, sf_dir):
     assert abs(shares[-1] - 1.0) < 1e-6
     marg = [shares[0]] + [b - a for a, b in zip(shares, shares[1:])]
     assert all(b >= a - 1e-9 for a, b in zip(marg, marg[1:]))
+
+
+def test_mannwhitney_matches_scipy_free_ground_truth(spark, sf_dir):
+    """Recompute U and z from raw rows with a plain-Python average-rank
+    pass (independent of both engines' window machinery)."""
+    out = QUERIES["stat_mannwhitney_u"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    c = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    vals = [
+        (0 if c[r.o_custkey] == "BUILDING" else 1, r.o_totalprice)
+        for r in o
+        if r.o_totalprice is not None
+        and c.get(r.o_custkey) in ("BUILDING", "MACHINERY")
+    ]
+    vals.sort(key=lambda t: t[1])
+    n = len(vals)
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    tiesum = 0.0
+    while i < n:
+        j = i
+        while j < n and vals[j][1] == vals[i][1]:
+            j += 1
+        t = j - i
+        ranks[vals[i][1]] = (i + 1 + j) / 2.0
+        tiesum += t**3 - t
+        i = j
+    r1 = sum(ranks[v] for g, v in vals if g == 0)
+    n1 = sum(1 for g, v in vals if g == 0)
+    n2 = n - n1
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert row.n_building == n1 and row.n_machinery == n2
+    assert abs(row.rank_sum_building - r1) < 1e-6
+    assert abs(row.u_building - u1) < 1e-6
+    assert abs(row.u_building + row.u_machinery - n1 * n2) < 1e-6
+    sigma = math.sqrt(n1 * n2 / 12.0 * ((n + 1) - tiesum / (n * (n - 1))))
+    z = (u1 - n1 * n2 / 2.0) / sigma
+    assert abs(row.z_score - z) < 1e-5
+
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    """t and the Welch-Satterthwaite df recomputed with numpy sample stats."""
+    out = QUERIES["stat_welch_ttest"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    c = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    a = np.array(
+        [
+            r.o_totalprice
+            for r in o
+            if r.o_totalprice is not None and c.get(r.o_custkey) == "BUILDING"
+        ]
+    )
+    b = np.array(
+        [
+            r.o_totalprice
+            for r in o
+            if r.o_totalprice is not None and c.get(r.o_custkey) == "MACHINERY"
+        ]
+    )
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se = v1 / len(a) + v2 / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se)
+    df = se**2 / ((v1 / len(a)) ** 2 / (len(a) - 1) + (v2 / len(b)) ** 2 / (len(b) - 1))
+    assert row.n_building == len(a) and row.n_machinery == len(b)
+    assert abs(row.mean_building - a.mean()) < 1e-4
+    assert abs(row.t_stat - t) < 1e-5
+    assert abs(row.welch_df - df) < 1e-3
+
+
+def test_spearman_bounds_and_ground_truth(spark, sf_dir):
+    """rho in [-1, 1] per flag; one flag recomputed with a plain-Python
+    average-rank Pearson (scipy-free)."""
+    rows = {r.l_returnflag: r for r in QUERIES["stat_spearman_corr"](spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    flag = sorted(rows)[0]
+    xy = [
+        (r.l_quantity, r.l_extendedprice)
+        for r in li
+        if r.l_returnflag == flag
+        and r.l_quantity is not None
+        and r.l_extendedprice is not None
+    ]
+
+    def avg_ranks(vs):
+        s = sorted(vs)
+        pos = {}
+        i = 0
+        while i < len(s):
+            j = i
+            while j < len(s) and s[j] == s[i]:
+                j += 1
+            pos[s[i]] = (i + 1 + j) / 2.0
+            i = j
+        return [pos[v] for v in vs]
+
+    rx = avg_ranks([x for x, _ in xy])
+    ry = avg_ranks([y for _, y in xy])
+    n = len(xy)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    rho = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(rows[flag].spearman_rho - rho) < 1e-5
