@@ -386,3 +386,118 @@ def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_null",
         (F.col("n_null").cast("double") / F.greatest("n_rows", F.lit(1))).alias("null_frac"),
     )
+
+
+# PSI shared algebra: Laplace-smoothed bin shares and the drift term, written
+# once so both engines evaluate the identical double expression tree.
+_PSI_PA = "((na + 0.5) / (tot_a + 5.0))"
+_PSI_PB = "((nb + 0.5) / (tot_b + 5.0))"
+_PSI_TERM = f"(({_PSI_PB} - {_PSI_PA}) * ln({_PSI_PB} / {_PSI_PA}))"
+
+
+@register(
+    "dq_psi_drift",
+    oracle=f"""
+    WITH obs AS (
+        SELECT epoch(o_orderdate) AS e, o_totalprice AS v
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    bounds AS (
+        SELECT CAST(MIN(e) AS DOUBLE) AS e_lo, CAST(MAX(e) AS DOUBLE) AS e_hi,
+               MIN(v) AS v_lo, MAX(v) AS v_hi
+        FROM obs
+    ),
+    binned AS (
+        SELECT CASE WHEN (2.0 * e) <= (e_lo + e_hi) THEN 0 ELSE 1 END AS period,
+               LEAST(9, CAST(FLOOR((v - v_lo)
+                   / NULLIF((v_hi - v_lo) / 10.0, 0.0)) AS INT)) AS bin
+        FROM obs, bounds
+    ),
+    cnt AS (
+        SELECT bin,
+               SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS nb
+        FROM binned GROUP BY bin
+    ),
+    sh AS (
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+               CAST(SUM(na) OVER () AS DOUBLE) AS tot_a,
+               CAST(SUM(nb) OVER () AS DOUBLE) AS tot_b
+        FROM cnt
+    ),
+    terms AS (
+        SELECT bin, na, nb,
+               ROUND({_PSI_PA}, 6) AS p_a,
+               ROUND({_PSI_PB}, 6) AS p_b,
+               CAST(ROUND({_PSI_TERM}, 9) AS DECIMAL(38,9)) AS term
+        FROM sh
+    )
+    SELECT bin, CAST(na AS BIGINT) AS n_first_half,
+           CAST(nb AS BIGINT) AS n_second_half,
+           p_a, p_b,
+           ROUND(CAST(term AS DOUBLE), 6) AS psi_term,
+           ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS psi_total
+    FROM terms
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-total distribution, first
+    calendar half vs second calendar half — the standard feature-drift
+    monitor an ML serving pipeline runs per feature per day (PSI > 0.2 =
+    investigate).  Ten equal-width bins over the global value range;
+    Laplace smoothing (+0.5/bin) keeps the log finite for empty bins.
+
+    Shape: one scan builds exact per-(period, bin) counts (map-side
+    combined, 20 groups); the global min/max ride a broadcast 1-row frame;
+    shares, PSI terms, and the total are closed-form algebra over the
+    20-group frame via shared expression strings (per-term quantization →
+    DECIMAL so the total is order-independent).  At 100 TB the scan is the
+    whole cost — the drift math is constant-size."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).selectExpr("CAST(unix_timestamp(o_orderdate) AS DOUBLE) AS e", "o_totalprice AS v")
+    bounds = obs.agg(
+        F.min("e").alias("e_lo"),
+        F.max("e").alias("e_hi"),
+        F.min("v").alias("v_lo"),
+        F.max("v").alias("v_hi"),
+    )
+    binned = obs.crossJoin(F.broadcast(bounds)).selectExpr(
+        "CASE WHEN (2.0 * e) <= (e_lo + e_hi) THEN 0 ELSE 1 END AS period",
+        "LEAST(9, CAST(FLOOR((v - v_lo) / NULLIF((v_hi - v_lo) / 10.0, 0.0)) AS INT))"
+        " AS bin",
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.expr("CASE WHEN period = 0 THEN 1 ELSE 0 END")).alias("na"),
+        F.sum(F.expr("CASE WHEN period = 1 THEN 1 ELSE 0 END")).alias("nb"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sh = cnt.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("na").cast("double").alias("na"),
+        F.col("nb").cast("double").alias("nb"),
+        F.sum("na").over(w_all).cast("double").alias("tot_a"),
+        F.sum("nb").over(w_all).cast("double").alias("tot_b"),
+    )
+    terms = sh.selectExpr(
+        "bin",
+        "na",
+        "nb",
+        f"ROUND({_PSI_PA}, 6) AS p_a",
+        f"ROUND({_PSI_PB}, 6) AS p_b",
+        f"CAST(ROUND({_PSI_TERM}, 9) AS DECIMAL(38,9)) AS term",
+    )
+    return terms.select(
+        "bin",
+        F.col("na").cast("bigint").alias("n_first_half"),
+        F.col("nb").cast("bigint").alias("n_second_half"),
+        "p_a",
+        "p_b",
+        F.round(F.col("term").cast("double"), 6).alias("psi_term"),
+        F.round(F.sum("term").over(w_all).cast("double"), 6).alias("psi_total"),
+    )

@@ -2897,3 +2897,179 @@ def text_chi2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(chi2, 6) AS chi2",
         )
     )
+
+
+# Jensen-Shannon per-term contribution over (p, q, m) columns — shared by
+# both engines so the double trees are identical.  0·ln0 terms are dropped
+# by the CASE arms (standard JSD convention).
+_JS_TERM = (
+    "((0.5 * (CASE WHEN p > 0.0 THEN p * ln(p / m) ELSE 0.0 END))"
+    " + (0.5 * (CASE WHEN q > 0.0 THEN q * ln(q / m) ELSE 0.0 END)))"
+)
+
+
+@register(
+    "corpus_js_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents WHERE lang IS NOT NULL
+    ),
+    cnts AS (SELECT lang, word, COUNT(*) AS c FROM tok GROUP BY lang, word),
+    en AS (SELECT word, CAST(c AS DOUBLE) AS ce FROM cnts WHERE lang = 'en'),
+    oth AS (SELECT lang, word, CAST(c AS DOUBLE) AS cl
+            FROM cnts WHERE lang <> 'en'),
+    langs AS (SELECT DISTINCT lang FROM oth),
+    lt AS (SELECT lang, SUM(cl) AS nl FROM oth GROUP BY lang),
+    et AS (SELECT SUM(ce) AS ne FROM en),
+    merged AS (
+        SELECT o.lang, o.word, o.cl, COALESCE(e.ce, 0.0) AS ce
+        FROM oth o LEFT JOIN en e USING (word)
+        UNION ALL
+        SELECT l.lang, e.word, 0.0 AS cl, e.ce
+        FROM langs l CROSS JOIN en e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM oth o WHERE o.lang = l.lang AND o.word = e.word
+        )
+    ),
+    pq AS (
+        SELECT m.lang, (m.cl / lt.nl) AS p, (m.ce / et.ne) AS q
+        FROM merged m JOIN lt USING (lang), et
+    ),
+    terms AS (
+        SELECT lang,
+               CAST(ROUND({_JS_TERM}, 12) AS DECIMAL(38,12)) AS term
+        FROM (SELECT lang, p, q, ((p + q) / 2.0) AS m FROM pq)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_union_vocab,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS jsd_nats,
+           ROUND(CAST(SUM(term) AS DOUBLE) / ln(2.0), 6) AS jsd_bits
+    FROM terms GROUP BY lang
+    """,
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each language's unigram
+    distribution and the English reference distribution — the corpus-drift
+    / domain-shift monitor a training pipeline runs when a new ingest
+    batch lands (JSD is symmetric and bounded by ln 2, unlike KL).
+
+    The union vocabulary per language pair is built RELATIONALLY: lang-side
+    words left-join the reference counts, and reference-only words arrive
+    via a (distinct-languages × reference-vocab) spine anti-joined against
+    the lang side — never an all-pairs product over documents.  Per-term
+    contributions are quantized (ROUND 12 → DECIMAL(38,12)) so each
+    language's sum is exact and order-independent.
+
+    At 100 TB: token counting is the only data-sized pass (map-side
+    combined on uniform (lang, word) keys); everything after runs over
+    vocabulary-sized frames.  The language spine is a bounded broadcast
+    (the language inventory), vetted in BNLJ_ALLOWED."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.col("lang").isNotNull()).select(
+        "lang", F.explode(tokenize_column("text")).alias("word")
+    )
+    cnts = tok.groupBy("lang", "word").agg(F.count("*").alias("c"))
+    en = (
+        cnts.filter(F.col("lang") == "en")
+        .selectExpr("word", "CAST(c AS DOUBLE) AS ce")
+        .persist()
+    )
+    oth = cnts.filter(F.col("lang") != "en").selectExpr(
+        "lang", "word", "CAST(c AS DOUBLE) AS cl"
+    ).persist()
+    langs = oth.select("lang").distinct()
+    lt = oth.groupBy("lang").agg(F.sum("cl").alias("nl"))
+    et = en.agg(F.sum("ce").alias("ne"))
+    left = oth.join(en, "word", "left").select(
+        "lang", "word", "cl", F.coalesce("ce", F.lit(0.0)).alias("ce")
+    )
+    right = (
+        F.broadcast(langs)
+        .crossJoin(en)
+        .join(oth.select("lang", "word"), ["lang", "word"], "left_anti")
+        .select("lang", "word", F.lit(0.0).alias("cl"), "ce")
+    )
+    merged = left.unionByName(right)
+    pq = (
+        merged.join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(et))
+        .selectExpr("lang", "(cl / nl) AS p", "(ce / ne) AS q")
+    )
+    terms = pq.selectExpr("lang", "p", "q", "((p + q) / 2.0) AS m").selectExpr(
+        "lang", f"CAST(ROUND({_JS_TERM}, 12) AS DECIMAL(38,12)) AS term"
+    )
+    return terms.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_union_vocab"),
+        F.round(F.sum("term").cast("double"), 6).alias("jsd_nats"),
+        F.round(F.sum("term").cast("double") / float(__import__("math").log(2.0)), 6).alias(
+            "jsd_bits"
+        ),
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w
+        FROM documents
+    ),
+    tri AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+        FROM tok, unnest(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM tri GROUP BY g)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_trigrams,
+           CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty_frac
+    FROM tri t JOIN first_seen f USING (g)
+    GROUP BY t.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram NOVELTY: the fraction of a document's distinct
+    token 3-grams that appear for the FIRST time at that document (by
+    doc_id order) — the contribution curve a data-curation pipeline uses
+    to decide when additional scraping of a source stops adding
+    information (novelty decays toward the duplication floor).
+
+    Two shuffles, both on uniform trigram text keys: distinct (doc, gram),
+    then gram → min(doc_id) joined back.  No state wider than one
+    aggregation row; at 100 TB the gram dictionary is the large side and
+    both passes stay equi-partitioned on it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_column("text").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    n_tri = F.size("w") - 2
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n_tri),
+                F.zip_with(
+                    F.slice("w", 2, n_tri),
+                    F.slice("w", 3, n_tri),
+                    lambda b, c: F.concat_ws(" ", b, c),
+                ),
+                lambda a, bc: F.concat_ws(" ", a, bc),
+            )
+        ).alias("g"),
+    ).distinct()
+    first_seen = tri.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.expr("CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END"))
+    return (
+        tri.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_trigrams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty_frac"),
+        )
+    )

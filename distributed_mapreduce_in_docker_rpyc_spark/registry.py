@@ -134,6 +134,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stat_mannwhitney_u",
     "stat_welch_ttest",
     "stat_spearman_corr",
+    "dq_psi_drift",
+    "corpus_js_divergence",
+    "text_ngram_novelty",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

@@ -572,3 +572,100 @@ def test_wav_energy_matches_python(spark, sf_dir):
         peak = max(range(len(frames)), key=lambda i: (frames[i], -i))
         assert got.peak_frame_idx == peak
         assert got.peak_frame_energy == frames[peak]
+
+
+def test_psi_drift_ground_truth(spark, sf_dir):
+    """PSI recomputed from raw orders with a plain-Python binning pass;
+    psi_total is identical on every row and matches the term sum."""
+    import math as _math
+
+    rows = sorted(QUERIES["dq_psi_drift"](spark, sf_dir).collect(), key=lambda r: r.bin)
+    assert rows
+    totals = {r.psi_total for r in rows}
+    assert len(totals) == 1
+    o = [
+        (r.o_orderdate.timestamp(), r.o_totalprice)
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+        if r.o_orderdate is not None and r.o_totalprice is not None
+    ]
+    e_lo, e_hi = min(e for e, _ in o), max(e for e, _ in o)
+    v_lo, v_hi = min(v for _, v in o), max(v for _, v in o)
+    width = (v_hi - v_lo) / 10.0
+    na = [0] * 10
+    nb = [0] * 10
+    for e, v in o:
+        b = min(9, int((v - v_lo) // width))
+        (na if 2.0 * e <= e_lo + e_hi else nb)[b] += 1
+    ta, tb = sum(na), sum(nb)
+    psi = 0.0
+    for b in range(10):
+        pa = (na[b] + 0.5) / (ta + 5.0)
+        pb = (nb[b] + 0.5) / (tb + 5.0)
+        psi += (pb - pa) * _math.log(pb / pa)
+    by_bin = {r.bin: r for r in rows}
+    for b in range(10):
+        if na[b] or nb[b]:
+            assert by_bin[b].n_first_half == na[b]
+            assert by_bin[b].n_second_half == nb[b]
+    assert abs(rows[0].psi_total - psi) < 1e-5
+    assert abs(sum(r.psi_term for r in rows) - psi) < 1e-4
+
+
+def test_js_divergence_ground_truth_and_bounds(spark, sf_dir):
+    """JSD bounded by ln 2; one language recomputed with Counter arithmetic."""
+    import math as _math
+    import re
+    from collections import Counter
+
+    rows = {r.lang: r for r in QUERIES["corpus_js_divergence"](spark, sf_dir).collect()}
+    assert rows and "en" not in rows
+    for r in rows.values():
+        assert -1e-9 <= r.jsd_nats <= _math.log(2.0) + 1e-9
+        assert abs(r.jsd_bits - r.jsd_nats / _math.log(2.0)) < 1e-5
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tok = re.compile(r"[a-z']+")
+    lang = sorted(rows)[0]
+    cl, ce = Counter(), Counter()
+    for d in docs:
+        if d.lang == lang:
+            cl.update(tok.findall(d.text.lower()))
+        elif d.lang == "en":
+            ce.update(tok.findall(d.text.lower()))
+    nl, ne = sum(cl.values()), sum(ce.values())
+    jsd = 0.0
+    for w in set(cl) | set(ce):
+        p, q = cl[w] / nl, ce[w] / ne
+        m = (p + q) / 2.0
+        if p > 0:
+            jsd += 0.5 * p * _math.log(p / m)
+        if q > 0:
+            jsd += 0.5 * q * _math.log(q / m)
+    assert rows[lang].n_union_vocab == len(set(cl) | set(ce))
+    assert abs(rows[lang].jsd_nats - jsd) < 1e-5
+
+
+def test_ngram_novelty_conservation(spark, sf_dir):
+    """The earliest document is 100% novel, and Σ n_novel over docs equals
+    the corpus's total distinct-trigram count (each gram is novel exactly
+    once)."""
+    import re
+
+    rows = sorted(
+        QUERIES["text_ngram_novelty"](spark, sf_dir).collect(), key=lambda r: r.doc_id
+    )
+    assert rows
+    assert rows[0].novelty_frac == 1.0
+    for r in rows:
+        assert 0.0 <= r.novelty_frac <= 1.0
+        assert 0 <= r.n_novel <= r.n_distinct_trigrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tok = re.compile(r"[a-z']+")
+    all_grams = set()
+    for d in docs:
+        w = tok.findall(d.text.lower())
+        all_grams.update(
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        )
+    assert sum(r.n_novel for r in rows) == len(all_grams)

@@ -411,6 +411,8 @@ BNLJ_ALLOWED = {
     "text_chi2_keyness": "broadcast side = 1-row corpus-half token totals",
     "survival_kaplan_meier": "broadcast side = 1-row observation-horizon (max ts) frame",
     "ams_f2_sketch": "broadcast side = 1-row median-of-means estimate crossed into the 1-row exact count",
+    "dq_psi_drift": "broadcast side = 1-row global (date, value) min/max bounds frame",
+    "corpus_js_divergence": "broadcast sides = distinct language codes (bounded inventory) and 1-row reference token total",
 }
 
 
