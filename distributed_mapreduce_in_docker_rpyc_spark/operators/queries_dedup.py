@@ -969,3 +969,120 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rep in reports[1:]:
         out = out.unionAll(rep)
     return out
+
+
+@register(
+    "dedup_winnowing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS t
+        FROM documents
+    ),
+    kg AS (
+        SELECT doc_id, g.i AS i,
+               CAST('0x' || substr(md5(array_to_string(t[g.i:g.i+3], ' ')), 1, 8)
+                    AS BIGINT) AS h
+        FROM toks, unnest(generate_series(1, len(t) - 3)) AS g(i)
+        WHERE len(t) >= 4
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+        FROM kg
+    ),
+    dfc AS (SELECT fp, COUNT(*) AS c FROM sel GROUP BY fp),
+    capped AS (
+        SELECT s.doc_id, s.fp FROM sel s JOIN dfc USING (fp) WHERE dfc.c <= 50
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM capped GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM capped a JOIN capped b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(sa.n_fp AS BIGINT) AS n_fp_a, CAST(sb.n_fp AS BIGINT) AS n_fp_b,
+           ROUND(CAST(p.n_shared AS DOUBLE) / LEAST(sa.n_fp, sb.n_fp), 6)
+               AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.n_shared >= 3
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup pairs (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003, the MOSS scheme): hash every token 4-gram, slide a
+    5-position window per document, keep each window's minimum hash as a
+    fingerprint (tail-inclusive: shrinking end-of-document windows are
+    kept, identically in both engines), then pair documents sharing >= 3
+    fingerprints with a containment score over the smaller set.
+
+    Winnowing guarantees any shared run of >= 8 tokens yields at least one
+    shared fingerprint while sampling only ~1/5 of the k-gram stream — the
+    local-similarity complement to whole-document MinHash
+    (`dedup_minhash_lsh`).
+
+    Scale posture: fingerprinting is embarrassingly per-document (one
+    window over positions WITHIN each doc — partitioned, never global);
+    the pair step is the same DF-capped shared-key equi-join as
+    `dedup_ngram_jaccard` (hot fingerprints with document frequency > 50
+    dropped from both sides and the oracle), so per-key fan-out is bounded
+    and the plan never goes all-pairs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", dd.tokenize_column("text").alias("t")).filter(
+        F.size("t") >= 4
+    )
+    n_kg = F.size("t") - 3
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.zip_with(
+                    F.slice("t", 1, n_kg),
+                    F.slice("t", 2, n_kg),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+                F.zip_with(
+                    F.slice("t", 3, n_kg),
+                    F.slice("t", 4, n_kg),
+                    lambda c, d: F.concat_ws(" ", c, d),
+                ),
+                lambda ab, cd: F.concat_ws(" ", ab, cd),
+            )
+        ).alias("pos", "g"),
+    )
+    kg = grams.selectExpr(
+        "doc_id",
+        "pos + 1 AS i",
+        "CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT) AS h",
+    )
+    w_win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 4)
+    sel = kg.select("doc_id", F.min("h").over(w_win).alias("fp")).distinct()
+    dfc = sel.groupBy("fp").agg(F.count("*").alias("c"))
+    capped = sel.join(dfc.filter(F.col("c") <= 50).select("fp"), "fp").persist()
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = capped.selectExpr("doc_id AS doc_a", "fp")
+    b = capped.selectExpr("doc_id AS doc_b", "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    return (
+        pairs.join(sizes.selectExpr("doc_id AS doc_a", "n_fp AS n_fp_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "n_fp AS n_fp_b"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(n_shared AS BIGINT) AS n_shared",
+            "CAST(n_fp_a AS BIGINT) AS n_fp_a",
+            "CAST(n_fp_b AS BIGINT) AS n_fp_b",
+            "ROUND(CAST(n_shared AS DOUBLE) / LEAST(n_fp_a, n_fp_b), 6) AS containment",
+        )
+    )

@@ -137,6 +137,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_psi_drift",
     "corpus_js_divergence",
     "text_ngram_novelty",
+    "dedup_winnowing",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

@@ -669,3 +669,41 @@ def test_ngram_novelty_conservation(spark, sf_dir):
             " ".join(w[i : i + 3]) for i in range(len(w) - 2)
         )
     assert sum(r.n_novel for r in rows) == len(all_grams)
+
+
+def test_winnowing_pairs_ground_truth(spark, sf_dir):
+    """Full winnowing pipeline (4-gram md5 hashes, 5-window tail-inclusive
+    minima, DF<=50 cap, >=3 shared) recomputed in plain Python."""
+    import re
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tok = re.compile(r"[a-z']+")
+    fps = {}
+    for d in docs:
+        t = tok.findall(d.text.lower())
+        if len(t) < 4:
+            continue
+        hs = [
+            int(hashlib.md5(" ".join(t[i : i + 4]).encode()).hexdigest()[:8], 16)
+            for i in range(len(t) - 3)
+        ]
+        fps[d.doc_id] = {min(hs[i : i + 5]) for i in range(len(hs))}
+    df = Counter(fp for s in fps.values() for fp in s)
+    capped = {doc: {fp for fp in s if df[fp] <= 50} for doc, s in fps.items()}
+    expected = {}
+    ids = sorted(capped)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(capped[a] & capped[b])
+            if shared >= 3:
+                expected[(a, b)] = shared
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in QUERIES["dedup_winnowing"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for (a, b), r in got.items():
+        assert r.n_shared == expected[(a, b)]
+        assert r.n_fp_a == len(capped[a]) and r.n_fp_b == len(capped[b])
+        assert abs(r.containment - r.n_shared / min(r.n_fp_a, r.n_fp_b)) < 1e-6
