@@ -1448,3 +1448,124 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n_rows",
         f"ROUND({_SP_RHO}, 6) AS spearman_rho",
     )
+
+
+# Split-conformal fold hash (orders keyed on o_orderkey alone) and the
+# shared residual expression.
+_CF_FOLD = (
+    "CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)"
+    " AS BIGINT) % 5 AS BIGINT)"
+)
+_CF_FOLD_SPARK = (
+    "CAST(CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT) % 5 AS BIGINT)"
+)
+_CF_RESID = "abs(CAST(y AS DOUBLE) - mu)"
+
+
+@register(
+    "conformal_interval_coverage",
+    oracle=f"""
+    WITH obs AS (
+        SELECT {_CF_FOLD} AS fold, o_orderpriority AS prio,
+               o_totalprice AS y
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    mu AS (
+        SELECT prio,
+               CAST(SUM(CAST(y AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS mu
+        FROM obs WHERE fold <= 2 GROUP BY prio
+    ),
+    cal AS (
+        SELECT {_CF_RESID} AS r
+        FROM obs JOIN mu USING (prio) WHERE fold = 3
+    ),
+    ranked AS (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS n
+        FROM cal
+    ),
+    qhat AS (
+        SELECT MAX(r) AS q
+        FROM ranked
+        WHERE rn <= LEAST(CAST(CEIL(0.9 * (n + 1)) AS BIGINT), n)
+    )
+    SELECT o.prio AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(MAX(q.q), 6) AS qhat,
+           ROUND(AVG(CASE WHEN {_CF_RESID} <= q.q THEN 1.0 ELSE 0.0 END), 6)
+               AS coverage
+    FROM obs o JOIN mu USING (prio), qhat q
+    WHERE o.fold = 4
+    GROUP BY o.prio
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Papadopoulos et al. 2002 /
+    Vovk): train a per-priority mean predictor on folds 0-2, take the
+    ceil(0.9·(n+1))-th smallest absolute calibration residual on fold 3 as
+    the distribution-free 90% radius qhat, and report EMPIRICAL coverage
+    on the held-out fold 4 — the finite-sample-guaranteed uncertainty
+    wrapper modern ML serving puts around any point predictor.
+
+    qhat is an exact ORDER STATISTIC (rank ceil(0.9(n+1))), not an
+    interpolated quantile — deterministic cross-engine with no
+    interpolation-rule drift.  Residuals are shared expression strings
+    over exact train means (decimal sums), so both engines rank identical
+    doubles.
+
+    Shape at 100 TB: one scan splits three ways by hash; the model is a
+    5-row broadcast; the calibration ranking runs over one fold (sampled
+    down or sketched via fixed-grid counts if a fold outgrows a partition
+    — the rank-selection arithmetic is unchanged); coverage is one
+    map-side aggregate."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderpriority").isNotNull()
+    ).selectExpr(f"{_CF_FOLD_SPARK} AS fold", "o_orderpriority AS prio", "o_totalprice AS y")
+    mu = (
+        obs.filter(F.col("fold") <= 2)
+        .groupBy("prio")
+        .agg(
+            (
+                F.sum(F.expr("CAST(y AS DECIMAL(24,6))")).cast("double") / F.count("*")
+            ).alias("mu")
+        )
+    )
+    cal = (
+        obs.filter(F.col("fold") == 3)
+        .join(F.broadcast(mu), "prio")
+        .selectExpr(f"{_CF_RESID} AS r")
+    )
+    w_rank = Window.orderBy("r")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = cal.select(
+        "r",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    qhat = ranked.filter(
+        F.col("rn")
+        <= F.least(F.ceil(0.9 * (F.col("n") + 1)).cast("bigint"), F.col("n"))
+    ).agg(F.max("r").alias("q"))
+    return (
+        obs.filter(F.col("fold") == 4)
+        .join(F.broadcast(mu), "prio")
+        .crossJoin(F.broadcast(qhat))
+        .groupBy(F.col("prio").alias("o_orderpriority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.round(F.max("q"), 6).alias("qhat"),
+            F.round(
+                F.avg(
+                    F.expr(
+                        f"CASE WHEN {_CF_RESID} <= q THEN CAST(1.0 AS DOUBLE)"
+                        " ELSE CAST(0.0 AS DOUBLE) END"
+                    )
+                ),
+                6,
+            ).alias("coverage"),
+        )
+    )

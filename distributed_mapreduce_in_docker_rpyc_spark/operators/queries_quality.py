@@ -501,3 +501,47 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("term").cast("double"), 6).alias("psi_term"),
         F.round(F.sum("term").over(w_all).cast("double"), 6).alias("psi_total"),
     )
+
+
+@register(
+    "partitioned_write_pruning",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned scan roundtrip: write
+    orders partitioned by priority, read the written layout back with a
+    partition-key filter, and aggregate — hash-checked against the direct
+    SQL on the source table, proving the layout preserves data AND the
+    partition column's values/types survive the directory-encoding
+    roundtrip (hive partition values come back from the PATH, not the
+    files).
+
+    The filter on the partition key prunes at the DIRECTORY level: the
+    scan's `PartitionFilters` handles it before any file is opened — the
+    test suite asserts the plan carries the pruned partition filter.  At
+    100 TB this is the difference between reading one priority's fifth of
+    the table and all of it."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import work_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    root = work_dir("partwrite")
+    path = f"{root}/orders_by_priority"
+    o.write.partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(24,6))"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

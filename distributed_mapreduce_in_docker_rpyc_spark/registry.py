@@ -138,6 +138,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_js_divergence",
     "text_ngram_novelty",
     "dedup_winnowing",
+    "partitioned_write_pruning",
+    "conformal_interval_coverage",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

@@ -1344,3 +1344,49 @@ def test_spearman_bounds_and_ground_truth(spark, sf_dir):
     syy = sum(b * b for b in ry)
     rho = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert abs(rows[flag].spearman_rho - rho) < 1e-5
+
+
+def test_conformal_ground_truth_and_marginal_coverage(spark, sf_dir):
+    """qhat equals the exact ceil(0.9(n+1))-th calibration residual and
+    coverage matches a plain-Python replay; pooled test coverage is near
+    the nominal 90% (finite-sample slack for the small fixture)."""
+    rows = {
+        r.o_orderpriority: r
+        for r in QUERIES["conformal_interval_coverage"](spark, sf_dir).collect()
+    }
+    assert rows
+    o = [
+        r
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+        if r.o_totalprice is not None and r.o_orderpriority is not None
+    ]
+    import hashlib
+
+    def fold(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 5
+
+    train = [r for r in o if fold(r.o_orderkey) <= 2]
+    mu = {}
+    for p in {r.o_orderpriority for r in train}:
+        vs = [r.o_totalprice for r in train if r.o_orderpriority == p]
+        mu[p] = sum(vs) / len(vs)
+    cal = sorted(
+        abs(r.o_totalprice - mu[r.o_orderpriority])
+        for r in o
+        if fold(r.o_orderkey) == 3 and r.o_orderpriority in mu
+    )
+    rank = min(math.ceil(0.9 * (len(cal) + 1)), len(cal))
+    qhat = cal[rank - 1]
+    test = [
+        r for r in o if fold(r.o_orderkey) == 4 and r.o_orderpriority in mu
+    ]
+    covered = total = 0
+    for p, row in rows.items():
+        ts = [r for r in test if r.o_orderpriority == p]
+        c = sum(1 for r in ts if abs(r.o_totalprice - mu[p]) <= qhat)
+        assert row.n_test == len(ts)
+        assert abs(row.qhat - qhat) < 1e-4
+        assert abs(row.coverage - c / len(ts)) < 1e-6
+        covered += c
+        total += len(ts)
+    assert 0.85 <= covered / total <= 0.97

@@ -413,6 +413,7 @@ BNLJ_ALLOWED = {
     "ams_f2_sketch": "broadcast side = 1-row median-of-means estimate crossed into the 1-row exact count",
     "dq_psi_drift": "broadcast side = 1-row global (date, value) min/max bounds frame",
     "corpus_js_divergence": "broadcast sides = distinct language codes (bounded inventory) and 1-row reference token total",
+    "conformal_interval_coverage": "broadcast sides = 5-row per-priority train means and 1-row conformal radius",
 }
 
 

@@ -426,3 +426,26 @@ def test_jsondict_append_merges_manifest_and_validates_collisions(spark, tmp_pat
         spark.read.format("jsondict").schema("key string, value long").load(out2).collect()
     )
     assert len(rows) >= 2
+
+
+def test_partitioned_write_prunes_at_directory_level(spark, sf_dir):
+    """The read-back scan must carry the priority predicate as a
+    PartitionFilter (directory pruning), not a data filter, and the
+    roundtrip aggregate must match the direct query on the source."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import work_dir
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = f"{work_dir('partwrite-test')}/orders_by_priority"
+    o.write.partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderpriority" in m.group(1)
+    # data equality through the layout
+    got = back.count()
+    want = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert got == want
