@@ -1349,3 +1349,80 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_changepoint"),
     )
+
+
+@register(
+    "events_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 AS e
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    sweep AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS island
+        FROM sweep
+    ),
+    agg AS (
+        SELECT user_id, island, MIN(s) AS lo, MAX(e) AS hi
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(hi - lo) AS BIGINT) AS covered_seconds
+    FROM agg GROUP BY user_id
+    """,
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION-of-intervals per user: pad every event to a 300-second activity
+    interval, merge overlaps with the classic sweep (running max of
+    interval ends detects island starts), and report each user's merged
+    interval count and total covered seconds — the 'true active time'
+    metric that naive SUM(duration) double-counts and `events_sessionize`
+    (gap-based session counting) does not expose.
+
+    All integer-seconds arithmetic (exact everywhere); two windows and two
+    aggregations, every one partitioned by user_id — at 100 TB this is one
+    shuffle on the user key and per-user state no wider than a running
+    max."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()).selectExpr(
+        "user_id",
+        "CAST(unix_timestamp(ts) AS BIGINT) AS s",
+        "CAST(unix_timestamp(ts) AS BIGINT) + 300 AS e",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = iv.withColumn("prev_max", F.max("e").over(w_prev))
+    isl = sweep.withColumn(
+        "island",
+        F.sum(
+            F.expr("CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END")
+        ).over(w_cum),
+    )
+    agg = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    return agg.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum(F.col("hi") - F.col("lo")).cast("bigint").alias("covered_seconds"),
+    )

@@ -1333,3 +1333,94 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(val, 6) AS loading",
         "ROUND(lam, 4) AS eigenvalue",
     )
+
+
+# Simplified-silhouette score over (own, next-best) centroid distances,
+# shared by both engines.
+_SIL_EXPR = (
+    "((sqrt(d2n) - sqrt(d2o))"
+    " / NULLIF(GREATEST(sqrt(d2o), sqrt(d2n)), 0.0))"
+)
+
+
+@register(
+    "emb_silhouette",
+    oracle=_COSINE_CTES
+    + _ivf_ctes(5)
+    + f""",
+    sil_d2 AS (
+        SELECT e.vec_id, c.cluster,
+               ROUND(SUM((CAST(e.embedding[c.d] AS DOUBLE) - c.c)
+                       * (CAST(e.embedding[c.d] AS DOUBLE) - c.c)), 6) AS d2
+        FROM embeddings e CROSS JOIN ivfc2 c
+        GROUP BY e.vec_id, c.cluster
+    ),
+    sil_ranked AS (
+        SELECT vec_id, cluster, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cluster ASC) AS rnk
+        FROM sil_d2
+    ),
+    sil_pairs AS (
+        SELECT o.vec_id, o.cluster, o.d2 AS d2o, n.d2 AS d2n
+        FROM sil_ranked o
+        JOIN sil_ranked n ON n.vec_id = o.vec_id AND n.rnk = 2
+        WHERE o.rnk = 1
+    ),
+    sil_terms AS (
+        SELECT cluster,
+               CAST(ROUND({_SIL_EXPR}, 6) AS DECIMAL(18,6)) AS sil
+        FROM sil_pairs
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(sil) AS DOUBLE) / COUNT(*), 6) AS avg_silhouette
+    FROM sil_terms GROUP BY cluster
+    """,
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based, Hamerly & Elkan style) SILHOUETTE score
+    per k-means cluster over the deterministic Lloyd index: for each
+    vector, s = (d_next − d_own) / max(d_own, d_next) using euclidean
+    distance to its own vs next-closest centroid — the cluster-quality
+    report read next to `sim_kmeans_report`'s inertia when choosing k.
+    Unlike the classical all-pairs silhouette (quadratic per cluster),
+    the centroid form is one linear scan and is the standard scale
+    substitute.
+
+    Exactness: d² values are rounded to 6 before ranking (engine-stable
+    own/next choice, identical to `sim_topk_ivf`), each s is quantized
+    (ROUND 6 → DECIMAL(18,6)) so per-cluster sums are order-independent.
+    Scale posture: a 16-row broadcast cross join + one window per vector,
+    then a 16-row report — the centroid table never grows with the
+    corpus."""
+    from pyspark.sql import Window
+
+    _, cent = _ivf(spark, sf_dir)
+    emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+    d2 = v.join(F.broadcast(cent)).withColumn(
+        "_d2",
+        F.round(
+            F.aggregate(
+                F.zip_with("_v", "centroid", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.asc("_d2"), F.asc("cluster"))
+    ranked = d2.select(
+        "vec_id", "cluster", "_d2", F.row_number().over(w_rank).alias("rnk")
+    )
+    own = ranked.filter(F.col("rnk") == 1).selectExpr(
+        "vec_id", "cluster", "_d2 AS d2o"
+    )
+    nxt = ranked.filter(F.col("rnk") == 2).selectExpr("vec_id", "_d2 AS d2n")
+    terms = own.join(nxt, "vec_id").selectExpr(
+        "cluster", f"CAST(ROUND({_SIL_EXPR}, 6) AS DECIMAL(18,6)) AS sil"
+    )
+    return terms.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.sum("sil").cast("double") / F.count("*"), 6).alias("avg_silhouette"),
+    )

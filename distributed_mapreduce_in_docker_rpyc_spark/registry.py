@@ -140,6 +140,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_winnowing",
     "partitioned_write_pruning",
     "conformal_interval_coverage",
+    "events_interval_coverage",
+    "emb_silhouette",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

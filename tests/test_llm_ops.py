@@ -4,6 +4,7 @@ vectorized-path equivalence, multimodal stub features vs Python ground truth."""
 from __future__ import annotations
 
 import hashlib
+import math
 import zlib
 
 import pytest
@@ -707,3 +708,72 @@ def test_winnowing_pairs_ground_truth(spark, sf_dir):
         assert r.n_shared == expected[(a, b)]
         assert r.n_fp_a == len(capped[a]) and r.n_fp_b == len(capped[b])
         assert abs(r.containment - r.n_shared / min(r.n_fp_a, r.n_fp_b)) < 1e-6
+
+
+def test_interval_coverage_ground_truth(spark, sf_dir):
+    """Merged-interval count and covered seconds recomputed with a plain
+    sorted-merge in Python; every island is at least one padding long and
+    coverage never exceeds 300s per event."""
+    rows = {
+        r.user_id: r
+        for r in QUERIES["events_interval_coverage"](spark, sf_dir).collect()
+    }
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user = {}
+    for e in ev:
+        if e.user_id is None or e.ts is None:
+            continue
+        s = int(e.ts.timestamp())
+        by_user.setdefault(e.user_id, []).append((s, s + 300))
+    for uid, iv in by_user.items():
+        iv.sort()
+        islands = []
+        for s, e in iv:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        covered = sum(e - s for s, e in islands)
+        r = rows[uid]
+        assert r.n_intervals == len(islands)
+        assert r.covered_seconds == covered
+        assert r.covered_seconds >= 300 * r.n_intervals
+        assert r.covered_seconds <= 300 * len(iv)
+
+
+def test_silhouette_bounds_and_membership(spark, sf_dir):
+    """Average silhouettes bounded by [-1, 1]; cluster membership counts sum
+    to the vector count; recompute one cluster's mean from the index."""
+    out = QUERIES["emb_silhouette"](spark, sf_dir).collect()
+    assert out
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.filter(F.col("embedding").isNotNull()).count()
+    assert sum(r.n_vectors for r in out) == n_vec
+    for r in out:
+        assert -1.0 - 1e-9 <= r.avg_silhouette <= 1.0 + 1e-9
+
+    # independent recompute: distances to the deterministic centroids
+    import numpy as np
+    from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as s_mod
+
+    assigned, cent = s_mod.ivf_index(emb)
+    C = {r.cluster: np.array(r.centroid) for r in cent.collect()}
+    vecs = [(r.vec_id, np.array(r.embedding, dtype=float)) for r in emb.collect()
+            if r.embedding is not None]
+    sums = {}
+    counts = {}
+    for _, v in vecs:
+        d2 = sorted(
+            (round(float(((v - c) ** 2).sum()), 6), k) for k, c in C.items()
+        )
+        (d2o, own), (d2n, _) = d2[0], d2[1]
+        s = (math.sqrt(d2n) - math.sqrt(d2o)) / max(
+            math.sqrt(d2o), math.sqrt(d2n)
+        ) if max(d2o, d2n) > 0 else 0.0
+        sums[own] = sums.get(own, 0.0) + round(s, 6)
+        counts[own] = counts.get(own, 0) + 1
+    got = {r.cluster: r for r in out}
+    for k in got:
+        assert got[k].n_vectors == counts[k]
+        assert abs(got[k].avg_silhouette - sums[k] / counts[k]) < 1e-5
