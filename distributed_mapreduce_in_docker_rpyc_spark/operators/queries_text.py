@@ -3073,3 +3073,83 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel.cast("double") / F.count("*"), 6).alias("novelty_frac"),
         )
     )
+
+
+@register(
+    "text_content_chunks",
+    oracle="""
+    WITH cuts AS (
+        SELECT doc_id, g.i + 7 AS cut
+        FROM documents, unnest(generate_series(1, length(text) - 7)) AS g(i)
+        WHERE length(text) >= 8
+          AND CAST('0x' || substr(md5(substr(text, g.i, 8)), 1, 4) AS BIGINT)
+              % 64 = 0
+    ),
+    ends AS (
+        SELECT doc_id, cut FROM cuts
+        UNION
+        SELECT doc_id, length(text) AS cut FROM documents WHERE length(text) >= 8
+    ),
+    lens AS (
+        SELECT doc_id, cut,
+               cut - COALESCE(LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+                   AS len
+        FROM ends
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           ROUND(AVG(CAST(len AS DOUBLE)), 6) AS avg_chunk_chars,
+           CAST(MAX(len) AS BIGINT) AS max_chunk_chars,
+           md5(string_agg(CAST(len AS VARCHAR), ',' ORDER BY cut)) AS chunk_fp
+    FROM lens GROUP BY doc_id
+    """,
+)
+def text_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (the rolling-window boundary rule behind
+    rsync/LBFS/FastCDC dedup storage): a boundary falls after any 8-char
+    window whose md5-derived value is ≡ 0 (mod 64), so chunk boundaries
+    depend only on LOCAL content — an insertion early in a document
+    shifts at most one chunk, unlike fixed-size splitting where every
+    later chunk changes.  Emits per-document chunk count, mean/max chunk
+    size and an order-sensitive fingerprint of the chunk-length sequence
+    (the dedup-store key stream).
+
+    Average chunk size is the boundary modulus (64 chars here, demo
+    scale; storage systems use 2-64 KB with min/max clamps).  Shape at
+    100 TB: the window hash explodes positions WITHIN each document
+    (linear, partition-local, no shuffle wider than doc_id), and the
+    chunk-length window runs per document over its boundary set."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("sequence(1, length(text) - 7)")).alias("_", "i"),
+        F.col("text"),
+    )
+    cuts = pos.filter(
+        F.expr("CAST(conv(substr(md5(substr(text, i, 8)), 1, 4), 16, 10) AS BIGINT) % 64 = 0")
+    ).selectExpr("doc_id", "i + 7 AS cut")
+    ends = cuts.unionByName(
+        docs.selectExpr("doc_id", "length(text) AS cut")
+    ).distinct()
+    w_lag = Window.partitionBy("doc_id").orderBy("cut")
+    lens = ends.select(
+        "doc_id",
+        "cut",
+        (F.col("cut") - F.coalesce(F.lag("cut").over(w_lag), F.lit(0))).alias("len"),
+    )
+    return lens.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.round(F.avg(F.col("len").cast("double")), 6).alias("avg_chunk_chars"),
+        F.max("len").cast("bigint").alias("max_chunk_chars"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(cut, len))),"
+                    " x -> CAST(x.len AS STRING))"
+                ),
+                ",",
+            )
+        ).alias("chunk_fp"),
+    )

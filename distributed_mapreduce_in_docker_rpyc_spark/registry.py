@@ -142,6 +142,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "conformal_interval_coverage",
     "events_interval_coverage",
     "emb_silhouette",
+    "text_content_chunks",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

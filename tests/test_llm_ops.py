@@ -777,3 +777,49 @@ def test_silhouette_bounds_and_membership(spark, sf_dir):
     for k in got:
         assert got[k].n_vectors == counts[k]
         assert abs(got[k].avg_silhouette - sums[k] / counts[k]) < 1e-5
+
+
+def _cdc_lengths(text: str) -> list[int]:
+    n = len(text)
+    cuts = [
+        i + 7
+        for i in range(1, n - 6)
+        if int(hashlib.md5(text[i - 1 : i + 7].encode()).hexdigest()[:4], 16) % 64 == 0
+    ]
+    ends = sorted(set(cuts) | {n})
+    prev = 0
+    out = []
+    for c in ends:
+        out.append(c - prev)
+        prev = c
+    return out
+
+
+def test_content_chunks_ground_truth_and_shift_robustness(spark, sf_dir):
+    """Chunk counts/sizes/fingerprints recomputed in Python; and the CDC
+    property itself: prepending text leaves the chunk-length sequence's
+    tail unchanged (fixed-size splitting would shift every boundary)."""
+    rows = {r.doc_id: r for r in QUERIES["text_content_chunks"](spark, sf_dir).collect()}
+    docs = {
+        d.doc_id: d.text
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if d.text is not None and len(d.text) >= 8
+    }
+    assert set(rows) == set(docs)
+    for doc_id, text in docs.items():
+        lens = _cdc_lengths(text)
+        r = rows[doc_id]
+        assert r.n_chunks == len(lens)
+        assert r.max_chunk_chars == max(lens)
+        assert abs(r.avg_chunk_chars - sum(lens) / len(lens)) < 1e-6
+        assert r.chunk_fp == hashlib.md5(
+            ",".join(str(x) for x in lens).encode()
+        ).hexdigest()
+
+    # the defining content-defined property, on the longest fixture doc
+    text = max(docs.values(), key=len)
+    base = _cdc_lengths(text)
+    shifted = _cdc_lengths("the quick brown prefix " + text)
+    k = min(len(base), len(shifted)) - 1
+    assert k >= 1
+    assert base[-k:] == shifted[-k:]
