@@ -534,7 +534,10 @@ def partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = work_dir("partwrite")
     path = f"{root}/orders_by_priority"
     o.write.partitionBy("o_orderpriority").parquet(path)
-    back = spark.read.parquet(path)
+    # explicit schema: an all-empty input writes no part files, and schema
+    # inference over a bare _SUCCESS dir raises — the sink contract should
+    # still round-trip to an empty frame (fleet empty-input gate)
+    back = spark.read.schema(o.schema).parquet(path)
     return (
         back.filter(F.col("o_orderpriority") == "1-URGENT")
         .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
