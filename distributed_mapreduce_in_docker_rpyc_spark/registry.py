@@ -57,12 +57,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #                 claiming they were inside the window was wrong; they were
 #                 not).  Oldest-first until the 50-slot budget line.
 #                 WHERE THE LINE FALLS THIS ROUND: sections 1-3 hold
-#                 1 + 10 + 48 = 59 names — the 50-query window covers
-#                 through logreg_calibration_bins; the 9 late-round builds
-#                 after it (logreg_roc_auc .. customer_gini_concentration)
-#                 plus the stale-green re-proofs rotate to round 6 (the
-#                 standing ranking: never-checked outranks stale-green
-#                 re-proofs);
+#                 1 + 10 + 62 = 73 names — the 50-query window covers
+#                 through logreg_calibration_bins (slot 50); the 23
+#                 late-round builds after it (logreg_roc_auc ..
+#                 text_content_chunks) plus the stale-green re-proofs
+#                 rotate to round 6 (the standing ranking: never-checked
+#                 outranks stale-green re-proofs);
 #                 `verify_driver.py --strict` recomputes this, don't trust
 #                 the comment alone.
 DRIVER_PRIORITY: tuple[str, ...] = (
