@@ -1569,3 +1569,195 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "stat_ks_test",
+    oracle="""
+    WITH obs AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS grp,
+               o_totalprice AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          AND o_totalprice IS NOT NULL
+    ),
+    pv AS (
+        SELECT v,
+               SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS t1,
+               SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS t2
+        FROM obs GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(t1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS c1,
+               CAST(SUM(t2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS c2,
+               CAST(SUM(t1) OVER () AS DOUBLE) AS n1,
+               CAST(SUM(t2) OVER () AS DOUBLE) AS n2
+        FROM pv
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n_building,
+           CAST(MAX(n2) AS BIGINT) AS n_machinery,
+           ROUND(MAX(abs((c1 / n1) - (c2 / n2))), 6) AS ks_d,
+           ROUND(MAX(abs((c1 / n1) - (c2 / n2)))
+                 * sqrt((MAX(n1) * MAX(n2)) / (MAX(n1) + MAX(n2))), 6)
+               AS ks_stat_scaled
+    FROM cum
+    """,
+)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on order totals, BUILDING vs
+    MACHINERY: D = sup |F̂₁ − F̂₂| over the pooled support, plus the
+    scaled statistic D·√(n₁n₂/(n₁+n₂)) compared against the Kolmogorov
+    critical values (1.358 at α=0.05) — the distribution-shape partner of
+    the location tests `stat_mannwhitney_u` / `stat_welch_ttest`.
+
+    The ECDFs are computed per DISTINCT VALUE (map-side combined counts,
+    then one cumulative window over the value grid) — the same
+    distributed-rank formulation as Mann-Whitney, so row count never
+    reaches the window.  ECDF steps are exact integer-count ratios; the
+    sup and the scale factor are a final 1-row reduce.
+
+    Evaluating only at observed values is exact for D: |F1−F2| is
+    right-constant between pooled observations."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("o_totalprice").isNotNull()
+        )
+        .selectExpr(
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS grp",
+            "o_totalprice AS v",
+        )
+    )
+    pv = obs.groupBy("v").agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END")).alias("t1"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END")).alias("t2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = pv.select(
+        F.sum("t1").over(w_cum).cast("double").alias("c1"),
+        F.sum("t2").over(w_cum).cast("double").alias("c2"),
+        F.sum("t1").over(w_all).cast("double").alias("n1"),
+        F.sum("t2").over(w_all).cast("double").alias("n2"),
+    )
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n_building"),
+        F.max("n2").cast("bigint").alias("n_machinery"),
+        F.round(F.max(F.expr("abs((c1 / n1) - (c2 / n2))")), 6).alias("ks_d"),
+        F.round(
+            F.max(F.expr("abs((c1 / n1) - (c2 / n2))"))
+            * F.sqrt(
+                (F.max("n1") * F.max("n2")) / (F.max("n1") + F.max("n2"))
+            ),
+            6,
+        ).alias("ks_stat_scaled"),
+    )
+
+
+# Mann-Kendall over the daily revenue series: S from pairwise signs on the
+# calendar spine (like ts_autocorrelation's lag join, bounded by days²),
+# variance with the tie correction, and the standard continuity-corrected z.
+_MK_Z = (
+    "(CASE WHEN s > 0 THEN (s - 1.0) / NULLIF(sqrt(var_s), 0.0)"
+    " WHEN s < 0 THEN (s + 1.0) / NULLIF(sqrt(var_s), 0.0)"
+    " ELSE 0.0 END)"
+)
+
+
+@register(
+    "stat_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DECIMAL(24,6))
+                   AS v
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.v > a.v THEN 1
+                    WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    ties AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM daily GROUP BY v
+    ),
+    agg AS (
+        SELECT (SELECT CAST(SUM(sgn) AS DOUBLE) FROM pairs) AS s,
+               (SELECT CAST(COUNT(*) AS DOUBLE) FROM daily) AS n,
+               (SELECT CAST(SUM(t * (t - 1.0) * (2.0 * t + 5.0)) AS DOUBLE)
+                FROM ties) AS tie_adj
+    ),
+    v AS (
+        SELECT s, n,
+               ((n * (n - 1.0) * (2.0 * n + 5.0)) - tie_adj) / 18.0 AS var_s
+        FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS s_statistic,
+           ROUND(var_s, 6) AS var_s,
+           ROUND({_MK_Z}, 6) AS z_score
+    FROM v
+    """,
+)
+def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily order revenue: S counts
+    concordant minus discordant day pairs, Var(S) carries the standard
+    tie correction, z applies the ±1 continuity correction — the
+    significance companion of the `theilsen_daily_trend` slope estimate
+    (both are rank-based: no normality assumption on revenue).
+
+    The pairwise S runs on the CALENDAR SPINE after the daily collapse
+    (same bounded self-join as `ts_autocorrelation`): days² pairs of a
+    few-thousand-row frame, never data², with exact DECIMAL daily sums so
+    the sign comparisons are engine-independent integers.  At 100 TB the
+    daily collapse is the only data-sized pass."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.expr("CAST(o_totalprice AS DECIMAL(24,6))")).alias("v"))
+        .persist()
+    )
+    a = daily.selectExpr("day AS da", "v AS va")
+    b = daily.selectExpr("day AS db", "v AS vb")
+    s_frame = (
+        a.join(b, F.col("db") > F.col("da"))
+        .selectExpr("CASE WHEN vb > va THEN 1 WHEN vb < va THEN -1 ELSE 0 END AS sgn")
+        .agg(F.sum("sgn").cast("double").alias("s"))
+    )
+    n_frame = daily.agg(F.count("*").cast("double").alias("n"))
+    tie_frame = (
+        daily.groupBy("v")
+        .agg(F.count("*").cast("double").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1.0) * (2.0 * t + 5.0)"))
+            .cast("double")
+            .alias("tie_adj")
+        )
+    )
+    v = (
+        s_frame.crossJoin(F.broadcast(n_frame))
+        .crossJoin(F.broadcast(tie_frame))
+        .selectExpr(
+            "s",
+            "n",
+            "((n * (n - 1.0) * (2.0 * n + 5.0)) - COALESCE(tie_adj, 0.0)) / 18.0"
+            " AS var_s",
+        )
+    )
+    return v.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(s AS BIGINT) AS s_statistic",
+        "ROUND(var_s, 6) AS var_s",
+        f"ROUND({_MK_Z}, 6) AS z_score",
+    )

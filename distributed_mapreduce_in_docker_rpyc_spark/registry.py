@@ -143,6 +143,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_interval_coverage",
     "emb_silhouette",
     "text_content_chunks",
+    "stat_ks_test",
+    "stat_mann_kendall",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

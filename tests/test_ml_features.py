@@ -1390,3 +1390,72 @@ def test_conformal_ground_truth_and_marginal_coverage(spark, sf_dir):
         covered += c
         total += len(ts)
     assert 0.85 <= covered / total <= 0.97
+
+
+def test_ks_test_ground_truth(spark, sf_dir):
+    """KS D recomputed from the raw samples with a plain sorted-ECDF pass."""
+    out = QUERIES["stat_ks_test"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    c = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    a = sorted(
+        r.o_totalprice
+        for r in o
+        if r.o_totalprice is not None and c.get(r.o_custkey) == "BUILDING"
+    )
+    b = sorted(
+        r.o_totalprice
+        for r in o
+        if r.o_totalprice is not None and c.get(r.o_custkey) == "MACHINERY"
+    )
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in set(a) | set(b)
+    )
+    assert row.n_building == len(a) and row.n_machinery == len(b)
+    assert abs(row.ks_d - d) < 1e-6
+    scale = math.sqrt(len(a) * len(b) / (len(a) + len(b)))
+    assert abs(row.ks_stat_scaled - d * scale) < 1e-4
+    assert 0.0 <= row.ks_d <= 1.0
+
+
+def test_mann_kendall_ground_truth(spark, sf_dir):
+    """S, Var(S) and z recomputed from the daily series in plain Python."""
+    from collections import Counter
+    from decimal import Decimal
+
+    out = QUERIES["stat_mann_kendall"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    daily = {}
+    for r in o:
+        if r.o_orderdate is None:
+            continue
+        d = r.o_orderdate.date()
+        daily[d] = daily.get(d, Decimal(0)) + Decimal(str(round(r.o_totalprice, 2)))
+    days = sorted(daily)
+    vs = [daily[d] for d in days]
+    n = len(vs)
+    s = sum(
+        (vs[j] > vs[i]) - (vs[j] < vs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(vs)
+    tie_adj = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0
+    z = (s - 1) / math.sqrt(var_s) if s > 0 else (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+    assert row.n_days == n
+    assert row.s_statistic == s
+    assert abs(row.var_s - var_s) < 1e-3
+    assert abs(row.z_score - z) < 1e-5

@@ -415,6 +415,7 @@ BNLJ_ALLOWED = {
     "corpus_js_divergence": "broadcast sides = distinct language codes (bounded inventory) and 1-row reference token total",
     "conformal_interval_coverage": "broadcast sides = 5-row per-priority train means and 1-row conformal radius",
     "emb_silhouette": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf)",
+    "stat_mann_kendall": "broadcast sides = 1-row day-count and 1-row tie-adjustment scalar aggregates",
 }
 
 
