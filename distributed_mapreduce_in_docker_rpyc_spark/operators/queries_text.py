@@ -3153,3 +3153,104 @@ def text_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_fp"),
     )
+
+
+# Heaps'-law OLS over (ln cumulative tokens, ln cumulative vocab) checkpoints,
+# shared by both engines; each product is quantized so the sums are exact.
+_HEAPS_BETA = (
+    "(((n * sxy) - (sx * sy)) / NULLIF((n * sxx) - (sx * sx), 0.0))"
+)
+_HEAPS_LOGK = f"((sy - ({_HEAPS_BETA} * sx)) / n)"
+
+
+@register(
+    "corpus_heaps_law",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents
+    ),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    first_seen AS (SELECT word, MIN(doc_id) AS first_doc FROM tok GROUP BY word),
+    new_words AS (
+        SELECT first_doc AS doc_id, COUNT(*) AS n_new FROM first_seen GROUP BY 1
+    ),
+    spine AS (
+        SELECT p.doc_id,
+               SUM(p.n_tok) OVER (ORDER BY p.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tok,
+               SUM(COALESCE(w.n_new, 0)) OVER (ORDER BY p.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_vocab
+        FROM per_doc p LEFT JOIN new_words w USING (doc_id)
+    ),
+    pts AS (
+        SELECT ln(CAST(cum_tok AS DOUBLE)) AS x,
+               ln(CAST(cum_vocab AS DOUBLE)) AS y
+        FROM spine WHERE cum_tok > 0 AND cum_vocab > 0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_checkpoints,
+           ROUND({_HEAPS_BETA}, 6) AS heaps_beta,
+           ROUND(exp({_HEAPS_LOGK}), 6) AS heaps_k
+    FROM s
+    """,
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) ≈ K·n^β of vocabulary growth against corpus
+    size: one checkpoint per document (cumulative tokens, cumulative
+    distinct words in doc_id order), OLS on the log-log points — the
+    growth model a curation pipeline extrapolates to budget vocabulary /
+    tokenizer size before scaling a source 100×.  β well below 1 is
+    healthy sublinear growth; β near 1 flags an unbounded-vocabulary
+    source (ids, hashes, boilerplate noise).
+
+    The cumulative spine is doc-count-sized, never token-sized (tokens per
+    doc and first-seen word counts are aggregated before the window); log
+    products are quantized (ROUND 9 → DECIMAL(38,9)) so the OLS sums are
+    exact, and the β/K algebra is a shared expression string.  At 100 TB
+    checkpoints coarsen to shard granularity — the fit is unchanged."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize_column("text")).alias("word"))
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    first_seen = tok.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    new_words = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_new")
+    )
+    w_cum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spine = per_doc.join(new_words, "doc_id", "left").select(
+        "doc_id",
+        F.sum("n_tok").over(w_cum).alias("cum_tok"),
+        F.sum(F.coalesce("n_new", F.lit(0))).over(w_cum).alias("cum_vocab"),
+    )
+    pts = spine.filter((F.col("cum_tok") > 0) & (F.col("cum_vocab") > 0)).selectExpr(
+        "ln(CAST(cum_tok AS DOUBLE)) AS x", "ln(CAST(cum_vocab AS DOUBLE)) AS y"
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.expr("CAST(ROUND(x, 9) AS DECIMAL(38,9))")).cast("double").alias("sx"),
+        F.sum(F.expr("CAST(ROUND(y, 9) AS DECIMAL(38,9))")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(ROUND(x * y, 9) AS DECIMAL(38,9))"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.expr("CAST(ROUND(x * x, 9) AS DECIMAL(38,9))"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_checkpoints",
+        f"ROUND({_HEAPS_BETA}, 6) AS heaps_beta",
+        f"ROUND(exp({_HEAPS_LOGK}), 6) AS heaps_k",
+    )

@@ -145,6 +145,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_content_chunks",
     "stat_ks_test",
     "stat_mann_kendall",
+    "corpus_heaps_law",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

@@ -823,3 +823,43 @@ def test_content_chunks_ground_truth_and_shift_robustness(spark, sf_dir):
     k = min(len(base), len(shifted)) - 1
     assert k >= 1
     assert base[-k:] == shifted[-k:]
+
+
+def test_heaps_law_ground_truth(spark, sf_dir):
+    """β and K recomputed with a plain cumulative pass + numpy polyfit-free
+    OLS; β must land in the sublinear band for natural text."""
+    import re
+
+    out = QUERIES["corpus_heaps_law"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    docs = sorted(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").collect(),
+        key=lambda d: d.doc_id,
+    )
+    tok = re.compile(r"[a-z']+")
+    seen = set()
+    cum_tok = 0
+    xs, ys = [], []
+    for d in docs:
+        words = tok.findall(d.text.lower())
+        if not words and cum_tok == 0:
+            continue
+        cum_tok += len(words)
+        seen.update(words)
+        if cum_tok > 0 and seen:
+            xs.append(math.log(cum_tok))
+            ys.append(math.log(len(seen)))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    logk = (sy - beta * sx) / n
+    assert row.n_checkpoints == n
+    assert abs(row.heaps_beta - beta) < 1e-4
+    assert abs(row.heaps_k - math.exp(logk)) < 1e-3
+    # the synthetic fixture draws from a small fixed vocabulary, so growth
+    # saturates (beta near 0); natural text lands 0.4-0.7 — only the
+    # sublinearity bound is fixture-independent
+    assert 0.0 <= row.heaps_beta < 1.0
