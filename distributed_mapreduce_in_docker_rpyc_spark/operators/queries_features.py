@@ -1761,3 +1761,250 @@ def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(var_s, 6) AS var_s",
         f"ROUND({_MK_Z}, 6) AS z_score",
     )
+
+
+@register(
+    "stat_chisq_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS prio
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    cell AS (SELECT seg, prio, CAST(COUNT(*) AS DOUBLE) AS o FROM obs GROUP BY seg, prio),
+    marg AS (
+        SELECT seg, prio, o,
+               SUM(o) OVER (PARTITION BY seg) AS rs,
+               SUM(o) OVER (PARTITION BY prio) AS cs,
+               SUM(o) OVER () AS n,
+               COUNT(DISTINCT seg) OVER () AS r,
+               COUNT(DISTINCT prio) OVER () AS c
+        FROM cell
+    ),
+    terms AS (
+        SELECT r, c, n,
+               CAST(ROUND(((o - ((rs * cs) / n)) * (o - ((rs * cs) / n)))
+                          / ((rs * cs) / n), 9) AS DECIMAL(38,9)) AS t
+        FROM marg
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST((MAX(r) - 1) * (MAX(c) - 1) AS BIGINT) AS dof,
+           ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
+           ROUND(sqrt(CAST(SUM(t) AS DOUBLE)
+                      / (MAX(n) * LEAST(MAX(r) - 1.0, MAX(c) - 1.0))), 6)
+               AS cramers_v
+    FROM terms
+    """,
+)
+def stat_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of INDEPENDENCE on the (market segment × order
+    priority) contingency table, with Cramér's V as the bounded-[0,1]
+    effect size — the categorical-association screen run before trusting
+    a segment feature in a model (chi2 alone grows with n; V does not).
+
+    One scan builds the exact cell counts (map-side combined, |seg|×|prio|
+    groups); margins ride window sums over the CELL frame (25 rows), each
+    (O−E)²/E term is quantized (ROUND 9 → DECIMAL) so the statistic is an
+    order-independent exact sum.  Terms run over OBSERVED cells (both
+    engines identically); a fixture with structurally-empty cells would
+    need a seg×prio spine to add their (0−E)²/E mass.  At 100 TB the
+    contingency frame is still 25 rows — the scan is the entire cost."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isNotNull() & F.col("o_orderpriority").isNotNull())
+        .selectExpr("c_mktsegment AS seg", "o_orderpriority AS prio")
+    )
+    cell = obs.groupBy("seg", "prio").agg(F.count("*").cast("double").alias("o"))
+    w_seg = Window.partitionBy("seg")
+    w_prio = Window.partitionBy("prio")
+    w_all = Window.partitionBy()
+    marg = cell.select(
+        "o",
+        F.sum("o").over(w_seg).alias("rs"),
+        F.sum("o").over(w_prio).alias("cs"),
+        F.sum("o").over(w_all).alias("n"),
+        F.size(F.collect_set("seg").over(w_all)).cast("double").alias("r"),
+        F.size(F.collect_set("prio").over(w_all)).cast("double").alias("c"),
+    )
+    terms = marg.selectExpr(
+        "r",
+        "c",
+        "n",
+        "CAST(ROUND(((o - ((rs * cs) / n)) * (o - ((rs * cs) / n)))"
+        " / ((rs * cs) / n), 9) AS DECIMAL(38,9)) AS t",
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        ((F.max("r") - 1) * (F.max("c") - 1)).cast("bigint").alias("dof"),
+        F.round(F.sum("t").cast("double"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum("t").cast("double")
+                / (F.max("n") * F.least(F.max("r") - 1.0, F.max("c") - 1.0))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# One-way ANOVA F over the pivot-free sufficient statistics.
+_AN_F = (
+    "(((ssb / (k - 1.0))) / NULLIF((ssw / (n - k)), 0.0))"
+)
+
+
+@register(
+    "stat_anova_oneway",
+    oracle=f"""
+    WITH obs AS (
+        SELECT c_mktsegment AS seg, o_totalprice AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    per AS (
+        SELECT seg, CAST(COUNT(*) AS DOUBLE) AS ng,
+               CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS sg,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS qg
+        FROM obs GROUP BY seg
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM(ng) AS DOUBLE) AS n,
+               CAST(SUM(sg) AS DOUBLE) AS s,
+               CAST(SUM(qg) AS DOUBLE) AS q,
+               CAST(SUM(CAST(ROUND((sg * sg) / ng, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS sq_over_n
+        FROM per
+    ),
+    ss AS (
+        SELECT k, n,
+               (sq_over_n - ((s * s) / n)) AS ssb,
+               (q - sq_over_n) AS ssw
+        FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(k AS BIGINT) AS n_groups,
+           ROUND(ssb / (ssb + ssw), 6) AS eta_squared,
+           ROUND({_AN_F}, 6) AS f_stat
+    FROM ss
+    """,
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean order total differ across the five market
+    segments?  F = (between-group SS / (k−1)) / (within-group SS / (n−k))
+    — the k-group generalization of `stat_welch_ttest` (classical
+    equal-variance form, documented).
+
+    Everything reduces to one map-side-combined aggregation of exact
+    per-group sufficient statistics (n, Σx, Σx² — the same DECIMAL casts
+    as `ols_kfold_cv`), then a 5-row reduce; Σ(S²/n) terms are quantized
+    so the between-SS is an order-independent sum.  The report carries the
+    scale-free F and η² (raw SS at ~1e14 sit within 1-2 ulp of engine
+    FMA-contraction differences, so only ratios are hash-stable — same
+    reasoning as the SS-free `linreg_by_returnflag` report).  At 100 TB:
+    one scan, five groups."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isNotNull() & F.col("o_totalprice").isNotNull())
+        .selectExpr("c_mktsegment AS seg", "o_totalprice AS v")
+    )
+    per = obs.groupBy("seg").agg(
+        F.count("*").cast("double").alias("ng"),
+        F.sum(F.expr("CAST(v AS DECIMAL(24,6))")).cast("double").alias("sg"),
+        F.sum(F.expr("CAST(v * v AS DECIMAL(38,12))")).cast("double").alias("qg"),
+    )
+    tot = per.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("ng").cast("double").alias("n"),
+        F.sum("sg").cast("double").alias("s"),
+        F.sum("qg").cast("double").alias("q"),
+        F.sum(F.expr("CAST(ROUND((sg * sg) / ng, 9) AS DECIMAL(38,9))"))
+        .cast("double")
+        .alias("sq_over_n"),
+    )
+    ss = tot.selectExpr(
+        "k",
+        "n",
+        "(sq_over_n - ((s * s) / n)) AS ssb",
+        "(q - sq_over_n) AS ssw",
+    )
+    return ss.selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "CAST(k AS BIGINT) AS n_groups",
+        "ROUND(ssb / (ssb + ssw), 6) AS eta_squared",
+        f"ROUND({_AN_F}, 6) AS f_stat",
+    )
+
+
+@register(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH pv AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, v,
+               SUM(w) OVER (PARTITION BY flag ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM pv
+    )
+    SELECT flag AS l_returnflag,
+           ROUND(MIN(v), 2) AS weighted_median_price,
+           ROUND(MAX(tw), 6) AS total_weight
+    FROM cum
+    WHERE cw >= tw / 2.0
+    GROUP BY flag
+    """,
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median extended price per return flag: the
+    smallest price whose cumulative quantity weight reaches half the
+    total — the robust 'typical traded price' that an unweighted median
+    mis-states when cheap items trade in bulk.
+
+    Distributed order-statistic form: weights aggregate per DISTINCT
+    (flag, price) first (map-side combined), one cumulative window runs
+    over the price grid per flag, and the answer is the first
+    grid point crossing W/2 — no per-row global sort, no interpolation
+    (exact lower weighted median, deterministic cross-engine).  Weights
+    ride exact DECIMAL sums so the W/2 crossing is engine-independent.
+    At 100 TB the grid frame is bounded by price-grid cardinality."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.filter(F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull())
+        .groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v"))
+        .agg(F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_flag = Window.partitionBy("flag")
+    cum = pv.select(
+        "flag",
+        "v",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_flag).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.round(F.min("v"), 2).alias("weighted_median_price"),
+            F.round(F.max("tw"), 6).alias("total_weight"),
+        )
+    )

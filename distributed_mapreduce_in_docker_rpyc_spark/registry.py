@@ -57,10 +57,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #                 claiming they were inside the window was wrong; they were
 #                 not).  Oldest-first until the 50-slot budget line.
 #                 WHERE THE LINE FALLS THIS ROUND: sections 1-3 hold
-#                 1 + 10 + 62 = 73 names — the 50-query window covers
-#                 through logreg_calibration_bins (slot 50); the 23
+#                 1 + 10 + 65 = 76 names — the 50-query window covers
+#                 through logreg_calibration_bins (slot 50); the 26
 #                 late-round builds after it (logreg_roc_auc ..
-#                 text_content_chunks) plus the stale-green re-proofs
+#                 lineitem_weighted_median) plus the stale-green re-proofs
 #                 rotate to round 6 (the standing ranking: never-checked
 #                 outranks stale-green re-proofs);
 #                 `verify_driver.py --strict` recomputes this, don't trust
@@ -146,6 +146,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stat_ks_test",
     "stat_mann_kendall",
     "corpus_heaps_law",
+    "stat_chisq_independence",
+    "stat_anova_oneway",
+    "lineitem_weighted_median",
     # (4) stalest greens: r1-era queries, no driver contact since round 1
     "wordcount_top20",
     "wordcount_full",

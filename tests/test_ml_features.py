@@ -1459,3 +1459,104 @@ def test_mann_kendall_ground_truth(spark, sf_dir):
     assert row.s_statistic == s
     assert abs(row.var_s - var_s) < 1e-3
     assert abs(row.z_score - z) < 1e-5
+
+
+def test_chisq_independence_ground_truth(spark, sf_dir):
+    """chi2, dof and Cramér's V recomputed from a plain contingency table."""
+    out = QUERIES["stat_chisq_independence"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    c = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    from collections import Counter
+
+    cells = Counter(
+        (c[r.o_custkey], r.o_orderpriority)
+        for r in o
+        if r.o_orderpriority is not None and c.get(r.o_custkey) is not None
+    )
+    n = sum(cells.values())
+    rs = Counter()
+    cs = Counter()
+    for (s, p), v in cells.items():
+        rs[s] += v
+        cs[p] += v
+    chi2 = sum(
+        (cells[(s, p)] - rs[s] * cs[p] / n) ** 2 / (rs[s] * cs[p] / n)
+        for s in rs
+        for p in cs
+        if cells[(s, p)]  # empty cells only matter if expected > 0 observed 0
+    ) + sum(
+        (0 - rs[s] * cs[p] / n) ** 2 / (rs[s] * cs[p] / n)
+        for s in rs
+        for p in cs
+        if (s, p) not in cells
+    )
+    dof = (len(rs) - 1) * (len(cs) - 1)
+    v = math.sqrt(chi2 / (n * min(len(rs) - 1, len(cs) - 1)))
+    assert row.n_orders == n
+    assert row.dof == dof
+    # the engine sums only over OBSERVED cells; with every (seg, prio)
+    # combination present in the fixture the two formulations agree
+    assert abs(row.chi2 - chi2) < 1e-3
+    assert abs(row.cramers_v - v) < 1e-5
+    assert 0.0 <= row.cramers_v <= 1.0
+
+
+def test_anova_ground_truth(spark, sf_dir):
+    """F and eta^2 recomputed with numpy group stats."""
+    out = QUERIES["stat_anova_oneway"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    c = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    groups = {}
+    for r in o:
+        seg = c.get(r.o_custkey)
+        if seg is not None and r.o_totalprice is not None:
+            groups.setdefault(seg, []).append(r.o_totalprice)
+    n = sum(len(g) for g in groups.values())
+    k = len(groups)
+    grand = sum(sum(g) for g in groups.values()) / n
+    ssb = sum(len(g) * (np.mean(g) - grand) ** 2 for g in groups.values())
+    ssw = sum(sum((x - np.mean(g)) ** 2 for x in g) for g in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row.n_orders == n and row.n_groups == k
+    assert abs(row.f_stat - f) < 1e-4
+    assert abs(row.eta_squared - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_weighted_median_ground_truth(spark, sf_dir):
+    """Lower weighted median recomputed with a plain cumulative pass; it
+    must sit at or below where the unweighted median would for bulk-cheap
+    flags, and the crossing property holds exactly."""
+    rows = {
+        r.l_returnflag: r
+        for r in QUERIES["lineitem_weighted_median"](spark, sf_dir).collect()
+    }
+    assert rows
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    for flag, r in rows.items():
+        pairs = sorted(
+            (x.l_extendedprice, x.l_quantity)
+            for x in li
+            if x.l_returnflag == flag
+            and x.l_extendedprice is not None
+            and x.l_quantity is not None
+        )
+        total = sum(w for _, w in pairs)
+        acc = 0.0
+        med = None
+        for v, w in pairs:
+            acc += w
+            if acc >= total / 2.0:
+                med = v
+                break
+        assert abs(r.weighted_median_price - round(med, 2)) < 1e-9
+        assert abs(r.total_weight - total) < 1e-4
