@@ -1187,8 +1187,12 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, so the engine aggregates per DISTINCT value first (map-side
     combined) and runs the one cumulative window over the distinct-value
     frame — bounded by price-grid cardinality, not row count.  Rank sums
-    are exact (average ranks are halves → DECIMAL(38,1)); the z algebra is
-    a shared expression string, bit-identical cross-engine.
+    are exact for n below ~9e7 rows per group (average ranks are halves;
+    the t1·r products ride IEEE doubles before the DECIMAL(38,1) cast, so
+    exactness holds while every product stays under 2^53 — ADVICE r5);
+    past that, promote t1 and the doubled rank (2r, an integer) to DECIMAL
+    before the multiply and divide the doubled sum once at the end.  The z
+    algebra is a shared expression string, bit-identical cross-engine.
 
     At 100 TB the distinct-value frame is still the small side; if it ever
     is not, the cumulative sum segments by range partition with carried
@@ -1396,8 +1400,12 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ranks are average ranks computed over DISTINCT (flag, value) pairs
     (tie-correct by construction) and joined back by equi-join — no global
-    per-row sort anywhere.  Rank sums are exact (halves → DECIMAL(38,1);
-    rank products are quarters → ROUND 2 → DECIMAL(38,2)), so the Pearson
+    per-row sort anywhere.  Rank sums and products are exact for n below
+    ~9e7 rows per group (halves → DECIMAL(38,1); rank products are
+    quarters → ROUND 2 → DECIMAL(38,2), but the r_x·r_y multiply itself
+    rides IEEE doubles, exact only while products stay under 2^53 —
+    ADVICE r5; past that, carry the doubled ranks as DECIMAL integers and
+    divide the summed products by 4 once at the end), so the Pearson
     formula over ranks runs once over exact operands via a shared
     expression string.
 
@@ -1772,6 +1780,12 @@ def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_mktsegment IS NOT NULL AND o_orderpriority IS NOT NULL
     ),
     cell AS (SELECT seg, prio, CAST(COUNT(*) AS DOUBLE) AS o FROM obs GROUP BY seg, prio),
+    spine AS (
+        SELECT s.seg, p.prio, COALESCE(c.o, 0.0) AS o
+        FROM (SELECT DISTINCT seg FROM cell) s
+        CROSS JOIN (SELECT DISTINCT prio FROM cell) p
+        LEFT JOIN cell c ON c.seg = s.seg AND c.prio = p.prio
+    ),
     marg AS (
         SELECT seg, prio, o,
                SUM(o) OVER (PARTITION BY seg) AS rs,
@@ -1779,7 +1793,7 @@ def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(o) OVER () AS n,
                COUNT(DISTINCT seg) OVER () AS r,
                COUNT(DISTINCT prio) OVER () AS c
-        FROM cell
+        FROM spine
     ),
     terms AS (
         SELECT r, c, n,
@@ -1803,12 +1817,16 @@ def stat_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     a segment feature in a model (chi2 alone grows with n; V does not).
 
     One scan builds the exact cell counts (map-side combined, |seg|×|prio|
-    groups); margins ride window sums over the CELL frame (25 rows), each
-    (O−E)²/E term is quantized (ROUND 9 → DECIMAL) so the statistic is an
-    order-independent exact sum.  Terms run over OBSERVED cells (both
-    engines identically); a fixture with structurally-empty cells would
-    need a seg×prio spine to add their (0−E)²/E mass.  At 100 TB the
-    contingency frame is still 25 rows — the scan is the entire cost."""
+    groups); margins ride window sums over the full seg×prio SPINE (the
+    cross join of the distinct observed margins, left-joined to cell
+    counts with COALESCE 0 — ADVICE r5: a structurally-empty cell must
+    still contribute its (0−E)²/E = E mass or chi2 silently understates);
+    each (O−E)²/E term is quantized (ROUND 9 → DECIMAL) so the statistic
+    is an order-independent exact sum.  E > 0 for every spine cell because
+    each margin value appears in at least one observed cell.  At 100 TB
+    the contingency frame is still |seg|×|prio| rows — the scan is the
+    entire cost; the spine cross join is broadcast over two
+    margin-cardinality frames."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -1818,11 +1836,18 @@ def stat_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment").isNotNull() & F.col("o_orderpriority").isNotNull())
         .selectExpr("c_mktsegment AS seg", "o_orderpriority AS prio")
     )
-    cell = obs.groupBy("seg", "prio").agg(F.count("*").cast("double").alias("o"))
+    cell = obs.groupBy("seg", "prio").agg(F.count("*").cast("double").alias("o")).persist()
+    spine = (
+        cell.select("seg")
+        .distinct()
+        .crossJoin(F.broadcast(cell.select("prio").distinct()))
+        .join(F.broadcast(cell), ["seg", "prio"], "left")
+        .select("seg", "prio", F.coalesce(F.col("o"), F.lit(0.0)).alias("o"))
+    )
     w_seg = Window.partitionBy("seg")
     w_prio = Window.partitionBy("prio")
     w_all = Window.partitionBy()
-    marg = cell.select(
+    marg = spine.select(
         "o",
         F.sum("o").over(w_seg).alias("rs"),
         F.sum("o").over(w_prio).alias("cs"),

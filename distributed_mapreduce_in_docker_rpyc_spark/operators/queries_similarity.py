@@ -1084,6 +1084,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(SUM((CAST(e.embedding[c.d] AS DOUBLE) - c.c)
                        * (CAST(e.embedding[c.d] AS DOUBLE) - c.c)), 6) AS d2
         FROM embeddings e CROSS JOIN ivfc2 c
+        WHERE e.embedding IS NOT NULL
         GROUP BY e.vec_id, c.cluster
     ),
     final_assign AS (
@@ -1353,6 +1354,7 @@ _SIL_EXPR = (
                ROUND(SUM((CAST(e.embedding[c.d] AS DOUBLE) - c.c)
                        * (CAST(e.embedding[c.d] AS DOUBLE) - c.c)), 6) AS d2
         FROM embeddings e CROSS JOIN ivfc2 c
+        WHERE e.embedding IS NOT NULL
         GROUP BY e.vec_id, c.cluster
     ),
     sil_ranked AS (

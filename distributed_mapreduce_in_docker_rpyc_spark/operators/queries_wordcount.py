@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_in_docker_rpyc_spark.operators import wordcount as wc
+from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import materialized as _materialized
+from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import shared as _shared
 from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import work_dir as _work_dir
 from distributed_mapreduce_in_docker_rpyc_spark.registry import register
 from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
@@ -223,6 +225,86 @@ def ziptext_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_counts(lines, "value")
 
 
+def _jsonl_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row JSONL round-trip proof, computed ONCE per session.
+
+    The write → corrupt-shard append → pinned-schema PERMISSIVE read →
+    proof aggregate all happen EAGERLY inside a unique scratch directory
+    that is deleted before returning; the result is a local-relation frame
+    (``materialized``).  This is the r6 hermetic fix for the r4/r5 driver
+    hash-reds that never reproduced locally (VERDICT r5 "wrong" #1): a
+    deferred or repeated driver collect now replays call-time values
+    instead of re-reading scratch files whose directory a second
+    invocation used to wipe.  Memoized per (session, sf_dir) so the
+    diagnostic sibling queries below share one computation AND localize
+    which proof column drifts if a red row ever returns."""
+
+    def build() -> DataFrame:
+        import os
+        import shutil
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text", "lang", "source")
+        )
+        out = _work_dir("jsonl")
+        docs.repartition(4).write.mode("overwrite").json(out)
+        with open(os.path.join(out, "part-corrupt.json"), "w", encoding="utf-8") as fh:
+            fh.write('{"doc_id": 9001, "text": "truncated\n')
+            fh.write('not json at all\n')
+            fh.write('{"doc_id": "wrong-type-and-unclosed"\n')
+        back = (
+            spark.read.schema(
+                "doc_id long, text string, lang string, source string, _corrupt_record string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(out)
+        )
+        good = F.col("_corrupt_record").isNull()
+        # One proof column PER round-trip property: corrupt-shard byte
+        # total (86 = the three literal lines above), doc_id second moment
+        # (catches a swapped/duplicated id that the plain sum misses),
+        # source byte total, and the NULL-text count (JSON writers drop
+        # null fields — proves absent-field → NULL round-trips).
+        res = _materialized(
+            back.agg(
+                F.sum(good.cast("long")).alias("n_good"),
+                F.sum((~good).cast("long")).cast("int").alias("n_corrupt"),
+                F.sum(
+                    F.when(~good, F.length(F.encode(F.col("_corrupt_record"), "UTF-8")))
+                ).alias("sum_corrupt_bytes"),
+                F.sum(F.when(good, F.col("doc_id"))).alias("sum_doc_id"),
+                F.sum(F.when(good, F.col("doc_id") * F.col("doc_id"))).alias(
+                    "sum_doc_id_sq"
+                ),
+                F.sum(
+                    F.when(
+                        good,
+                        F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")),
+                    )
+                ).alias("sum_text_bytes"),
+                F.sum(
+                    F.when(
+                        good,
+                        F.length(
+                            F.encode(F.coalesce(F.col("source"), F.lit("")), "UTF-8")
+                        ),
+                    )
+                ).alias("sum_source_bytes"),
+                F.count(F.when(good & F.col("text").isNull(), F.lit(1))).alias(
+                    "n_null_text"
+                ),
+                F.count_distinct(F.when(good, F.col("lang"))).alias("n_langs"),
+            )
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        return res
+
+    return _shared(spark, ("jsonl_proof", sf_dir), build)
+
+
 @register(
     "jsonl_roundtrip",
     oracle="""
@@ -249,59 +331,58 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip is byte-lossless — the read-back UTF-8 text byte total
     equals the source table's, (b) the three corrupt lines are isolated
     into ``_corrupt_record`` instead of failing the scan, and (c) no good
-    row is lost or duplicated.
+    row is lost or duplicated.  See ``_jsonl_proof`` for the hermetic
+    eager-materialization contract (r6).
 
     Scale posture: write and read are both one-task-per-file with no
     shuffle; the final single-row aggregate is a partial-agg reduce.
     Schema is PINNED, never inferred — inference at 100 TB is a full extra
     pass over the data."""
-    import os
+    return _jsonl_proof(spark, sf_dir)
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", "text", "lang", "source")
-    )
-    out = _work_dir("jsonl")
-    docs.repartition(4).write.mode("overwrite").json(out)
-    with open(os.path.join(out, "part-corrupt.json"), "w", encoding="utf-8") as fh:
-        fh.write('{"doc_id": 9001, "text": "truncated\n')
-        fh.write('not json at all\n')
-        fh.write('{"doc_id": "wrong-type-and-unclosed"\n')
-    back = (
-        spark.read.schema(
-            "doc_id long, text string, lang string, source string, _corrupt_record string"
-        )
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(out)
-    )
-    good = F.col("_corrupt_record").isNull()
-    # One proof column PER round-trip property (r4's single red driver row
-    # for this query never reproduced locally — VERDICT r4 "wrong" #2; with
-    # the aggregate split per-column, a future mismatch NAMES the drifting
-    # component instead of hiding inside one hash): corrupt-shard byte
-    # total (86 = the three literal lines above), doc_id second moment
-    # (catches a swapped/duplicated id that the plain sum misses), source
-    # byte total, and the NULL-text count (JSON writers drop null fields —
-    # proves absent-field → NULL round-trips).
-    return back.agg(
-        F.sum(good.cast("long")).alias("n_good"),
-        F.sum((~good).cast("long")).cast("int").alias("n_corrupt"),
-        F.sum(
-            F.when(~good, F.length(F.encode(F.col("_corrupt_record"), "UTF-8")))
-        ).alias("sum_corrupt_bytes"),
-        F.sum(F.when(good, F.col("doc_id"))).alias("sum_doc_id"),
-        F.sum(F.when(good, F.col("doc_id") * F.col("doc_id"))).alias("sum_doc_id_sq"),
-        F.sum(
-            F.when(good, F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")))
-        ).alias("sum_text_bytes"),
-        F.sum(
-            F.when(good, F.length(F.encode(F.coalesce(F.col("source"), F.lit("")), "UTF-8")))
-        ).alias("sum_source_bytes"),
-        F.count(F.when(good & F.col("text").isNull(), F.lit(1))).alias("n_null_text"),
-        F.count_distinct(F.when(good, F.col("lang"))).alias("n_langs"),
-    )
+
+@register(
+    "jsonl_roundtrip_text_bytes",
+    oracle="""
+    SELECT SUM(octet_length(encode(COALESCE(text, '')))) AS sum_text_bytes
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def jsonl_roundtrip_text_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic sibling of ``jsonl_roundtrip`` (VERDICT r5 next-round #1):
+    ONLY the UTF-8 text byte total, so a driver hash mismatch names the
+    byte-fidelity property instead of hiding inside the parent's 9-column
+    row.  Shares the parent's memoized proof — zero extra compute."""
+    return _jsonl_proof(spark, sf_dir).select("sum_text_bytes")
+
+
+@register(
+    "jsonl_roundtrip_corrupt",
+    oracle="SELECT 3 AS n_corrupt, CAST(86 AS BIGINT) AS sum_corrupt_bytes",
+)
+def jsonl_roundtrip_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic sibling of ``jsonl_roundtrip``: ONLY the corrupt-record
+    isolation pair (line count + exact byte total of the three malformed
+    lines).  A mismatch here means the PERMISSIVE corrupt-row path — not
+    the data columns — differs in the driver environment."""
+    return _jsonl_proof(spark, sf_dir).select("n_corrupt", "sum_corrupt_bytes")
+
+
+@register(
+    "jsonl_roundtrip_ids",
+    oracle="""
+    SELECT COUNT(*) AS n_good,
+           SUM(doc_id) AS sum_doc_id,
+           COUNT(*) FILTER (WHERE text IS NULL) AS n_null_text
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def jsonl_roundtrip_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic sibling of ``jsonl_roundtrip``: ONLY row identity (good
+    row count, key sum, NULL-text count).  A mismatch here means rows were
+    lost/duplicated or NULL round-tripping differs — independent of byte
+    totals and corrupt-record handling."""
+    return _jsonl_proof(spark, sf_dir).select("n_good", "sum_doc_id", "n_null_text")
 
 
 @register(
@@ -329,53 +410,120 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     double rendering reparses to the identical double, summed as exact
     decimals), (b) dates survive the string form, (c) all three corrupt
     lines land in ``_corrupt_record`` with their exact byte total, and
-    (d) no good row is lost or duplicated.
+    (d) no good row is lost or duplicated.  See ``_csv_proof`` for the
+    hermetic eager-materialization contract (r6).
 
     Scale posture: write and read are one-task-per-file, shuffle-free;
     schema is pinned (inference at 100 TB is an extra full pass)."""
-    import os
+    return _csv_proof(spark, sf_dir)
 
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") < 500)
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            "o_totalprice",
-            F.to_date("o_orderdate").alias("d"),
-            "o_orderpriority",
+
+def _csv_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row CSV round-trip proof, computed ONCE per session in a
+    unique scratch dir that is deleted before returning — same hermetic
+    contract as ``_jsonl_proof`` (r5 driver hash-red, locally green —
+    VERDICT r5 "wrong" #1)."""
+
+    def build() -> DataFrame:
+        import os
+        import shutil
+
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 500)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.to_date("o_orderdate").alias("d"),
+                "o_orderpriority",
+            )
         )
-    )
-    out = _work_dir("csvrt")
-    o.repartition(4).write.mode("overwrite").option("header", "false").csv(out)
-    with open(os.path.join(out, "part-corrupt.csv"), "w", encoding="utf-8") as fh:
-        fh.write("not-a-long,AA,1.0,1999-01-01,X\n")
-        fh.write("99991,XX,not-a-number,1999-01-01,Y\n")
-        fh.write("99992,YY,2.5,not-a-date,Z\n")
-    back = (
-        spark.read.schema(
-            "o_orderkey long, o_orderstatus string, o_totalprice double, "
-            "d date, o_orderpriority string, _corrupt_record string"
+        out = _work_dir("csvrt")
+        o.repartition(4).write.mode("overwrite").option("header", "false").csv(out)
+        with open(os.path.join(out, "part-corrupt.csv"), "w", encoding="utf-8") as fh:
+            fh.write("not-a-long,AA,1.0,1999-01-01,X\n")
+            fh.write("99991,XX,not-a-number,1999-01-01,Y\n")
+            fh.write("99992,YY,2.5,not-a-date,Z\n")
+        back = (
+            spark.read.schema(
+                "o_orderkey long, o_orderstatus string, o_totalprice double, "
+                "d date, o_orderpriority string, _corrupt_record string"
+            )
+            .option("header", "false")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(out)
         )
-        .option("header", "false")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .csv(out)
-    )
-    good = F.col("_corrupt_record").isNull()
-    return back.agg(
-        F.sum(good.cast("long")).alias("n_good"),
-        F.sum((~good).cast("long")).cast("int").alias("n_corrupt"),
-        F.sum(
-            F.when(~good, F.length(F.encode(F.col("_corrupt_record"), "UTF-8")))
-        ).alias("sum_corrupt_bytes"),
-        F.sum(F.when(good, F.col("o_orderkey"))).alias("sum_key"),
-        F.sum(F.when(good, F.col("o_totalprice").cast("decimal(24,6)")))
-        .cast("double")
-        .alias("sum_price"),
-        F.min(F.when(good, F.col("d"))).alias("min_day"),
-        F.max(F.when(good, F.col("d"))).alias("max_day"),
-        F.count_distinct(F.when(good, F.col("o_orderpriority"))).alias("n_priorities"),
+        good = F.col("_corrupt_record").isNull()
+        res = _materialized(
+            back.agg(
+                F.sum(good.cast("long")).alias("n_good"),
+                F.sum((~good).cast("long")).cast("int").alias("n_corrupt"),
+                F.sum(
+                    F.when(~good, F.length(F.encode(F.col("_corrupt_record"), "UTF-8")))
+                ).alias("sum_corrupt_bytes"),
+                F.sum(F.when(good, F.col("o_orderkey"))).alias("sum_key"),
+                F.sum(F.when(good, F.col("o_totalprice").cast("decimal(24,6)")))
+                .cast("double")
+                .alias("sum_price"),
+                F.min(F.when(good, F.col("d"))).alias("min_day"),
+                F.max(F.when(good, F.col("d"))).alias("max_day"),
+                F.count_distinct(F.when(good, F.col("o_orderpriority"))).alias(
+                    "n_priorities"
+                ),
+            )
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        return res
+
+    return _shared(spark, ("csv_proof", sf_dir), build)
+
+
+@register(
+    "csv_roundtrip_price",
+    oracle="""
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def csv_roundtrip_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic sibling of ``csv_roundtrip``: ONLY the exact-decimal
+    price sum, isolating double → shortest-string → double fidelity."""
+    return _csv_proof(spark, sf_dir).select("sum_price")
+
+
+@register(
+    "csv_roundtrip_dates",
+    oracle="""
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS min_day,
+           MAX(CAST(o_orderdate AS DATE)) AS max_day
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def csv_roundtrip_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic sibling of ``csv_roundtrip``: ONLY the date min/max,
+    isolating DATE → string → DATE round-tripping (timezone/format skew
+    would surface here and nowhere else)."""
+    return _csv_proof(spark, sf_dir).select("min_day", "max_day")
+
+
+@register(
+    "csv_roundtrip_corrupt",
+    oracle="""
+    SELECT 3 AS n_corrupt,
+           CAST(89 AS BIGINT) AS sum_corrupt_bytes,
+           COUNT(*) AS n_good,
+           SUM(o_orderkey) AS sum_key
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def csv_roundtrip_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic sibling of ``csv_roundtrip``: corrupt-line isolation plus
+    row identity — a mismatch here means the PERMISSIVE path or row
+    multiplicity differs, independent of numeric/date fidelity."""
+    return _csv_proof(spark, sf_dir).select(
+        "n_corrupt", "sum_corrupt_bytes", "n_good", "sum_key"
     )
 
 
@@ -403,6 +551,8 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: both writers are one-task-per-partition with column
     pruning and predicate pushdown on rescan (ORC carries min/max stripe
     stats exactly as parquet does)."""
+    import shutil
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") < 300)
@@ -417,13 +567,21 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _work_dir("orcrt")
     li.repartition(4).write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
-    return back.agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(24,6)")).cast("double").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(24,6)"))
-        .cast("double")
-        .alias("sum_price"),
-        F.count_distinct("l_returnflag").alias("n_flags"),
-        F.min("ship").alias("min_ship"),
-        F.max("ship").alias("max_ship"),
+    # Eagerly materialized single-row proof — same hermetic contract as
+    # _jsonl_proof (r6): the returned frame references no scratch files.
+    res = _materialized(
+        back.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count_distinct("l_returnflag").alias("n_flags"),
+            F.min("ship").alias("min_ship"),
+            F.max("ship").alias("max_ship"),
+        )
     )
+    shutil.rmtree(out, ignore_errors=True)
+    return res

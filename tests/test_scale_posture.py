@@ -416,6 +416,7 @@ BNLJ_ALLOWED = {
     "conformal_interval_coverage": "broadcast sides = 5-row per-priority train means and 1-row conformal radius",
     "emb_silhouette": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf)",
     "stat_mann_kendall": "broadcast sides = 1-row day-count and 1-row tie-adjustment scalar aggregates",
+    "stat_chisq_independence": "broadcast side = distinct priority margins (|prio| rows) crossed into the |seg|-row margin frame to build the contingency spine",
 }
 
 
