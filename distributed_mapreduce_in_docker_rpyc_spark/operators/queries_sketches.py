@@ -211,17 +211,34 @@ def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_daily_distinct_error")
+@register(
+    "hll_daily_distinct_error",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS exact_users,
+           1 AS err_within_3rsd
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
+    """,
+)
 def hll_daily_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ vs exact per-day distinct users.
+    """HyperLogLog++ vs exact per-day distinct users — self-certifying.
 
-    Output: (day, exact_users, approx_users, rel_err).  ``approx_count_distinct``
+    Output: (day, exact_users, err_within_3rsd).  ``approx_count_distinct``
     is the 100 TB path — mergeable fixed-size registers instead of a
-    distinct-shuffle per group; the exact column exists only to measure the
-    error at test scale.  Deterministic (HLL register merge is order-free)
-    but not SQL-portable, so the tolerance check lives in tests.
-    """
-    ev = load_table(spark, sf_dir, "events")
+    distinct-shuffle per group; the exact column exists to measure the
+    error at test scale.  The sketch VALUE is Spark-internal (its register
+    hashing is not SQL-replayable — the portable, estimate-hash-checked
+    variant is ``hll_portable_daily``), so what the oracle pins is (a) the
+    exact side, bit-for-bit, and (b) the error CONTRACT as an integer
+    column: ``err_within_3rsd`` = 1 iff |approx−exact|/exact ≤ 3·rsd =
+    0.06 (rsd=0.02 → 3-sigma band).  The oracle emits the literal 1, so a
+    sketch drifting outside its published band hash-fails the driver gate
+    instead of passing a rows-only check (VERDICT r5 next-round #5)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     by_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -229,42 +246,123 @@ def hll_daily_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_day.select(
         "day",
         "exact_users",
-        "approx_users",
-        (F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")).alias("rel_err"),
+        (
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.06
+            ).cast("int")
+        ).alias("err_within_3rsd"),
     )
 
 
-@register("approx_percentile_error")
+@register(
+    "approx_percentile_error",
+    oracle="""
+    WITH pv AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               COUNT(*) AS c
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, v,
+               SUM(c) OVER (PARTITION BY flag ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER (PARTITION BY flag) AS n
+        FROM pv
+    ),
+    ex AS (
+        SELECT flag,
+               MIN(CASE WHEN cc >= CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                        THEN v END) AS exact_p50,
+               MIN(CASE WHEN cc >= CAST(FLOOR((19.0 * n + 19.0) / 20.0) AS BIGINT)
+                        THEN v END) AS exact_p95
+        FROM cum GROUP BY flag
+    )
+    SELECT flag AS l_returnflag,
+           ROUND(exact_p50, 2) AS exact_p50,
+           ROUND(exact_p95, 2) AS exact_p95,
+           1 AS p50_within_1pct,
+           1 AS p95_within_1pct
+    FROM ex
+    """,
+)
 def approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (mergeable-sketch) vs exact percentiles of extended price
-    per return flag: (flag, exact_p50, approx_p50, exact_p95, approx_p95,
-    rel_err_p50, rel_err_p95).
+    per return flag — self-certifying: (flag, exact_p50, exact_p95,
+    p50_within_1pct, p95_within_1pct).
 
     ``approx_percentile`` (Greenwald-Khanna variant, accuracy 10000) is the
     100 TB path — bounded-size summaries merged associatively instead of a
-    full sort per group; the exact columns exist only to measure error at
-    test scale.  Deterministic but not SQL-portable (DuckDB's sketch differs)
-    → rows-only check; the tolerance assertion lives in
-    tests/test_sketches.py."""
+    full sort per group.  The sketch VALUE is not SQL-replayable (DuckDB's
+    sketch differs), so the oracle pins (a) the EXACT side as order
+    statistics — lower order statistic at rank ⌈q·n⌉, computed from
+    per-distinct-value counts + one cumulative window over the price grid
+    (integer crossing logic, deterministic cross-engine; no interpolated
+    quantile whose rounding could differ) — and (b) the error CONTRACT as
+    integer columns: within 1% relative of the exact order statistic
+    (rank error ≤ n/10000 → far inside 1% on a dense price grid).  The
+    oracle emits the literal 1s, so a sketch drifting outside its bound
+    hash-fails the driver gate instead of passing rows-only (VERDICT r5
+    next-round #5).  At 100 TB the grid frame is bounded by price-grid
+    cardinality; the sketch side never materializes the grid."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    pv = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_flag = Window.partitionBy("flag")
+    cum = pv.select(
+        "flag",
+        "v",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_flag).alias("n"),
+    )
+    ex = cum.groupBy("flag").agg(
+        F.min(
+            F.when(
+                F.col("cc") >= F.floor((F.col("n") + 1) / F.lit(2.0)).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias("exact_p50"),
+        F.min(
+            F.when(
+                F.col("cc")
+                >= F.floor((19.0 * F.col("n") + 19.0) / F.lit(20.0)).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias("exact_p95"),
+    )
+    approx = li.filter(F.col("l_extendedprice").isNotNull()).groupBy(
+        F.col("l_returnflag").alias("flag")
+    ).agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
         F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("approx_p95"),
     )
-    return g.select(
-        "l_returnflag",
-        F.round("exact_p50", 4).alias("exact_p50"),
-        F.round("approx_p50", 4).alias("approx_p50"),
-        F.round("exact_p95", 4).alias("exact_p95"),
-        F.round("approx_p95", 4).alias("approx_p95"),
-        F.round(F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50"), 6).alias(
-            "rel_err_p50"
-        ),
-        F.round(F.abs(F.col("approx_p95") - F.col("exact_p95")) / F.col("exact_p95"), 6).alias(
-            "rel_err_p95"
-        ),
+    return ex.join(approx, "flag").select(
+        F.col("flag").alias("l_returnflag"),
+        F.round("exact_p50", 2).alias("exact_p50"),
+        F.round("exact_p95", 2).alias("exact_p95"),
+        (
+            (F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50") <= 0.01).cast(
+                "int"
+            )
+        ).alias("p50_within_1pct"),
+        (
+            (F.abs(F.col("approx_p95") - F.col("exact_p95")) / F.col("exact_p95") <= 0.01).cast(
+                "int"
+            )
+        ).alias("p95_within_1pct"),
     )
 
 

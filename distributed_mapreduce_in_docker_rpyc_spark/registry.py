@@ -106,7 +106,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "inverted_index_stats",
     "ingest_zip_wordcount",
     "ziptext_datasource_scan",
-    # (4) built in round 6 — never driver-checked (appended as built)
+    # (4) built in round 6 — never driver-checked (appended as built).
+    # The two former rows-only sketch-error reports lead: r6 made them
+    # self-certifying (oracle pins the exact side + the error bound as an
+    # integer column — VERDICT r5 next-round #5), so their FIRST hash-checked
+    # driver row should land this round.
+    "hll_daily_distinct_error",
+    "approx_percentile_error",
     # (5) remaining stale greens: r1-era relational, then r5-checked
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -200,13 +206,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file
-# layout, HLL/approx-percentile estimator internals).  Registered LAST so a
-# driver budget slot never again produces a `no_oracle` error row
-# (r3 spent 3 of its 50 slots on these — VERDICT r3 "wrong" #2).
+# sizes are environment truth).  Registered LAST so a driver budget slot
+# never again produces a `no_oracle` error row (r3 spent 3 of its 50 slots
+# on these — VERDICT r3 "wrong" #2).  The HLL / approx-percentile error
+# reports left this list in r6: their oracles now pin the exact side plus
+# the error bound as integer columns (VERDICT r5 next-round #5).
 DRIVER_DEMOTE: tuple[str, ...] = (
     "storage_file_report",
-    "hll_daily_distinct_error",
-    "approx_percentile_error",
 )
 
 

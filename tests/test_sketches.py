@@ -47,8 +47,10 @@ def test_heavy_hitters_match_exact_having(spark, sf_dir):
 def test_hll_error_within_tolerance(spark, sf_dir):
     rows = hll_daily_distinct_error(spark, sf_dir).collect()
     assert rows
-    # rsd=0.02 → 3-sigma tolerance 6%; generous for small daily groups.
-    assert max(r.rel_err for r in rows) < 0.10
+    # rsd=0.02 → 3-sigma tolerance 6%, pinned INSIDE the query as the
+    # integer contract column the oracle hash-checks (self-certifying).
+    assert all(r.err_within_3rsd == 1 for r in rows)
+    assert all(r.exact_users > 0 for r in rows)
 
 
 def test_approx_percentile_error_within_tolerance(spark, sf_dir):
@@ -60,8 +62,9 @@ def test_approx_percentile_error_within_tolerance(spark, sf_dir):
     rows = approx_percentile_error(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r.rel_err_p50 <= 0.01, r
-        assert r.rel_err_p95 <= 0.01, r
+        assert r.p50_within_1pct == 1, r
+        assert r.p95_within_1pct == 1, r
+        assert 0 < r.exact_p50 <= r.exact_p95, r
 
 
 def test_bootstrap_se_tracks_classical_se(spark, sf_dir):
