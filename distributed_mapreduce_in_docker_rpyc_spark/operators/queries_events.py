@@ -1426,3 +1426,87 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_intervals"),
         F.sum(F.col("hi") - F.col("lo")).cast("bigint").alias("covered_seconds"),
     )
+
+
+# --- Two-sample Poisson rate test ---------------------------------------------
+#
+# Normal-approximation z for a rate difference: the only inputs are four
+# exact integers (two counts, two exposures), so the shared float algebra
+# is bit-identical cross-engine.
+_PR_Z = (
+    "(((kwe / twe) - (kwd / twd))"
+    " / NULLIF(sqrt((kwe / (twe * twe)) + (kwd / (twd * twd))), 0.0))"
+)
+
+
+@register(
+    "events_poisson_rate_test",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CASE WHEN date_part('isodow', ts) IN (6, 7) THEN 1 ELSE 0 END AS we,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+               CAST(ts AS DATE) AS d
+        FROM events WHERE ts IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN we = 1 THEN p ELSE 0 END) AS DOUBLE) AS kwe,
+               CAST(SUM(CASE WHEN we = 0 THEN p ELSE 0 END) AS DOUBLE) AS kwd,
+               CAST(COUNT(DISTINCT CASE WHEN we = 1 THEN d END) AS DOUBLE) AS twe,
+               CAST(COUNT(DISTINCT CASE WHEN we = 0 THEN d END) AS DOUBLE) AS twd
+        FROM ev
+    )
+    SELECT CAST(kwe AS BIGINT) AS n_weekend_purchases,
+           CAST(kwd AS BIGINT) AS n_weekday_purchases,
+           CAST(twe AS BIGINT) AS weekend_days,
+           CAST(twd AS BIGINT) AS weekday_days,
+           ROUND(kwe / twe, 6) AS weekend_rate,
+           ROUND(kwd / twd, 6) AS weekday_rate,
+           ROUND({_PR_Z}, 6) AS z_score
+    FROM s
+    """,
+)
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test: is the weekend purchase rate
+    (purchases per observed weekend day) different from the weekday
+    rate?  z = (λ̂₁−λ̂₂)/√(k₁/T₁² + k₂/T₂²) — the unpooled
+    normal-approximation test for count processes, the standard guardrail
+    check before attributing a rate shift to a launch.
+
+    Exposure is measured, not assumed: T = DISTINCT observed dates per
+    class (from ALL events, so a day with zero purchases still counts as
+    exposure).  Everything reduces to ONE aggregate over one scan — two
+    conditional sums and two conditional distinct-date counts (the
+    distinct expand is calendar-bounded) — and the z algebra is a shared
+    expression string over four exact integers.  Weekend classification
+    is ISO day-of-week (Spark ``weekday()+1`` ≡ DuckDB ``isodow``; the
+    engines' raw ``dayofweek`` disagree on the week start, documented
+    here so nobody 'simplifies' it back).  At 100 TB: one scan, four
+    integers of state."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .selectExpr(
+            "CASE WHEN weekday(ts) + 1 IN (6, 7) THEN 1 ELSE 0 END AS we",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p",
+            "CAST(ts AS DATE) AS d",
+        )
+    )
+    s = ev.agg(
+        F.sum(F.expr("CASE WHEN we = 1 THEN p ELSE 0 END")).cast("double").alias("kwe"),
+        F.sum(F.expr("CASE WHEN we = 0 THEN p ELSE 0 END")).cast("double").alias("kwd"),
+        F.count_distinct(F.expr("CASE WHEN we = 1 THEN d END"))
+        .cast("double")
+        .alias("twe"),
+        F.count_distinct(F.expr("CASE WHEN we = 0 THEN d END"))
+        .cast("double")
+        .alias("twd"),
+    )
+    return s.selectExpr(
+        "CAST(kwe AS BIGINT) AS n_weekend_purchases",
+        "CAST(kwd AS BIGINT) AS n_weekday_purchases",
+        "CAST(twe AS BIGINT) AS weekend_days",
+        "CAST(twd AS BIGINT) AS weekday_days",
+        "ROUND(kwe / twe, 6) AS weekend_rate",
+        "ROUND(kwd / twd, 6) AS weekday_rate",
+        f"ROUND({_PR_Z}, 6) AS z_score",
+    )

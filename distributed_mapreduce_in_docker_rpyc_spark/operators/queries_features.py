@@ -2033,3 +2033,424 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("tw"), 6).alias("total_weight"),
         )
     )
+
+
+# --- Kruskal-Wallis H (k-group rank test) -------------------------------------
+#
+# The k-group generalization of `stat_mannwhitney_u`, same distributed
+# formulation: ranks live on the DISTINCT-value grid, rank sums ride exact
+# DECIMAL, and the final H algebra is one shared expression string.
+_KW_H = (
+    "((((12.0 / (n * (n + 1.0))) * sumr2n) - (3.0 * (n + 1.0)))"
+    " / NULLIF(1.0 - (tiesum / (n * n * n - n)), 0.0))"
+)
+_KW_EPS2 = f"(({_KW_H} - k + 1.0) / NULLIF(n - k, 0.0))"
+
+
+@register(
+    "stat_kruskal_wallis",
+    oracle=f"""
+    WITH obs AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS v
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    pv AS (SELECT v, COUNT(*) AS t FROM obs GROUP BY v),
+    rk AS (
+        SELECT v, t,
+               (CAST(SUM(t) OVER (ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS DOUBLE)
+                - t) + ((t + 1.0) / 2.0) AS r
+        FROM pv
+    ),
+    gv AS (SELECT grp, v, COUNT(*) AS tg FROM obs GROUP BY grp, v),
+    gr AS (
+        SELECT g.grp,
+               CAST(SUM(g.tg) AS DOUBLE) AS ng,
+               CAST(SUM(CAST(g.tg * rk.r AS DECIMAL(38,1))) AS DOUBLE) AS rg
+        FROM gv g JOIN rk ON rk.v = g.v
+        GROUP BY g.grp
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM(ng) AS DOUBLE) AS n,
+               CAST(SUM(CAST(ROUND((rg * rg) / ng, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS sumr2n,
+               (SELECT CAST(SUM(t * t * t - t) AS DOUBLE) FROM pv) AS tiesum
+        FROM gr
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(k AS BIGINT) AS n_groups,
+           ROUND({_KW_H}, 6) AS h_stat,
+           ROUND({_KW_EPS2}, 6) AS epsilon_squared
+    FROM s
+    """,
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: do the five order priorities draw order totals
+    from the same distribution?  The k-group generalization of
+    `stat_mannwhitney_u` — rank-based, so it needs no normality or
+    equal-variance assumption (`stat_anova_oneway` is the parametric
+    sibling on a different grouping).  Tie-corrected H plus the
+    epsilon-squared effect size ((H−k+1)/(n−k)).
+
+    Distributed formulation: average ranks depend only on the VALUE, so
+    they are computed once on the DISTINCT-value grid (map-side combined
+    count per value + one cumulative window over the grid), and per-group
+    rank sums come from the (group, value) count frame equi-joined to the
+    grid — never a per-row global sort.  Rank sums ride DECIMAL(38,1)
+    (ranks are halves; exact while tg·r products stay under 2^53 — same
+    envelope as `stat_mannwhitney_u`), and the Σ R_g²/n_g terms are
+    quantized (ROUND 9 → DECIMAL) so the 5-term reduce is
+    order-independent.  H/ε² algebra is a shared expression string,
+    bit-identical cross-engine.  At 100 TB the grid is price-cardinality
+    bounded; the cumulative window segments by range partition with
+    carried offsets if it ever is not."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.filter(
+        F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).selectExpr("o_orderpriority AS grp", "o_totalprice AS v")
+    pv = obs.groupBy("v").agg(F.count("*").alias("t"))
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rk = pv.select(
+        "v",
+        "t",
+        (
+            (F.sum("t").over(w_cum).cast("double") - F.col("t"))
+            + (F.col("t") + 1.0) / 2.0
+        ).alias("r"),
+    )
+    gv = obs.groupBy("grp", "v").agg(F.count("*").alias("tg"))
+    gr = (
+        gv.join(rk.select("v", "r"), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("tg").cast("double").alias("ng"),
+            F.sum(F.expr("CAST(tg * r AS DECIMAL(38,1))")).cast("double").alias("rg"),
+        )
+    )
+    ties = pv.agg(F.sum(F.expr("t * t * t - t")).cast("double").alias("tiesum"))
+    s = gr.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("ng").cast("double").alias("n"),
+        F.sum(F.expr("CAST(ROUND((rg * rg) / ng, 9) AS DECIMAL(38,9))"))
+        .cast("double")
+        .alias("sumr2n"),
+    ).crossJoin(ties)
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "CAST(k AS BIGINT) AS n_groups",
+        f"ROUND({_KW_H}, 6) AS h_stat",
+        f"ROUND({_KW_EPS2}, 6) AS epsilon_squared",
+    )
+
+
+@register(
+    "stat_levene_brown_forsythe",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v, COUNT(*) AS c
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, v, c,
+               SUM(c) OVER (PARTITION BY flag ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER (PARTITION BY flag) AS ngrp
+        FROM pv
+    ),
+    med AS (
+        SELECT flag,
+               MIN(CASE WHEN cc >= CAST(FLOOR((ngrp + 1) / 2.0) AS BIGINT)
+                        THEN v END) AS m
+        FROM cum GROUP BY flag
+    ),
+    per AS (
+        SELECT p.flag,
+               CAST(SUM(p.c) AS DOUBLE) AS ng,
+               CAST(SUM(CAST(p.c * abs(p.v - med.m) AS DECIMAL(24,6)))
+                    AS DOUBLE) AS sg,
+               CAST(SUM(CAST(p.c * (abs(p.v - med.m) * abs(p.v - med.m))
+                             AS DECIMAL(38,12))) AS DOUBLE) AS qg
+        FROM pv p JOIN med ON med.flag = p.flag
+        GROUP BY p.flag
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM(ng) AS DOUBLE) AS n,
+               CAST(SUM(sg) AS DOUBLE) AS s,
+               CAST(SUM(qg) AS DOUBLE) AS q,
+               CAST(SUM(CAST(ROUND((sg * sg) / ng, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS sq_over_n
+        FROM per
+    ),
+    ss AS (
+        SELECT k, n,
+               (sq_over_n - ((s * s) / n)) AS ssb,
+               (q - sq_over_n) AS ssw
+        FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(k AS BIGINT) AS n_groups,
+           ROUND({_AN_F}, 6) AS bf_w_stat
+    FROM ss
+    """,
+)
+def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with group MEDIANS): do the
+    return-flag groups have equal price VARIANCE?  W = the one-way ANOVA
+    F statistic computed on z = |x − median_group| — the robust
+    variance-homogeneity gate run before trusting `stat_anova_oneway`'s
+    equal-variance assumption.
+
+    Fully grid-resident: per-(flag, price) counts are the only row-sized
+    pass; the group median is the exact lower order statistic from one
+    cumulative window over the price grid (same crossing recipe as
+    `lineitem_weighted_median`), and the deviation sufficient statistics
+    (Σc·z, Σc·z²) are computed WITH MULTIPLICITY on the grid itself — the
+    original rows are never touched again.  DECIMAL casts + quantized
+    Σ(S²/n) terms follow the `stat_anova_oneway` recipe exactly, so W is
+    bit-identical cross-engine.  At 100 TB: one scan to the grid, then
+    price-cardinality-bounded work."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.filter(F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull())
+        .groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_flag = Window.partitionBy("flag")
+    cum = pv.select(
+        "flag",
+        "v",
+        "c",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_flag).alias("ngrp"),
+    )
+    med = cum.groupBy("flag").agg(
+        F.min(
+            F.when(
+                F.col("cc") >= F.floor((F.col("ngrp") + 1) / F.lit(2.0)).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias("m")
+    )
+    per = (
+        pv.join(F.broadcast(med), "flag")
+        .groupBy("flag")
+        .agg(
+            F.sum("c").cast("double").alias("ng"),
+            F.sum(F.expr("CAST(c * abs(v - m) AS DECIMAL(24,6))"))
+            .cast("double")
+            .alias("sg"),
+            F.sum(
+                F.expr("CAST(c * (abs(v - m) * abs(v - m)) AS DECIMAL(38,12))")
+            )
+            .cast("double")
+            .alias("qg"),
+        )
+    )
+    tot = per.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("ng").cast("double").alias("n"),
+        F.sum("sg").cast("double").alias("s"),
+        F.sum("qg").cast("double").alias("q"),
+        F.sum(F.expr("CAST(ROUND((sg * sg) / ng, 9) AS DECIMAL(38,9))"))
+        .cast("double")
+        .alias("sq_over_n"),
+    )
+    ss = tot.selectExpr(
+        "k",
+        "n",
+        "(sq_over_n - ((s * s) / n)) AS ssb",
+        "(q - sq_over_n) AS ssw",
+    )
+    return ss.selectExpr(
+        "CAST(n AS BIGINT) AS n_items",
+        "CAST(k AS BIGINT) AS n_groups",
+        f"ROUND({_AN_F}, 6) AS bf_w_stat",
+    )
+
+
+# --- Jarque-Bera normality (moment-based) -------------------------------------
+#
+# Central moments from raw power sums; every power product is written with
+# EXPLICIT left association so both engines perform the identical sequence
+# of IEEE multiplies before the DECIMAL quantization.
+_JB_M2 = "((q2 / n) - (mu * mu))"
+_JB_M3 = "((q3 / n) - ((3.0 * mu) * (q2 / n)) + ((2.0 * mu) * (mu * mu)))"
+_JB_M4 = (
+    "((q4 / n) - ((4.0 * mu) * (q3 / n)) + (((6.0 * mu) * mu) * (q2 / n))"
+    " - (((3.0 * mu) * mu) * (mu * mu)))"
+)
+_JB_SKEW = f"({_JB_M3} / NULLIF(power({_JB_M2}, 1.5), 0.0))"
+_JB_EXKURT = f"(({_JB_M4} / NULLIF({_JB_M2} * {_JB_M2}, 0.0)) - 3.0)"
+_JB_STAT = (
+    f"((n / 6.0) * (({_JB_SKEW} * {_JB_SKEW})"
+    f" + (({_JB_EXKURT} * {_JB_EXKURT}) / 4.0)))"
+)
+
+
+@register(
+    "stat_jarque_bera",
+    oracle=f"""
+    WITH per AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+                    AS DOUBLE) AS q2,
+               CAST(SUM(CAST((l_quantity * l_quantity) * l_quantity
+                             AS DECIMAL(38,10))) AS DOUBLE) AS q3,
+               CAST(SUM(CAST(((l_quantity * l_quantity) * l_quantity)
+                             * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS q4
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        GROUP BY 1
+    ),
+    m AS (SELECT l_returnflag, n, (s1 / n) AS mu, q2, q3, q4 FROM per)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           ROUND({_JB_SKEW}, 6) AS skewness,
+           ROUND({_JB_EXKURT}, 6) AS excess_kurtosis,
+           ROUND({_JB_STAT}, 6) AS jb_stat
+    FROM m
+    """,
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per return flag: JB = n/6·(S² + K²/4)
+    from the moment-based skewness S and excess kurtosis K of quantity —
+    the single-pass normality gate a pipeline runs before trusting
+    moment-based anomaly thresholds (a uniform quantity column like this
+    one fails loudly: K ≈ −1.2).
+
+    One map-side-combined aggregate collects the four raw power sums per
+    group (Σx..Σx⁴ as exact DECIMALs — quantity ≤ 50 keeps x⁴ ≤ 6.25e6,
+    far inside DECIMAL(38,10)); central moments, S, K and JB are shared
+    expression strings with EXPLICIT left-associated multiplies so both
+    engines execute the identical IEEE sequence.  At 100 TB: one scan,
+    3 groups, 15 doubles of state per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.filter(F.col("l_returnflag").isNotNull() & F.col("l_quantity").isNotNull())
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(24,6))")).cast("double").alias("s1"),
+            F.sum(F.expr("CAST(l_quantity * l_quantity AS DECIMAL(38,10))"))
+            .cast("double")
+            .alias("q2"),
+            F.sum(
+                F.expr("CAST((l_quantity * l_quantity) * l_quantity AS DECIMAL(38,10))")
+            )
+            .cast("double")
+            .alias("q3"),
+            F.sum(
+                F.expr(
+                    "CAST(((l_quantity * l_quantity) * l_quantity) * l_quantity"
+                    " AS DECIMAL(38,10))"
+                )
+            )
+            .cast("double")
+            .alias("q4"),
+        )
+    )
+    m = per.selectExpr("l_returnflag", "n", "(s1 / n) AS mu", "q2", "q3", "q4")
+    return m.selectExpr(
+        "l_returnflag",
+        "CAST(n AS BIGINT) AS n_items",
+        f"ROUND({_JB_SKEW}, 6) AS skewness",
+        f"ROUND({_JB_EXKURT}, 6) AS excess_kurtosis",
+        f"ROUND({_JB_STAT}, 6) AS jb_stat",
+    )
+
+
+# --- Cohen's kappa (inter-rater agreement) ------------------------------------
+#
+# Kappa over exact integer contingency counts: numerator and denominator are
+# BIGINT products, so the only float op is the final division.
+_CK_KAPPA = (
+    "(CAST((n * (n11 + n00)) - ((a1 * b1) + ((n - a1) * (n - b1))) AS DOUBLE)"
+    " / NULLIF(CAST((n * n) - ((a1 * b1) + ((n - a1) * (n - b1))) AS DOUBLE),"
+    " 0.0))"
+)
+
+
+@register(
+    "stat_cohens_kappa",
+    oracle=f"""
+    WITH rated AS (
+        SELECT CASE WHEN length(COALESCE(text, '')) >= 150 THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+')) > 0
+                         AND 100 * len(list_distinct(regexp_extract_all(
+                                 lower(COALESCE(text, '')), '[a-z'']+')))
+                             >= 55 * len(regexp_extract_all(
+                                 lower(COALESCE(text, '')), '[a-z'']+'))
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS a1,
+               CAST(SUM(b) AS BIGINT) AS b1,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM rated
+    )
+    SELECT n AS n_docs,
+           n11 AS n_both_pass,
+           n00 AS n_both_fail,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS observed_agreement,
+           ROUND({_CK_KAPPA}, 6) AS kappa
+    FROM c
+    """,
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality raters:
+    rater A = length gate (≥150 chars), rater B = lexical-diversity gate
+    (distinct tokens ≥ 55% of tokens).  Kappa is the chance-corrected
+    agreement — THE metric for deciding whether two cheap filter
+    heuristics are redundant (κ→1) or complementary (κ→0) before wiring
+    both into a training-data pipeline.
+
+    Both raters are pure codegen expressions evaluated in ONE scan (the
+    tokenizer regex is shared verbatim with the oracle, the same
+    ``[a-z']+`` contract as `text_fingerprint`); the contingency table is
+    four exact BIGINT counts from one aggregate, the diversity gate is an
+    INTEGER cross-multiplication (100·distinct ≥ 55·tokens — no float
+    ratio anywhere), and kappa's numerator/denominator are integer
+    products with one final division (shared expression string).  At
+    100 TB: one scan, five integers of state per task."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(lower(COALESCE(text, '')), \"[a-z']+\", 0)"
+    rated = docs.selectExpr(
+        "CASE WHEN length(COALESCE(text, '')) >= 150 THEN 1 ELSE 0 END AS a",
+        f"CASE WHEN size({toks}) > 0"
+        f"          AND 100 * size(array_distinct({toks})) >= 55 * size({toks})"
+        f"     THEN 1 ELSE 0 END AS b",
+    )
+    c = rated.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("a1"),
+        F.sum("b").cast("bigint").alias("b1"),
+        F.sum(F.expr("a * b")).cast("bigint").alias("n11"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).cast("bigint").alias("n00"),
+    )
+    return c.selectExpr(
+        "n AS n_docs",
+        "n11 AS n_both_pass",
+        "n00 AS n_both_fail",
+        "ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS observed_agreement",
+        f"ROUND({_CK_KAPPA}, 6) AS kappa",
+    )

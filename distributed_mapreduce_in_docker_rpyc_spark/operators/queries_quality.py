@@ -316,6 +316,99 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# t-closeness TVD: every term is an exact BIGINT cross-multiplication; the
+# single float op is the final division.
+_TC_TVD = "(CAST(sdiff AS DOUBLE) / ((2.0 * nc) * n))"
+
+
+@register(
+    "dq_t_closeness",
+    oracle=f"""
+    WITH obs AS (
+        SELECT c_nationkey AS nk, c_mktsegment AS seg,
+               CAST(FLOOR(COALESCE(c_acctbal, 0) / 2000) AS BIGINT) AS s
+        FROM customer
+    ),
+    cls AS (SELECT nk, seg, CAST(COUNT(*) AS BIGINT) AS nc FROM obs GROUP BY nk, seg),
+    sv AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ns FROM obs GROUP BY s),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    cs AS (SELECT nk, seg, s, CAST(COUNT(*) AS BIGINT) AS ncs
+           FROM obs GROUP BY nk, seg, s),
+    spine AS (
+        SELECT c.nk, c.seg, c.nc, v.s, v.ns, t.n,
+               COALESCE(x.ncs, 0) AS ncs
+        FROM cls c CROSS JOIN sv v CROSS JOIN tot t
+        LEFT JOIN cs x ON x.nk = c.nk AND x.seg = c.seg AND x.s = v.s
+    ),
+    d AS (
+        SELECT nk, seg, MAX(nc) AS nc, MAX(n) AS n,
+               SUM(ABS((ncs * n) - (ns * nc))) AS sdiff
+        FROM spine GROUP BY nk, seg
+    )
+    SELECT nk AS c_nationkey, seg AS c_mktsegment,
+           nc AS group_size,
+           ROUND({_TC_TVD}, 6) AS tvd,
+           CAST({_TC_TVD} <= 0.2 AS INT) AS is_t_close
+    FROM d
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the step past
+    ``dq_l_diversity``: an equivalence class can hold l distinct sensitive
+    values yet still leak if its DISTRIBUTION over them diverges from the
+    table's.  Per (nation, segment) class: the total variation distance
+    between the class' balance-band distribution and the global one, with
+    the t ≤ 0.2 verdict (classes above t need generalization before
+    release).
+
+    The TVD is EXACT integer arithmetic end-to-end: each cell's
+    |p_class − p_global| term is the cross-multiplication
+    |n_cs·n − n_s·n_c| (BIGINT — no per-cell float division whose
+    rounding could drift cross-engine), summed over the full class ×
+    sensitive-value SPINE (cross join of the two margin frames,
+    left-joined to observed cell counts — a structurally-absent band
+    still contributes its n_s·n_c mass, the same empty-cell discipline as
+    `stat_chisq_independence`), divided once by 2·n_c·n.  At 100 TB: one
+    scan to the three count frames; the spine is |classes|×|bands| rows —
+    margin-cardinality, never data-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    obs = cust.selectExpr(
+        "c_nationkey AS nk",
+        "c_mktsegment AS seg",
+        "CAST(FLOOR(COALESCE(c_acctbal, 0) / 2000) AS BIGINT) AS s",
+    )
+    cls = obs.groupBy("nk", "seg").agg(F.count("*").cast("bigint").alias("nc"))
+    sv = obs.groupBy("s").agg(F.count("*").cast("bigint").alias("ns"))
+    tot = obs.agg(F.count("*").cast("bigint").alias("n"))
+    cs = obs.groupBy("nk", "seg", "s").agg(F.count("*").cast("bigint").alias("ncs"))
+    spine = (
+        cls.crossJoin(F.broadcast(sv))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cs), ["nk", "seg", "s"], "left")
+        .select(
+            "nk",
+            "seg",
+            "nc",
+            "s",
+            "ns",
+            "n",
+            F.coalesce(F.col("ncs"), F.lit(0)).alias("ncs"),
+        )
+    )
+    d = spine.groupBy("nk", "seg").agg(
+        F.max("nc").alias("nc"),
+        F.max("n").alias("n"),
+        F.sum(F.expr("ABS((ncs * n) - (ns * nc))")).alias("sdiff"),
+    )
+    return d.selectExpr(
+        "nk AS c_nationkey",
+        "seg AS c_mktsegment",
+        "nc AS group_size",
+        f"ROUND({_TC_TVD}, 6) AS tvd",
+        f"CAST({_TC_TVD} <= 0.2 AS INT) AS is_t_close",
+    )
+
+
 @register(
     "dq_benford_leading_digit",
     oracle="""

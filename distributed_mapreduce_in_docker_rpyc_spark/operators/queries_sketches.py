@@ -1386,3 +1386,145 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(est, 6) AS ams_estimate",
         "ROUND(ABS(est - f2) / f2, 6) AS rel_error",
     )
+
+
+# --- Portable mergeable-histogram quantile ------------------------------------
+#
+# Decimal leading-digit bins (pure integer/string logic, same portability
+# discipline as the HLL above): bin key = (digit count d, first three digits
+# lead) of FLOOR(v); lower bound = lead * 10^(d-3).  Bin width / lower bound
+# <= 1/100, so the bin-lower-bound estimate is within 1% of the exact order
+# statistic BY CONSTRUCTION — the bound the rel_err columns certify.
+_HQ_T50 = "CAST(FLOOR((n + 1) / 2.0) AS BIGINT)"
+_HQ_T95 = "CAST(FLOOR((19.0 * n + 19.0) / 20.0) AS BIGINT)"
+
+
+@register(
+    "histogram_quantile_portable",
+    oracle=f"""
+    WITH v AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS x,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS iv
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 100
+    ),
+    b AS (
+        SELECT flag, x,
+               CAST(substr(CAST(iv AS VARCHAR), 1, 3) AS BIGINT)
+                   * CAST(power(10.0, length(CAST(iv AS VARCHAR)) - 3)
+                          AS BIGINT) AS lo
+        FROM v
+    ),
+    hist AS (SELECT flag, lo, COUNT(*) AS c FROM b GROUP BY flag, lo),
+    hcum AS (
+        SELECT flag, lo,
+               SUM(c) OVER (PARTITION BY flag ORDER BY lo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER (PARTITION BY flag) AS n
+        FROM hist
+    ),
+    est AS (
+        SELECT flag,
+               MIN(CASE WHEN cc >= {_HQ_T50} THEN lo END) AS est_p50,
+               MIN(CASE WHEN cc >= {_HQ_T95} THEN lo END) AS est_p95
+        FROM hcum GROUP BY flag
+    ),
+    pv AS (SELECT flag, x, COUNT(*) AS c FROM b GROUP BY flag, x),
+    pcum AS (
+        SELECT flag, x,
+               SUM(c) OVER (PARTITION BY flag ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER (PARTITION BY flag) AS n
+        FROM pv
+    ),
+    ex AS (
+        SELECT flag,
+               MIN(CASE WHEN cc >= {_HQ_T50} THEN x END) AS exact_p50,
+               MIN(CASE WHEN cc >= {_HQ_T95} THEN x END) AS exact_p95
+        FROM pcum GROUP BY flag
+    )
+    SELECT e.flag AS l_returnflag,
+           CAST(e.est_p50 AS BIGINT) AS est_p50,
+           CAST(e.est_p95 AS BIGINT) AS est_p95,
+           ROUND(x.exact_p50, 2) AS exact_p50,
+           ROUND(x.exact_p95, 2) AS exact_p95,
+           ROUND(ABS(e.est_p50 - x.exact_p50) / x.exact_p50, 6) AS rel_err_p50,
+           ROUND(ABS(e.est_p95 - x.exact_p95) / x.exact_p95, 6) AS rel_err_p95
+    FROM est e JOIN ex x ON x.flag = e.flag
+    """,
+)
+def histogram_quantile_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a PORTABLE mergeable histogram — the
+    100 TB quantile path made cross-engine-checkable.  Bins are decimal
+    leading-digit buckets of FLOOR(price) ((digit-count, first-3-digits)
+    — pure integer/string logic, the same portability discipline as
+    `hll_portable_daily`; no libm log whose last-ulp could differ between
+    engines), so per-partition (flag, bin) COUNT partials merge
+    associatively and the bin frame is ≤900 rows per decade regardless of
+    data volume.  The estimate is the LOWER BOUND of the bin where the
+    cumulative count crosses rank ⌈q·n⌉; bin width ≤ 1% of its lower
+    bound, so the estimate sits within 1% of the exact order statistic BY
+    CONSTRUCTION — and unlike Spark's built-in ``approx_percentile``
+    (engine-internal GK sketch, see `approx_percentile_error`), the
+    ESTIMATE ITSELF is hash-checked against the DuckDB replay, alongside
+    the exact order statistic and the realized relative errors.
+
+    At 100 TB the exact side would be dropped and only the histogram
+    runs: one scan, bounded bins, no sort — exactly how warehouse
+    percentile dashboards are built."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.filter(
+        F.col("l_extendedprice").isNotNull() & (F.col("l_extendedprice") >= 100)
+    ).selectExpr(
+        "l_returnflag AS flag",
+        "l_extendedprice AS x",
+        "CAST(FLOOR(l_extendedprice) AS BIGINT) AS iv",
+    )
+    b = v.selectExpr(
+        "flag",
+        "x",
+        "CAST(substr(CAST(iv AS STRING), 1, 3) AS BIGINT)"
+        " * CAST(power(10.0, length(CAST(iv AS STRING)) - 3) AS BIGINT) AS lo",
+    )
+    w_flag = Window.partitionBy("flag")
+
+    def _crossings(frame: DataFrame, col: str) -> DataFrame:
+        w_cum = (
+            Window.partitionBy("flag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = frame.select(
+            "flag",
+            col,
+            F.sum("c").over(w_cum).alias("cc"),
+            F.sum("c").over(w_flag).alias("n"),
+        )
+        return cum.groupBy("flag").agg(
+            F.min(F.when(F.expr(f"cc >= {_HQ_T50}"), F.col(col))).alias("p50"),
+            F.min(F.when(F.expr(f"cc >= {_HQ_T95}"), F.col(col))).alias("p95"),
+        )
+
+    hist = b.groupBy("flag", "lo").agg(F.count("*").alias("c"))
+    est = _crossings(hist, "lo").withColumnsRenamed(
+        {"p50": "est_p50", "p95": "est_p95"}
+    )
+    pv = b.groupBy("flag", "x").agg(F.count("*").alias("c"))
+    ex = _crossings(pv, "x").withColumnsRenamed(
+        {"p50": "exact_p50", "p95": "exact_p95"}
+    )
+    return est.join(ex, "flag").select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("est_p50").cast("bigint").alias("est_p50"),
+        F.col("est_p95").cast("bigint").alias("est_p95"),
+        F.round("exact_p50", 2).alias("exact_p50"),
+        F.round("exact_p95", 2).alias("exact_p95"),
+        F.round(
+            F.abs(F.col("est_p50") - F.col("exact_p50")) / F.col("exact_p50"), 6
+        ).alias("rel_err_p50"),
+        F.round(
+            F.abs(F.col("est_p95") - F.col("exact_p95")) / F.col("exact_p95"), 6
+        ).alias("rel_err_p95"),
+    )

@@ -113,6 +113,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # driver row should land this round.
     "hll_daily_distinct_error",
     "approx_percentile_error",
+    "stat_kruskal_wallis",
+    "stat_levene_brown_forsythe",
+    "stat_jarque_bera",
+    "stat_cohens_kappa",
+    "dq_t_closeness",
+    "histogram_quantile_portable",
+    "events_poisson_rate_test",
     # (5) remaining stale greens: r1-era relational, then r5-checked
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -1560,3 +1560,200 @@ def test_weighted_median_ground_truth(spark, sf_dir):
                 break
         assert abs(r.weighted_median_price - round(med, 2)) < 1e-9
         assert abs(r.total_weight - total) < 1e-4
+
+
+def test_kruskal_wallis_ground_truth(spark, sf_dir):
+    """H and epsilon^2 recomputed with plain-Python average ranks."""
+    out = QUERIES["stat_kruskal_wallis"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    groups = {}
+    for r in o:
+        if r.o_orderpriority is not None and r.o_totalprice is not None:
+            groups.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    pooled = sorted(v for g in groups.values() for v in g)
+    n = len(pooled)
+    # average rank per distinct value
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j] == pooled[i]:
+            j += 1
+        rank[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    k = len(groups)
+    sumr2n = sum(sum(rank[v] for v in g) ** 2 / len(g) for g in groups.values())
+    ties = {}
+    for v in pooled:
+        ties[v] = ties.get(v, 0) + 1
+    tiesum = sum(t**3 - t for t in ties.values())
+    h = ((12.0 / (n * (n + 1))) * sumr2n - 3.0 * (n + 1)) / (
+        1.0 - tiesum / (n**3 - n)
+    )
+    eps2 = (h - k + 1) / (n - k)
+    assert row.n_orders == n and row.n_groups == k
+    assert abs(row.h_stat - h) < 1e-3
+    assert abs(row.epsilon_squared - eps2) < 1e-6
+
+
+def test_levene_brown_forsythe_ground_truth(spark, sf_dir):
+    """W recomputed as plain ANOVA-F over |x - lower-median(group)|."""
+    out = QUERIES["stat_levene_brown_forsythe"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    groups = {}
+    for r in li:
+        if r.l_returnflag is not None and r.l_extendedprice is not None:
+            groups.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    z = {}
+    for g, vals in groups.items():
+        s = sorted(vals)
+        med = s[(len(s) + 1) // 2 - 1]  # lower median, the query's contract
+        z[g] = [abs(v - med) for v in vals]
+    n = sum(len(v) for v in z.values())
+    k = len(z)
+    grand = sum(sum(v) for v in z.values()) / n
+    ssb = sum(len(v) * (np.mean(v) - grand) ** 2 for v in z.values())
+    ssw = sum(sum((x - np.mean(v)) ** 2 for x in v) for v in z.values())
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row.n_items == n and row.n_groups == k
+    assert abs(row.bf_w_stat - w) < 1e-3
+
+
+def test_jarque_bera_ground_truth(spark, sf_dir):
+    """Skewness, excess kurtosis and JB recomputed with numpy moments;
+    the uniform quantity column must be strongly platykurtic (K < 0)."""
+    rows = {r.l_returnflag: r for r in QUERIES["stat_jarque_bera"](spark, sf_dir).collect()}
+    assert rows
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    groups = {}
+    for r in li:
+        if r.l_returnflag is not None and r.l_quantity is not None:
+            groups.setdefault(r.l_returnflag, []).append(float(r.l_quantity))
+    assert set(rows) == set(groups)
+    for flag, vals in groups.items():
+        x = np.asarray(vals)
+        n = len(x)
+        m2 = ((x - x.mean()) ** 2).mean()
+        m3 = ((x - x.mean()) ** 3).mean()
+        m4 = ((x - x.mean()) ** 4).mean()
+        s = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3.0
+        jb = n / 6.0 * (s * s + kurt * kurt / 4.0)
+        r = rows[flag]
+        assert r.n_items == n
+        assert abs(r.skewness - s) < 1e-4
+        assert abs(r.excess_kurtosis - kurt) < 1e-4
+        assert abs(r.jb_stat - jb) < max(1e-3, abs(jb) * 1e-4)
+        assert r.excess_kurtosis < 0  # uniform-ish quantity: platykurtic
+
+
+def test_cohens_kappa_ground_truth(spark, sf_dir):
+    """Contingency counts and kappa recomputed with Python re module."""
+    import re
+
+    out = QUERIES["stat_cohens_kappa"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n = a1 = b1 = n11 = n00 = 0
+    for r in docs:
+        text = r.text or ""
+        a = 1 if len(text) >= 150 else 0
+        toks = re.findall(r"[a-z']+", text.lower())
+        b = 1 if toks and 100 * len(set(toks)) >= 55 * len(toks) else 0
+        n += 1
+        a1 += a
+        b1 += b
+        n11 += a * b
+        n00 += (1 - a) * (1 - b)
+    pe_num = a1 * b1 + (n - a1) * (n - b1)
+    kappa = (n * (n11 + n00) - pe_num) / (n * n - pe_num)
+    assert row.n_docs == n
+    assert row.n_both_pass == n11 and row.n_both_fail == n00
+    assert abs(row.observed_agreement - (n11 + n00) / n) < 1e-6
+    assert abs(row.kappa - kappa) < 1e-6
+    assert -1.0 <= row.kappa <= 1.0
+
+
+def test_t_closeness_ground_truth(spark, sf_dir):
+    """Per-class TVD recomputed with exact Python fractions."""
+    rows = QUERIES["dq_t_closeness"](spark, sf_dir).collect()
+    assert rows
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    import math as _math
+
+    obs = [
+        (r.c_nationkey, r.c_mktsegment, _math.floor((r.c_acctbal or 0.0) / 2000))
+        for r in cust
+    ]
+    n = len(obs)
+    from collections import Counter
+
+    cls = Counter((nk, seg) for nk, seg, _ in obs)
+    sv = Counter(s for _, _, s in obs)
+    cs = Counter(obs)
+    got = {(r.c_nationkey, r.c_mktsegment): r for r in rows}
+    assert set(got) == set(cls)
+    for key, nc in cls.items():
+        sdiff = sum(
+            abs(cs.get((key[0], key[1], s), 0) * n - ns * nc) for s, ns in sv.items()
+        )
+        tvd = sdiff / (2.0 * nc * n)
+        r = got[key]
+        assert r.group_size == nc
+        assert abs(r.tvd - tvd) < 1e-6
+        assert r.is_t_close == (1 if tvd <= 0.2 else 0)
+        assert 0.0 <= r.tvd <= 1.0
+
+
+def test_histogram_quantile_within_bin_bound(spark, sf_dir):
+    """The bin-lower-bound estimate must sit at or below the exact order
+    statistic and within the 1% relative bound the 3-digit bins guarantee
+    by construction; the exact column is recomputed in Python."""
+    rows = QUERIES["histogram_quantile_portable"](spark, sf_dir).collect()
+    assert rows
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    groups = {}
+    for r in li:
+        if r.l_extendedprice is not None and r.l_extendedprice >= 100:
+            groups.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    for r in rows:
+        vals = sorted(groups[r.l_returnflag])
+        n = len(vals)
+        exact50 = vals[(n + 1) // 2 - 1]
+        exact95 = vals[(19 * n + 19) // 20 - 1]
+        assert abs(r.exact_p50 - round(exact50, 2)) < 1e-9
+        assert abs(r.exact_p95 - round(exact95, 2)) < 1e-9
+        assert r.est_p50 <= r.exact_p50 and r.est_p95 <= r.exact_p95
+        assert r.rel_err_p50 <= 0.01 and r.rel_err_p95 <= 0.01
+
+
+def test_poisson_rate_ground_truth(spark, sf_dir):
+    """Counts, exposures and z recomputed with Python isoweekday."""
+    out = QUERIES["events_poisson_rate_test"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    kwe = kwd = 0
+    dwe, dwd = set(), set()
+    for r in ev:
+        if r.ts is None:
+            continue
+        weekend = r.ts.isoweekday() in (6, 7)
+        (dwe if weekend else dwd).add(r.ts.date())
+        if r.event_type == "purchase":
+            if weekend:
+                kwe += 1
+            else:
+                kwd += 1
+    twe, twd = len(dwe), len(dwd)
+    z = (kwe / twe - kwd / twd) / math.sqrt(kwe / twe**2 + kwd / twd**2)
+    assert row.n_weekend_purchases == kwe and row.n_weekday_purchases == kwd
+    assert row.weekend_days == twe and row.weekday_days == twd
+    assert abs(row.weekend_rate - kwe / twe) < 1e-6
+    assert abs(row.weekday_rate - kwd / twd) < 1e-6
+    assert abs(row.z_score - z) < 1e-5

@@ -417,6 +417,8 @@ BNLJ_ALLOWED = {
     "emb_silhouette": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf)",
     "stat_mann_kendall": "broadcast sides = 1-row day-count and 1-row tie-adjustment scalar aggregates",
     "stat_chisq_independence": "broadcast side = distinct priority margins (|prio| rows) crossed into the |seg|-row margin frame to build the contingency spine",
+    "stat_kruskal_wallis": "broadcast side = 1-row tie-adjustment scalar crossed into the 1-row rank-sum reduce",
+    "dq_t_closeness": "broadcast sides = sensitive-band margins (|bands| rows) and the 1-row total crossed into the |classes|-row margin frame to build the closeness spine",
 }
 
 
