@@ -1528,3 +1528,91 @@ def histogram_quantile_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_p95") - F.col("exact_p95")) / F.col("exact_p95"), 6
         ).alias("rel_err_p95"),
     )
+
+
+# --- Hash-sampled join-cardinality estimate -----------------------------------
+#
+# Optimizer-stats sketch: the self-join size on a key equals the F2 moment
+# of its frequency vector; a 1/64 hash sample of KEYS (not rows) estimates
+# it with one tiny frame.  Threshold = 2^24/64 on the first 6 md5 hex
+# digits — integer logic, portable (same discipline as hll_portable_daily).
+_JC_RATE = 64
+_JC_T = (1 << 24) // _JC_RATE
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=f"""
+    WITH freq AS (
+        SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_partkey IS NOT NULL
+        GROUP BY l_partkey
+    ),
+    hashed AS (
+        SELECT k, c,
+               CAST(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 6)
+                    AS BIGINT) AS BIGINT) AS h
+        FROM freq
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN h < {_JC_T} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled,
+               CAST(SUM(c * c) AS BIGINT) AS exact_size,
+               CAST({_JC_RATE} * SUM(CASE WHEN h < {_JC_T} THEN c * c ELSE 0 END)
+                    AS BIGINT) AS est_size
+        FROM hashed
+    )
+    SELECT n_keys, n_sampled, exact_size, est_size,
+           ROUND(ABS(CAST(est_size AS DOUBLE) - exact_size) / exact_size, 6)
+               AS rel_err
+    FROM s
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from a hash sample of KEYS — the optimizer
+    statistic that decides broadcast-vs-shuffle before running a join.
+    The self-join size on l_partkey is Σ c_k² (the F2 moment of the key
+    frequency vector); the estimator keeps only keys whose md5 prefix
+    falls under 2^24/64 (a deterministic 1/64 KEY sample — sampling keys,
+    not rows, is what keeps per-key counts exact inside the sample) and
+    scales by 64.  Both the exact and the estimated size are emitted with
+    the realized relative error, all hash-checked: the sample is integer
+    hash logic, so the ESTIMATE itself replays bit-for-bit in the oracle
+    (same portability discipline as `hll_portable_daily`).
+
+    At 100 TB the exact Σc² column is dropped and only the sampled branch
+    runs: the frequency aggregate is one map-side-combined pass, and the
+    sampled frame is ~|keys|/64 rows — the whole point of the sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    hashed = freq.selectExpr(
+        "k",
+        "c",
+        "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 6), 16, 10) AS BIGINT) AS h",
+    )
+    s = hashed.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum(F.expr(f"CASE WHEN h < {_JC_T} THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("exact_size"),
+        (
+            F.lit(_JC_RATE)
+            * F.sum(F.expr(f"CASE WHEN h < {_JC_T} THEN c * c ELSE 0 END"))
+        )
+        .cast("bigint")
+        .alias("est_size"),
+    )
+    return s.selectExpr(
+        "n_keys",
+        "n_sampled",
+        "exact_size",
+        "est_size",
+        "ROUND(ABS(CAST(est_size AS DOUBLE) - exact_size) / exact_size, 6)"
+        " AS rel_err",
+    )

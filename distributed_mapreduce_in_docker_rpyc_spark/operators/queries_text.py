@@ -3254,3 +3254,202 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_HEAPS_BETA}, 6) AS heaps_beta",
         f"ROUND(exp({_HEAPS_LOGK}), 6) AS heaps_k",
     )
+
+
+# --- MLM masking plan (deterministic 15% / 80-10-10) --------------------------
+#
+# Mask decisions are pure integer hash logic (first/second 16 bits of
+# md5(doc:pos:token) compared against integer thresholds), so the plan is
+# reproducible bit-for-bit across engines AND across reruns — the property
+# an MLM data-prep job needs for resumable epochs.
+_MLM_MASK_T = 9830  # 9830/65536 ~ 15.0% of tokens selected
+_MLM_80 = 52429  # of selected: < 52429/65536 -> [MASK] (80%)
+_MLM_90 = 58982  # < 58982/65536 -> random replacement (10%); else keep (10%)
+
+
+@register(
+    "mlm_masking_plan",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(generate_series(1, len(t))) AS p
+        FROM toks
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(p AS VARCHAR) || ':' || tok), 1, 4)
+                    AS BIGINT) AS BIGINT) AS m,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(p AS VARCHAR) || ':' || tok), 5, 4)
+                    AS BIGINT) AS BIGINT) AS y
+        FROM pos
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN m < {_MLM_MASK_T} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+           CAST(SUM(CASE WHEN m < {_MLM_MASK_T} AND y < {_MLM_80}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mask_tok,
+           CAST(SUM(CASE WHEN m < {_MLM_MASK_T} AND y >= {_MLM_80}
+                          AND y < {_MLM_90} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_random_tok,
+           CAST(SUM(CASE WHEN m < {_MLM_MASK_T} AND y >= {_MLM_90}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_tok
+    FROM h
+    GROUP BY doc_id
+    """,
+)
+def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-language-model data-prep plan: select ~15% of each document's
+    tokens and split the selection 80/10/10 ([MASK] / random replacement /
+    keep — the BERT recipe), ENTIRELY from integer hash logic:
+    md5(doc_id:position:token), first 16 bits against 9830/65536 for the
+    mask decision, next 16 bits against 52429 and 58982 for the branch.
+    No RNG state anywhere, so the plan is identical across engines, runs
+    and executors — what makes an MLM pipeline resumable mid-epoch and its
+    batches auditable.  Per-document counts are the contract the trainer
+    checks before consuming the plan.
+
+    One token-linear posexplode → hash → doc-keyed count aggregation
+    (uniform key, map-side combined).  At 100 TB: the explode is the
+    workload; there is no join and no state beyond one count row per
+    document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id",
+        "regexp_extract_all(lower(COALESCE(text, '')), \"[a-z']+\", 0) AS t",
+    )
+    pos = toks.select("doc_id", F.posexplode("t").alias("p0", "tok")).selectExpr(
+        "doc_id", "tok", "p0 + 1 AS p"
+    )
+    key = "concat(CAST(doc_id AS STRING), ':', CAST(p AS STRING), ':', tok)"
+    h = pos.selectExpr(
+        "doc_id",
+        f"CAST(conv(substr(md5({key}), 1, 4), 16, 10) AS BIGINT) AS m",
+        f"CAST(conv(substr(md5({key}), 5, 4), 16, 10) AS BIGINT) AS y",
+    )
+    return h.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.expr(f"CASE WHEN m < {_MLM_MASK_T} THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.sum(
+            F.expr(f"CASE WHEN m < {_MLM_MASK_T} AND y < {_MLM_80} THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("n_mask_tok"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN m < {_MLM_MASK_T} AND y >= {_MLM_80} AND y < {_MLM_90}"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_random_tok"),
+        F.sum(
+            F.expr(f"CASE WHEN m < {_MLM_MASK_T} AND y >= {_MLM_90} THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("n_keep_tok"),
+    )
+
+
+@register(
+    "preference_pair_builder",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(list_distinct(regexp_extract_all(lower(COALESCE(text, '')),
+                   '[a-z'']+'))) AS ndis,
+               len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+'))
+                   AS ntok
+        FROM documents
+        WHERE source IS NOT NULL
+    ),
+    ok AS (
+        SELECT doc_id, source,
+               CAST(ndis AS DOUBLE) / ntok AS score
+        FROM scored WHERE ntok > 0
+    ),
+    ranked AS (
+        SELECT source, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score DESC, doc_id ASC) AS rk_best,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score ASC, doc_id DESC) AS rk_worst
+        FROM ok
+    )
+    SELECT b.source,
+           b.doc_id AS chosen_doc_id,
+           w.doc_id AS rejected_doc_id,
+           ROUND(b.score, 6) AS chosen_score,
+           ROUND(w.score, 6) AS rejected_score,
+           ROUND(b.score - w.score, 6) AS score_gap
+    FROM (SELECT * FROM ranked WHERE rk_best = 1) b
+    JOIN (SELECT * FROM ranked WHERE rk_worst = 1) w ON w.source = b.source
+    """,
+)
+def preference_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training data:
+    per source group, pair the highest-scoring document (chosen) with the
+    lowest-scoring one (rejected) under a deterministic quality score
+    (lexical diversity = distinct/total tokens), with doc_id tiebreaks on
+    BOTH ends so the pair is unique even on score ties.  This is the
+    relational core of every RLHF data builder — groupwise argmax/argmin
+    with a documented total order — expressed as two rank windows over one
+    scored scan.
+
+    The score is one float division of two exact integers (identical IEEE
+    result cross-engine); ranking keys are (score, doc_id), so no float
+    accumulation anywhere.  At 100 TB: one scan, one shuffle on the
+    group key, two windows over the same partitioning (single sort), and
+    a group-count-sized self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(lower(COALESCE(text, '')), \"[a-z']+\", 0)"
+    scored = docs.filter(F.col("source").isNotNull()).selectExpr(
+        "doc_id",
+        "source",
+        f"size(array_distinct({toks})) AS ndis",
+        f"size({toks}) AS ntok",
+    )
+    ok = scored.filter(F.col("ntok") > 0).selectExpr(
+        "doc_id", "source", "CAST(ndis AS DOUBLE) / ntok AS score"
+    )
+    from pyspark.sql import Window
+
+    w_best = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w_worst = Window.partitionBy("source").orderBy(
+        F.col("score").asc(), F.col("doc_id").desc()
+    )
+    ranked = ok.select(
+        "source",
+        "doc_id",
+        "score",
+        F.row_number().over(w_best).alias("rk_best"),
+        F.row_number().over(w_worst).alias("rk_worst"),
+    )
+    b = ranked.filter(F.col("rk_best") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("score").alias("bs"),
+    )
+    w = ranked.filter(F.col("rk_worst") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("score").alias("ws"),
+    )
+    return b.join(w, "source").select(
+        "source",
+        "chosen_doc_id",
+        "rejected_doc_id",
+        F.round("bs", 6).alias("chosen_score"),
+        F.round("ws", 6).alias("rejected_score"),
+        F.round(F.expr("bs - ws"), 6).alias("score_gap"),
+    )

@@ -120,6 +120,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_t_closeness",
     "histogram_quantile_portable",
     "events_poisson_rate_test",
+    "mlm_masking_plan",
+    "preference_pair_builder",
+    "join_cardinality_estimate",
     # (5) remaining stale greens: r1-era relational, then r5-checked
     "q1_pricing_summary",
     "q3_shipping_priority",

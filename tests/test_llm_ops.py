@@ -863,3 +863,72 @@ def test_heaps_law_ground_truth(spark, sf_dir):
     # saturates (beta near 0); natural text lands 0.4-0.7 — only the
     # sublinearity bound is fixture-independent
     assert 0.0 <= row.heaps_beta < 1.0
+
+
+def test_mlm_masking_plan_ground_truth(spark, sf_dir):
+    """Mask counts recomputed with Python hashlib on every document; the
+    corpus-level mask rate must sit near 15% and the branch split near
+    80/10/10 (law-of-large-numbers bands at fixture scale)."""
+    import re
+
+    rows = {r.doc_id: r for r in QUERIES["mlm_masking_plan"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert set(rows) == {d.doc_id for d in docs}
+    tot = {"tok": 0, "m": 0, "mask": 0, "rand": 0, "keep": 0}
+    for d in docs:
+        toks = re.findall(r"[a-z']+", (d.text or "").lower())
+        n_masked = n_mask = n_rand = n_keep = 0
+        for p, tok in enumerate(toks, start=1):
+            hx = hashlib.md5(f"{d.doc_id}:{p}:{tok}".encode()).hexdigest()
+            m = int(hx[:4], 16)
+            y = int(hx[4:8], 16)
+            if m < 9830:
+                n_masked += 1
+                if y < 52429:
+                    n_mask += 1
+                elif y < 58982:
+                    n_rand += 1
+                else:
+                    n_keep += 1
+        r = rows[d.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_masked == n_masked
+        assert (r.n_mask_tok, r.n_random_tok, r.n_keep_tok) == (n_mask, n_rand, n_keep)
+        tot["tok"] += len(toks)
+        tot["m"] += n_masked
+        tot["mask"] += n_mask
+        tot["rand"] += n_rand
+        tot["keep"] += n_keep
+    assert abs(tot["m"] / tot["tok"] - 0.15) < 0.01
+    assert abs(tot["mask"] / tot["m"] - 0.80) < 0.03
+    assert abs(tot["rand"] / tot["m"] - 0.10) < 0.03
+    assert abs(tot["keep"] / tot["m"] - 0.10) < 0.03
+
+
+def test_preference_pairs_are_groupwise_extremes(spark, sf_dir):
+    """Every source yields exactly one pair; chosen/rejected recomputed as
+    the Python argmax/argmin under the same (score, doc_id) total order."""
+    import re
+
+    rows = {r.source: r for r in QUERIES["preference_pair_builder"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_src = {}
+    for d in docs:
+        if d.source is None:
+            continue
+        toks = re.findall(r"[a-z']+", (d.text or "").lower())
+        if not toks:
+            continue
+        by_src.setdefault(d.source, []).append(
+            (len(set(toks)) / len(toks), d.doc_id)
+        )
+    assert set(rows) == set(by_src)
+    for src, cand in by_src.items():
+        best = max(cand, key=lambda t: (t[0], -t[1]))
+        worst = min(cand, key=lambda t: (t[0], -t[1]))
+        r = rows[src]
+        assert r.chosen_doc_id == best[1], src
+        assert r.rejected_doc_id == worst[1], src
+        assert abs(r.chosen_score - round(best[0], 6)) < 1e-9
+        assert abs(r.rejected_score - round(worst[0], 6)) < 1e-9
+        assert r.score_gap >= 0

@@ -14,7 +14,10 @@ from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_sketches impor
     heavy_hitters_verified,
     hll_daily_distinct_error,
 )
+from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
 from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+load_all()
 
 
 def test_cms_overestimates_within_bound(spark, sf_dir):
@@ -88,3 +91,27 @@ def test_bootstrap_se_tracks_classical_se(spark, sf_dir):
     assert 0.6 * classical_se <= row.boot_se <= 1.4 * classical_se
     assert row.ci_lo < row.boot_mean < row.ci_hi
     assert abs(row.boot_mean - row.sample_mean) <= 3 * row.boot_se
+
+
+def test_join_cardinality_estimate_ground_truth(spark, sf_dir):
+    """Exact F2 and the hash-sampled estimate recomputed in Python; the
+    1/64 key sample must be the md5-prefix rule, not RNG."""
+    import hashlib
+    from collections import Counter
+
+    row = QUERIES["join_cardinality_estimate"](spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_partkey").collect()
+    freq = Counter(r.l_partkey for r in li if r.l_partkey is not None)
+    exact = sum(c * c for c in freq.values())
+    t = (1 << 24) // 64
+    sampled = {
+        k: c
+        for k, c in freq.items()
+        if int(hashlib.md5(str(k).encode()).hexdigest()[:6], 16) < t
+    }
+    est = 64 * sum(c * c for c in sampled.values())
+    assert row.n_keys == len(freq)
+    assert row.n_sampled == len(sampled)
+    assert row.exact_size == exact
+    assert row.est_size == est
+    assert abs(row.rel_err - abs(est - exact) / exact) < 1e-6
