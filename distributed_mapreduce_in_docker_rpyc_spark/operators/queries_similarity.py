@@ -1426,3 +1426,220 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_vectors"),
         F.round(F.sum("sil").cast("double") / F.count("*"), 6).alias("avg_silhouette"),
     )
+
+
+# --- MMR diversification (retrieval re-ranking) -------------------------------
+#
+# Greedy Maximal Marginal Relevance over the exact top-10 candidates, k=3
+# selections, lambda=0.7.  The greedy recursion is UNROLLED into three
+# relational steps (the same discipline as the Lloyd rounds in sim_kmeans:
+# a bounded-depth iterative algorithm becomes bounded CTE layers), with
+# every similarity quantized to 6 places BEFORE an argmax so the selection
+# order is engine-stable.  Dot products use an ordered left fold over the
+# array (aggregate/zip_with), the same element order the oracle's
+# generate_series subquery scans.
+_MMR_LAMBDA = "0.7"
+_MMR_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "sim_mmr_diversify",
+    oracle=_COSINE_CTES
+    + ",\n    cand AS ("
+    + _brute_topk_select(5)
+    + """),
+    pairs AS (
+        SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+               ROUND((SELECT SUM(CAST(x.embedding[g.i] AS DOUBLE)
+                                 * CAST(y.embedding[g.i] AS DOUBLE))
+                      FROM generate_series(1, 64) g(i)) / (x.nrm * y.nrm), 6) AS ps
+        FROM cand a
+        JOIN cand b ON b.query_id = a.query_id AND b.neighbor_id != a.neighbor_id
+        JOIN norms x ON x.vec_id = a.neighbor_id
+        JOIN norms y ON y.vec_id = b.neighbor_id
+    ),
+    sel1 AS (
+        SELECT query_id, neighbor_id AS v1, sim AS rel1 FROM cand WHERE rank = 1
+    ),
+    sel2 AS (
+        SELECT query_id, neighbor_id AS v2, rel2, pen2 FROM (
+            SELECT c.query_id, c.neighbor_id, c.sim AS rel2, p.ps AS pen2,
+                   ROW_NUMBER() OVER (PARTITION BY c.query_id
+                       ORDER BY (0.7 * c.sim - 0.3 * p.ps) DESC,
+                                c.neighbor_id ASC) AS rk
+            FROM cand c
+            JOIN sel1 s ON s.query_id = c.query_id AND c.neighbor_id != s.v1
+            JOIN pairs p ON p.query_id = c.query_id
+                        AND p.ida = c.neighbor_id AND p.idb = s.v1
+        ) WHERE rk = 1
+    ),
+    sel3 AS (
+        SELECT query_id, neighbor_id AS v3, rel3, pen3 FROM (
+            SELECT c.query_id, c.neighbor_id, c.sim AS rel3,
+                   GREATEST(p1.ps, p2.ps) AS pen3,
+                   ROW_NUMBER() OVER (PARTITION BY c.query_id
+                       ORDER BY (0.7 * c.sim - 0.3 * GREATEST(p1.ps, p2.ps)) DESC,
+                                c.neighbor_id ASC) AS rk
+            FROM cand c
+            JOIN sel1 s1 ON s1.query_id = c.query_id AND c.neighbor_id != s1.v1
+            JOIN sel2 s2 ON s2.query_id = c.query_id AND c.neighbor_id != s2.v2
+            JOIN pairs p1 ON p1.query_id = c.query_id
+                         AND p1.ida = c.neighbor_id AND p1.idb = s1.v1
+            JOIN pairs p2 ON p2.query_id = c.query_id
+                         AND p2.ida = c.neighbor_id AND p2.idb = s2.v2
+        ) WHERE rk = 1
+    )
+    SELECT query_id, CAST(1 AS BIGINT) AS sel_rank, v1 AS vec_id,
+           rel1 AS relevance, CAST(0.0 AS DOUBLE) AS diversity_penalty,
+           ROUND(0.7 * rel1, 7) AS mmr_score
+    FROM sel1
+    UNION ALL
+    SELECT query_id, CAST(2 AS BIGINT), v2, rel2, pen2,
+           ROUND(0.7 * rel2 - 0.3 * pen2, 7)
+    FROM sel2
+    UNION ALL
+    SELECT query_id, CAST(3 AS BIGINT), v3, rel3, pen3,
+           ROUND(0.7 * rel3 - 0.3 * pen3, 7)
+    FROM sel3
+    """,
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    from each query's exact top-10 cosine candidates, greedily select k=3
+    results maximizing 0.7·relevance − 0.3·max-similarity-to-already-
+    selected — the diversification step a retrieval pipeline runs so the
+    context window is not filled with three copies of the same passage.
+
+    The greedy recursion has FIXED depth k, so it unrolls into k
+    relational steps (the Lloyd-round discipline of `sim_kmeans_report`):
+    step i joins the candidate frame to the i−1 selected rows and the
+    candidate-pair similarity frame, takes one rank window, keeps rank 1.
+    No driver loop, no collect — every frame after candidate generation
+    is ≤ nq·k² rows, and all joins carry the query_id equi-key (broadcast
+    hash joins).  Every similarity is quantized to 6 places BEFORE any
+    argmax, and candidate-pair dots are an ORDERED left fold over the
+    array (`aggregate`/`zip_with` — the element order the oracle's
+    generate_series replay scans), so the selection sequence is
+    engine-stable.  At 100 TB only candidate generation touches the
+    corpus; MMR itself is candidate-set-sized regardless of data volume."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # The candidate frame feeds five consumers (pairs twice, three selection
+    # steps); persist it so the corpus-wide brute-force scan runs once.
+    cand = shared_df(
+        spark,
+        ("mmr_cand", sf_dir),
+        lambda: sim.topk_bruteforce(emb, query_ids_below=5, k=10).persist(),
+    )
+    vecs = (
+        emb.filter(F.col("embedding").isNotNull())
+        .join(
+            cand.select(F.col("neighbor_id").alias("vec_id")).distinct(),
+            "vec_id",
+            "semi",
+        )
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            f"sqrt({_MMR_DOT.format(a='embedding', b='embedding')}) AS nrm",
+        )
+    )
+    a = vecs.selectExpr("vec_id AS ida", "embedding AS ea", "nrm AS na")
+    b = vecs.selectExpr("vec_id AS idb", "embedding AS eb", "nrm AS nb")
+
+    def _build_pairs() -> DataFrame:
+        return (
+            cand.selectExpr("query_id", "neighbor_id AS ida")
+            .join(
+                cand.selectExpr("query_id", "neighbor_id AS idb"),
+                ["query_id"],
+            )
+            .filter(F.col("ida") != F.col("idb"))
+            .join(F.broadcast(a), "ida")
+            .join(F.broadcast(b), "idb")
+            .selectExpr(
+                "query_id",
+                "ida",
+                "idb",
+                f"ROUND({_MMR_DOT.format(a='ea', b='eb')} / (na * nb), 6) AS ps",
+            )
+            .persist()
+        )
+
+    pairs = shared_df(spark, ("mmr_pairs", sf_dir), _build_pairs)
+    c = cand.selectExpr("query_id", "neighbor_id", "sim")
+    sel1 = cand.filter(F.col("rank") == 1).selectExpr(
+        "query_id AS q1", "neighbor_id AS v1", "sim AS rel1"
+    )
+    p1 = pairs.selectExpr("query_id AS qp", "ida AS pa", "idb AS pb", "ps")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.expr("0.7 * sim - 0.3 * ps").desc(), F.col("neighbor_id").asc()
+    )
+    sel2 = (
+        c.join(F.broadcast(sel1), F.col("query_id") == F.col("q1"))
+        .filter(F.col("neighbor_id") != F.col("v1"))
+        .join(
+            F.broadcast(p1),
+            (F.col("qp") == F.col("query_id"))
+            & (F.col("pa") == F.col("neighbor_id"))
+            & (F.col("pb") == F.col("v1")),
+        )
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .selectExpr("query_id AS q2", "neighbor_id AS v2", "sim AS rel2", "ps AS pen2")
+    )
+    p2 = pairs.selectExpr("query_id AS qp2", "ida AS pa2", "idb AS pb2", "ps AS ps2")
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.expr("0.7 * sim - 0.3 * pen").desc(), F.col("neighbor_id").asc()
+    )
+    sel3 = (
+        c.join(F.broadcast(sel1), F.col("query_id") == F.col("q1"))
+        .filter(F.col("neighbor_id") != F.col("v1"))
+        .join(F.broadcast(sel2), F.col("query_id") == F.col("q2"))
+        .filter(F.col("neighbor_id") != F.col("v2"))
+        .join(
+            F.broadcast(p1),
+            (F.col("qp") == F.col("query_id"))
+            & (F.col("pa") == F.col("neighbor_id"))
+            & (F.col("pb") == F.col("v1")),
+        )
+        .join(
+            F.broadcast(p2),
+            (F.col("qp2") == F.col("query_id"))
+            & (F.col("pa2") == F.col("neighbor_id"))
+            & (F.col("pb2") == F.col("v2")),
+        )
+        .withColumn("pen", F.expr("GREATEST(ps, ps2)"))
+        .withColumn("rk", F.row_number().over(w3))
+        .filter(F.col("rk") == 1)
+        .selectExpr("query_id AS q3", "neighbor_id AS v3", "sim AS rel3", "pen AS pen3")
+    )
+    out1 = sel1.selectExpr(
+        "q1 AS query_id",
+        "CAST(1 AS BIGINT) AS sel_rank",
+        "v1 AS vec_id",
+        "rel1 AS relevance",
+        "CAST(0.0 AS DOUBLE) AS diversity_penalty",
+        "ROUND(0.7 * rel1, 7) AS mmr_score",
+    )
+    out2 = sel2.selectExpr(
+        "q2 AS query_id",
+        "CAST(2 AS BIGINT) AS sel_rank",
+        "v2 AS vec_id",
+        "rel2 AS relevance",
+        "pen2 AS diversity_penalty",
+        "ROUND(0.7 * rel2 - 0.3 * pen2, 7) AS mmr_score",
+    )
+    out3 = sel3.selectExpr(
+        "q3 AS query_id",
+        "CAST(3 AS BIGINT) AS sel_rank",
+        "v3 AS vec_id",
+        "rel3 AS relevance",
+        "pen3 AS diversity_penalty",
+        "ROUND(0.7 * rel3 - 0.3 * pen3, 7) AS mmr_score",
+    )
+    return out1.unionByName(out2).unionByName(out3)

@@ -123,6 +123,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mlm_masking_plan",
     "preference_pair_builder",
     "join_cardinality_estimate",
+    "sim_mmr_diversify",
     # (5) remaining stale greens: r1-era relational, then r5-checked
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -932,3 +932,60 @@ def test_preference_pairs_are_groupwise_extremes(spark, sf_dir):
         assert abs(r.chosen_score - round(best[0], 6)) < 1e-9
         assert abs(r.rejected_score - round(worst[0], 6)) < 1e-9
         assert r.score_gap >= 0
+
+
+def test_mmr_diversify_matches_python_greedy(spark, sf_dir):
+    """Full MMR selection sequence recomputed with a NumPy greedy: same
+    candidates, same quantization, same tiebreaks — the selection (not just
+    the scores) must match row for row."""
+    import numpy as np
+
+    rows = QUERIES["sim_mmr_diversify"](spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append(
+            (r.sel_rank, r.vec_id, r.relevance, r.diversity_penalty)
+        )
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        if r.embedding is not None
+    }
+    ids = sorted(emb)
+    for q in range(5):
+        qv = emb[q]
+        qn = float(np.sqrt(qv @ qv))
+        sims = sorted(
+            (
+                (round(float(qv @ emb[i]) / (qn * float(np.sqrt(emb[i] @ emb[i]))), 6), i)
+                for i in ids
+                if i != q
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:10]
+        cand = {i: s for s, i in sims}
+
+        def ps(x, y):
+            return round(
+                float(emb[x] @ emb[y])
+                / (float(np.sqrt(emb[x] @ emb[x])) * float(np.sqrt(emb[y] @ emb[y]))),
+                6,
+            )
+
+        sel = []
+        for _ in range(3):
+            best = None
+            for i, rel in cand.items():
+                if i in sel:
+                    continue
+                pen = max((ps(i, s) for s in sel), default=0.0)
+                score = 0.7 * rel - 0.3 * pen
+                key = (-score, i)
+                if best is None or key < best[0]:
+                    best = (key, i, rel, pen)
+            sel.append(best[1])
+            rk = len(sel)
+            want = (rk, best[1], round(best[2], 6), round(best[3], 6))
+            have = sorted(got[q])[rk - 1]
+            assert have[:2] == want[:2], (q, rk, have, want)
+            assert abs(have[2] - want[2]) < 1e-9 and abs(have[3] - want[3]) < 1e-9

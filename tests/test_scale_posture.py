@@ -419,6 +419,7 @@ BNLJ_ALLOWED = {
     "stat_chisq_independence": "broadcast side = distinct priority margins (|prio| rows) crossed into the |seg|-row margin frame to build the contingency spine",
     "stat_kruskal_wallis": "broadcast side = 1-row tie-adjustment scalar crossed into the 1-row rank-sum reduce",
     "dq_t_closeness": "broadcast sides = sensitive-band margins (|bands| rows) and the 1-row total crossed into the |classes|-row margin frame to build the closeness spine",
+    "sim_mmr_diversify": "re-uses the exact baseline (broadcast 5-query side); every MMR frame after candidate generation is a <= nq*k^2-row broadcast",
 }
 
 
