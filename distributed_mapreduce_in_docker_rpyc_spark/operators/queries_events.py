@@ -1510,3 +1510,96 @@ def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(kwd / twd, 6) AS weekday_rate",
         f"ROUND({_PR_Z}, 6) AS z_score",
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH firstd AS (
+        SELECT user_id, date_trunc('week', MIN(CAST(ts AS DATE))) AS cohort
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    rev AS (
+        SELECT f.cohort,
+               CAST(FLOOR(date_diff('day', f.cohort, CAST(e.ts AS DATE)) / 7.0)
+                    AS BIGINT) AS age_week,
+               CAST(ROUND(e.value, 6) AS DECIMAL(18,6)) AS v
+        FROM events e JOIN firstd f ON f.user_id = e.user_id
+        WHERE e.ts IS NOT NULL AND e.event_type = 'purchase'
+          AND e.value IS NOT NULL
+    ),
+    weekly AS (
+        SELECT cohort, age_week, SUM(v) AS wk_rev
+        FROM rev GROUP BY cohort, age_week
+    ),
+    sized AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM firstd
+        GROUP BY cohort
+    )
+    SELECT CAST(w.cohort AS DATE) AS cohort_week,
+           w.age_week,
+           s.cohort_users,
+           CAST(SUM(w.wk_rev) OVER (PARTITION BY w.cohort ORDER BY w.age_week
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum_revenue,
+           ROUND(CAST(SUM(w.wk_rev) OVER (PARTITION BY w.cohort ORDER BY w.age_week
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / s.cohort_users, 6) AS ltv_per_user
+    FROM weekly w JOIN sized s ON s.cohort = w.cohort
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen ISO week,
+    cumulative purchase revenue by cohort age in weeks, per-user LTV — the
+    growth-accounting surface `events_cohort_retention` lacks (retention
+    counts heads; this follows the money).
+
+    Two user-keyed aggregates (first-seen, then revenue joined back on the
+    uniform user key), one calendar-bounded window for the running sum.
+    Revenue rides DECIMAL(18,6) sums of 6-rounded values so the cumulative
+    totals are order-independent; week bucketing is date_trunc('week')
+    (ISO Monday in both engines) and age is integer day-difference
+    division.  At 100 TB: the joins shuffle on user_id; every frame after
+    `weekly` is (cohorts × ages) rows — calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    firstd = (
+        ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min(F.col("ts").cast("date"))).cast("date").alias("cohort"))
+    )
+    rev = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .join(firstd, "user_id")
+        .selectExpr(
+            "cohort",
+            "CAST(FLOOR(datediff(CAST(ts AS DATE), cohort) / 7.0) AS BIGINT)"
+            " AS age_week",
+            "CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v",
+        )
+    )
+    weekly = rev.groupBy("cohort", "age_week").agg(F.sum("v").alias("wk_rev"))
+    sized = firstd.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.join(F.broadcast(sized), "cohort")
+        .select(
+            F.col("cohort").alias("cohort_week"),
+            "age_week",
+            "cohort_users",
+            F.sum("wk_rev").over(w_cum).cast("double").alias("cum_revenue"),
+            F.round(
+                F.sum("wk_rev").over(w_cum).cast("double") / F.col("cohort_users"), 6
+            ).alias("ltv_per_user"),
+        )
+    )

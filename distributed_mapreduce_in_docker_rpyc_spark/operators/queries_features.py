@@ -2454,3 +2454,86 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS observed_agreement",
         f"ROUND({_CK_KAPPA}, 6) AS kappa",
     )
+
+
+# --- Fleiss' kappa (multi-rater agreement) ------------------------------------
+#
+# Binary categories, 3 raters: per-item agreement P_i = (n1^2 + n0^2 - 3)/6
+# where n1 = raters voting pass.  Everything up to the final divisions is
+# exact integer arithmetic.
+_FK_PBAR = "((CAST(s_pp AS DOUBLE) - 3.0 * n) / (6.0 * n))"
+_FK_PE = (
+    "(((CAST(s1 AS DOUBLE) / (3.0 * n)) * (CAST(s1 AS DOUBLE) / (3.0 * n)))"
+    " + (((3.0 * n - s1) / (3.0 * n)) * ((3.0 * n - s1) / (3.0 * n))))"
+)
+_FK_KAPPA = f"(({_FK_PBAR} - {_FK_PE}) / NULLIF(1.0 - {_FK_PE}, 0.0))"
+
+
+@register(
+    "stat_fleiss_kappa",
+    oracle=f"""
+    WITH rated AS (
+        SELECT (CASE WHEN length(COALESCE(text, '')) >= 150 THEN 1 ELSE 0 END
+                + CASE WHEN len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+')) > 0
+                            AND 100 * len(list_distinct(regexp_extract_all(
+                                    lower(COALESCE(text, '')), '[a-z'']+')))
+                                >= 55 * len(regexp_extract_all(
+                                    lower(COALESCE(text, '')), '[a-z'']+'))
+                       THEN 1 ELSE 0 END
+                + CASE WHEN length(array_to_string(regexp_extract_all(
+                                 lower(COALESCE(text, '')), '[a-z'']+'), ''))
+                            >= 4 * len(regexp_extract_all(
+                                 lower(COALESCE(text, '')), '[a-z'']+'))
+                       THEN 1 ELSE 0 END) AS n1
+        FROM documents
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n1) AS BIGINT) AS s1,
+               CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS s_pp
+        FROM rated
+    )
+    SELECT n AS n_docs,
+           s1 AS n_pass_votes,
+           ROUND({_FK_PBAR}, 6) AS observed_agreement,
+           ROUND({_FK_PE}, 6) AS expected_agreement,
+           ROUND({_FK_KAPPA}, 6) AS fleiss_kappa
+    FROM s
+    """,
+)
+def stat_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa for THREE document-quality raters (length gate,
+    lexical-diversity gate, mean-token-length gate) voting pass/fail —
+    the multi-rater generalization of `stat_cohens_kappa`, the metric for
+    'do my ensemble of cheap filters actually agree beyond chance?'
+    before majority-voting them in a pipeline.
+
+    Each rater is a codegen expression in ONE scan; the per-item vote
+    count n1 ∈ {{0..3}} makes P_i = (n1² + (3−n1)² − 3)/6 pure integer
+    work, so the sufficient statistics are three exact BIGINTs (n, Σn1,
+    Σ(n1²+(3−n1)²)) and every float op lives in one shared expression
+    string.  The mean-token-length gate is the integer comparison
+    total_token_chars ≥ 4·tokens (chars via length(concat of tokens) —
+    portable, no per-token loop).  At 100 TB: one scan, three integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(lower(COALESCE(text, '')), \"[a-z']+\", 0)"
+    rated = docs.selectExpr(
+        f"(CASE WHEN length(COALESCE(text, '')) >= 150 THEN 1 ELSE 0 END"
+        f" + CASE WHEN size({toks}) > 0"
+        f"            AND 100 * size(array_distinct({toks})) >= 55 * size({toks})"
+        f"        THEN 1 ELSE 0 END"
+        f" + CASE WHEN length(array_join({toks}, '')) >= 4 * size({toks})"
+        f"        THEN 1 ELSE 0 END) AS n1"
+    )
+    s = rated.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n1").cast("bigint").alias("s1"),
+        F.sum(F.expr("n1 * n1 + (3 - n1) * (3 - n1)")).cast("bigint").alias("s_pp"),
+    )
+    return s.selectExpr(
+        "n AS n_docs",
+        "s1 AS n_pass_votes",
+        f"ROUND({_FK_PBAR}, 6) AS observed_agreement",
+        f"ROUND({_FK_PE}, 6) AS expected_agreement",
+        f"ROUND({_FK_KAPPA}, 6) AS fleiss_kappa",
+    )

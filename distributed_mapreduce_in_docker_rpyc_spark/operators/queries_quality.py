@@ -716,3 +716,91 @@ def partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return res
+
+
+# Shannon entropy via H = ln(n) - (sum c*ln(c))/n; each c*ln(c) term is
+# quantized before the (tiny, value-cardinality-sized) sum so term order
+# can never drift the statistic.
+_CE_H = "(ln(CAST(n AS DOUBLE)) - (CAST(s AS DOUBLE) / n))"
+
+
+def _entropy_branch_sql(table: str, col: str) -> str:
+    return f"""
+        SELECT '{col}' AS col_name,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS max_freq,
+               CAST(SUM(CAST(ROUND(c * ln(c), 6) AS DECIMAL(24,6))) AS DOUBLE) AS s,
+               CAST(SUM(c) AS DOUBLE) AS n
+        FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM {table}
+              WHERE {col} IS NOT NULL GROUP BY {col})
+    """
+
+
+@register(
+    "dq_column_entropy",
+    oracle=f"""
+    WITH per AS (
+        {_entropy_branch_sql("lineitem", "l_returnflag")}
+        UNION ALL
+        {_entropy_branch_sql("lineitem", "l_linestatus")}
+        UNION ALL
+        {_entropy_branch_sql("orders", "o_orderstatus")}
+        UNION ALL
+        {_entropy_branch_sql("orders", "o_orderpriority")}
+    )
+    SELECT col_name, n_rows, n_distinct,
+           ROUND(CAST(max_freq AS DOUBLE) / n_rows, 6) AS max_freq_ratio,
+           ROUND({_CE_H}, 6) AS shannon_entropy_nats
+    FROM per
+    """,
+)
+def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level Shannon entropy profile of the categorical columns —
+    the data-profiling statistic behind 'is this column informative or a
+    near-constant?' (entropy → 0) and 'is it a secret key?' (entropy →
+    ln(n_distinct)); max-frequency ratio is the companion skew signal that
+    decides salting before a join on the column.
+
+    Per column: one map-side-combined value-count aggregate (value
+    cardinality rows of state), then H = ln(n) − Σc·ln(c)/n with every
+    c·ln(c) term quantized (ROUND 6 → DECIMAL) before the
+    cardinality-sized sum, so term order is immaterial cross-engine.  At
+    100 TB: one scan per column (Spark shares the two scans per table);
+    all downstream frames are value-cardinality-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    outs = []
+    for frame, col in (
+        (li, "l_returnflag"),
+        (li, "l_linestatus"),
+        (o, "o_orderstatus"),
+        (o, "o_orderpriority"),
+    ):
+        per = (
+            frame.filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count("*").cast("double").alias("c"))
+            .agg(
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_distinct"),
+                F.max("c").cast("bigint").alias("max_freq"),
+                F.sum(F.expr("CAST(ROUND(c * ln(c), 6) AS DECIMAL(24,6))"))
+                .cast("double")
+                .alias("s"),
+                F.sum("c").alias("n"),
+            )
+        )
+        outs.append(
+            per.selectExpr(
+                f"'{col}' AS col_name",
+                "n_rows",
+                "n_distinct",
+                "ROUND(CAST(max_freq AS DOUBLE) / n_rows, 6) AS max_freq_ratio",
+                f"ROUND({_CE_H}, 6) AS shannon_entropy_nats",
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out

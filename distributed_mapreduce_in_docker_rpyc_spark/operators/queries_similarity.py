@@ -1643,3 +1643,149 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(0.7 * rel3 - 0.3 * pen3, 7) AS mmr_score",
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+# --- Product quantization codebooks -------------------------------------------
+#
+# PQ splits the 64-dim vector into 4 subspaces of 16 dims and trains an
+# independent 8-centroid codebook per subspace with the SAME md5-seeded,
+# 6-place-rounded Lloyd discipline as similarity.ivf_index, so the whole
+# training run replays in SQL.  Memory story: 4 codes/vector (one byte
+# each would do) instead of 64 floats — 64x compression before the rerank.
+def _pq_assign_sql(cent: str, off: int, keep_d2: bool = False) -> str:
+    cols = "vec_id, cluster, d2" if keep_d2 else "vec_id, cluster"
+    return f"""
+        SELECT {cols} FROM (
+            SELECT vec_id, cluster, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cluster ASC) AS rnk
+            FROM (
+                SELECT e.vec_id, c.cluster,
+                       ROUND(SUM((CAST(e.embedding[c.d + {off}] AS DOUBLE) - c.c)
+                               * (CAST(e.embedding[c.d + {off}] AS DOUBLE) - c.c)),
+                             6) AS d2
+                FROM embeddings e CROSS JOIN {cent} c
+                WHERE e.embedding IS NOT NULL
+                GROUP BY e.vec_id, c.cluster
+            )
+        ) WHERE rnk = 1
+    """
+
+
+def _pq_update_sql(name: str, prev: str, assign: str, off: int) -> str:
+    return f"""
+    {name} AS (
+        SELECT p.cluster, p.d, COALESCE(u.c, p.c) AS c
+        FROM {prev} p LEFT JOIN (
+            SELECT a.cluster, g.i AS d,
+                   ROUND(AVG(CAST(e.embedding[g.i + {off}] AS DOUBLE)), 6) AS c
+            FROM {assign} a JOIN embeddings e USING (vec_id),
+                 generate_series(1, 16) g(i)
+            WHERE e.embedding IS NOT NULL
+            GROUP BY a.cluster, g.i
+        ) u ON u.cluster = p.cluster AND u.d = p.d
+    )"""
+
+
+def _pq_oracle() -> str:
+    parts = [
+        """
+    WITH pqseeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster, embedding
+        FROM (
+            SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, embedding
+            FROM embeddings WHERE embedding IS NOT NULL
+            ORDER BY h, vec_id
+            LIMIT 8
+        )
+    )"""
+    ]
+    for s in range(4):
+        off = s * 16
+        parts.append(
+            f""",
+    pqc0_{s} AS (
+        SELECT cluster, g.i AS d,
+               ROUND(CAST(embedding[g.i + {off}] AS DOUBLE), 6) AS c
+        FROM pqseeds, generate_series(1, 16) g(i)
+    ),
+    pqa1_{s} AS ({_pq_assign_sql(f"pqc0_{s}", off)}),
+    {_pq_update_sql(f"pqc1_{s}", f"pqc0_{s}", f"pqa1_{s}", off)},
+    pqa2_{s} AS ({_pq_assign_sql(f"pqc1_{s}", off)}),
+    {_pq_update_sql(f"pqc2_{s}", f"pqc1_{s}", f"pqa2_{s}", off)},
+    pqfin_{s} AS ({_pq_assign_sql(f"pqc2_{s}", off, keep_d2=True)})"""
+        )
+    sels = [
+        f"""
+    SELECT CAST({s} AS BIGINT) AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_mse
+    FROM pqfin_{s}"""
+        for s in range(4)
+    ]
+    return "".join(parts) + " UNION ALL ".join(sels)
+
+
+@register("emb_pq_codebook", oracle=_pq_oracle())
+def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training report (Jégou et al. 2011):
+    the 64-dim embedding splits into 4 independent 16-dim subspaces, each
+    trained to an 8-centroid codebook with the deterministic md5-seeded
+    Lloyd recipe of ``similarity.ivf_index`` (2 rounds, every comparison on
+    6-place-rounded values) — so the ENTIRE training run, assignments and
+    all, is hash-checked against the oracle's unrolled-SQL replay.  Per
+    subspace: vector count, occupied cells, and the average quantization
+    MSE (the reconstruction-distortion figure a PQ deployment monitors);
+    codes compress 64 floats to 4 small ints — the memory step that makes
+    billion-vector ANN shippable.
+
+    Exactness: final-assignment d2 is the same 6-rounded fold used during
+    training, and the MSE numerator rides DECIMAL(18,6) so the average is
+    order-independent.  Scale posture: codebooks are 8×16 doubles per
+    subspace (broadcast forever); training scans are linear; at 100 TB
+    train on a sample and run only the final assignment over the corpus —
+    the md5-seed discipline keeps any sample deterministic."""
+    nn = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
+    outs = []
+    for s in range(4):
+        sub = nn.select(
+            "vec_id", F.slice("embedding", s * 16 + 1, 16).alias("embedding")
+        )
+        assigned, cent = sim.ivf_index(sub, n_centroids=8)
+        d2f = assigned.join(F.broadcast(cent), "cluster").withColumn(
+            "d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.col("centroid"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+        outs.append(
+            d2f.agg(
+                F.count("*").cast("bigint").alias("n_vectors"),
+                F.count_distinct("cluster").cast("bigint").alias("n_cells"),
+                F.round(
+                    F.sum(F.expr("CAST(d2 AS DECIMAL(18,6))")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("avg_mse"),
+            ).selectExpr(
+                f"CAST({s} AS BIGINT) AS subspace",
+                "n_vectors",
+                "n_cells",
+                "avg_mse",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -124,6 +124,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "preference_pair_builder",
     "join_cardinality_estimate",
     "sim_mmr_diversify",
+    "emb_pq_codebook",
+    "stat_fleiss_kappa",
+    "dq_column_entropy",
+    "events_cohort_ltv",
     # (5) remaining stale greens: r1-era relational, then r5-checked
     "q1_pricing_summary",
     "q3_shipping_priority",

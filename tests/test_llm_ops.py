@@ -989,3 +989,48 @@ def test_mmr_diversify_matches_python_greedy(spark, sf_dir):
             have = sorted(got[q])[rk - 1]
             assert have[:2] == want[:2], (q, rk, have, want)
             assert abs(have[2] - want[2]) < 1e-9 and abs(have[3] - want[3]) < 1e-9
+
+
+def test_pq_codebook_matches_numpy_lloyd(spark, sf_dir):
+    """The full PQ training run replicated independently in NumPy: same
+    md5 seeds, same 6-place-rounded assignment/update discipline, per
+    subspace — vector counts, occupied cells and avg MSE must all match."""
+    import numpy as np
+    from decimal import Decimal
+
+    rows = {r.subspace: r for r in QUERIES["emb_pq_codebook"](spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        if r.embedding is not None
+    }
+    seeds = sorted(emb, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:8]
+    for s in range(4):
+        sub = {i: v[s * 16 : (s + 1) * 16] for i, v in emb.items()}
+        cent = {c: np.round(sub[i], 6) for c, i in enumerate(seeds)}
+
+        def assign():
+            out = {}
+            for i, v in sub.items():
+                best = None
+                for c in sorted(cent):
+                    d2 = round(float(((v - cent[c]) ** 2).sum()), 6)
+                    if best is None or (d2, c) < best[:2]:
+                        best = (d2, c)
+                out[i] = best
+            return out
+
+        for _ in range(2):
+            a = assign()
+            for c in sorted(cent):
+                members = [sub[i] for i, (_, cc) in a.items() if cc == c]
+                if members:
+                    cent[c] = np.round(np.mean(members, axis=0), 6)
+        fin = assign()
+        n = len(fin)
+        cells = len({c for _, c in fin.values()})
+        mse = float(sum(Decimal(str(d2)) for d2, _ in fin.values()) / n)
+        r = rows[s]
+        assert r.n_vectors == n and r.n_cells == cells
+        assert abs(r.avg_mse - round(mse, 6)) < 1e-6

@@ -1757,3 +1757,110 @@ def test_poisson_rate_ground_truth(spark, sf_dir):
     assert abs(row.weekend_rate - kwe / twe) < 1e-6
     assert abs(row.weekday_rate - kwd / twd) < 1e-6
     assert abs(row.z_score - z) < 1e-5
+
+
+def test_fleiss_kappa_ground_truth(spark, sf_dir):
+    """Vote counts and kappa recomputed with the Python re module."""
+    import re
+
+    out = QUERIES["stat_fleiss_kappa"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n = s1 = s_pp = 0
+    for d in docs:
+        text = d.text or ""
+        toks = re.findall(r"[a-z']+", text.lower())
+        votes = (
+            (1 if len(text) >= 150 else 0)
+            + (1 if toks and 100 * len(set(toks)) >= 55 * len(toks) else 0)
+            + (1 if sum(len(t) for t in toks) >= 4 * len(toks) else 0)
+        )
+        n += 1
+        s1 += votes
+        s_pp += votes * votes + (3 - votes) * (3 - votes)
+    pbar = (s_pp - 3 * n) / (6 * n)
+    p_pass = s1 / (3 * n)
+    p_fail = (3 * n - s1) / (3 * n)  # the query's form, not 1 - p_pass:
+    # the two differ in last ulps and the small 1 - Pe denominator
+    # amplifies that past 1e-6 on a high-agreement fixture
+    pe = p_pass * p_pass + p_fail * p_fail
+    kappa = (pbar - pe) / (1 - pe)
+    assert row.n_docs == n and row.n_pass_votes == s1
+    assert abs(row.observed_agreement - pbar) < 1e-6
+    assert abs(row.expected_agreement - pe) < 1e-6
+    assert abs(row.fleiss_kappa - kappa) < 5e-6
+
+
+def test_column_entropy_ground_truth(spark, sf_dir):
+    """Entropy, distinct counts and max-frequency ratio recomputed with
+    Counter + math.log; entropy must sit in [0, ln(n_distinct)]."""
+    from collections import Counter
+
+    rows = {r.col_name: r for r in QUERIES["dq_column_entropy"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "l_returnflag",
+        "l_linestatus",
+        "o_orderstatus",
+        "o_orderpriority",
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    for col, data in (
+        ("l_returnflag", li),
+        ("l_linestatus", li),
+        ("o_orderstatus", o),
+        ("o_orderpriority", o),
+    ):
+        cnt = Counter(getattr(r, col) for r in data if getattr(r, col) is not None)
+        n = sum(cnt.values())
+        h = math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        r = rows[col]
+        assert r.n_rows == n and r.n_distinct == len(cnt)
+        assert abs(r.max_freq_ratio - max(cnt.values()) / n) < 1e-6
+        assert abs(r.shannon_entropy_nats - h) < 1e-5
+        assert -1e-9 <= r.shannon_entropy_nats <= math.log(len(cnt)) + 1e-9
+
+
+def test_cohort_ltv_ground_truth(spark, sf_dir):
+    """Cohorts, cumulative revenue and per-user LTV recomputed in Python
+    (ISO-Monday weeks); cumulative revenue must be nondecreasing in age."""
+    import datetime as dt
+    from collections import defaultdict
+
+    rows = QUERIES["events_cohort_ltv"](spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    first = {}
+    for r in ev:
+        if r.ts is None or r.user_id is None:
+            continue
+        d = r.ts.date()
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    cohort = {
+        u: d - dt.timedelta(days=d.weekday()) for u, d in first.items()
+    }
+    sizes = defaultdict(int)
+    for u in cohort.values():
+        sizes[u] += 1
+    weekly = defaultdict(float)
+    for r in ev:
+        if r.ts is None or r.event_type != "purchase" or r.value is None:
+            continue
+        if r.user_id not in cohort:
+            continue
+        c = cohort[r.user_id]
+        age = (r.ts.date() - c).days // 7
+        weekly[(c, age)] += round(r.value, 6)
+    got = {(r.cohort_week, r.age_week): r for r in rows}
+    assert set(got) == set(weekly)
+    for (c, age), r in got.items():
+        cum = sum(v for (cc, a), v in weekly.items() if cc == c and a <= age)
+        assert r.cohort_users == sizes[c]
+        assert abs(r.cum_revenue - cum) < 1e-4
+        assert abs(r.ltv_per_user - round(cum / sizes[c], 6)) < 1e-4
+    for c in {k[0] for k in got}:
+        ages = sorted(a for cc, a in got if cc == c)
+        vals = [got[(c, a)].cum_revenue for a in ages]
+        assert vals == sorted(vals)

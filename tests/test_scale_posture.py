@@ -420,6 +420,7 @@ BNLJ_ALLOWED = {
     "stat_kruskal_wallis": "broadcast side = 1-row tie-adjustment scalar crossed into the 1-row rank-sum reduce",
     "dq_t_closeness": "broadcast sides = sensitive-band margins (|bands| rows) and the 1-row total crossed into the |classes|-row margin frame to build the closeness spine",
     "sim_mmr_diversify": "re-uses the exact baseline (broadcast 5-query side); every MMR frame after candidate generation is a <= nq*k^2-row broadcast",
+    "emb_pq_codebook": "broadcast side = 8 deterministic Lloyd centroids per 16-dim subspace (same ivf_index assignment pattern as sim_topk_ivf)",
 }
 
 
