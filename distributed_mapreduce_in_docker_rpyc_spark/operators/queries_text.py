@@ -3328,10 +3328,12 @@ def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "tok", "p0 + 1 AS p"
     )
     key = "concat(CAST(doc_id AS STRING), ':', CAST(p AS STRING), ':', tok)"
-    h = pos.selectExpr(
+    # one md5 per token, sliced twice (the digest is the per-token cost
+    # driver — at 100 TB this is the whole job)
+    h = pos.selectExpr("doc_id", f"md5({key}) AS hx").selectExpr(
         "doc_id",
-        f"CAST(conv(substr(md5({key}), 1, 4), 16, 10) AS BIGINT) AS m",
-        f"CAST(conv(substr(md5({key}), 5, 4), 16, 10) AS BIGINT) AS y",
+        "CAST(conv(substr(hx, 1, 4), 16, 10) AS BIGINT) AS m",
+        "CAST(conv(substr(hx, 5, 4), 16, 10) AS BIGINT) AS y",
     )
     return h.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tokens"),
