@@ -2537,3 +2537,281 @@ def stat_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_FK_PE}, 6) AS expected_agreement",
         f"ROUND({_FK_KAPPA}, 6) AS fleiss_kappa",
     )
+
+
+@register(
+    "forecast_pinball_loss",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS y,
+               CASE WHEN strpos('01234567',
+                        substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                               || CAST(l_linenumber AS VARCHAR)), 1, 1)) > 0
+                    THEN 1 ELSE 0 END AS is_train
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ),
+    pv AS (
+        SELECT flag, y, COUNT(*) AS c FROM base WHERE is_train = 1
+        GROUP BY flag, y
+    ),
+    cum AS (
+        SELECT flag, y, c,
+               SUM(c) OVER (PARTITION BY flag ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER (PARTITION BY flag) AS n
+        FROM pv
+    ),
+    pred AS (
+        SELECT flag,
+               MIN(CASE WHEN cc >= CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                        THEN y END) AS p50,
+               MIN(CASE WHEN cc >= CAST(FLOOR((9.0 * n + 9.0) / 10.0) AS BIGINT)
+                        THEN y END) AS p90,
+               MAX(n) AS n_train
+        FROM cum GROUP BY flag
+    )
+    SELECT b.flag AS l_returnflag,
+           CAST(MAX(p.n_train) AS BIGINT) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(MAX(p.p50), 2) AS pred_p50,
+           ROUND(MAX(p.p90), 2) AS pred_p90,
+           ROUND(CAST(SUM(CAST(ROUND(CASE WHEN b.y >= p.p50
+                         THEN 0.5 * (b.y - p.p50)
+                         ELSE 0.5 * (p.p50 - b.y) END, 6) AS DECIMAL(24,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS pinball_p50,
+           ROUND(CAST(SUM(CAST(ROUND(CASE WHEN b.y >= p.p90
+                         THEN 0.9 * (b.y - p.p90)
+                         ELSE 0.1 * (p.p90 - b.y) END, 6) AS DECIMAL(24,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS pinball_p90
+    FROM base b JOIN pred p ON p.flag = b.flag
+    WHERE b.is_train = 0
+    GROUP BY b.flag
+    """,
+)
+def forecast_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast evaluation: train-half order-statistic quantile
+    predictors (P50/P90 of price per flag) scored on the held-out half
+    with PINBALL LOSS — the proper scoring rule for quantile forecasts
+    (what a demand-forecast eval pipeline reports per series).
+
+    The train/test split is a deterministic md5 hash of the row key (50%
+    by first hex digit — replays in any engine, unlike RNG splits);
+    predictors are exact lower order statistics from the train-half price
+    grid (the `histogram_quantile_portable` crossing recipe); each
+    pinball term is quantized (ROUND 6 → DECIMAL) so the test-half mean
+    is an order-independent sum.  At 100 TB: one scan to the grid + one
+    broadcast probe of 2 predictors per group over the test half."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_extendedprice").isNotNull()).selectExpr(
+        "l_returnflag AS flag",
+        "l_extendedprice AS y",
+        "CASE WHEN instr('01234567', substr(md5(concat(CAST(l_orderkey AS STRING),"
+        " ':', CAST(l_linenumber AS STRING))), 1, 1)) > 0 THEN 1 ELSE 0 END"
+        " AS is_train",
+    )
+    pv = (
+        base.filter(F.col("is_train") == 1)
+        .groupBy("flag", "y")
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_flag = Window.partitionBy("flag")
+    cum = pv.select(
+        "flag",
+        "y",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_flag).alias("n"),
+    )
+    pred = cum.groupBy("flag").agg(
+        F.min(
+            F.when(
+                F.col("cc") >= F.floor((F.col("n") + 1) / F.lit(2.0)).cast("bigint"),
+                F.col("y"),
+            )
+        ).alias("p50"),
+        F.min(
+            F.when(
+                F.col("cc")
+                >= F.floor((9.0 * F.col("n") + 9.0) / F.lit(10.0)).cast("bigint"),
+                F.col("y"),
+            )
+        ).alias("p90"),
+        F.max("n").alias("n_train"),
+    )
+    return (
+        base.filter(F.col("is_train") == 0)
+        .join(F.broadcast(pred), "flag")
+        .groupBy("flag")
+        .agg(
+            F.max("n_train").cast("bigint").alias("n_train"),
+            F.count("*").cast("bigint").alias("n_test"),
+            F.round(F.max("p50"), 2).alias("pred_p50"),
+            F.round(F.max("p90"), 2).alias("pred_p90"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(ROUND(CASE WHEN y >= p50 THEN 0.5 * (y - p50)"
+                        " ELSE 0.5 * (p50 - y) END, 6) AS DECIMAL(24,6))"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("pinball_p50"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(ROUND(CASE WHEN y >= p90 THEN 0.9 * (y - p90)"
+                        " ELSE 0.1 * (p90 - y) END, 6) AS DECIMAL(24,6))"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("pinball_p90"),
+        )
+        .withColumnRenamed("flag", "l_returnflag")
+    )
+
+
+# --- Hash-randomization permutation test --------------------------------------
+#
+# B=64 deterministic relabelings from md5(day:replicate) — a randomization
+# test with NO RNG state, so both engines enumerate the identical replicate
+# set and the p-value is hash-checkable.
+_PT_B = 64
+
+
+@register(
+    "stat_permutation_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS rev
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY o_orderdate
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    lab AS (
+        SELECT daily.d, daily.rev,
+               CASE WHEN date_diff('day', b.lo, daily.d) * 2
+                         <= date_diff('day', b.lo, b.hi)
+                    THEN 1 ELSE 0 END AS g
+        FROM daily CROSS JOIN bounds b
+    ),
+    obs AS (
+        SELECT (SUM(CASE WHEN g = 1 THEN rev END) / SUM(CASE WHEN g = 1 THEN 1 END))
+             - (SUM(CASE WHEN g = 0 THEN rev END) / SUM(CASE WHEN g = 0 THEN 1 END))
+               AS stat,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM lab
+    ),
+    reps AS (
+        SELECT r.b, lab.rev,
+               CASE WHEN strpos('02468ace',
+                        substr(md5(CAST(lab.d AS VARCHAR) || ':'
+                               || CAST(r.b AS VARCHAR)), 1, 1)) > 0
+                    THEN 1 ELSE 0 END AS g
+        FROM lab, generate_series(0, {_PT_B - 1}) r(b)
+    ),
+    repstat AS (
+        SELECT b,
+               (SUM(CASE WHEN g = 1 THEN rev END) / NULLIF(SUM(CASE WHEN g = 1 THEN 1 END), 0))
+             - (SUM(CASE WHEN g = 0 THEN rev END) / NULLIF(SUM(CASE WHEN g = 0 THEN 1 END), 0))
+               AS stat
+        FROM reps GROUP BY b
+    )
+    SELECT o.n_days,
+           ROUND(o.stat, 6) AS obs_diff,
+           CAST(SUM(CASE WHEN ABS(r.stat) >= ABS(o.stat) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           ROUND((1.0 + SUM(CASE WHEN ABS(r.stat) >= ABS(o.stat) THEN 1 ELSE 0 END))
+                 / (1.0 + {_PT_B}), 6) AS p_value
+    FROM repstat r CROSS JOIN obs o
+    GROUP BY o.n_days, o.stat
+    """,
+)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation-style) test for a mean shift between the
+    first and second half of the order calendar, on DAILY revenue: B=64
+    deterministic relabelings drawn from md5(day:replicate) — no RNG
+    state, so the ENTIRE replicate set (and therefore the p-value) replays
+    bit-for-bit in the oracle, unlike any seed-based shuffle.  p =
+    (1 + #{{|stat_b| ≥ |obs|}}) / (B+1), the standard add-one estimator.
+
+    The data-sized work is ONE aggregate (daily revenue on exact DECIMAL
+    sums); everything after lives on the calendar-bounded daily frame
+    (days × 64 replicate labels — the only fan-out), so at 100 TB the
+    test costs one scan plus a constant-size shuffle.  The group split is
+    by hash parity per replicate (a randomization test; exact-permutation
+    balance is not required for validity under H0)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(24,6))"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    lab = daily.crossJoin(F.broadcast(bounds)).selectExpr(
+        "d",
+        "rev",
+        "CASE WHEN datediff(d, lo) * 2 <= datediff(hi, lo) THEN 1 ELSE 0 END AS g",
+    )
+    obs = lab.agg(
+        (
+            F.expr("SUM(CASE WHEN g = 1 THEN rev END) / SUM(CASE WHEN g = 1 THEN 1 END)")
+            - F.expr(
+                "SUM(CASE WHEN g = 0 THEN rev END) / SUM(CASE WHEN g = 0 THEN 1 END)"
+            )
+        ).alias("stat"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    reps = (
+        lab.crossJoin(F.broadcast(spark.range(_PT_B).selectExpr("id AS b")))
+        .selectExpr(
+            "b",
+            "rev",
+            "CASE WHEN instr('02468ace', substr(md5(concat(CAST(d AS STRING), ':',"
+            " CAST(b AS STRING))), 1, 1)) > 0 THEN 1 ELSE 0 END AS g",
+        )
+    )
+    repstat = reps.groupBy("b").agg(
+        (
+            F.expr(
+                "SUM(CASE WHEN g = 1 THEN rev END)"
+                " / NULLIF(SUM(CASE WHEN g = 1 THEN 1 END), 0)"
+            )
+            - F.expr(
+                "SUM(CASE WHEN g = 0 THEN rev END)"
+                " / NULLIF(SUM(CASE WHEN g = 0 THEN 1 END), 0)"
+            )
+        ).alias("stat")
+    )
+    return (
+        repstat.crossJoin(F.broadcast(obs.selectExpr("stat AS obs_stat", "n_days")))
+        .groupBy("n_days", "obs_stat")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN ABS(stat) >= ABS(obs_stat) THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_extreme")
+        )
+        .selectExpr(
+            "n_days",
+            "ROUND(obs_stat, 6) AS obs_diff",
+            "n_extreme",
+            f"ROUND((1.0 + CAST(n_extreme AS DOUBLE)) / (1.0 + {_PT_B}), 6)"
+            " AS p_value",
+        )
+    )

@@ -804,3 +804,167 @@ def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         out = out.unionByName(x)
     return out
+
+
+@register(
+    "dq_outlier_iqr_report",
+    oracle="""
+    WITH pv AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v, COUNT(*) AS c
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, v, c,
+               SUM(c) OVER (PARTITION BY flag ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER (PARTITION BY flag) AS n
+        FROM pv
+    ),
+    q AS (
+        SELECT flag,
+               MIN(CASE WHEN cc >= CAST(FLOOR((n + 3) / 4.0) AS BIGINT)
+                        THEN v END) AS q1,
+               MIN(CASE WHEN cc >= CAST(FLOOR((3.0 * n + 3.0) / 4.0) AS BIGINT)
+                        THEN v END) AS q3,
+               MAX(n) AS n
+        FROM cum GROUP BY flag
+    ),
+    fences AS (
+        SELECT flag, n, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS lo,
+               q3 + 1.5 * (q3 - q1) AS hi
+        FROM q
+    )
+    SELECT f.flag AS l_returnflag,
+           CAST(f.n AS BIGINT) AS n_items,
+           ROUND(f.q1, 2) AS q1,
+           ROUND(f.q3, 2) AS q3,
+           CAST(SUM(CASE WHEN p.v < f.lo OR p.v > f.hi THEN p.c ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN p.v < f.lo OR p.v > f.hi THEN p.c ELSE 0 END)
+                      AS DOUBLE) / f.n, 6) AS outlier_rate
+    FROM fences f JOIN pv p ON p.flag = f.flag
+    GROUP BY f.flag, f.n, f.q1, f.q3
+    """,
+)
+def dq_outlier_iqr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier audit per return flag — the quartile-based
+    companion to `text_length_outliers_mad`: quartiles as exact LOWER order
+    statistics at ranks ⌈n/4⌉ and ⌈3n/4⌉ from one cumulative window over
+    the per-(flag, price) grid, fences at 1.5·IQR, and the outlier count
+    re-joined against the SAME grid (with multiplicity) so raw rows are
+    scanned exactly once.  No interpolated quantiles, no second data pass —
+    the crossing thresholds are integer arithmetic, deterministic
+    cross-engine.  At 100 TB the grid is price-cardinality-bounded and the
+    fence probe is a grid-sized broadcast join."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_flag = Window.partitionBy("flag")
+    cum = pv.select(
+        "flag",
+        "v",
+        "c",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_flag).alias("n"),
+    )
+    q = cum.groupBy("flag").agg(
+        F.min(
+            F.when(
+                F.col("cc") >= F.floor((F.col("n") + 3) / F.lit(4.0)).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("cc")
+                >= F.floor((3.0 * F.col("n") + 3.0) / F.lit(4.0)).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    fences = q.selectExpr(
+        "flag",
+        "n",
+        "q1",
+        "q3",
+        "q1 - 1.5 * (q3 - q1) AS lo",
+        "q3 + 1.5 * (q3 - q1) AS hi",
+    )
+    return (
+        pv.join(F.broadcast(fences), "flag")
+        .groupBy("flag", "n", "q1", "q3")
+        .agg(
+            F.sum(F.expr("CASE WHEN v < lo OR v > hi THEN c ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .selectExpr(
+            "flag AS l_returnflag",
+            "CAST(n AS BIGINT) AS n_items",
+            "ROUND(q1, 2) AS q1",
+            "ROUND(q3, 2) AS q3",
+            "n_outliers",
+            "ROUND(CAST(n_outliers AS DOUBLE) / n, 6) AS outlier_rate",
+        )
+    )
+
+
+@register(
+    "dq_freshness_lag_report",
+    oracle="""
+    WITH marks AS (
+        SELECT 'orders' AS tbl, MAX(CAST(o_orderdate AS DATE)) AS latest
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', MAX(CAST(l_shipdate AS DATE)) FROM lineitem
+        UNION ALL
+        SELECT 'events', MAX(CAST(ts AS DATE)) FROM events
+    ),
+    now_mark AS (SELECT MAX(latest) AS now FROM marks)
+    SELECT m.tbl, m.latest,
+           CAST(date_diff('day', m.latest, n.now) AS BIGINT) AS lag_days,
+           CAST(date_diff('day', m.latest, n.now) <= 35 AS INT) AS is_fresh
+    FROM marks m CROSS JOIN now_mark n
+    """,
+)
+def dq_freshness_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness / staleness audit: each fact table's newest date-bearing
+    mark against the fleet-wide newest mark ('now' for a fixture with no
+    wall clock), lag in days, and an SLA verdict — the check an ingestion
+    scheduler alarms on before anything downstream trusts a join of these
+    tables.  Three MAX aggregates (one scan each, metadata-cheap under
+    parquet statistics) crossed into a 1-row 'now' frame; output is
+    table-count-sized.  The SLA (35 days) is a demo threshold chosen so
+    the fixture exercises both verdicts."""
+    o = load_table(spark, sf_dir, "orders").agg(
+        F.lit("orders").alias("tbl"),
+        F.max(F.col("o_orderdate").cast("date")).alias("latest"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem").alias("tbl"),
+        F.max(F.col("l_shipdate").cast("date")).alias("latest"),
+    )
+    ev = load_table(spark, sf_dir, "events").agg(
+        F.lit("events").alias("tbl"), F.max(F.col("ts").cast("date")).alias("latest")
+    )
+    marks = o.unionByName(li).unionByName(ev)
+    now = marks.agg(F.max("latest").alias("now"))
+    return marks.crossJoin(F.broadcast(now)).selectExpr(
+        "tbl",
+        "latest",
+        "CAST(datediff(now, latest) AS BIGINT) AS lag_days",
+        "CAST(datediff(now, latest) <= 35 AS INT) AS is_fresh",
+    )

@@ -128,6 +128,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stat_fleiss_kappa",
     "dq_column_entropy",
     "events_cohort_ltv",
+    "dq_outlier_iqr_report",
+    "dq_freshness_lag_report",
+    "forecast_pinball_loss",
+    "stat_permutation_test",
     # (5) remaining stale greens: r1-era relational, then r5-checked
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -1864,3 +1864,134 @@ def test_cohort_ltv_ground_truth(spark, sf_dir):
         ages = sorted(a for cc, a in got if cc == c)
         vals = [got[(c, a)].cum_revenue for a in ages]
         assert vals == sorted(vals)
+
+
+def test_iqr_outlier_report_ground_truth(spark, sf_dir):
+    """Quartiles (lower order statistics), fences and outlier counts
+    recomputed in plain Python."""
+    rows = {r.l_returnflag: r for r in QUERIES["dq_outlier_iqr_report"](spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    groups = {}
+    for r in li:
+        if r.l_extendedprice is not None:
+            groups.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    assert set(rows) == set(groups)
+    for flag, vals in groups.items():
+        s = sorted(vals)
+        n = len(s)
+        q1 = s[(n + 3) // 4 - 1]
+        q3 = s[(3 * n + 3) // 4 - 1]
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        out = sum(1 for v in vals if v < lo or v > hi)
+        r = rows[flag]
+        assert r.n_items == n
+        assert abs(r.q1 - round(q1, 2)) < 1e-9 and abs(r.q3 - round(q3, 2)) < 1e-9
+        assert r.n_outliers == out
+        assert abs(r.outlier_rate - round(out / n, 6)) < 1e-9
+
+
+def test_freshness_lag_ground_truth(spark, sf_dir):
+    """Latest marks and lags recomputed from raw maxima; the fleet-newest
+    table must report lag 0 and fresh."""
+    rows = {r.tbl: r for r in QUERIES["dq_freshness_lag_report"](spark, sf_dir).collect()}
+    assert set(rows) == {"orders", "lineitem", "events"}
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(F.max(F.col("o_orderdate").cast("date")))
+        .first()[0]
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .agg(F.max(F.col("l_shipdate").cast("date")))
+        .first()[0]
+    )
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max(F.col("ts").cast("date")))
+        .first()[0]
+    )
+    marks = {"orders": o, "lineitem": li, "events": ev}
+    now = max(marks.values())
+    for t, latest in marks.items():
+        r = rows[t]
+        assert r.latest == latest
+        assert r.lag_days == (now - latest).days
+        assert r.is_fresh == (1 if r.lag_days <= 35 else 0)
+    assert min(r.lag_days for r in rows.values()) == 0
+
+
+def test_pinball_loss_ground_truth(spark, sf_dir):
+    """Split, predictors and pinball means recomputed with hashlib; the
+    P90 predictor must sit at or above the P50 predictor."""
+    import hashlib as hl
+
+    rows = {r.l_returnflag: r for r in QUERIES["forecast_pinball_loss"](spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    tr, te = {}, {}
+    for r in li:
+        if r.l_extendedprice is None:
+            continue
+        h = hl.md5(f"{r.l_orderkey}:{r.l_linenumber}".encode()).hexdigest()[0]
+        (tr if h in "01234567" else te).setdefault(r.l_returnflag, []).append(
+            r.l_extendedprice
+        )
+    assert set(rows) == set(te)
+    for flag, test_vals in te.items():
+        s = sorted(tr[flag])
+        n = len(s)
+        p50 = s[(n + 1) // 2 - 1]
+        p90 = s[(9 * n + 9) // 10 - 1]
+        pin50 = sum(
+            round(0.5 * (y - p50), 6) if y >= p50 else round(0.5 * (p50 - y), 6)
+            for y in test_vals
+        ) / len(test_vals)
+        pin90 = sum(
+            round(0.9 * (y - p90), 6) if y >= p90 else round(0.1 * (p90 - y), 6)
+            for y in test_vals
+        ) / len(test_vals)
+        r = rows[flag]
+        assert r.n_train == n and r.n_test == len(test_vals)
+        assert abs(r.pred_p50 - round(p50, 2)) < 1e-9
+        assert abs(r.pred_p90 - round(p90, 2)) < 1e-9
+        assert r.pred_p90 >= r.pred_p50
+        assert abs(r.pinball_p50 - pin50) < 1e-4
+        assert abs(r.pinball_p90 - pin90) < 1e-4
+
+
+def test_permutation_test_ground_truth(spark, sf_dir):
+    """The full 64-replicate randomization replayed with hashlib; the
+    p-value is the add-one estimator and sits in (0, 1]."""
+    import hashlib as hl
+    from collections import defaultdict
+
+    out = QUERIES["stat_permutation_test"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    daily = defaultdict(float)
+    for r in o:
+        if r.o_orderdate is not None and r.o_totalprice is not None:
+            daily[r.o_orderdate.date()] += r.o_totalprice
+    days = sorted(daily)
+    lo, hi = days[0], days[-1]
+    span = (hi - lo).days
+
+    def diff(groups):
+        a = [daily[d] for d in days if groups(d)]
+        b = [daily[d] for d in days if not groups(d)]
+        return sum(a) / len(a) - sum(b) / len(b)
+
+    obs = diff(lambda d: (d - lo).days * 2 <= span)
+    n_ext = 0
+    for b in range(64):
+        stat = diff(
+            lambda d, bb=b: hl.md5(f"{d.isoformat()}:{bb}".encode()).hexdigest()[0]
+            in "02468ace"
+        )
+        if abs(stat) >= abs(obs):
+            n_ext += 1
+    assert row.n_days == len(days)
+    assert abs(row.obs_diff - obs) < max(1e-3, abs(obs) * 1e-6)
+    assert row.n_extreme == n_ext
+    assert abs(row.p_value - round((1 + n_ext) / 65.0, 6)) < 1e-9
+    assert 0 < row.p_value <= 1

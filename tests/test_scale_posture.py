@@ -421,6 +421,8 @@ BNLJ_ALLOWED = {
     "dq_t_closeness": "broadcast sides = sensitive-band margins (|bands| rows) and the 1-row total crossed into the |classes|-row margin frame to build the closeness spine",
     "sim_mmr_diversify": "re-uses the exact baseline (broadcast 5-query side); every MMR frame after candidate generation is a <= nq*k^2-row broadcast",
     "emb_pq_codebook": "broadcast side = 8 deterministic Lloyd centroids per 16-dim subspace (same ivf_index assignment pattern as sim_topk_ivf)",
+    "dq_freshness_lag_report": "broadcast side = 1-row fleet-wide newest-mark frame crossed into the 3-row table-marks frame",
+    "stat_permutation_test": "broadcast sides = 1-row calendar midpoint, the 64-row replicate index over the calendar-bounded daily frame, and the 1-row observed statistic",
 }
 
 
