@@ -167,25 +167,24 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "compaction_roundtrip",
     oracle="""
-    SELECT COUNT(*) AS n_rows,
-           SUM(doc_id) AS sum_doc_id,
-           SUM(octet_length(encode(COALESCE(text, '')))) AS sum_text_bytes,
-           COUNT(DISTINCT source) AS n_sources,
+    SELECT CAST(0 AS BIGINT) AS dev_n_rows,
+           CAST(0 AS BIGINT) AS dev_sum_doc_id,
+           CAST(0 AS BIGINT) AS dev_text_bytes,
+           CAST(0 AS BIGINT) AS dev_n_sources,
            1 AS n_files_after
-    FROM documents
     """,
 )
 def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction under the oracle: fragment the documents table
     into 64 tiny parquet files (the classic streaming-ingest pathology),
-    run ``maintenance.compact`` back to the planned file count, and
-    hash-check the COMPACTED copy's content — row count, key sum, UTF-8
-    text byte total, source cardinality — against the source table, plus
+    run ``maintenance.compact`` back to the planned file count, and emit
+    per-property DEVIATIONS of the COMPACTED copy vs the source table —
+    row count, key sum, UTF-8 text byte total, source cardinality — plus
     the achieved file count against the plan's target (1 at this volume).
-    Proves the rewrite is lossless and actually consolidates, not merely
-    that it runs; complements ``storage_file_report`` (the metadata side,
-    rows-only) with a hash-checked data side.  See ``_compaction_proof``
-    for the hermetic eager-materialization contract (r6).
+    Zeros prove the rewrite is lossless and the file count proves it
+    actually consolidates; complements ``storage_file_report`` (the
+    metadata side, rows-only) with a hash-checked data side.  See
+    ``_compaction_proof`` for the hermetic self-canceling contract (r7).
 
     Scale posture: ``compact`` is a map-side ``coalesce`` rewrite — no
     shuffle, no driver data; at 100 TB the same plan runs per partition
@@ -194,12 +193,18 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _compaction_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-row compaction proof, computed ONCE per session in a unique
-    scratch dir deleted before returning (local-relation result) — the r6
-    hermetic fix for the r5 driver hash-red that never reproduced locally
-    (VERDICT r5 "wrong" #1; same contract as
-    ``queries_wordcount._jsonl_proof``).  Memoized so the diagnostic
-    siblings below share one computation and localize drift."""
+    """Single-row compaction DEVIATION proof, computed ONCE per session in
+    a unique scratch dir deleted before returning (local-relation result).
+    r7 reformulation (VERDICT r6 next-round #1): the compacted copy
+    (side = +1) and the source table (side = −1) are unioned in the SAME
+    Spark session and every content property is a signed sum, so
+    driver-regenerated fixture content cancels by construction — the
+    r4–r6 absolute proof compared against DuckDB's source aggregates and
+    went driver-red on content the local harness never saw.  Same
+    hermetic eager-materialization contract as r6; memoized so the
+    diagnostic siblings share one computation and localize drift.  The
+    engine-agreement sibling ``compaction_source_agreement`` keeps the
+    absolute source aggregates under the DuckDB oracle."""
     from distributed_mapreduce_in_docker_rpyc_spark.operators import maintenance as mt
     from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import (
         materialized,
@@ -215,52 +220,86 @@ def _compaction_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         frag, out = f"{root}/frag", f"{root}/compacted"
         docs.repartition(64).write.parquet(frag)
         plan = mt.compact(spark, frag, out, target_bytes=256 * 1024 * 1024)
-        back = spark.read.parquet(out)
+        back = spark.read.parquet(out).withColumn("side", F.lit(1))
+        both = back.unionByName(docs.withColumn("side", F.lit(-1)))
+        side = F.col("side")
         res = materialized(
-            back.agg(
-                F.count("*").alias("n_rows"),
-                F.sum("doc_id").alias("sum_doc_id"),
+            both.agg(
+                F.sum(side.cast("long")).alias("dev_n_rows"),
+                F.sum(side * F.col("doc_id")).alias("dev_sum_doc_id"),
                 F.sum(
-                    F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
-                ).alias("sum_text_bytes"),
-                F.count_distinct("source").alias("n_sources"),
+                    side
+                    * F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+                ).alias("dev_text_bytes"),
+                (
+                    F.count_distinct(F.when(side == 1, F.col("source")))
+                    - F.count_distinct(F.when(side == -1, F.col("source")))
+                ).alias("dev_n_sources"),
                 F.lit(plan["n_files_after"]).cast("int").alias("n_files_after"),
             )
         )
         shutil.rmtree(root, ignore_errors=True)
         return res
 
-    return shared(spark, ("compaction_proof", sf_dir), build)
+    return shared(spark, ("compaction_proof_dev", sf_dir), build)
 
 
 @register(
     "compaction_roundtrip_text_bytes",
-    oracle="""
-    SELECT SUM(octet_length(encode(COALESCE(text, '')))) AS sum_text_bytes
-    FROM documents
-    """,
+    oracle="SELECT CAST(0 AS BIGINT) AS dev_text_bytes",
 )
 def compaction_roundtrip_text_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diagnostic sibling of ``compaction_roundtrip`` (VERDICT r5
-    next-round #1): ONLY the UTF-8 text byte total of the compacted copy —
-    isolates byte fidelity through the parquet rewrite."""
-    return _compaction_proof(spark, sf_dir).select("sum_text_bytes")
+    next-round #1): ONLY the UTF-8 text byte-total deviation — isolates
+    byte fidelity through the parquet rewrite."""
+    return _compaction_proof(spark, sf_dir).select("dev_text_bytes")
 
 
 @register(
     "compaction_roundtrip_counts",
     oracle="""
-    SELECT COUNT(*) AS n_rows,
+    SELECT CAST(0 AS BIGINT) AS dev_n_rows,
+           CAST(0 AS BIGINT) AS dev_sum_doc_id,
+           CAST(0 AS BIGINT) AS dev_n_sources
+    """,
+)
+def compaction_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic sibling of ``compaction_roundtrip``: ONLY the
+    row-identity deviations (count, key sum, source cardinality) — a
+    non-zero means the rewrite lost/duplicated rows, independent of byte
+    totals or file layout."""
+    return _compaction_proof(spark, sf_dir).select(
+        "dev_n_rows", "dev_sum_doc_id", "dev_n_sources"
+    )
+
+
+@register(
+    "compaction_source_agreement",
+    oracle="""
+    SELECT COUNT(*) AS n_src,
            SUM(doc_id) AS sum_doc_id,
+           SUM(octet_length(encode(COALESCE(text, '')))) AS sum_text_bytes,
            COUNT(DISTINCT source) AS n_sources
     FROM documents
     """,
 )
-def compaction_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diagnostic sibling of ``compaction_roundtrip``: ONLY row identity
-    (count, key sum, source cardinality) — a mismatch means the rewrite
-    lost/duplicated rows, independent of byte totals or file layout."""
-    return _compaction_proof(spark, sf_dir).select("n_rows", "sum_doc_id", "n_sources")
+def compaction_source_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-agreement sibling of ``compaction_roundtrip`` (VERDICT r6
+    next-round #1): the SOURCE-side aggregates only, no filesystem in the
+    loop — Spark vs DuckDB over the identical parquet columns the
+    deviation proof cancels.  A red here means the engines disagree about
+    the documents fixture itself; a red in the deviation proof means the
+    parquet rewrite genuinely lost data.  One full scan, single
+    partial-agg reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_src"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(
+            F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+        ).alias("sum_text_bytes"),
+        F.count_distinct("source").alias("n_sources"),
+    )
 
 
 @register(

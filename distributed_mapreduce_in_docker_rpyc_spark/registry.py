@@ -36,84 +36,45 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The round driver verifies 50 queries per round in registration order.
-# Round-6 budget, implementing VERDICT r5 "Next round" #1-#3 verbatim (no
+# Round-7 budget, implementing VERDICT r6 "Next round" #1-#3 verbatim (no
 # hand-maintained slot arithmetic here — `scripts/verify_driver.py --strict`
 # recomputes where the 50-slot line falls; trust it, not this comment):
-#   section 1 — the three r5 hash-red filesystem round-trips, each followed
-#               immediately by its ~3 per-property diagnostic siblings (the
-#               judge-prescribed localization: if a red row returns, the r6
-#               CORRECTNESS rows NAME the drifting property).  All four
-#               round-trip parents are now hermetic: unique scratch dir,
-#               eagerly materialized proof, dir deleted before return.
-#   section 2 — the 29 oracle-backed r5 builds that have NEVER had a driver
-#               row (VERDICT r5 "missing" #1); held at the top so new r6
-#               builds cannot displace them again.
-#   section 3 — the six stalest r1-era greens (no driver contact across
-#               four fixture generations — VERDICT r5 next-round #3).
-#   section 4 — queries BUILT in round 6, never driver-checked (appended as
-#               the round adds operators; overflow queues for r7).
-#   section 5 — remaining stale greens, oldest first: the r1-era
-#               relational families, then the r5-checked greens (the
-#               freshest rows, last in line).
+#   section 1 — the r4/r5/r6 hash-red round-trips, reformulated as
+#               self-canceling deviation proofs, + their diagnostic siblings
+#               + one engine-agreement sibling per format.
+#   section 2 — the 18 round-6 builds that have NEVER had a driver row.
+#   section 3 — queries BUILT in round 7, never driver-checked (appended as
+#               the round adds operators; overflow queues for r8).
+#   section 4 — remaining greens, stalest first: r1-era relational, then
+#               r5-checked, then r6-checked (freshest last).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (1) r5 hash-red round-trips + diagnostic siblings
+    # (1) the r4/r5/r6 hash-red round-trips, reformulated in r7 as
+    #     self-canceling DEVIATION proofs (read-back minus source inside
+    #     one Spark session, oracle pins literal zeros — VERDICT r6
+    #     next-round #1) + their diagnostic siblings + one NEW
+    #     engine-agreement sibling per format (source-only aggregates, no
+    #     filesystem) that separately detects Spark-vs-DuckDB content
+    #     disagreement on driver-regenerated fixtures.
     "jsonl_roundtrip",
     "jsonl_roundtrip_text_bytes",
     "jsonl_roundtrip_corrupt",
     "jsonl_roundtrip_ids",
+    "jsonl_source_agreement",
     "csv_roundtrip",
     "csv_roundtrip_price",
     "csv_roundtrip_dates",
     "csv_roundtrip_corrupt",
+    "csv_source_agreement",
     "compaction_roundtrip",
     "compaction_roundtrip_text_bytes",
     "compaction_roundtrip_counts",
     "compaction_roundtrip_files",
-    # (2) oracle-backed, never driver-checked (r5 window overflow)
-    "logreg_roc_auc",
-    "logreg_threshold_sweep",
-    "graph_connected_components",
-    "text_chi2_keyness",
-    "survival_kaplan_meier",
-    "events_cusum_changepoint",
-    "ts_autocorrelation",
-    "ols_kfold_cv",
-    "ams_f2_sketch",
-    "emb_pca_power_iteration",
-    "customer_gini_concentration",
-    "stat_mannwhitney_u",
-    "stat_welch_ttest",
-    "stat_spearman_corr",
-    "dq_psi_drift",
-    "corpus_js_divergence",
-    "text_ngram_novelty",
-    "dedup_winnowing",
-    "partitioned_write_pruning",
-    "conformal_interval_coverage",
-    "events_interval_coverage",
-    "emb_silhouette",
-    "text_content_chunks",
-    "stat_ks_test",
-    "stat_mann_kendall",
-    "corpus_heaps_law",
-    "stat_chisq_independence",
-    "stat_anova_oneway",
-    "lineitem_weighted_median",
-    # (3) stalest r1-era greens
-    "wordcount_top20",
-    "wordcount_full",
-    "wordcount_rdd_core",
-    "inverted_index_stats",
-    "ingest_zip_wordcount",
-    "ziptext_datasource_scan",
-    # (4) built in round 6 — never driver-checked (appended as built).
-    # The two former rows-only sketch-error reports lead: r6 made them
-    # self-certifying (oracle pins the exact side + the error bound as an
-    # integer column — VERDICT r5 next-round #5), so their FIRST hash-checked
-    # driver row should land this round.
-    "hll_daily_distinct_error",
-    "approx_percentile_error",
-    "stat_kruskal_wallis",
+    "compaction_source_agreement",
+    # (2) built in round 6, never driver-checked (VERDICT r6 next-round #3:
+    #     all 18 locally green, 8 re-verified by the judge; the three r6
+    #     builds that DID get r6 rows — hll_daily_distinct_error,
+    #     approx_percentile_error, stat_kruskal_wallis — moved to the
+    #     freshest tail of section 5)
     "stat_levene_brown_forsythe",
     "stat_jarque_bera",
     "stat_cohens_kappa",
@@ -132,7 +93,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_freshness_lag_report",
     "forecast_pinball_loss",
     "stat_permutation_test",
-    # (5) remaining stale greens: r1-era relational, then r5-checked
+    # (3) built in round 7 — never driver-checked (appended as built)
+    "text_pii_report",
+    "text_pii_totals",
+    "text_bpe_merge_pairs",
+    "text_quality_rules_report",
+    "decontam_eval_report",
+    # (4) remaining greens, stalest first: the r1-era relational family
+    #     (no driver contact since r1/r2), then the r5-checked rows, then
+    #     the r6-checked rows (freshest, last in line)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority_check",
@@ -222,6 +191,47 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_portable_daily",
     "bradley_terry_strength",
     "logreg_calibration_bins",
+    # r5-window overflow names, driver-checked in r6
+    "logreg_roc_auc",
+    "logreg_threshold_sweep",
+    "graph_connected_components",
+    "text_chi2_keyness",
+    "survival_kaplan_meier",
+    "events_cusum_changepoint",
+    "ts_autocorrelation",
+    "ols_kfold_cv",
+    "ams_f2_sketch",
+    "emb_pca_power_iteration",
+    "customer_gini_concentration",
+    "stat_mannwhitney_u",
+    "stat_welch_ttest",
+    "stat_spearman_corr",
+    "dq_psi_drift",
+    "corpus_js_divergence",
+    "text_ngram_novelty",
+    "dedup_winnowing",
+    "partitioned_write_pruning",
+    "conformal_interval_coverage",
+    "events_interval_coverage",
+    "emb_silhouette",
+    "text_content_chunks",
+    "stat_ks_test",
+    "stat_mann_kendall",
+    "corpus_heaps_law",
+    "stat_chisq_independence",
+    "stat_anova_oneway",
+    "lineitem_weighted_median",
+    # r1-era names re-checked in the r6 window
+    "wordcount_top20",
+    "wordcount_full",
+    "wordcount_rdd_core",
+    "inverted_index_stats",
+    "ingest_zip_wordcount",
+    "ziptext_datasource_scan",
+    # r6 builds that landed their first driver row in r6 (slots 48-50)
+    "hll_daily_distinct_error",
+    "approx_percentile_error",
+    "stat_kruskal_wallis",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file

@@ -1034,3 +1034,114 @@ def test_pq_codebook_matches_numpy_lloyd(spark, sf_dir):
         r = rows[s]
         assert r.n_vectors == n and r.n_cells == cells
         assert abs(r.avg_mse - round(mse, 6)) < 1e-6
+
+
+def test_pii_report_ground_truth_on_synthetic_corpus(spark, tmp_path):
+    """Known PII counts on a crafted corpus: the report must count every
+    email/phone/IPv4 exactly, and the per-source totals must equal the
+    Python-side rollup of the per-document rows."""
+    docs = [
+        (1, "mail a@b.co and c.d+x@e-f.org here", "en", "s1"),
+        (2, "call 555-123-4567 or 555.987.6543 now", "en", "s1"),
+        (3, "host 10.0.0.1 and 192.168.255.3 up", "en", "s2"),
+        (4, "clean text with no identifiers at all", "en", "s2"),
+        (5, "mixed x@y.io 111-222-3333 127.0.0.1", "en", None),
+        (6, None, "en", "s3"),
+    ]
+    fixture = str(tmp_path / "piifix")
+    spark.createDataFrame(
+        [(i, t, lang, s, len(t) if t else None) for i, t, lang, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{fixture}/documents.parquet")
+
+    rows = {r.doc_id: r for r in QUERIES["text_pii_report"](spark, fixture).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}  # NULL-text doc excluded
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ipv4) == (2, 0, 0)
+    assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ipv4) == (0, 2, 0)
+    assert (rows[3].n_emails, rows[3].n_phones, rows[3].n_ipv4) == (0, 0, 2)
+    assert rows[4].n_pii == 0 and rows[4].has_pii == 0
+    assert (rows[5].n_emails, rows[5].n_phones, rows[5].n_ipv4) == (1, 1, 1)
+    assert rows[5].has_pii == 1
+
+    totals = {r.source: r for r in QUERIES["text_pii_totals"](spark, fixture).collect()}
+    assert totals["s1"].n_docs == 2 and totals["s1"].n_docs_with_pii == 2
+    assert totals["s2"].total_ipv4 == 2 and totals["s2"].n_docs_with_pii == 1
+    assert totals[None].total_emails == 1 and totals[None].total_phones == 1
+
+
+def test_bpe_merge_pairs_matches_python_counter(spark, sf_dir):
+    """Top-20 merge candidates recomputed with a plain-Python Counter over
+    the fixture vocabulary, same (count DESC, pair ASC) total order."""
+    import re
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    wc = Counter()
+    for d in docs:
+        wc.update(re.findall(r"[a-z']+", (d.text or "").lower()))
+    pc = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += c
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.pair, r.cnt) for r in QUERIES["text_bpe_merge_pairs"](spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_quality_rules_report_ground_truth(spark, sf_dir):
+    """Symbol/line rule fractions recomputed in plain Python per document."""
+    import re
+
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["text_quality_rules_report"](spark, sf_dir).collect()
+    }
+    docs = [d for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect() if d.text is not None]
+    assert set(rows) == {d.doc_id for d in docs}
+    for d in docs:
+        lines = d.text.split("\n")
+        nonempty = [x for x in lines if x.strip(" ") != ""]
+        n_lines = len(nonempty)
+        n_words = len(re.findall(r"[a-z']+", d.text.lower()))
+        n_sym = d.text.count("#") + d.text.count("...")  # non-overlapping, same as replace-diff
+        bullets = [x for x in lines if x.lstrip(" ").startswith(("-", "*", "•"))]
+        ell = [x for x in lines if x.rstrip(" ").endswith("...")]
+        r = rows[d.doc_id]
+        assert r.n_words == n_words and r.n_lines == n_lines
+        assert abs(r.symbol_word_ratio - n_sym / max(n_words, 1)) < 1e-9
+        assert abs(r.repeated_line_frac - (n_lines - len(set(nonempty))) / max(n_lines, 1)) < 1e-9
+        assert abs(r.bullet_line_frac - len(bullets) / max(n_lines, 1)) < 1e-9
+        assert abs(r.ellipsis_line_frac - len(ell) / max(n_lines, 1)) < 1e-9
+        want_pass = int(
+            n_sym / max(n_words, 1) <= 0.1
+            and len(bullets) / max(n_lines, 1) <= 0.9
+            and len(ell) / max(n_lines, 1) <= 0.3
+        )
+        assert r.passes_symbol_rules == want_pass
+
+
+def test_decontam_eval_report_matches_python_sets(spark, sf_dir):
+    """Per-eval-doc contamination recomputed with Python set intersection
+    over word-5-grams; also cross-checks consistency with the train-side
+    report (an eval doc is contaminated iff some train doc shares a gram)."""
+    import re
+
+    def grams(text):
+        toks = re.findall(r"[a-z']+", (text or "").lower())
+        return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    train = set()
+    for d in docs:
+        if d.doc_id % 10 != 0:
+            train |= grams(d.text)
+    rows = {r.doc_id: r for r in QUERIES["decontam_eval_report"](spark, sf_dir).collect()}
+    evald = [d for d in docs if d.doc_id % 10 == 0 and grams(d.text)]
+    assert set(rows) == {d.doc_id for d in evald}
+    for d in evald:
+        g = grams(d.text)
+        hit = len(g & train)
+        r = rows[d.doc_id]
+        assert (r.n_grams, r.n_hit) == (len(g), hit)
+        assert abs(r.contamination_frac - hit / len(g)) < 1e-9
+        assert r.is_contaminated == int(hit > 0)
