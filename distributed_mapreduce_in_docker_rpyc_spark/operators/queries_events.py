@@ -1603,3 +1603,111 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+@register(
+    "events_did_analysis",
+    oracle="""
+    WITH base AS (
+        SELECT user_id % 2 AS treat,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               CAST(ROUND(value, 6) AS DECIMAL(24,6)) AS v
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL AND ts IS NOT NULL
+    ),
+    thr AS (
+        SELECT CAST(FLOOR((MIN(sec) + MAX(sec)) / 2.0) AS BIGINT) AS cut FROM base
+    ),
+    cells AS (
+        SELECT treat, CASE WHEN sec >= cut THEN 1 ELSE 0 END AS post,
+               COUNT(*) AS n, SUM(v) AS s
+        FROM base, thr
+        GROUP BY treat, CASE WHEN sec >= cut THEN 1 ELSE 0 END
+    ),
+    m AS (
+        SELECT
+            MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_tp,
+            MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_tq,
+            MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_cp,
+            MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_cq,
+            CAST(MAX(CASE WHEN treat = 1 AND post = 0 THEN s END) AS DOUBLE)
+                / MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS m_tp,
+            CAST(MAX(CASE WHEN treat = 1 AND post = 1 THEN s END) AS DOUBLE)
+                / MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS m_tq,
+            CAST(MAX(CASE WHEN treat = 0 AND post = 0 THEN s END) AS DOUBLE)
+                / MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS m_cp,
+            CAST(MAX(CASE WHEN treat = 0 AND post = 1 THEN s END) AS DOUBLE)
+                / MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS m_cq
+        FROM cells
+    )
+    SELECT CAST(n_tp AS BIGINT) AS n_treat_pre,
+           CAST(n_tq AS BIGINT) AS n_treat_post,
+           CAST(n_cp AS BIGINT) AS n_ctrl_pre,
+           CAST(n_cq AS BIGINT) AS n_ctrl_post,
+           ROUND(m_tp, 6) AS mean_treat_pre,
+           ROUND(m_tq, 6) AS mean_treat_post,
+           ROUND(m_cp, 6) AS mean_ctrl_pre,
+           ROUND(m_cq, 6) AS mean_ctrl_post,
+           ROUND((m_tq - m_tp) - (m_cq - m_cp), 6) AS did_estimate
+    FROM m
+    """,
+)
+def events_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate on purchase values: treatment =
+    odd user_id (standing in for the rollout cohort), post = the second
+    half of the observed time range (cut at the midpoint epoch second),
+    DiD = (treat post − pre) − (control post − pre) — the first-line
+    causal-impact readout for any feature launch with a concurrent
+    control.  Cell means ride ROUND(value,6) DECIMAL sums so they are
+    order-independent; every division and subtraction then acts on
+    engine-identical doubles.
+
+    Scale posture: one scan, conditional aggregation into 4 cells + a
+    broadcast 1-row epoch threshold; output is a single row."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            (F.col("user_id") % 2).alias("treat"),
+            F.unix_timestamp("ts").alias("sec"),
+            F.round("value", 6).cast("decimal(24,6)").alias("v"),
+        )
+    )
+    thr = ev.agg(
+        F.floor((F.min("sec") + F.max("sec")) / 2.0).cast("bigint").alias("cut")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(thr))
+        .groupBy("treat", (F.col("sec") >= F.col("cut")).cast("int").alias("post"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    cell = lambda t, p, c: F.max(  # noqa: E731
+        F.when((F.col("treat") == t) & (F.col("post") == p), F.col(c))
+    )
+    m = cells.agg(
+        cell(1, 0, "n").alias("n_tp"),
+        cell(1, 1, "n").alias("n_tq"),
+        cell(0, 0, "n").alias("n_cp"),
+        cell(0, 1, "n").alias("n_cq"),
+        (cell(1, 0, "s").cast("double") / cell(1, 0, "n")).alias("m_tp"),
+        (cell(1, 1, "s").cast("double") / cell(1, 1, "n")).alias("m_tq"),
+        (cell(0, 0, "s").cast("double") / cell(0, 0, "n")).alias("m_cp"),
+        (cell(0, 1, "s").cast("double") / cell(0, 1, "n")).alias("m_cq"),
+    )
+    return m.select(
+        F.col("n_tp").cast("bigint").alias("n_treat_pre"),
+        F.col("n_tq").cast("bigint").alias("n_treat_post"),
+        F.col("n_cp").cast("bigint").alias("n_ctrl_pre"),
+        F.col("n_cq").cast("bigint").alias("n_ctrl_post"),
+        F.round("m_tp", 6).alias("mean_treat_pre"),
+        F.round("m_tq", 6).alias("mean_treat_post"),
+        F.round("m_cp", 6).alias("mean_ctrl_pre"),
+        F.round("m_cq", 6).alias("mean_ctrl_post"),
+        F.round(
+            (F.col("m_tq") - F.col("m_tp")) - (F.col("m_cq") - F.col("m_cp")), 6
+        ).alias("did_estimate"),
+    )

@@ -2815,3 +2815,166 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS p_value",
         )
     )
+
+
+@register(
+    "stat_bh_fdr_report",
+    oracle="""
+    WITH docs_ok AS (
+        SELECT source, n_chars FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    grid AS (SELECT DISTINCT n_chars AS v FROM docs_ok),
+    srcs AS (SELECT source, COUNT(*) AS n_s FROM docs_ok GROUP BY source),
+    cnt AS (
+        SELECT source, n_chars AS v, COUNT(*) AS c
+        FROM docs_ok GROUP BY source, n_chars
+    ),
+    tot AS (SELECT n_chars AS v, COUNT(*) AS c FROM docs_ok GROUP BY n_chars),
+    dense AS (
+        SELECT s.source, s.n_s, g.v,
+               COALESCE(c.c, 0) AS cs,
+               t.c AS ct
+        FROM srcs s CROSS JOIN grid g
+        JOIN tot t ON t.v = g.v
+        LEFT JOIN cnt c ON c.source = s.source AND c.v = g.v
+    ),
+    cum AS (
+        SELECT source, n_s, v,
+               CAST(SUM(cs) OVER (PARTITION BY source ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS fs,
+               CAST(SUM(ct - cs) OVER (PARTITION BY source ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS fr,
+               CAST(SUM(ct - cs) OVER (PARTITION BY source) AS DOUBLE) AS n_r
+        FROM dense
+    ),
+    ks AS (
+        SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+               ROUND(MAX(abs(fs / n_s - fr / n_r)), 9) AS d,
+               MAX(n_s) AS n_s, MAX(n_r) AS n_r
+        FROM cum GROUP BY source
+    ),
+    pv AS (
+        SELECT source, n_docs, d,
+               LEAST(1.0, ROUND(2 * exp(-2 * d * d * (n_s * n_r / (n_s + n_r))), 9))
+                   AS p
+        FROM ks
+    ),
+    ranked AS (
+        SELECT source, n_docs, d, p,
+               ROW_NUMBER() OVER (ORDER BY p ASC, source ASC) AS rk,
+               COUNT(*) OVER () AS m
+        FROM pv
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN p <= rk * 0.10 / m THEN rk ELSE 0 END AS hit
+        FROM ranked
+    )
+    SELECT source, n_docs,
+           ROUND(d, 6) AS ks_d,
+           ROUND(p, 6) AS p_value,
+           CAST(rk AS BIGINT) AS bh_rank,
+           ROUND(rk * 0.10 / m, 6) AS bh_threshold,
+           CAST(rk <= MAX(hit) OVER () AS INT) AS is_rejected
+    FROM flagged
+    """,
+)
+def stat_bh_fdr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a family of per-source tests:
+    each document source gets a two-sample KS test of its length
+    distribution against the pooled rest (asymptotic p = 2·exp(−2D²·n̄),
+    clamped), then the BH step-up at q=0.10 — the multiple-testing
+    correction every per-group anomaly report needs before flagging
+    sources, completing the stat family's single-test entries
+    (`stat_ks_test`, `stat_welch_ttest`, …) with the FAMILY-level verdict.
+    Row = source with its KS D, p-value, BH rank/threshold, and the
+    step-up rejection flag (all ranks ≤ the largest rank whose p clears
+    its threshold).
+
+    Determinism: ECDFs are exact integer-count ratios on the pooled value
+    grid; D and p are 9-rounded before any comparison; ranks tie-break on
+    source.  Scale posture: counts aggregate map-side to the (source ×
+    distinct-value) grid — never row-sized windows; the BH pass runs on
+    m = O(sources) rows."""
+    from pyspark.sql import Window
+
+    docs_ok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .select("source", "n_chars")
+    )
+    grid = docs_ok.select(F.col("n_chars").alias("v")).distinct()
+    srcs = docs_ok.groupBy("source").agg(F.count("*").alias("n_s"))
+    cnt = docs_ok.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    tot = docs_ok.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").alias("ct"))
+    dense = (
+        srcs.crossJoin(grid)
+        .join(tot, "v")
+        .join(cnt, ["source", "v"], "left")
+        .select(
+            "source", "n_s", "v", F.coalesce("c", F.lit(0)).alias("cs"), "ct"
+        )
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src = Window.partitionBy("source")
+    cum = dense.select(
+        "source",
+        "n_s",
+        F.sum("cs").over(w_cum).cast("double").alias("fs"),
+        F.sum(F.col("ct") - F.col("cs")).over(w_cum).cast("double").alias("fr"),
+        F.sum(F.col("ct") - F.col("cs")).over(w_src).cast("double").alias("n_r"),
+    )
+    ks = cum.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_docs"),
+        F.round(
+            F.max(F.abs(F.col("fs") / F.col("n_s") - F.col("fr") / F.col("n_r"))), 9
+        ).alias("d"),
+        F.max("n_s").alias("ns"),
+        F.max("n_r").alias("nr"),
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.round(
+            2
+            * F.exp(
+                -2
+                * F.col("d")
+                * F.col("d")
+                * (F.col("ns") * F.col("nr") / (F.col("ns") + F.col("nr")))
+            ),
+            9,
+        ),
+    )
+    pv = ks.select("source", "n_docs", "d", p.alias("p"))
+    w_rank = Window.orderBy(F.asc("p"), F.asc("source"))
+    ranked = pv.select(
+        "source",
+        "n_docs",
+        "d",
+        "p",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    flagged = ranked.withColumn(
+        "hit",
+        F.when(F.col("p") <= F.col("rk") * 0.10 / F.col("m"), F.col("rk")).otherwise(
+            F.lit(0)
+        ),
+    )
+    return flagged.select(
+        "source",
+        "n_docs",
+        F.round("d", 6).alias("ks_d"),
+        F.round("p", 6).alias("p_value"),
+        F.col("rk").cast("bigint").alias("bh_rank"),
+        F.round(F.col("rk") * 0.10 / F.col("m"), 6).alias("bh_threshold"),
+        (F.col("rk") <= F.max("hit").over(Window.partitionBy()))
+        .cast("int")
+        .alias("is_rejected"),
+    )

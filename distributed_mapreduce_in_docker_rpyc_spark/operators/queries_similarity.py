@@ -1517,9 +1517,10 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational steps (the Lloyd-round discipline of `sim_kmeans_report`):
     step i joins the candidate frame to the i−1 selected rows and the
     candidate-pair similarity frame, takes one rank window, keeps rank 1.
-    No driver loop, no collect — every frame after candidate generation
-    is ≤ nq·k² rows, and all joins carry the query_id equi-key (broadcast
-    hash joins).  Every similarity is quantized to 6 places BEFORE any
+    The candidate and pair frames are ≤ nq·k² rows, so they are
+    materialized once as local relations (domain-bounded collect, same
+    footprint class as the 16-centroid collects) and every selection step
+    is a local-relation join on the query_id equi-key.  Every similarity is quantized to 6 places BEFORE any
     argmax, and candidate-pair dots are an ORDERED left fold over the
     array (`aggregate`/`zip_with` — the element order the oracle's
     generate_series replay scans), so the selection sequence is
@@ -1527,13 +1528,23 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; MMR itself is candidate-set-sized regardless of data volume."""
     from pyspark.sql import Window
 
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import (
+        materialized as _mat,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     # The candidate frame feeds five consumers (pairs twice, three selection
-    # steps); persist it so the corpus-wide brute-force scan runs once.
-    cand = shared_df(
+    # steps) and is tiny (nq·k = 50 rows), so it is computed once and
+    # MATERIALIZED to a local relation (r7, VERDICT r6 next-round #6): a
+    # lazily-persisted frame re-inlines its whole corpus-scan lineage into
+    # every consumer's STATIC plan — 54 parquet scans / 73 exchanges in the
+    # r6 plan fingerprint — while the local relation collapses the MMR
+    # steps to candidate-set-sized local joins with exactly one corpus
+    # scan (candidate generation) plus one semi-join scan (pair vectors).
+    cand = shared(
         spark,
         ("mmr_cand", sf_dir),
-        lambda: sim.topk_bruteforce(emb, query_ids_below=5, k=10).persist(),
+        lambda: _mat(sim.topk_bruteforce(emb, query_ids_below=5, k=10)),
     )
     vecs = (
         emb.filter(F.col("embedding").isNotNull())
@@ -1552,7 +1563,8 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = vecs.selectExpr("vec_id AS idb", "embedding AS eb", "nrm AS nb")
 
     def _build_pairs() -> DataFrame:
-        return (
+        # nq·k·(k−1) = 450 rows — materialized for the same reason as cand
+        return _mat(
             cand.selectExpr("query_id", "neighbor_id AS ida")
             .join(
                 cand.selectExpr("query_id", "neighbor_id AS idb"),
@@ -1567,10 +1579,9 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "idb",
                 f"ROUND({_MMR_DOT.format(a='ea', b='eb')} / (na * nb), 6) AS ps",
             )
-            .persist()
         )
 
-    pairs = shared_df(spark, ("mmr_pairs", sf_dir), _build_pairs)
+    pairs = shared(spark, ("mmr_pairs", sf_dir), _build_pairs)
     c = cand.selectExpr("query_id", "neighbor_id", "sim")
     sel1 = cand.filter(F.col("rank") == 1).selectExpr(
         "query_id AS q1", "neighbor_id AS v1", "sim AS rel1"
@@ -1746,46 +1757,320 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent.  Scale posture: codebooks are 8×16 doubles per
     subspace (broadcast forever); training scans are linear; at 100 TB
     train on a sample and run only the final assignment over the corpus —
-    the md5-seed discipline keeps any sample deterministic."""
+    the md5-seed discipline keeps any sample deterministic.
+
+    r7 (VERDICT r6 next-round #7): the four subspaces train JOINTLY — one
+    exploded (vec_id, subspace, subvector) frame, centroids keyed by
+    (subspace, cluster), so each Lloyd round is ONE assignment job and ONE
+    32-row centroid collect instead of four of each (12 jobs + 8 collects
+    → 4 jobs + 3 collects).  The per-subspace math — and therefore the
+    hash-checked output — is bit-identical to the sequential form: the md5
+    seed set does not depend on the subspace, and every d2/average is the
+    same 6-rounded expression, just batched."""
+    from pyspark.sql import Window
+
     nn = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
-    outs = []
-    for s in range(4):
-        sub = nn.select(
-            "vec_id", F.slice("embedding", s * 16 + 1, 16).alias("embedding")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.slice(F.col("e"), s * 16 + 1, 16).alias("_v"),
+            )
+            for s in range(4)
+        ]
+    )
+    # the training frame feeds 3 assignment passes + 2 update passes
+    v4 = shared_df(
+        spark,
+        ("pq_v4", sf_dir),
+        lambda: nn.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
-        assigned, cent = sim.ivf_index(sub, n_centroids=8)
-        d2f = assigned.join(F.broadcast(cent), "cluster").withColumn(
-            "d2",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"),
-                        F.col("centroid"),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ),
+        .select("vec_id", F.explode(subs).alias("t"))
+        .select("vec_id", F.col("t.s").alias("s"), F.col("t._v").alias("_v")),
+    )
+
+    def mat_cent(cent: DataFrame) -> DataFrame:
+        # 4 subspaces × 8 clusters × 16 doubles through the driver — bounded,
+        # constant in corpus size (one collect per Lloyd round, not four)
+        rows = [(r["s"], r["cluster"], r["centroid"]) for r in cent.collect()]
+        return spark.createDataFrame(
+            rows, "s int, cluster int, centroid array<double>"
         )
-        outs.append(
-            d2f.agg(
-                F.count("*").cast("bigint").alias("n_vectors"),
-                F.count_distinct("cluster").cast("bigint").alias("n_cells"),
+
+    def assign(cent: DataFrame, keep_d2: bool = False) -> DataFrame:
+        w = Window.partitionBy("vec_id", "s").orderBy(F.asc("_d2"), F.asc("cluster"))
+        out = (
+            v4.join(F.broadcast(cent), "s")
+            .withColumn(
+                "_d2",
                 F.round(
-                    F.sum(F.expr("CAST(d2 AS DECIMAL(18,6))")).cast("double")
-                    / F.count("*"),
+                    F.aggregate(
+                        F.zip_with("_v", "centroid", lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
                     6,
-                ).alias("avg_mse"),
-            ).selectExpr(
-                f"CAST({s} AS BIGINT) AS subspace",
-                "n_vectors",
-                "n_cells",
-                "avg_mse",
+                ),
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+        )
+        cols = ["vec_id", "s", "_v", "cluster"] + (["_d2"] if keep_d2 else [])
+        return out.select(*cols)
+
+    # seed set: the 8 smallest md5(vec_id) — identical for every subspace,
+    # exactly the per-subspace ivf_index seed pick (similarity.ivf_index);
+    # the rank window runs on the 8-row LIMIT result, never the corpus
+    seed_ids = (
+        v4.select("vec_id")
+        .distinct()
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(8)
+        .withColumn("cluster", F.row_number().over(Window.orderBy("_h", "vec_id")) - 1)
+        .select("vec_id", "cluster")
+    )
+    cent = mat_cent(
+        v4.join(F.broadcast(seed_ids), "vec_id").select(
+            "s",
+            "cluster",
+            F.transform("_v", lambda x: F.round(x, 6)).alias("centroid"),
+        )
+    )
+    for _ in range(2):
+        a = assign(cent)
+        per_dim = (
+            a.select("s", "cluster", F.posexplode("_v").alias("d0", "x"))
+            .groupBy("s", "cluster", "d0")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+        updated = per_dim.groupBy("s", "cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d0", "c"))), lambda st: st["c"]
+            ).alias("newc")
+        )
+        cent = mat_cent(
+            cent.join(updated, ["s", "cluster"], "left").select(
+                "s", "cluster", F.coalesce("newc", "centroid").alias("centroid")
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    final = assign(cent, keep_d2=True)
+    return (
+        final.groupBy("s")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.count_distinct("cluster").cast("bigint").alias("n_cells"),
+            F.round(
+                F.sum(F.expr("CAST(_d2 AS DECIMAL(18,6))")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_mse"),
+        )
+        .select(
+            F.col("s").cast("bigint").alias("subspace"),
+            "n_vectors",
+            "n_cells",
+            "avg_mse",
+        )
+    )
+
+
+@register(
+    "search_ndcg_report",
+    oracle=_COSINE_CTES
+    + ",\n    cand AS ("
+    + _brute_topk_select(5)
+    + """),
+    j AS (
+        SELECT c.query_id, c.rank,
+               CASE WHEN nl.label IS NOT NULL AND ql.label IS NOT NULL
+                         AND nl.label = ql.label THEN 1 ELSE 0 END AS rel
+        FROM cand c
+        JOIN embeddings nl ON nl.vec_id = c.neighbor_id
+        JOIN embeddings ql ON ql.vec_id = c.query_id
+    ),
+    w AS (
+        SELECT query_id, rank, rel,
+               SUM(rel) OVER (PARTITION BY query_id) AS n_rel
+        FROM j
+    ),
+    terms AS (
+        SELECT query_id, n_rel,
+               CAST(ROUND(rel / log2(rank + 1), 9) AS DECIMAL(18,9)) AS dterm,
+               CASE WHEN rank <= n_rel
+                    THEN CAST(ROUND(1.0 / log2(rank + 1), 9) AS DECIMAL(18,9))
+                    ELSE CAST(0 AS DECIMAL(18,9)) END AS iterm
+        FROM w
+    )
+    SELECT query_id,
+           CAST(MAX(n_rel) AS BIGINT) AS n_relevant,
+           ROUND(CAST(MAX(n_rel) AS DOUBLE) / 10, 6) AS precision_at_10,
+           ROUND(CASE WHEN SUM(iterm) > 0
+                      THEN CAST(SUM(dterm) AS DOUBLE) / CAST(SUM(iterm) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS ndcg_at_10
+    FROM terms GROUP BY query_id
+    """,
+)
+def search_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@10 and precision@10 for the exact
+    top-10 cosine results of each query vector, with relevance defined as
+    label agreement between query and neighbor — the standard offline
+    search-eval loop (Järvelin & Kekäläinen 2002) run relationally.  IDCG
+    uses the retrieved set's relevant count (NDCG of the ranking over what
+    was returned); DCG terms are quantized to 9 places and summed as exact
+    decimals so the ratio is order-independent across engines.
+
+    Scale posture: candidate generation is the broadcast-query brute-force
+    scan (the documented exact baseline); everything after is
+    candidate-set-sized (nq·k rows) — label joins broadcast the 50-row
+    candidate frame against the corpus label column, never the reverse."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = sim.topk_bruteforce(emb, query_ids_below=5, k=10)
+    labels = emb.select("vec_id", "label")
+    j = (
+        F.broadcast(cand)
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "nlabel"), "neighbor_id")
+        .join(
+            F.broadcast(
+                labels.filter(F.col("vec_id") < 5)
+                .withColumnRenamed("vec_id", "query_id")
+                .withColumnRenamed("label", "qlabel")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.when(
+                F.col("nlabel").isNotNull()
+                & F.col("qlabel").isNotNull()
+                & (F.col("nlabel") == F.col("qlabel")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+    )
+    w = j.withColumn("n_rel", F.sum("rel").over(Window.partitionBy("query_id")))
+    terms = w.select(
+        "query_id",
+        "n_rel",
+        F.round(F.col("rel") / F.log2(F.col("rank") + 1), 9)
+        .cast("decimal(18,9)")
+        .alias("dterm"),
+        F.when(
+            F.col("rank") <= F.col("n_rel"),
+            F.round(F.lit(1.0) / F.log2(F.col("rank") + 1), 9).cast("decimal(18,9)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,9)"))
+        .alias("iterm"),
+    )
+    return terms.groupBy("query_id").agg(
+        F.max("n_rel").cast("bigint").alias("n_relevant"),
+        F.round(F.max("n_rel").cast("double") / 10, 6).alias("precision_at_10"),
+        F.round(
+            F.when(
+                F.sum("iterm") > 0,
+                F.sum("dterm").cast("double") / F.sum("iterm").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg_at_10"),
+    )
+
+
+@register(
+    "emb_centroid_drift_report",
+    oracle="""
+    WITH dims AS (
+        SELECT label,
+               CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS half,
+               g.i AS d,
+               CAST(embedding[g.i] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, 64) g(i)
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    cent AS (
+        SELECT label, half, d, ROUND(AVG(x), 6) AS c
+        FROM dims GROUP BY label, half, d
+    ),
+    j AS (
+        SELECT r.label, r.d, r.c AS cr, u.c AS cu
+        FROM cent r JOIN cent u
+          ON u.label = r.label AND u.d = r.d
+         AND r.half = 'ref' AND u.half = 'cur'
+    ),
+    agg AS (
+        SELECT label,
+               SUM(CAST(ROUND((cr - cu) * (cr - cu), 9) AS DECIMAL(18,9))) AS s2,
+               SUM(CAST(ROUND(cr * cr, 9) AS DECIMAL(18,9))) AS r2
+        FROM j GROUP BY label
+    ),
+    counts AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+        GROUP BY label
+    )
+    SELECT label, n_ref, n_cur,
+           ROUND(sqrt(CAST(s2 AS DOUBLE)), 6) AS centroid_shift,
+           ROUND(sqrt(CAST(s2 AS DOUBLE))
+                 / greatest(sqrt(CAST(r2 AS DOUBLE)), 1e-12), 6) AS relative_shift
+    FROM agg JOIN counts USING (label)
+    """,
+)
+def emb_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the L2 distance between the
+    class centroid of the reference half (even vec_id, standing in for the
+    training snapshot) and the current half (odd vec_id, standing in for
+    serving traffic), absolute and relative to the reference centroid norm
+    — the cheapest early-warning signal that an upstream encoder or data
+    distribution changed under a deployed ANN index.  Labels present in
+    only one half are omitted (no pair to compare).
+
+    Determinism: centroids are 6-rounded per-dimension averages; the
+    64-term distance rides 9-rounded DECIMAL terms so the sum is
+    order-independent across engines.  Scale posture: one posexplode
+    aggregation on (label, half, dim) — uniform composite keys, output is
+    O(labels × dims) then O(labels); no data-sized intermediate."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+    )
+    dims = emb.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("ref")).otherwise(F.lit("cur")).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x"),
+    )
+    cent = (
+        dims.groupBy("label", "half", "d0")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    r = cent.filter(F.col("half") == "ref").select("label", "d0", F.col("c").alias("cr"))
+    u = cent.filter(F.col("half") == "cur").select("label", "d0", F.col("c").alias("cu"))
+    j = r.join(u, ["label", "d0"])
+    agg = j.groupBy("label").agg(
+        F.sum(
+            F.round((F.col("cr") - F.col("cu")) * (F.col("cr") - F.col("cu")), 9).cast(
+                "decimal(18,9)"
+            )
+        ).alias("s2"),
+        F.sum(F.round(F.col("cr") * F.col("cr"), 9).cast("decimal(18,9)")).alias("r2"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("int")).cast("bigint").alias("n_ref"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("int")).cast("bigint").alias("n_cur"),
+    )
+    shift = F.sqrt(F.col("s2").cast("double"))
+    refnorm = F.greatest(F.sqrt(F.col("r2").cast("double")), F.lit(1e-12))
+    return agg.join(counts, "label").select(
+        "label",
+        "n_ref",
+        "n_cur",
+        F.round(shift, 6).alias("centroid_shift"),
+        F.round(shift / refnorm, 6).alias("relative_shift"),
+    )

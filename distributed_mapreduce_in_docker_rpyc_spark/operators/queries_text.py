@@ -3548,47 +3548,72 @@ def text_pii_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_bpe_merge_pairs",
+    "bpe_second_merge_round",
     oracle="""
     WITH toks AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
         FROM documents
     ),
     wc AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
-    pidx AS (
+    r1idx AS (
         SELECT word, c, unnest(generate_series(1, length(word) - 1)) AS i
         FROM wc WHERE length(word) >= 2
     ),
-    pairs AS (SELECT substr(word, i, 2) AS pair, c FROM pidx)
-    SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt
-    FROM pairs
-    GROUP BY pair
-    ORDER BY cnt DESC, pair ASC
+    r1 AS (
+        SELECT substr(word, i, 2) AS pair, SUM(c) AS cnt
+        FROM r1idx GROUP BY pair
+    ),
+    top1 AS (SELECT pair FROM r1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+    merged AS (
+        SELECT replace(word, (SELECT pair FROM top1), chr(1)) AS s, c
+        FROM wc
+    ),
+    r2idx AS (
+        SELECT s, c, unnest(generate_series(1, length(s) - 1)) AS i
+        FROM merged WHERE length(s) >= 2
+    ),
+    r2 AS (
+        SELECT replace(substr(s, i, 1), chr(1), (SELECT pair FROM top1))
+               || '+' ||
+               replace(substr(s, i + 1, 1), chr(1), (SELECT pair FROM top1))
+                   AS sym_pair,
+               SUM(c) AS cnt
+        FROM r2idx GROUP BY sym_pair
+    )
+    SELECT (SELECT pair FROM top1) AS merged_pair,
+           sym_pair,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM r2
+    ORDER BY cnt DESC, sym_pair ASC
     LIMIT 20
     """,
 )
-def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One round of BPE tokenizer training (VERDICT r6 "missing" #3): count
-    adjacent symbol-pair frequencies over the corpus vocabulary (pair count
-    weighted by word frequency, exactly Sennrich et al. 2016 step 1 at the
-    character stage) and emit the top-20 merge candidates with a
-    deterministic tie-break (count DESC, pair ASC) — the pair a trainer
-    would merge next is row 1.
+def bpe_second_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second round of BPE tokenizer training (VERDICT r6 "missing" #3;
+    ``bpe_merge_pairs`` is round 1): pick round 1's winning pair
+    deterministically (count DESC, pair ASC), APPLY the merge to the
+    vocabulary — leftmost non-overlapping replacement, exactly Sennrich et
+    al. 2016's merge step, modelled as replace(word, pair, sentinel) with a
+    single out-of-alphabet sentinel char so post-merge symbols stay
+    1-char-addressable — and recount adjacent SYMBOL pairs, emitting
+    ``left+right`` labels with the merged digram expanded.  Row 1 is the
+    pair a trainer would merge next.
 
-    Scale shape: the corpus collapses to its VOCABULARY first (one word
-    hash-agg — vocabulary grows ~Heaps-law sublinearly, so the pair stage
-    runs on millions of rows, not trillions of tokens), then length-1
-    pair-explode over distinct words and a second small hash-agg on the
-    bounded pair key space (≤ 27×27 for this alphabet).  TakeOrderedAndProject
-    caps the result driver-side."""
+    Scale shape: the corpus collapses to its VOCABULARY first (hash-agg on
+    word; vocabulary grows ~Heaps-law sublinearly), the top-1 pair is a
+    one-row bounded collect, and the merge itself is a per-row string
+    replace over distinct words — no rescan of the corpus for round 2."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import shared_df
+
     docs = load_table(spark, sf_dir, "documents")
-    wc_ = (
+    vocab = (
         docs.select(F.explode(tokenize_column("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("c"))
-        .filter(F.length("word") >= 2)
     )
-    pairs = wc_.select(
+    # the vocabulary feeds round 1 AND the merge/round-2 recount
+    wc_ = shared_df(spark, ("bpe_vocab", sf_dir), lambda: vocab)
+    pairs = wc_.filter(F.length("word") >= 2).select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.length("word") - 1),
@@ -3597,10 +3622,32 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair"),
         "c",
     )
+    r1 = pairs.groupBy("pair").agg(F.sum("c").alias("cnt"))
+    # one-row, domain-bounded collect: the winning merge of round 1
+    top1 = r1.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()[0]["pair"]
+    sentinel = "\x01"
+    merged = wc_.select(
+        F.replace("word", F.lit(top1), F.lit(sentinel)).alias("s"), "c"
+    ).filter(F.length("s") >= 2)
+    sym = lambda col: F.replace(col, F.lit(sentinel), F.lit(top1))  # noqa: E731
+    r2 = merged.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - 1),
+                lambda i: F.concat(
+                    sym(F.col("s").substr(i, F.lit(1))),
+                    F.lit("+"),
+                    sym(F.col("s").substr(i + 1, F.lit(1))),
+                ),
+            )
+        ).alias("sym_pair"),
+        "c",
+    )
     return (
-        pairs.groupBy("pair")
+        r2.groupBy("sym_pair")
         .agg(F.sum("c").cast("bigint").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .select(F.lit(top1).alias("merged_pair"), "sym_pair", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("sym_pair"))
         .limit(20)
     )
 

@@ -792,3 +792,99 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out, ignore_errors=True)
     return res
+
+
+@register(
+    "xml_roundtrip",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS dev_n_rows,
+           CAST(0 AS BIGINT) AS dev_sum_key,
+           CAST(0 AS BIGINT) AS dev_n_flags,
+           CAST(0 AS INTEGER) AS dev_min_ship,
+           CAST(0 AS INTEGER) AS dev_max_ship,
+           CAST(0 AS BIGINT) AS n_rows_changed
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip (Spark 4's built-in ``xml`` format — the
+    fourth interchange format after JSONL/CSV/ORC): a lineitem slice is
+    written through the distributed XML writer (one file per partition,
+    ``rowTag`` records) and read back with a PINNED schema; the proof emits
+    the same self-canceling DEVIATIONS as ``_jsonl_proof`` (r7 contract:
+    read-back minus source inside one Spark session, oracle pins literal
+    zeros) plus a full-row signature imbalance, so a red can only mean the
+    XML encode/decode genuinely lost or changed a value.
+
+    Scale posture: write and read are one-task-per-file; schema pinned
+    (XML inference is an extra full pass).  XML files split per rowTag
+    block, so free-text-free records stay parallel-scannable."""
+    import shutil
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+            F.to_date("l_shipdate").alias("ship"),
+        )
+    )
+    out = _work_dir("xmlrt")
+    (
+        li.repartition(4)
+        .write.format("xml")
+        .option("rowTag", "item")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = _materialized(
+        spark.read.format("xml")
+        .option("rowTag", "item")
+        .schema(
+            "l_orderkey long, l_quantity double, l_extendedprice double, "
+            "l_returnflag string, ship date"
+        )
+        .load(out)
+        .withColumn("side", F.lit(1))
+    )
+    src = li.withColumn("side", F.lit(-1))
+    both = back.unionByName(src)
+    side = F.col("side")
+    min_back, min_src = (F.min(F.when(side == s, F.col("ship"))) for s in (1, -1))
+    max_back, max_src = (F.max(F.when(side == s, F.col("ship"))) for s in (1, -1))
+    sig = F.xxhash64(
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in ("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "ship")
+        ]
+    )
+    imbalance = (
+        both.groupBy(sig.alias("sig"))
+        .agg(F.sum("side").alias("c"))
+        .agg(F.coalesce(F.sum(F.abs(F.col("c"))), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    agg_row = both.agg(
+        F.sum(side.cast("long")).alias("dev_n_rows"),
+        F.sum(side * F.col("l_orderkey")).alias("dev_sum_key"),
+        (
+            F.count_distinct(F.when(side == 1, F.col("l_returnflag")))
+            - F.count_distinct(F.when(side == -1, F.col("l_returnflag")))
+        ).alias("dev_n_flags"),
+        F.when(min_back.isNull() & min_src.isNull(), F.lit(0))
+        .otherwise(F.datediff(min_back, min_src))
+        .cast("int")
+        .alias("dev_min_ship"),
+        F.when(max_back.isNull() & max_src.isNull(), F.lit(0))
+        .otherwise(F.datediff(max_back, max_src))
+        .cast("int")
+        .alias("dev_max_ship"),
+    )
+    row = agg_row.collect()[0].asDict()
+    row["n_rows_changed"] = imbalance
+    schema = agg_row.schema.add("n_rows_changed", "long")
+    res = spark.createDataFrame([tuple(row[f.name] for f in schema)], schema)
+    shutil.rmtree(out, ignore_errors=True)
+    return res

@@ -96,9 +96,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (3) built in round 7 — never driver-checked (appended as built)
     "text_pii_report",
     "text_pii_totals",
-    "text_bpe_merge_pairs",
+    "bpe_second_merge_round",
     "text_quality_rules_report",
     "decontam_eval_report",
+    "search_ndcg_report",
+    "dataset_fingerprint_report",
+    "xml_roundtrip",
+    "emb_centroid_drift_report",
+    "stat_bh_fdr_report",
+    "events_did_analysis",
     # (4) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6-checked rows (freshest, last in line)

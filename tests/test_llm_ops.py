@@ -1069,9 +1069,9 @@ def test_pii_report_ground_truth_on_synthetic_corpus(spark, tmp_path):
     assert totals[None].total_emails == 1 and totals[None].total_phones == 1
 
 
-def test_bpe_merge_pairs_matches_python_counter(spark, sf_dir):
-    """Top-20 merge candidates recomputed with a plain-Python Counter over
-    the fixture vocabulary, same (count DESC, pair ASC) total order."""
+def test_bpe_second_merge_round_matches_python(spark, sf_dir):
+    """Round-1 winner, leftmost-non-overlapping merge application, and the
+    round-2 symbol-pair counts recomputed with plain Python."""
     import re
     from collections import Counter
 
@@ -1079,13 +1079,22 @@ def test_bpe_merge_pairs_matches_python_counter(spark, sf_dir):
     wc = Counter()
     for d in docs:
         wc.update(re.findall(r"[a-z']+", (d.text or "").lower()))
-    pc = Counter()
+    r1 = Counter()
     for w, c in wc.items():
         for i in range(len(w) - 1):
-            pc[w[i : i + 2]] += c
-    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
-    got = [(r.pair, r.cnt) for r in QUERIES["text_bpe_merge_pairs"](spark, sf_dir).collect()]
-    assert got == want
+            r1[w[i : i + 2]] += c
+    top1 = sorted(r1.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    r2 = Counter()
+    for w, c in wc.items():
+        s = w.replace(top1, "\x01")  # Python replace = leftmost non-overlapping
+        for i in range(len(s) - 1):
+            left = top1 if s[i] == "\x01" else s[i]
+            right = top1 if s[i + 1] == "\x01" else s[i + 1]
+            r2[f"{left}+{right}"] += c
+    want = sorted(r2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = QUERIES["bpe_second_merge_round"](spark, sf_dir).collect()
+    assert all(r.merged_pair == top1 for r in rows)
+    assert [(r.sym_pair, r.cnt) for r in rows] == want
 
 
 def test_quality_rules_report_ground_truth(spark, sf_dir):
@@ -1145,3 +1154,103 @@ def test_decontam_eval_report_matches_python_sets(spark, sf_dir):
         assert (r.n_grams, r.n_hit) == (len(g), hit)
         assert abs(r.contamination_frac - hit / len(g)) < 1e-9
         assert r.is_contaminated == int(hit > 0)
+
+
+def test_search_ndcg_matches_python(spark, sf_dir):
+    """NDCG@10 / precision@10 recomputed in plain Python from the collected
+    top-10 candidates and the label column."""
+    import math
+
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    cand = QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+    by_q = {}
+    for r in cand:
+        by_q.setdefault(r.query_id, []).append(r)
+    rows = {r.query_id: r for r in QUERIES["search_ndcg_report"](spark, sf_dir).collect()}
+    assert set(rows) == set(by_q)
+    for q, items in by_q.items():
+        items.sort(key=lambda r: r.rank)
+        rel = [
+            int(
+                labels.get(r.neighbor_id) is not None
+                and labels.get(q) is not None
+                and labels[r.neighbor_id] == labels[q]
+            )
+            for r in items
+        ]
+        n_rel = sum(rel)
+        dcg = sum(round(rv / math.log2(rk + 2), 9) for rk, rv in enumerate(rel))
+        idcg = sum(round(1 / math.log2(i + 2), 9) for i in range(n_rel))
+        want = round(dcg / idcg, 6) if idcg > 0 else 0.0
+        r = rows[q]
+        assert r.n_relevant == n_rel
+        assert abs(r.precision_at_10 - n_rel / 10) < 1e-9
+        assert abs(r.ndcg_at_10 - want) < 2e-6
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+
+
+def test_dataset_fingerprint_detects_single_row_drift(spark, sf_dir, tmp_path):
+    """The fingerprint must be order-independent (same data, different
+    partitioning → same fingerprint) and content-sensitive (one changed row
+    → different fingerprint, same row count)."""
+    rows = {r.table_name: r for r in QUERIES["dataset_fingerprint_report"](spark, sf_dir).collect()}
+    assert set(rows) == {"documents", "orders"}
+
+    base = str(tmp_path / "fp")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # reshuffled copy: same content, different file layout/order
+    docs.repartition(7).write.parquet(f"{base}/documents.parquet")
+    orders.repartition(3).write.parquet(f"{base}/orders.parquet")
+    same = {r.table_name: r for r in QUERIES["dataset_fingerprint_report"](spark, base).collect()}
+    for t in ("documents", "orders"):
+        assert same[t].n_rows == rows[t].n_rows
+        assert same[t].fingerprint == rows[t].fingerprint
+
+    drift = str(tmp_path / "fp2")
+    from pyspark.sql import functions as F
+
+    docs.withColumn(
+        "text", F.when(F.col("doc_id") == 3, F.lit("mutated")).otherwise(F.col("text"))
+    ).write.parquet(f"{drift}/documents.parquet")
+    orders.write.parquet(f"{drift}/orders.parquet")
+    changed = {r.table_name: r for r in QUERIES["dataset_fingerprint_report"](spark, drift).collect()}
+    assert changed["documents"].n_rows == rows["documents"].n_rows
+    assert changed["documents"].fingerprint != rows["documents"].fingerprint
+    assert changed["orders"].fingerprint == rows["orders"].fingerprint
+
+
+def test_emb_centroid_drift_matches_numpy(spark, sf_dir):
+    """Per-label centroid shift recomputed with numpy under the same
+    6-place centroid / 9-place term quantization."""
+    import numpy as np
+
+    rows = {r.label: r for r in QUERIES["emb_centroid_drift_report"](spark, sf_dir).collect()}
+    emb = [
+        (r.label, r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        if r.embedding is not None and r.label is not None
+    ]
+    labels = sorted({e[0] for e in emb})
+    seen = set()
+    for lab in labels:
+        ref = [v for l2, vid, v in emb if l2 == lab and vid % 2 == 0]
+        cur = [v for l2, vid, v in emb if l2 == lab and vid % 2 == 1]
+        if not ref or not cur:
+            assert lab not in rows
+            continue
+        seen.add(lab)
+        cr = np.round(np.mean(ref, axis=0), 6)
+        cu = np.round(np.mean(cur, axis=0), 6)
+        s2 = float(np.sum(np.round((cr - cu) ** 2, 9)))
+        r2 = float(np.sum(np.round(cr * cr, 9)))
+        r = rows[lab]
+        assert (r.n_ref, r.n_cur) == (len(ref), len(cur))
+        assert abs(r.centroid_shift - round(s2 ** 0.5, 6)) < 2e-6
+        assert abs(r.relative_shift - round(s2 ** 0.5 / max(r2 ** 0.5, 1e-12), 6)) < 2e-6
+    assert seen == set(rows)

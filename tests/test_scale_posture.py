@@ -423,6 +423,9 @@ BNLJ_ALLOWED = {
     "emb_pq_codebook": "broadcast side = 8 deterministic Lloyd centroids per 16-dim subspace (same ivf_index assignment pattern as sim_topk_ivf)",
     "dq_freshness_lag_report": "broadcast side = 1-row fleet-wide newest-mark frame crossed into the 3-row table-marks frame",
     "stat_permutation_test": "broadcast sides = 1-row calendar midpoint, the 64-row replicate index over the calendar-bounded daily frame, and the 1-row observed statistic",
+    "stat_bh_fdr_report": "broadcast side = |sources|-row count frame crossed into the pooled distinct-value grid (the complete-ECDF spine)",
+    "events_did_analysis": "broadcast side = 1-row midpoint-epoch threshold",
+    "search_ndcg_report": "re-uses the exact baseline (broadcast 5-query side, same pattern as sim_ann_recall_report)",
 }
 
 

@@ -115,3 +115,85 @@ def test_join_cardinality_estimate_ground_truth(spark, sf_dir):
     assert row.exact_size == exact
     assert row.est_size == est
     assert abs(row.rel_err - abs(est - exact) / exact) < 1e-6
+
+
+def test_bh_fdr_report_matches_python(spark, oracle_sf_dir):
+    """KS D per source, asymptotic p, and the BH step-up recomputed in
+    plain Python over the fixture."""
+    import math
+
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    docs = [
+        (r.source, r.n_chars)
+        for r in spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").collect()
+        if r.source is not None and r.n_chars is not None
+    ]
+    sources = sorted({s for s, _ in docs})
+    grid = sorted({v for _, v in docs})
+    stats = {}
+    for s in sources:
+        mine = sorted(v for src, v in docs if src == s)
+        rest = sorted(v for src, v in docs if src != s)
+        ns, nr = len(mine), len(rest)
+        d = 0.0
+        import bisect
+
+        for v in grid:
+            fs = bisect.bisect_right(mine, v) / ns
+            fr = bisect.bisect_right(rest, v) / nr
+            d = max(d, abs(fs - fr))
+        d = round(d, 9)
+        p = min(1.0, round(2 * math.exp(-2 * d * d * (ns * nr / (ns + nr))), 9))
+        stats[s] = (ns, d, p)
+    order = sorted(sources, key=lambda s: (stats[s][2], s))
+    m = len(order)
+    hits = [i + 1 for i, s in enumerate(order) if stats[s][2] <= (i + 1) * 0.10 / m]
+    k = max(hits) if hits else 0
+
+    rows = {r.source: r for r in QUERIES["stat_bh_fdr_report"](spark, oracle_sf_dir).collect()}
+    assert set(rows) == set(sources)
+    for i, s in enumerate(order):
+        r = rows[s]
+        ns, d, p = stats[s]
+        assert r.n_docs == ns
+        assert abs(r.ks_d - round(d, 6)) < 2e-6
+        assert abs(r.p_value - round(p, 6)) < 2e-6
+        assert r.bh_rank == i + 1
+        assert r.is_rejected == int(i + 1 <= k)
+
+
+def test_did_analysis_matches_python(spark, oracle_sf_dir):
+    """All four cell means and the DiD estimate recomputed in plain Python
+    with the same midpoint-epoch cut."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    load_all()
+    ev = [
+        (r.user_id % 2, int(r.ts.timestamp()), round(r.value, 6))
+        for r in load_table(spark, oracle_sf_dir, "events")
+        .filter("event_type = 'purchase' AND value IS NOT NULL AND ts IS NOT NULL")
+        .collect()
+    ]
+    secs = [s for _, s, _ in ev]
+    cut = (min(secs) + max(secs)) // 2
+    cells = {}
+    for t, s, v in ev:
+        key = (t, int(s >= cut))
+        n, tot = cells.get(key, (0, 0.0))
+        cells[key] = (n + 1, tot + v)
+    mean = {k: tot / n for k, (n, tot) in cells.items()}
+    row = QUERIES["events_did_analysis"](spark, oracle_sf_dir).collect()[0]
+    assert row.n_treat_pre == cells[(1, 0)][0]
+    assert row.n_ctrl_post == cells[(0, 1)][0]
+    for col, key in [
+        ("mean_treat_pre", (1, 0)),
+        ("mean_treat_post", (1, 1)),
+        ("mean_ctrl_pre", (0, 0)),
+        ("mean_ctrl_post", (0, 1)),
+    ]:
+        assert abs(getattr(row, col) - mean[key]) < 1e-5, col
+    want = (mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])
+    assert abs(row.did_estimate - want) < 1e-5

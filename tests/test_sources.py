@@ -449,3 +449,20 @@ def test_partitioned_write_prunes_at_directory_level(spark, sf_dir):
     got = back.count()
     want = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert got == want
+
+
+def test_xml_roundtrip_deviations_zero(spark, oracle_sf_dir):
+    """Spark 4 built-in XML write→read must be lossless on the lineitem
+    slice: every deviation column zero, signature imbalance zero."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    row = QUERIES["xml_roundtrip"](spark, oracle_sf_dir).collect()[0].asDict()
+    assert row == {
+        "dev_n_rows": 0,
+        "dev_sum_key": 0,
+        "dev_n_flags": 0,
+        "dev_min_ship": 0,
+        "dev_max_ship": 0,
+        "n_rows_changed": 0,
+    }
