@@ -1711,3 +1711,83 @@ def events_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m_tq") - F.col("m_tp")) - (F.col("m_cq") - F.col("m_cp")), 6
         ).alias("did_estimate"),
     )
+
+
+@register(
+    "events_session_gap_sensitivity",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events WHERE ts IS NOT NULL
+    ),
+    gaps AS (
+        SELECT g AS gap_minutes FROM (VALUES (10), (30), (60)) t(g)
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_events,
+               SUM(CASE WHEN gap IS NULL OR gap > 10 * 60 THEN 1 ELSE 0 END) AS s10,
+               SUM(CASE WHEN gap IS NULL OR gap > 30 * 60 THEN 1 ELSE 0 END) AS s30,
+               SUM(CASE WHEN gap IS NULL OR gap > 60 * 60 THEN 1 ELSE 0 END) AS s60
+        FROM seq
+    )
+    SELECT gap_minutes,
+           CAST(CASE gap_minutes WHEN 10 THEN s10 WHEN 30 THEN s30 ELSE s60 END
+                AS BIGINT) AS n_sessions,
+           ROUND(CAST(n_events AS DOUBLE)
+                 / (CASE gap_minutes WHEN 10 THEN s10 WHEN 30 THEN s30 ELSE s60 END),
+                 6) AS avg_events_per_session
+    FROM agg, gaps
+    """,
+)
+def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization parameter sweep: session counts and mean session size
+    at 10/30/60-minute inactivity gaps, all THREE thresholds priced from
+    ONE per-user LAG pass — the sensitivity table an analyst builds before
+    fixing `events_sessionize`'s gap constant.  A session starts where the
+    user's inter-event gap exceeds the threshold (or at their first
+    event), so each threshold is one conditional sum over the same
+    gap column — no per-threshold rescan, no per-threshold shuffle.
+
+    Scale posture: one window shuffle on user_id (the same partitioning
+    every sessionization needs), one scalar reduce, a 3-row broadcast
+    spine for presentation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.unix_timestamp("ts").alias("sec"),
+        (F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)).alias("gap"),
+    )
+    starts = lambda m: F.sum(  # noqa: E731
+        F.when(F.col("gap").isNull() | (F.col("gap") > m * 60), 1).otherwise(0)
+    )
+    agg = seq.agg(
+        F.count("*").alias("n_events"),
+        starts(10).alias("s10"),
+        starts(30).alias("s30"),
+        starts(60).alias("s60"),
+    )
+    gaps = agg.sparkSession.createDataFrame(
+        [(10,), (30,), (60,)], "gap_minutes int"
+    )
+    n_sessions = (
+        F.when(F.col("gap_minutes") == 10, F.col("s10"))
+        .when(F.col("gap_minutes") == 30, F.col("s30"))
+        .otherwise(F.col("s60"))
+    )
+    return (
+        F.broadcast(agg)
+        .crossJoin(gaps)
+        .select(
+            "gap_minutes",
+            n_sessions.cast("bigint").alias("n_sessions"),
+            F.round(F.col("n_events").cast("double") / n_sessions, 6).alias(
+                "avg_events_per_session"
+            ),
+        )
+    )

@@ -1086,3 +1086,91 @@ def dataset_fingerprint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"COALESCE(o_orderpriority, '{sent}')"
     )
     return fp(docs, dkey, "documents").unionByName(fp(orders, okey, "orders"))
+
+
+@register(
+    "dq_uniqueness_profile",
+    oracle="""
+    WITH cols AS (
+        SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    per AS (
+        SELECT col, v, COUNT(*) AS c FROM cols GROUP BY col, v
+    ),
+    prof AS (
+        SELECT col,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE v IS NOT NULL) AS BIGINT) AS n_distinct,
+               CAST(COALESCE(SUM(c) FILTER (WHERE v IS NULL), 0) AS BIGINT) AS n_null,
+               MAX(c) FILTER (WHERE v IS NOT NULL) AS top_freq
+        FROM per GROUP BY col
+    ),
+    top AS (
+        SELECT col, v AS top_value, c,
+               ROW_NUMBER() OVER (PARTITION BY col ORDER BY c DESC, v ASC) AS rk
+        FROM per WHERE v IS NOT NULL
+    )
+    SELECT p.col,
+           p.n_rows,
+           p.n_distinct,
+           p.n_null,
+           t.top_value,
+           CAST(p.top_freq AS BIGINT) AS top_freq,
+           ROUND(CAST(p.n_distinct AS DOUBLE) / p.n_rows, 6) AS distinct_ratio
+    FROM prof p JOIN top t ON t.col = p.col AND t.rk = 1
+    """,
+)
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column uniqueness/null profile — the first screen a data catalog
+    shows: per profiled column (status, priority, custkey), total rows,
+    exact distinct count, NULL count, the modal value with its frequency
+    (ties broken by value), and the distinct ratio that tells candidate
+    keys from categoricals at a glance.
+
+    One unpivot scan feeds every column's profile (paying the scan once no
+    matter how many columns ride on it — the dq_orders_report discipline);
+    per-(col, value) counts aggregate map-side, so the window that picks
+    the modal value runs on group-count-sized data, never rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = (
+        o.select(F.lit("o_orderstatus").alias("col"), F.col("o_orderstatus").alias("v"))
+        .unionByName(
+            o.select(F.lit("o_orderpriority").alias("col"), F.col("o_orderpriority").alias("v"))
+        )
+        .unionByName(
+            o.select(F.lit("o_custkey").alias("col"), F.col("o_custkey").cast("string").alias("v"))
+        )
+    )
+    per = cols.groupBy("col", "v").agg(F.count("*").alias("c"))
+    prof = per.groupBy("col").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("v").isNotNull(), F.lit(1))).cast("bigint").alias("n_distinct"),
+        F.coalesce(F.sum(F.when(F.col("v").isNull(), F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.max(F.when(F.col("v").isNotNull(), F.col("c"))).alias("top_freq"),
+    )
+    w = Window.partitionBy("col").orderBy(F.desc("c"), F.asc("v"))
+    top = (
+        per.filter(F.col("v").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("col", F.col("v").alias("top_value"))
+    )
+    return prof.join(top, "col").select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "n_null",
+        "top_value",
+        F.col("top_freq").cast("bigint").alias("top_freq"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_rows"), 6).alias(
+            "distinct_ratio"
+        ),
+    )

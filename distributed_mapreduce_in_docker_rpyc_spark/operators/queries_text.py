@@ -3624,7 +3624,13 @@ def bpe_second_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r1 = pairs.groupBy("pair").agg(F.sum("c").alias("cnt"))
     # one-row, domain-bounded collect: the winning merge of round 1
-    top1 = r1.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()[0]["pair"]
+    top_rows = r1.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
+    if not top_rows:
+        # empty/degenerate corpus: no pair to merge, no round 2
+        return spark.createDataFrame(
+            [], "merged_pair string, sym_pair string, cnt bigint"
+        )
+    top1 = top_rows[0]["pair"]
     sentinel = "\x01"
     merged = wc_.select(
         F.replace("word", F.lit(top1), F.lit(sentinel)).alias("s"), "c"

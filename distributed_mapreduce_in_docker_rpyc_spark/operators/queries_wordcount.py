@@ -699,8 +699,14 @@ def csv_roundtrip_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clamp), then exact integer micro-units.  Raw double SUMs are
 # order-dependent and double→DECIMAL casts disagree between engines in the
 # last ulp at extreme magnitudes (reproduced with adversarial fixtures, r7).
+# The NULL guard matters: GREATEST/LEAST IGNORE nulls in both engines, so
+# without it a NULL price would clamp to -1e12 instead of staying NULL —
+# and the SUM rides DECIMAL(38,0) because many ±1e18 terms overflow BIGINT
+# (caught by the r7 null-fixture sweep).
 _PRICE_MICRO = (
-    "CAST(FLOOR(LEAST(GREATEST(o_totalprice, -1e12), 1e12) * 1e6) AS BIGINT)"
+    "CASE WHEN o_totalprice IS NULL THEN NULL "
+    "ELSE CAST(CAST(FLOOR(LEAST(GREATEST(o_totalprice, -1e12), 1e12) * 1e6) "
+    "AS BIGINT) AS DECIMAL(38,0)) END"
 )
 
 
@@ -709,7 +715,7 @@ _PRICE_MICRO = (
     oracle=f"""
     SELECT COUNT(*) AS n_src,
            SUM(o_orderkey) AS sum_key,
-           SUM({_PRICE_MICRO}) AS sum_price_micro,
+           CAST(SUM({_PRICE_MICRO}) AS DECIMAL(38,0)) AS sum_price_micro,
            MIN(CAST(o_orderdate AS DATE)) AS min_day,
            MAX(CAST(o_orderdate AS DATE)) AS max_day,
            COUNT(DISTINCT o_orderpriority) AS n_priorities
@@ -727,7 +733,7 @@ def csv_source_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.agg(
         F.count("*").alias("n_src"),
         F.sum("o_orderkey").alias("sum_key"),
-        F.sum(F.expr(_PRICE_MICRO)).alias("sum_price_micro"),
+        F.sum(F.expr(_PRICE_MICRO)).cast("decimal(38,0)").alias("sum_price_micro"),
         F.min(F.to_date("o_orderdate")).alias("min_day"),
         F.max(F.to_date("o_orderdate")).alias("max_day"),
         F.count_distinct("o_orderpriority").alias("n_priorities"),

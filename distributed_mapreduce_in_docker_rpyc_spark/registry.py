@@ -105,6 +105,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_centroid_drift_report",
     "stat_bh_fdr_report",
     "events_did_analysis",
+    "dq_uniqueness_profile",
+    "events_session_gap_sensitivity",
     # (4) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6-checked rows (freshest, last in line)

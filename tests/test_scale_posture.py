@@ -426,6 +426,7 @@ BNLJ_ALLOWED = {
     "stat_bh_fdr_report": "broadcast side = |sources|-row count frame crossed into the pooled distinct-value grid (the complete-ECDF spine)",
     "events_did_analysis": "broadcast side = 1-row midpoint-epoch threshold",
     "search_ndcg_report": "re-uses the exact baseline (broadcast 5-query side, same pattern as sim_ann_recall_report)",
+    "events_session_gap_sensitivity": "broadcast side = 1-row session-start counts crossed into the 3-row gap spine",
 }
 
 

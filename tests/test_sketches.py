@@ -197,3 +197,63 @@ def test_did_analysis_matches_python(spark, oracle_sf_dir):
         assert abs(getattr(row, col) - mean[key]) < 1e-5, col
     want = (mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])
     assert abs(row.did_estimate - want) < 1e-5
+
+
+def test_uniqueness_profile_matches_python(spark, oracle_sf_dir):
+    """Distinct/null/top-value profile recomputed with plain Python."""
+    from collections import Counter
+
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    orders = spark.read.parquet(f"{oracle_sf_dir}/orders.parquet").collect()
+    rows = {r.col: r for r in QUERIES["dq_uniqueness_profile"](spark, oracle_sf_dir).collect()}
+    for col, get in [
+        ("o_orderstatus", lambda r: r.o_orderstatus),
+        ("o_orderpriority", lambda r: r.o_orderpriority),
+        ("o_custkey", lambda r: str(r.o_custkey) if r.o_custkey is not None else None),
+    ]:
+        vals = [get(r) for r in orders]
+        nn = [v for v in vals if v is not None]
+        cnt = Counter(nn)
+        top_value, top_freq = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        r = rows[col]
+        assert r.n_rows == len(vals)
+        assert r.n_distinct == len(cnt)
+        assert r.n_null == len(vals) - len(nn)
+        assert (r.top_value, r.top_freq) == (top_value, top_freq)
+        assert abs(r.distinct_ratio - round(len(cnt) / len(vals), 6)) < 1e-9
+
+
+def test_session_gap_sensitivity_matches_python(spark, oracle_sf_dir):
+    """Session-start counts at all three gaps recomputed in plain Python
+    from per-user sorted event times; monotone in the gap."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    ev = [
+        (r.user_id, r.ts, r.event_id)
+        for r in spark.read.parquet(f"{oracle_sf_dir}/events.parquet").collect()
+        if r.ts is not None
+    ]
+    byu = {}
+    for u, ts, eid in ev:
+        byu.setdefault(u, []).append((ts, eid))
+    want = {}
+    for gap_min in (10, 30, 60):
+        n = 0
+        for items in byu.values():
+            items.sort()
+            prev = None
+            for ts, _ in items:
+                sec = int(ts.timestamp()) if hasattr(ts, "timestamp") else int(ts) // 10**9
+                if prev is None or sec - prev > gap_min * 60:
+                    n += 1
+                prev = sec
+        want[gap_min] = n
+    rows = {r.gap_minutes: r for r in QUERIES["events_session_gap_sensitivity"](spark, oracle_sf_dir).collect()}
+    assert set(rows) == {10, 30, 60}
+    for g in (10, 30, 60):
+        assert rows[g].n_sessions == want[g], g
+        assert abs(rows[g].avg_events_per_session - round(len(ev) / want[g], 6)) < 1e-9
+    assert rows[10].n_sessions >= rows[30].n_sessions >= rows[60].n_sessions
