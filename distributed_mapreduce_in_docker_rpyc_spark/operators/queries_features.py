@@ -2978,3 +2978,348 @@ def stat_bh_fdr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 second wave: equivalence testing, paired pre/post tests, ordered
+# trend tests, and WoE/IV feature screening — the remaining staples of an
+# experimentation + feature-engineering stack.  All shared-expression-string
+# designs (the same SQL fragment feeds Spark's selectExpr and the DuckDB
+# oracle) like the Welch/TOST family above.
+
+# TOST reuses the Welch pivot column names (n1/sx1/sxx1, n2/sx2/sxx2), so the
+# mean/variance/SE fragments are shared with stat_welch_ttest verbatim.
+_TOST_DIFF = f"({_WT_M1} - {_WT_M2})"
+_TOST_SE = f"sqrt({_WT_SE1} + {_WT_SE2})"
+_TOST_MARGIN = "(0.005 * ((sx1 + sx2) / (n1 + n2)))"
+_TOST_TL = f"(({_TOST_DIFF} + {_TOST_MARGIN}) / NULLIF({_TOST_SE}, 0.0))"
+_TOST_TU = f"(({_TOST_MARGIN} - {_TOST_DIFF}) / NULLIF({_TOST_SE}, 0.0))"
+# one-sided z critical value at alpha = 0.05 (Welch df is ~sample-sized here,
+# so the normal limit is the appropriate reference)
+_TOST_CRIT = "1.644854"
+
+
+@register(
+    "stat_tost_equivalence",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END AS grp,
+               l_extendedprice AS v
+        FROM lineitem
+        WHERE l_linestatus IN ('F', 'O') AND l_extendedprice IS NOT NULL
+    ),
+    per AS (
+        SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        FROM obs GROUP BY grp
+    ),
+    piv AS (
+        SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n1,
+               MAX(CASE WHEN grp = 0 THEN sx END) AS sx1,
+               MAX(CASE WHEN grp = 0 THEN sxx END) AS sxx1,
+               MAX(CASE WHEN grp = 1 THEN n END) AS n2,
+               MAX(CASE WHEN grp = 1 THEN sx END) AS sx2,
+               MAX(CASE WHEN grp = 1 THEN sxx END) AS sxx2
+        FROM per
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_f,
+           CAST(n2 AS BIGINT) AS n_o,
+           ROUND({_WT_M1}, 6) AS mean_f,
+           ROUND({_WT_M2}, 6) AS mean_o,
+           ROUND({_TOST_DIFF}, 6) AS mean_diff,
+           ROUND({_TOST_MARGIN}, 6) AS margin,
+           ROUND({_TOST_TL}, 6) AS t_lower,
+           ROUND({_TOST_TU}, 6) AS t_upper,
+           CAST(({_TOST_TL} > {_TOST_CRIT} AND {_TOST_TU} > {_TOST_CRIT}) AS INT)
+               AS is_equivalent
+    FROM piv
+    """,
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two One-Sided Tests (TOST) equivalence check on mean extended price,
+    line status F vs O, margin ±0.5% of the pooled mean — the test that
+    answers "are these the SAME?" which a plain t-test cannot (failing to
+    reject difference is not evidence of equivalence).  The experimentation
+    stack's guardrail-metric check runs exactly this shape.
+
+    Same sufficient-statistics design as `stat_welch_ttest` (exact DECIMAL
+    Σx / Σx², pivot to one row, shared expression strings for both engines);
+    both one-sided t statistics compare against the one-sided normal
+    critical value 1.644854.  Scale cost: one scan, two groups, one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.filter(
+        F.col("l_linestatus").isin("F", "O") & F.col("l_extendedprice").isNotNull()
+    ).selectExpr(
+        "CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END AS grp",
+        "l_extendedprice AS v",
+    )
+    per = obs.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("v").cast("decimal(24,6)")).cast("double").alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    piv = per.agg(
+        *[
+            F.max(F.when(F.col("grp") == g, F.col(c))).alias(f"{c}{g + 1}")
+            for g in (0, 1)
+            for c in ("n", "sx", "sxx")
+        ]
+    )
+    return piv.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_f",
+        "CAST(n2 AS BIGINT) AS n_o",
+        f"ROUND({_WT_M1}, 6) AS mean_f",
+        f"ROUND({_WT_M2}, 6) AS mean_o",
+        f"ROUND({_TOST_DIFF}, 6) AS mean_diff",
+        f"ROUND({_TOST_MARGIN}, 6) AS margin",
+        f"ROUND({_TOST_TL}, 6) AS t_lower",
+        f"ROUND({_TOST_TU}, 6) AS t_upper",
+        f"CAST(({_TOST_TL} > {_TOST_CRIT} AND {_TOST_TU} > {_TOST_CRIT}) AS INT)"
+        " AS is_equivalent",
+    )
+
+
+_MCN_STAT = (
+    "((ABS(CAST(b - c AS DOUBLE)) - 1.0) * (ABS(CAST(b - c AS DOUBLE)) - 1.0)"
+    " / NULLIF(CAST(b + c AS DOUBLE), 0.0))"
+)
+
+
+@register(
+    "stat_mcnemar_test",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    thr AS (
+        SELECT CAST(FLOOR((MIN(sec) + MAX(sec)) / 2.0) AS BIGINT) AS cut FROM base
+    ),
+    per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN sec <  cut THEN 1 ELSE 0 END) AS pre,
+               MAX(CASE WHEN sec >= cut THEN 1 ELSE 0 END) AS post
+        FROM base, thr GROUP BY user_id
+    ),
+    cnt AS (
+        SELECT COUNT(*) AS n_users,
+               SUM(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END) AS n_both,
+               SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) AS b,
+               SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) AS c
+        FROM per_user
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(b AS BIGINT) AS n_pre_only,
+           CAST(c AS BIGINT) AS n_post_only,
+           ROUND(COALESCE({_MCN_STAT}, 0.0), 6) AS mcnemar_stat,
+           CAST(COALESCE({_MCN_STAT}, 0.0) > 3.841459 AS INT) AS is_significant
+    FROM cnt
+    """,
+)
+def stat_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: per user, did they
+    purchase in the first half of the observed window vs the second half
+    (cut at the midpoint epoch second, same cut as `events_did_analysis`)?
+    Only the discordant pairs carry information — the continuity-corrected
+    statistic (|b−c|−1)²/(b+c) against χ²(1df) 3.841459 is the standard
+    pre/post retention readout when each user is their own control.
+
+    Scale posture: one scan → per-user 2-bit reduction (uniform user_id
+    key, map-side combined) → one count row; the epoch cut is a broadcast
+    1-row frame.  Integer counts everywhere until the final division."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select("user_id", F.unix_timestamp("ts").alias("sec"))
+    )
+    thr = ev.agg(
+        F.floor((F.min("sec") + F.max("sec")) / 2.0).cast("bigint").alias("cut")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(thr))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.expr("CASE WHEN sec <  cut THEN 1 ELSE 0 END")).alias("pre"),
+            F.max(F.expr("CASE WHEN sec >= cut THEN 1 ELSE 0 END")).alias("post"),
+        )
+    )
+    cnt = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.expr("CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END")).alias(
+            "n_both"
+        ),
+        F.sum(F.expr("CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END")).alias("b"),
+        F.sum(F.expr("CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END")).alias("c"),
+    )
+    return cnt.selectExpr(
+        "CAST(n_users AS BIGINT) AS n_users",
+        "CAST(n_both AS BIGINT) AS n_both",
+        "CAST(b AS BIGINT) AS n_pre_only",
+        "CAST(c AS BIGINT) AS n_post_only",
+        f"ROUND(COALESCE({_MCN_STAT}, 0.0), 6) AS mcnemar_stat",
+        f"CAST(COALESCE({_MCN_STAT}, 0.0) > 3.841459 AS INT) AS is_significant",
+    )
+
+
+_CA_PBAR = "(CAST(r AS DOUBLE) / n)"
+_CA_NUM = f"(t1 - {_CA_PBAR} * t2)"
+_CA_VAR = f"({_CA_PBAR} * (1.0 - {_CA_PBAR}) * (t3 - (t2 * t2) / n))"
+_CA_Z = f"({_CA_NUM} / NULLIF(sqrt({_CA_VAR}), 0.0))"
+
+
+@register(
+    "stat_cochran_armitage",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(y) AS BIGINT) AS r,
+               CAST(SUM(s * y) AS DOUBLE) AS t1,
+               CAST(SUM(s) AS DOUBLE) AS t2,
+               CAST(SUM(s * s) AS DOUBLE) AS t3
+        FROM obs
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           r AS n_final,
+           ROUND({_CA_PBAR}, 6) AS p_pool,
+           ROUND({_CA_Z}, 6) AS z_trend,
+           CAST(ABS({_CA_Z}) > 1.959964 AS INT) AS is_significant
+    FROM agg
+    """,
+)
+def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the proportion of finalized
+    ('F') orders trend monotonically with order priority (scores 1..5
+    from the priority label's leading digit)?  The ordered-groups
+    refinement of `stat_chisq_independence` — a dose-response check that
+    one degree of freedom makes far more powerful than the omnibus χ².
+
+    All five sufficient statistics (N, R, Σsy, Σs, Σs²) are exact integer
+    sums computed in ONE map-side-combined pass with no group stage at
+    all; the z algebra is a shared expression string over engine-identical
+    doubles.  Scale cost: one scan, one row out."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.filter(
+        F.col("o_orderpriority").isNotNull() & F.col("o_orderstatus").isNotNull()
+    ).selectExpr(
+        "CAST(substr(o_orderpriority, 1, 1) AS INT) AS s",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y",
+    )
+    agg = obs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("y").cast("bigint").alias("r"),
+        F.sum(F.col("s") * F.col("y")).cast("double").alias("t1"),
+        F.sum("s").cast("double").alias("t2"),
+        F.sum(F.col("s") * F.col("s")).cast("double").alias("t3"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "r AS n_final",
+        f"ROUND({_CA_PBAR}, 6) AS p_pool",
+        f"ROUND({_CA_Z}, 6) AS z_trend",
+        f"CAST(ABS({_CA_Z}) > 1.959964 AS INT) AS is_significant",
+    )
+
+
+_WOE_GS = "((np + 0.5) / (tp + 5.0))"
+_WOE_BS = "((nn + 0.5) / (tn + 5.0))"
+_WOE = f"ln({_WOE_GS} / {_WOE_BS})"
+_WOE_IVC = f"(({_WOE_GS} - {_WOE_BS}) * {_WOE})"
+
+
+@register(
+    "feature_woe_iv",
+    oracle=f"""
+    WITH obs AS (
+        SELECT LEAST(CAST(FLOOR(l_extendedprice / 11000.0) AS INT), 9) AS bin,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    per_bin AS (
+        SELECT bin, COUNT(*) AS n,
+               SUM(pos) AS np, COUNT(*) - SUM(pos) AS nn
+        FROM obs GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(np) AS DOUBLE) AS tp, CAST(SUM(nn) AS DOUBLE) AS tn
+        FROM per_bin
+    ),
+    scored AS (
+        SELECT bin, n, np, nn,
+               ROUND({_WOE}, 6) AS woe,
+               ROUND({_WOE_IVC}, 9) AS ivc
+        FROM per_bin, tot
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n_rows,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           woe,
+           ROUND(ivc, 6) AS iv_contrib,
+           ROUND(SUM(ivc) OVER (), 6) AS iv_total
+    FROM scored
+    """,
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value screening of extended price
+    against the 'R' return flag: fixed-width price bands (11k-wide, top
+    band open) get ln(event-share / non-event-share) with 0.5 Laplace
+    smoothing, and the IV sums the share-gap-weighted WoE — the standard
+    credit-scoring feature-screening readout (IV > 0.02 = informative).
+
+    Bands are VALUE-based, not rank-based, deliberately: a rank binning
+    (NTILE over a global sort) needs a total order over the table — a
+    single-reducer sort at 100 TB — while fixed bands are a pure map-side
+    expression feeding one bin-keyed aggregation.  IV contributions are
+    9-rounded BEFORE the window sum, so the total is a sum of exact
+    1e-9 multiples — addition-order-independent across engines.  The
+    window runs over |bins| = 10 rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_returnflag").isNotNull()
+    ).selectExpr(
+        "LEAST(CAST(FLOOR(l_extendedprice / 11000.0) AS INT), 9) AS bin",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos",
+    )
+    per_bin = obs.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").alias("np"),
+        (F.count("*") - F.sum("pos")).alias("nn"),
+    )
+    tot = per_bin.agg(
+        F.sum("np").cast("double").alias("tp"),
+        F.sum("nn").cast("double").alias("tn"),
+    )
+    scored = per_bin.crossJoin(F.broadcast(tot)).selectExpr(
+        "bin",
+        "n",
+        "np",
+        "nn",
+        f"ROUND({_WOE}, 6) AS woe",
+        f"ROUND({_WOE_IVC}, 9) AS ivc",
+    )
+    return scored.select(
+        "bin",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        "woe",
+        F.round("ivc", 6).alias("iv_contrib"),
+        F.round(F.sum("ivc").over(Window.partitionBy()), 6).alias("iv_total"),
+    )

@@ -1174,3 +1174,127 @@ def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ratio"
         ),
     )
+
+
+@register(
+    "dq_contract_validation",
+    oracle="""
+    SELECT 1 AS rule_id, 'orders.o_totalprice positive' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 2, 'orders.o_orderdate not null',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 3, 'orders.o_orderstatus enum F|O|P',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('F', 'O', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 4, 'orders.o_orderkey unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 5, 'lineitem.l_quantity in [1, 50]',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity IS NULL
+                          OR l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 6, 'lineitem.l_orderkey references orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 7, 'lineitem (l_orderkey, l_linenumber) unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+                AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation report — the Great-Expectations-style suite
+    a warehouse runs on every landing batch: positivity, non-null, enum
+    membership, single- and composite-key uniqueness, and referential
+    integrity, one row per rule with checked/violation counts (a consumer
+    gates ingestion on n_violations = 0).  Complements the single-purpose
+    `dq_referential_integrity` / `dq_completeness_matrix` with the
+    multi-rule contract shape real pipelines configure declaratively.
+
+    Scale posture: rules 1-5 and 7 are single-scan conditional aggregates
+    (uniqueness via COUNT DISTINCT on the key, composite key packed into
+    one integer since l_linenumber < 100); rule 6 is a NOT-EXISTS
+    decorrelated to a shuffle anti-join on the uniform order key.  Output
+    is exactly |rules| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(rule_id: int, rule: str, df: DataFrame, violated: str) -> DataFrame:
+        return df.agg(
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(rule).alias("rule"),
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.sum(F.expr(f"CASE WHEN {violated} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_violations"),
+        ).select("rule_id", "rule", "n_checked", "n_violations")
+
+    uniq_o = o.agg(
+        F.lit(4).alias("rule_id"),
+        F.lit("orders.o_orderkey unique").alias("rule"),
+        F.count("*").cast("bigint").alias("n_checked"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    uniq_li = li.agg(
+        F.lit(7).alias("rule_id"),
+        F.lit("lineitem (l_orderkey, l_linenumber) unique").alias("rule"),
+        F.count("*").cast("bigint").alias("n_checked"),
+        (
+            F.count("*")
+            - F.countDistinct(
+                F.expr("l_orderkey * 100 + l_linenumber")
+            )
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "anti")
+        .agg(F.count("*").cast("bigint").alias("n_orphans"))
+    )
+    ref = (
+        li.agg(F.count("*").cast("bigint").alias("n_checked"))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            F.lit(6).alias("rule_id"),
+            F.lit("lineitem.l_orderkey references orders").alias("rule"),
+            "n_checked",
+            F.col("n_orphans").alias("n_violations"),
+        )
+    )
+    return (
+        one(1, "orders.o_totalprice positive", o,
+            "o_totalprice IS NULL OR o_totalprice <= 0")
+        .unionByName(one(2, "orders.o_orderdate not null", o,
+                         "o_orderdate IS NULL"))
+        .unionByName(one(3, "orders.o_orderstatus enum F|O|P", o,
+                         "o_orderstatus IS NULL"
+                         " OR o_orderstatus NOT IN ('F', 'O', 'P')"))
+        .unionByName(uniq_o)
+        .unionByName(one(5, "lineitem.l_quantity in [1, 50]", li,
+                         "l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50"))
+        .unionByName(ref)
+        .unionByName(uniq_li)
+    )

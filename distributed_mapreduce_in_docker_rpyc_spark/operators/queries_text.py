@@ -3829,3 +3829,243 @@ def decontam_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("contamination_frac"),
         (F.coalesce("n_hit", F.lit(0)) > 0).cast("int").alias("is_contaminated"),
     )
+
+
+# --- T5-style span corruption plan (round 7 second wave) ------------------
+# Blocks of 3 consecutive tokens; a block is corrupted iff the first 16 bits
+# of md5('span:' doc ':' block) clear the 15% threshold.  Block-level masking
+# gives contiguous multi-token spans (the T5 recipe's point) while staying a
+# pure per-token hash expression — no RNG, no sequential span-walk state.
+_SPAN_LEN = 3
+_SPAN_T = 9830  # 9830/65536 ~ 15% of blocks
+
+
+@register(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(t))) AS p
+        FROM toks
+    ),
+    blk AS (
+        SELECT doc_id, CAST(FLOOR((p - 1) / {_SPAN_LEN}) AS BIGINT) AS b
+        FROM pos
+    ),
+    h AS (
+        SELECT doc_id, b,
+               CAST(CAST('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR)
+                        || ':' || CAST(b AS VARCHAR)), 1, 4) AS BIGINT) AS BIGINT)
+                   AS m,
+               COUNT(*) AS n_tok
+        FROM blk GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN m < {_SPAN_T} THEN n_tok ELSE 0 END) AS BIGINT)
+               AS n_masked,
+           CAST(SUM(CASE WHEN m < {_SPAN_T} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spans,
+           CAST(SUM(CASE WHEN m < {_SPAN_T} THEN 0 ELSE n_tok END)
+                + SUM(CASE WHEN m < {_SPAN_T} THEN 1 ELSE 0 END) AS BIGINT)
+               AS input_len,
+           CAST(SUM(CASE WHEN m < {_SPAN_T} THEN n_tok ELSE 0 END)
+                + SUM(CASE WHEN m < {_SPAN_T} THEN 1 ELSE 0 END) AS BIGINT)
+               AS target_len
+    FROM h
+    GROUP BY doc_id
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption data-prep plan: partition each document's tokens
+    into 3-token blocks, corrupt ~15% of blocks by block-keyed hash
+    (md5('span:'doc':'block) < 9830/65536), and report per document the
+    token/span counts plus the packed INPUT length (uncorrupted tokens + one
+    sentinel per span) and TARGET length (corrupted tokens + one sentinel
+    per span) — exactly the two numbers a sequence packer needs to build
+    batches without materializing the sequences.  The block-hash design is
+    the span analogue of `mlm_masking_plan`'s token hash: deterministic
+    across engines/executors/runs, hence resumable and auditable.
+
+    Scale posture: token-linear posexplode → per-(doc, block) count →
+    per-doc sums, both aggregations on uniform keys with map-side combine;
+    no joins, one row per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id",
+        "regexp_extract_all(lower(COALESCE(text, '')), \"[a-z']+\", 0) AS t",
+    )
+    blk = toks.select("doc_id", F.posexplode("t").alias("p0", "tok")).selectExpr(
+        "doc_id", f"CAST(FLOOR(p0 / {_SPAN_LEN}) AS BIGINT) AS b"
+    )
+    h = blk.groupBy("doc_id", "b").agg(F.count("*").alias("n_tok")).selectExpr(
+        "doc_id",
+        "n_tok",
+        "CAST(conv(substr(md5(concat('span:', CAST(doc_id AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 4), 16, 10) AS BIGINT) AS m",
+    )
+    masked = f"CASE WHEN m < {_SPAN_T} THEN n_tok ELSE 0 END"
+    spans = f"CASE WHEN m < {_SPAN_T} THEN 1 ELSE 0 END"
+    kept = f"CASE WHEN m < {_SPAN_T} THEN 0 ELSE n_tok END"
+    return h.groupBy("doc_id").agg(
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum(F.expr(masked)).cast("bigint").alias("n_masked"),
+        F.sum(F.expr(spans)).cast("bigint").alias("n_spans"),
+        (F.sum(F.expr(kept)) + F.sum(F.expr(spans)))
+        .cast("bigint")
+        .alias("input_len"),
+        (F.sum(F.expr(masked)) + F.sum(F.expr(spans)))
+        .cast("bigint")
+        .alias("target_len"),
+    )
+
+
+# --- word2vec negative-sampling plan (round 7 second wave) ----------------
+# Unigram^0.75 sampling over the top-V vocabulary, drawn with deterministic
+# md5 fractions and resolved by a BUCKETED interval join (never a full
+# non-equi join): integer weight space [0, W) is tiled by the vocabulary's
+# cumulative-weight intervals; a draw t = floor(u * W) equi-joins on
+# floor(t / bucket_width) against interval-overlapped buckets, then the
+# exact range predicate filters within the bucket.
+_NEG_V = 1024  # vocabulary cap (top-V by count, word tie-break)
+_NEG_N = 2000  # number of negative draws
+_NEG_B = 256  # interval-join buckets
+
+
+@register(
+    "negative_sampling_plan",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+'))
+               AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word, COUNT(*) AS cnt
+        FROM toks GROUP BY word
+        ORDER BY cnt DESC, word ASC LIMIT {_NEG_V}
+    ),
+    wts AS (
+        SELECT word, cnt,
+               CAST(FLOOR(POW(CAST(cnt AS DOUBLE), 0.75) * 1000000) AS BIGINT) AS w
+        FROM vocab
+    ),
+    cum AS (
+        SELECT word, cnt, w,
+               SUM(w) OVER (ORDER BY cnt DESC, word ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+               CAST(SUM(w) OVER () AS BIGINT) AS wtot
+        FROM wts
+    ),
+    iv AS (SELECT word, cnt, w, hi - w AS lo, hi, wtot FROM cum),
+    draws AS (
+        SELECT i,
+               CAST(CAST('0x' || substr(md5('neg:' || CAST(i AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        FROM generate_series(0, {_NEG_N - 1}) AS g(i)
+    ),
+    resolved AS (
+        SELECT iv.word
+        FROM draws JOIN iv
+          ON CAST(FLOOR(draws.u * iv.wtot) AS BIGINT) >= iv.lo
+         AND CAST(FLOOR(draws.u * iv.wtot) AS BIGINT) < iv.hi
+    ),
+    counts AS (
+        SELECT word, COUNT(*) AS n_drawn FROM resolved GROUP BY word
+    )
+    SELECT iv.word, CAST(iv.cnt AS BIGINT) AS cnt, iv.w AS weight,
+           ROUND(CAST(iv.w AS DOUBLE) / iv.wtot, 6) AS p_word,
+           CAST(COALESCE(counts.n_drawn, 0) AS BIGINT) AS n_drawn
+    FROM iv LEFT JOIN counts ON iv.word = counts.word
+    """,
+)
+def negative_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling plan: the top-1024 vocabulary weighted by
+    count^0.75 (the canonical smoothing), 2000 deterministic draws resolved
+    against the cumulative-weight intervals, reported as per-word draw
+    counts next to the exact sampling probability — the table a trainer
+    ships to every worker as its negative-sampling alias table, plus the
+    empirical check that the draw stream matches it.
+
+    Determinism: weights are INTEGER (floor(c^0.75 · 1e6)), so the interval
+    bounds are exact BIGINT cumulative sums (addition-order-free, identical
+    across engines); a draw u is a 32-bit md5 fraction and t = floor(u·W)
+    is one IEEE multiply + floor — bit-identical in Spark and DuckDB.
+
+    Scale posture: the vocabulary cap compiles to TakeOrderedAndProject
+    (never a full sort); the interval join is BUCKETED — each interval
+    explodes onto the fixed-width weight buckets it overlaps (≈W/bw + V
+    rows total) and draws equi-join on their bucket before the exact range
+    filter, so there is no non-equi BNLJ anywhere; the draw stream is a
+    broadcast-sized range."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(COALESCE(text, '')), \"[a-z']+\", 0)")
+        ).alias("word")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_NEG_V)
+    )
+    from pyspark.sql import Window
+
+    wts = vocab.selectExpr(
+        "word",
+        "cnt",
+        "CAST(FLOOR(POW(CAST(cnt AS DOUBLE), 0.75) * 1000000) AS BIGINT) AS w",
+    )
+    w_cum = Window.orderBy(F.desc("cnt"), F.asc("word")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    iv = (
+        wts.select(
+            "word",
+            "cnt",
+            "w",
+            F.sum("w").over(w_cum).alias("hi"),
+            F.sum("w").over(Window.partitionBy()).cast("bigint").alias("wtot"),
+        )
+        .withColumn("lo", F.col("hi") - F.col("w"))
+    )
+    # bucketed interval join: explode each interval onto the fixed-width
+    # buckets it overlaps, equi-join draws on bucket, exact-filter inside
+    bw = f"CAST(CEIL(CAST(wtot AS DOUBLE) / {_NEG_B}) AS BIGINT)"
+    iv_b = iv.selectExpr(
+        "word", "cnt", "w", "lo", "hi", "wtot"
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.expr(f"sequence(CAST(FLOOR(lo / {bw}) AS BIGINT),"
+                   f" CAST(FLOOR((hi - 1) / {bw}) AS BIGINT))")
+        ),
+    )
+    draws = spark.range(_NEG_N).selectExpr(
+        "CAST(CAST(conv(substr(md5(concat('neg:', CAST(id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u"
+    )
+    wtot_row = iv.select("wtot").limit(1)
+    t_draws = draws.crossJoin(F.broadcast(wtot_row)).selectExpr(
+        "CAST(FLOOR(u * wtot) AS BIGINT) AS t",
+        f"CAST(FLOOR(CAST(FLOOR(u * wtot) AS BIGINT) / {bw}) AS BIGINT) AS bucket",
+    )
+    resolved = t_draws.join(F.broadcast(iv_b), "bucket").filter(
+        (F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi"))
+    )
+    counts = resolved.groupBy("word").agg(F.count("*").alias("n_drawn"))
+    return (
+        iv.join(counts, "word", "left")
+        .select(
+            "word",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("w").alias("weight"),
+            F.round(F.col("w").cast("double") / F.col("wtot"), 6).alias("p_word"),
+            F.coalesce("n_drawn", F.lit(0)).cast("bigint").alias("n_drawn"),
+        )
+    )

@@ -107,6 +107,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_did_analysis",
     "dq_uniqueness_profile",
     "events_session_gap_sensitivity",
+    "stat_tost_equivalence",
+    "stat_mcnemar_test",
+    "stat_cochran_armitage",
+    "feature_woe_iv",
+    "span_corruption_plan",
+    "negative_sampling_plan",
+    "dq_contract_validation",
     # (4) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6-checked rows (freshest, last in line)

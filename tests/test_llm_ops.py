@@ -1254,3 +1254,71 @@ def test_emb_centroid_drift_matches_numpy(spark, sf_dir):
         assert abs(r.centroid_shift - round(s2 ** 0.5, 6)) < 2e-6
         assert abs(r.relative_shift - round(s2 ** 0.5 / max(r2 ** 0.5, 1e-12), 6)) < 2e-6
     assert seen == set(rows)
+
+
+def test_span_corruption_plan_ground_truth(spark, sf_dir):
+    """Block-level corruption replayed with hashlib over the raw documents:
+    token counts, span counts, and the packed input/target lengths."""
+    import hashlib as hl
+    import re
+
+    rows = {r.doc_id: r for r in QUERIES["span_corruption_plan"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tok_re = re.compile(r"[a-z']+")
+    for d in docs:
+        toks = tok_re.findall((d.text or "").lower())
+        n_blocks = (len(toks) + 2) // 3
+        n_masked = n_spans = 0
+        for b in range(n_blocks):
+            n_tok = min(3, len(toks) - b * 3)
+            m = int(hl.md5(f"span:{d.doc_id}:{b}".encode()).hexdigest()[:4], 16)
+            if m < 9830:
+                n_masked += n_tok
+                n_spans += 1
+        r = rows[d.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_masked == n_masked
+        assert r.n_spans == n_spans
+        assert r.input_len == len(toks) - n_masked + n_spans
+        assert r.target_len == n_masked + n_spans
+    assert set(rows) == {d.doc_id for d in docs}
+
+
+def test_negative_sampling_plan_ground_truth(spark, sf_dir):
+    """The alias table and all 2000 draws replayed in plain Python with the
+    same integer weight space; every word's draw count must match and the
+    draws must sum to 2000."""
+    import hashlib as hl
+    import math
+    import re
+    from collections import Counter
+
+    out = {r.word: r for r in QUERIES["negative_sampling_plan"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tok_re = re.compile(r"[a-z']+")
+    cnt = Counter()
+    for d in docs:
+        cnt.update(tok_re.findall((d.text or "").lower()))
+    vocab = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:1024]
+    ws = [math.floor(c**0.75 * 1000000) for _, c in vocab]
+    wtot = sum(ws)
+    bounds = []
+    acc = 0
+    for (word, c), w in zip(vocab, ws):
+        bounds.append((word, acc, acc + w))
+        acc += w
+    drawn = Counter()
+    for i in range(2000):
+        u = int(hl.md5(f"neg:{i}".encode()).hexdigest()[:8], 16) / 4294967296.0
+        t = math.floor(u * wtot)
+        for word, lo, hi in bounds:
+            if lo <= t < hi:
+                drawn[word] += 1
+                break
+    assert sum(drawn.values()) == 2000
+    assert set(out) == {w for w, _ in vocab}
+    for (word, c), w in zip(vocab, ws):
+        r = out[word]
+        assert r.cnt == c and r.weight == w
+        assert abs(r.p_word - round(w / wtot, 6)) < 1e-9
+        assert r.n_drawn == drawn.get(word, 0)

@@ -1995,3 +1995,148 @@ def test_permutation_test_ground_truth(spark, sf_dir):
     assert row.n_extreme == n_ext
     assert abs(row.p_value - round((1 + n_ext) / 65.0, 6)) < 1e-9
     assert 0 < row.p_value <= 1
+
+
+def test_tost_equivalence_ground_truth(spark, sf_dir):
+    """TOST recomputed in plain Python: Welch SE from exact sums, both
+    one-sided t statistics, the equivalence verdict."""
+    import math
+
+    out = QUERIES["stat_tost_equivalence"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    groups = {0: [], 1: []}
+    for r in li:
+        if r.l_linestatus in ("F", "O") and r.l_extendedprice is not None:
+            groups[0 if r.l_linestatus == "F" else 1].append(r.l_extendedprice)
+    n1, n2 = len(groups[0]), len(groups[1])
+    m1, m2 = sum(groups[0]) / n1, sum(groups[1]) / n2
+    v1 = (sum(x * x for x in groups[0]) - n1 * m1 * m1) / (n1 - 1)
+    v2 = (sum(x * x for x in groups[1]) - n2 * m2 * m2) / (n2 - 1)
+    se = math.sqrt(v1 / n1 + v2 / n2)
+    margin = 0.005 * (sum(groups[0]) + sum(groups[1])) / (n1 + n2)
+    tl = ((m1 - m2) + margin) / se
+    tu = (margin - (m1 - m2)) / se
+    assert row.n_f == n1 and row.n_o == n2
+    assert abs(row.mean_diff - (m1 - m2)) < 1e-3
+    assert abs(row.margin - margin) < 1e-3
+    assert abs(row.t_lower - tl) < 1e-3
+    assert abs(row.t_upper - tu) < 1e-3
+    assert row.is_equivalent == int(tl > 1.644854 and tu > 1.644854)
+
+
+def test_mcnemar_ground_truth(spark, sf_dir):
+    """Discordant-pair counts and the continuity-corrected statistic
+    recomputed per user from raw events."""
+    from collections import defaultdict
+
+    out = QUERIES["stat_mcnemar_test"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    secs = [
+        int(r.ts.timestamp())
+        for r in ev
+        if r.event_type == "purchase" and r.ts is not None and r.user_id is not None
+    ]
+    cut = (min(secs) + max(secs)) // 2
+    per = defaultdict(lambda: [0, 0])
+    for r in ev:
+        if r.event_type == "purchase" and r.ts is not None and r.user_id is not None:
+            sec = int(r.ts.timestamp())
+            per[r.user_id][0 if sec < cut else 1] = 1
+    b = sum(1 for p in per.values() if p == [1, 0])
+    c = sum(1 for p in per.values() if p == [0, 1])
+    both = sum(1 for p in per.values() if p == [1, 1])
+    stat = ((abs(b - c) - 1.0) ** 2 / (b + c)) if (b + c) else 0.0
+    assert row.n_users == len(per)
+    assert row.n_both == both
+    assert row.n_pre_only == b and row.n_post_only == c
+    assert abs(row.mcnemar_stat - stat) < 1e-5
+    assert row.is_significant == int(stat > 3.841459)
+
+
+def test_cochran_armitage_ground_truth(spark, sf_dir):
+    """Trend z recomputed from the closed form over raw orders."""
+    import math
+
+    out = QUERIES["stat_cochran_armitage"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    obs = [
+        (int(r.o_orderpriority[0]), 1 if r.o_orderstatus == "F" else 0)
+        for r in o
+        if r.o_orderpriority is not None and r.o_orderstatus is not None
+    ]
+    n = len(obs)
+    rr = sum(y for _, y in obs)
+    t1 = sum(s * y for s, y in obs)
+    t2 = sum(s for s, _ in obs)
+    t3 = sum(s * s for s, _ in obs)
+    pbar = rr / n
+    var = pbar * (1 - pbar) * (t3 - t2 * t2 / n)
+    z = (t1 - pbar * t2) / math.sqrt(var)
+    assert row.n_orders == n and row.n_final == rr
+    assert abs(row.p_pool - pbar) < 1e-6
+    assert abs(row.z_trend - z) < 1e-4
+    assert row.is_significant == int(abs(z) > 1.959964)
+
+
+def test_woe_iv_ground_truth(spark, sf_dir):
+    """WoE/IV recomputed per fixed-width band; the total IV is the sum of
+    the 9-rounded contributions."""
+    import math
+    from collections import defaultdict
+
+    rows = {r.bin: r for r in QUERIES["feature_woe_iv"](spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in li:
+        if r.l_extendedprice is not None and r.l_returnflag is not None:
+            b = min(int(r.l_extendedprice // 11000), 9)
+            per[b][0] += 1
+            per[b][1] += 1 if r.l_returnflag == "R" else 0
+    tp = sum(v[1] for v in per.values())
+    tn = sum(v[0] - v[1] for v in per.values())
+    ivcs = {}
+    for b, (nb, np_) in per.items():
+        gs = (np_ + 0.5) / (tp + 5.0)
+        bs = (nb - np_ + 0.5) / (tn + 5.0)
+        woe = math.log(gs / bs)
+        ivcs[b] = round((gs - bs) * woe, 9)
+        r = rows[b]
+        assert r.n_rows == nb and r.n_pos == np_ and r.n_neg == nb - np_
+        assert abs(r.woe - woe) < 1e-5
+        assert abs(r.iv_contrib - ivcs[b]) < 1e-5
+    total = round(sum(ivcs.values()), 6)
+    assert set(rows) == set(per)
+    for r in rows.values():
+        assert abs(r.iv_total - total) < 1e-6
+
+
+def test_contract_validation_ground_truth(spark, sf_dir):
+    """Every rule's checked/violation counts recomputed from raw rows."""
+    rows = {r.rule_id: r for r in QUERIES["dq_contract_validation"](spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    okeys = [r.o_orderkey for r in o]
+    assert rows[1].n_checked == len(o)
+    assert rows[1].n_violations == sum(
+        1 for r in o if r.o_totalprice is None or r.o_totalprice <= 0
+    )
+    assert rows[2].n_violations == sum(1 for r in o if r.o_orderdate is None)
+    assert rows[3].n_violations == sum(
+        1 for r in o if r.o_orderstatus not in ("F", "O", "P")
+    )
+    assert rows[4].n_violations == len(okeys) - len(set(okeys))
+    assert rows[5].n_checked == len(li)
+    assert rows[5].n_violations == sum(
+        1 for r in li if r.l_quantity is None or not (1 <= r.l_quantity <= 50)
+    )
+    oset = set(okeys)
+    assert rows[6].n_violations == sum(1 for r in li if r.l_orderkey not in oset)
+    pairs = [(r.l_orderkey, r.l_linenumber) for r in li]
+    assert rows[7].n_violations == len(pairs) - len(set(pairs))
+    assert set(rows) == set(range(1, 8))
