@@ -1231,70 +1231,58 @@ def dq_contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dq_referential_integrity` / `dq_completeness_matrix` with the
     multi-rule contract shape real pipelines configure declaratively.
 
-    Scale posture: rules 1-5 and 7 are single-scan conditional aggregates
-    (uniqueness via COUNT DISTINCT on the key, composite key packed into
-    one integer since l_linenumber < 100); rule 6 is a NOT-EXISTS
-    decorrelated to a shuffle anti-join on the uniform order key.  Output
-    is exactly |rules| rows."""
+    Scale posture: ALL per-table rules fold into ONE conditional aggregate
+    per table (one orders scan carries rules 1-4, one lineitem scan rules
+    5 and 7 — uniqueness via COUNT DISTINCT on the key, composite key
+    packed into one integer since l_linenumber < 100); rule 6 is a
+    NOT-EXISTS decorrelated to a shuffle anti-join on the uniform order
+    key.  The three 1-row aggregates cross into one row and explode to
+    exactly |rules| output rows — 4 scans total, not one per rule."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
-    def one(rule_id: int, rule: str, df: DataFrame, violated: str) -> DataFrame:
-        return df.agg(
-            F.lit(rule_id).alias("rule_id"),
-            F.lit(rule).alias("rule"),
-            F.count("*").cast("bigint").alias("n_checked"),
-            F.sum(F.expr(f"CASE WHEN {violated} THEN 1 ELSE 0 END"))
-            .cast("bigint")
-            .alias("n_violations"),
-        ).select("rule_id", "rule", "n_checked", "n_violations")
+    def viol(cond: str):
+        return F.sum(F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0 END")).cast("bigint")
 
-    uniq_o = o.agg(
-        F.lit(4).alias("rule_id"),
-        F.lit("orders.o_orderkey unique").alias("rule"),
-        F.count("*").cast("bigint").alias("n_checked"),
-        (F.count("*") - F.countDistinct("o_orderkey"))
-        .cast("bigint")
-        .alias("n_violations"),
+    o_agg = o.agg(
+        F.count("*").cast("bigint").alias("n_o"),
+        viol("o_totalprice IS NULL OR o_totalprice <= 0").alias("v1"),
+        viol("o_orderdate IS NULL").alias("v2"),
+        viol("o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P')").alias(
+            "v3"
+        ),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias("v4"),
     )
-    uniq_li = li.agg(
-        F.lit(7).alias("rule_id"),
-        F.lit("lineitem (l_orderkey, l_linenumber) unique").alias("rule"),
-        F.count("*").cast("bigint").alias("n_checked"),
-        (
-            F.count("*")
-            - F.countDistinct(
-                F.expr("l_orderkey * 100 + l_linenumber")
+    li_agg = li.agg(
+        F.count("*").cast("bigint").alias("n_li"),
+        viol("l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50").alias("v5"),
+        (F.count("*") - F.countDistinct(F.expr("l_orderkey * 100 + l_linenumber")))
+        .cast("bigint")
+        .alias("v7"),
+    )
+    orphans = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "anti"
+    ).agg(F.count("*").cast("bigint").alias("v6"))
+    combined = o_agg.crossJoin(F.broadcast(li_agg)).crossJoin(F.broadcast(orphans))
+
+    def rule(rid: int, name: str, checked: str, violations: str):
+        return F.struct(
+            F.lit(rid).alias("rule_id"),
+            F.lit(name).alias("rule"),
+            F.col(checked).alias("n_checked"),
+            F.col(violations).alias("n_violations"),
+        )
+
+    return combined.select(
+        F.explode(
+            F.array(
+                rule(1, "orders.o_totalprice positive", "n_o", "v1"),
+                rule(2, "orders.o_orderdate not null", "n_o", "v2"),
+                rule(3, "orders.o_orderstatus enum F|O|P", "n_o", "v3"),
+                rule(4, "orders.o_orderkey unique", "n_o", "v4"),
+                rule(5, "lineitem.l_quantity in [1, 50]", "n_li", "v5"),
+                rule(6, "lineitem.l_orderkey references orders", "n_li", "v6"),
+                rule(7, "lineitem (l_orderkey, l_linenumber) unique", "n_li", "v7"),
             )
-        )
-        .cast("bigint")
-        .alias("n_violations"),
-    )
-    orphans = (
-        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "anti")
-        .agg(F.count("*").cast("bigint").alias("n_orphans"))
-    )
-    ref = (
-        li.agg(F.count("*").cast("bigint").alias("n_checked"))
-        .crossJoin(F.broadcast(orphans))
-        .select(
-            F.lit(6).alias("rule_id"),
-            F.lit("lineitem.l_orderkey references orders").alias("rule"),
-            "n_checked",
-            F.col("n_orphans").alias("n_violations"),
-        )
-    )
-    return (
-        one(1, "orders.o_totalprice positive", o,
-            "o_totalprice IS NULL OR o_totalprice <= 0")
-        .unionByName(one(2, "orders.o_orderdate not null", o,
-                         "o_orderdate IS NULL"))
-        .unionByName(one(3, "orders.o_orderstatus enum F|O|P", o,
-                         "o_orderstatus IS NULL"
-                         " OR o_orderstatus NOT IN ('F', 'O', 'P')"))
-        .unionByName(uniq_o)
-        .unionByName(one(5, "lineitem.l_quantity in [1, 50]", li,
-                         "l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50"))
-        .unionByName(ref)
-        .unionByName(uniq_li)
-    )
+        ).alias("r")
+    ).select("r.rule_id", "r.rule", "r.n_checked", "r.n_violations")

@@ -1698,7 +1698,7 @@ def _pq_update_sql(name: str, prev: str, assign: str, off: int) -> str:
     )"""
 
 
-def _pq_oracle() -> str:
+def _pq_cte_prefix() -> str:
     parts = [
         """
     WITH pqseeds AS (
@@ -1726,6 +1726,10 @@ def _pq_oracle() -> str:
     {_pq_update_sql(f"pqc2_{s}", f"pqc1_{s}", f"pqa2_{s}", off)},
     pqfin_{s} AS ({_pq_assign_sql(f"pqc2_{s}", off, keep_d2=True)})"""
         )
+    return "".join(parts)
+
+
+def _pq_oracle() -> str:
     sels = [
         f"""
     SELECT CAST({s} AS BIGINT) AS subspace,
@@ -1736,7 +1740,57 @@ def _pq_oracle() -> str:
     FROM pqfin_{s}"""
         for s in range(4)
     ]
-    return "".join(parts) + " UNION ALL ".join(sels)
+    return _pq_cte_prefix() + " UNION ALL ".join(sels)
+
+
+def _pq_adc_oracle() -> str:
+    """ADC search replay: the SAME unrolled 2-round Lloyd training CTEs as
+    `_pq_oracle`, extended with the 3-query distance tables against the
+    final per-subspace centroids (pqc2_*) and the exact-DECIMAL ADC sum
+    over each vector's final code (pqfin_*)."""
+    dtabs = [
+        """,
+    q3 AS (
+        SELECT vec_id AS q_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 3
+    )"""
+    ]
+    for s in range(4):
+        off = s * 16
+        dtabs.append(
+            f""",
+    dtab_{s} AS (
+        SELECT q.q_id, c.cluster,
+               CAST(ROUND(SUM((CAST(q.embedding[c.d + {off}] AS DOUBLE) - c.c)
+                       * (CAST(q.embedding[c.d + {off}] AS DOUBLE) - c.c)), 6)
+                    AS DECIMAL(18,6)) AS dt
+        FROM q3 q CROSS JOIN pqc2_{s} c
+        GROUP BY q.q_id, c.cluster
+    )"""
+        )
+    parts_sql = " UNION ALL ".join(
+        f"SELECT d.q_id, a.vec_id, d.dt FROM pqfin_{s} a"
+        f" JOIN dtab_{s} d ON a.cluster = d.cluster"
+        for s in range(4)
+    )
+    return (
+        _pq_cte_prefix()
+        + "".join(dtabs)
+        + f""",
+    adc AS (
+        SELECT q_id, vec_id, SUM(dt) AS dist
+        FROM ({parts_sql}) GROUP BY q_id, vec_id
+    ),
+    rk AS (
+        SELECT q_id, vec_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY dist ASC, vec_id ASC) AS rnk
+        FROM adc WHERE vec_id <> q_id
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rank_pos, vec_id,
+           ROUND(CAST(dist AS DOUBLE), 6) AS adc_dist
+    FROM rk WHERE rnk <= 10"""
+    )
 
 
 @register("emb_pq_codebook", oracle=_pq_oracle())
@@ -1767,6 +1821,60 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked output — is bit-identical to the sequential form: the md5
     seed set does not depend on the subspace, and every d2/average is the
     same 6-rounded expression, just batched."""
+    v4, cent = _pq_trained(spark, sf_dir)
+    final = _pq_assign(v4, cent, keep_d2=True)
+    return (
+        final.groupBy("s")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.count_distinct("cluster").cast("bigint").alias("n_cells"),
+            F.round(
+                F.sum(F.expr("CAST(_d2 AS DECIMAL(18,6))")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_mse"),
+        )
+        .select(
+            F.col("s").cast("bigint").alias("subspace"),
+            "n_vectors",
+            "n_cells",
+            "avg_mse",
+        )
+    )
+
+
+def _pq_assign(v4: DataFrame, cent: DataFrame, keep_d2: bool = False) -> DataFrame:
+    """One PQ assignment pass: nearest (6-rounded d2, cluster tie-break)
+    codebook cell per (vector, subspace).  ``cent`` is always a bounded
+    local relation (4×8 centroids) — broadcast, never shuffled."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("_d2"), F.asc("cluster"))
+    out = (
+        v4.join(F.broadcast(cent), "s")
+        .withColumn(
+            "_d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with("_v", "centroid", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+    )
+    cols = ["vec_id", "s", "_v", "cluster"] + (["_d2"] if keep_d2 else [])
+    return out.select(*cols)
+
+
+def _pq_trained(spark: SparkSession, sf_dir: str):
+    """Train the 4-subspace PQ codebook (2 deterministic Lloyd rounds) and
+    return ``(v4, cent)``: the exploded (vec_id, subspace, subvector)
+    training frame and the final centroid frame.  Both are session-memoized
+    so `emb_pq_codebook` and `sim_pq_adc_topk` share ONE training run."""
     from pyspark.sql import Window
 
     nn = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
@@ -1798,82 +1906,52 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, "s int, cluster int, centroid array<double>"
         )
 
-    def assign(cent: DataFrame, keep_d2: bool = False) -> DataFrame:
-        w = Window.partitionBy("vec_id", "s").orderBy(F.asc("_d2"), F.asc("cluster"))
-        out = (
-            v4.join(F.broadcast(cent), "s")
+    def train() -> DataFrame:
+        # seed set: the 8 smallest md5(vec_id) — identical for every subspace,
+        # exactly the per-subspace ivf_index seed pick (similarity.ivf_index);
+        # the rank window runs on the 8-row LIMIT result, never the corpus
+        seed_ids = (
+            v4.select("vec_id")
+            .distinct()
+            .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("_h", "vec_id")
+            .limit(8)
             .withColumn(
-                "_d2",
-                F.round(
-                    F.aggregate(
-                        F.zip_with("_v", "centroid", lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ),
+                "cluster", F.row_number().over(Window.orderBy("_h", "vec_id")) - 1
             )
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-        )
-        cols = ["vec_id", "s", "_v", "cluster"] + (["_d2"] if keep_d2 else [])
-        return out.select(*cols)
-
-    # seed set: the 8 smallest md5(vec_id) — identical for every subspace,
-    # exactly the per-subspace ivf_index seed pick (similarity.ivf_index);
-    # the rank window runs on the 8-row LIMIT result, never the corpus
-    seed_ids = (
-        v4.select("vec_id")
-        .distinct()
-        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("_h", "vec_id")
-        .limit(8)
-        .withColumn("cluster", F.row_number().over(Window.orderBy("_h", "vec_id")) - 1)
-        .select("vec_id", "cluster")
-    )
-    cent = mat_cent(
-        v4.join(F.broadcast(seed_ids), "vec_id").select(
-            "s",
-            "cluster",
-            F.transform("_v", lambda x: F.round(x, 6)).alias("centroid"),
-        )
-    )
-    for _ in range(2):
-        a = assign(cent)
-        per_dim = (
-            a.select("s", "cluster", F.posexplode("_v").alias("d0", "x"))
-            .groupBy("s", "cluster", "d0")
-            .agg(F.round(F.avg("x"), 6).alias("c"))
-        )
-        updated = per_dim.groupBy("s", "cluster").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d0", "c"))), lambda st: st["c"]
-            ).alias("newc")
+            .select("vec_id", "cluster")
         )
         cent = mat_cent(
-            cent.join(updated, ["s", "cluster"], "left").select(
-                "s", "cluster", F.coalesce("newc", "centroid").alias("centroid")
+            v4.join(F.broadcast(seed_ids), "vec_id").select(
+                "s",
+                "cluster",
+                F.transform("_v", lambda x: F.round(x, 6)).alias("centroid"),
             )
         )
-    final = assign(cent, keep_d2=True)
-    return (
-        final.groupBy("s")
-        .agg(
-            F.count("*").cast("bigint").alias("n_vectors"),
-            F.count_distinct("cluster").cast("bigint").alias("n_cells"),
-            F.round(
-                F.sum(F.expr("CAST(_d2 AS DECIMAL(18,6))")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("avg_mse"),
-        )
-        .select(
-            F.col("s").cast("bigint").alias("subspace"),
-            "n_vectors",
-            "n_cells",
-            "avg_mse",
-        )
-    )
+        for _ in range(2):
+            a = _pq_assign(v4, cent)
+            per_dim = (
+                a.select("s", "cluster", F.posexplode("_v").alias("d0", "x"))
+                .groupBy("s", "cluster", "d0")
+                .agg(F.round(F.avg("x"), 6).alias("c"))
+            )
+            updated = per_dim.groupBy("s", "cluster").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d0", "c"))),
+                    lambda st: st["c"],
+                ).alias("newc")
+            )
+            cent = mat_cent(
+                cent.join(updated, ["s", "cluster"], "left").select(
+                    "s", "cluster", F.coalesce("newc", "centroid").alias("centroid")
+                )
+            )
+        return cent
+
+    # final centroids are a 32-row LOCAL relation — memoized so every PQ
+    # consumer (codebook report, ADC search) shares one training run
+    cent = shared(spark, ("pq_cent_final", sf_dir), train)
+    return v4, cent
 
 
 @register(
@@ -2073,4 +2151,92 @@ def emb_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round(shift, 6).alias("centroid_shift"),
         F.round(shift / refnorm, 6).alias("relative_shift"),
+    )
+
+
+@register("sim_pq_adc_topk", oracle=_pq_adc_oracle())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-10 search over the PQ codes (Jégou et
+    al. 2011, the IVFADC readout): each of the 3 lowest-vec_id query
+    vectors builds a 4×8 distance table against the trained subspace
+    centroids, and every corpus vector's approximate distance is the SUM of
+    4 table lookups keyed by its PQ code — the scan that makes
+    billion-vector ANN affordable, because the corpus is touched only
+    through its 4-small-int codes while the float vectors stay cold.
+    Shares ONE training run with `emb_pq_codebook` via the session memo.
+
+    Exactness: each table entry is the 6-rounded subspace distance cast to
+    DECIMAL(18,6), so the 4-term ADC sum is exact integer arithmetic —
+    addition-order-free and bit-identical across engines; ranking ties
+    break on vec_id.
+
+    Scale posture: the distance tables are 96 rows (broadcast); the scan
+    is one equi-join of codes against them (no vector math in the hot
+    loop); top-k reduces in TWO stages — a per-hash-bucket partial top-10
+    (64 parallel windows, each over N/64 rows) then a final window over
+    the 64×10 survivors per query — the declarative analogue of
+    `similarity.topk_numpy`'s partial/final split, so no single reducer
+    ever sees the full corpus."""
+    from pyspark.sql import Window
+
+    v4, cent = _pq_trained(spark, sf_dir)
+    codes = _pq_assign(v4, cent).select("vec_id", "s", "cluster")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.slice(F.col("e"), s * 16 + 1, 16).alias("qv"),
+            )
+            for s in range(4)
+        ]
+    )
+    q3 = (
+        sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
+        .orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+    )
+    qsub = q3.select("q_id", F.explode(subs).alias("t")).select(
+        "q_id", F.col("t.s").alias("s"), F.col("t.qv").alias("qv")
+    )
+    dtab = qsub.join(F.broadcast(cent), "s").select(
+        "q_id",
+        "s",
+        "cluster",
+        F.round(
+            F.aggregate(
+                F.zip_with("qv", "centroid", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("dt"),
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["s", "cluster"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dt").alias("dist"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w_part = Window.partitionBy("q_id", "part").orderBy(
+        F.asc("dist"), F.asc("vec_id")
+    )
+    w_final = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("part", F.pmod(F.xxhash64("vec_id"), F.lit(64)))
+        .withColumn("_pr", F.row_number().over(w_part))
+        .filter(F.col("_pr") <= 10)
+        .withColumn("rnk", F.row_number().over(w_final))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "q_id",
+            F.col("rnk").cast("bigint").alias("rank_pos"),
+            "vec_id",
+            F.round(F.col("dist").cast("double"), 6).alias("adc_dist"),
+        )
     )

@@ -4060,7 +4060,7 @@ def negative_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = resolved.groupBy("word").agg(F.count("*").alias("n_drawn"))
     return (
-        iv.join(counts, "word", "left")
+        iv.join(F.broadcast(counts), "word", "left")
         .select(
             "word",
             F.col("cnt").cast("bigint").alias("cnt"),

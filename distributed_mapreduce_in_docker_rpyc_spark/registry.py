@@ -114,6 +114,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "span_corruption_plan",
     "negative_sampling_plan",
     "dq_contract_validation",
+    "sim_pq_adc_topk",
     # (4) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6-checked rows (freshest, last in line)

@@ -1322,3 +1322,72 @@ def test_negative_sampling_plan_ground_truth(spark, sf_dir):
         assert r.cnt == c and r.weight == w
         assert abs(r.p_word - round(w / wtot, 6)) < 1e-9
         assert r.n_drawn == drawn.get(word, 0)
+
+
+def test_pq_adc_topk_matches_numpy_replay(spark, sf_dir):
+    """The whole ADC pipeline replicated in NumPy: retrain the codebooks
+    (same md5 seeds / rounding discipline as the Lloyd test above), encode
+    every vector, build the 3 query distance tables, rank by the exact
+    decimal ADC sum — all 3×10 result rows must match."""
+    import numpy as np
+    from decimal import Decimal
+
+    out = QUERIES["sim_pq_adc_topk"](spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        if r.embedding is not None
+    }
+    seeds = sorted(emb, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:8]
+    codes = {i: [None] * 4 for i in emb}
+    cents = []
+    for s in range(4):
+        sub = {i: v[s * 16 : (s + 1) * 16] for i, v in emb.items()}
+        cent = {c: np.round(sub[i], 6) for c, i in enumerate(seeds)}
+
+        def assign():
+            a = {}
+            for i, v in sub.items():
+                best = None
+                for c in sorted(cent):
+                    d2 = round(float(((v - cent[c]) ** 2).sum()), 6)
+                    if best is None or (d2, c) < best[:2]:
+                        best = (d2, c)
+                a[i] = best[1]
+            return a
+
+        for _ in range(2):
+            a = assign()
+            for c in sorted(cent):
+                members = [sub[i] for i, cc in a.items() if cc == c]
+                if members:
+                    cent[c] = np.round(np.mean(members, axis=0), 6)
+        fin = assign()
+        for i, c in fin.items():
+            codes[i][s] = c
+        cents.append(cent)
+    qids = sorted(emb)[:3]
+    want = {}
+    for q in qids:
+        dt = [
+            {
+                c: Decimal(
+                    str(round(float(((emb[q][s * 16 : (s + 1) * 16] - cents[s][c]) ** 2).sum()), 6))
+                )
+                for c in cents[s]
+            }
+            for s in range(4)
+        ]
+        dists = {
+            i: sum(dt[s][codes[i][s]] for s in range(4))
+            for i in emb
+            if i != q
+        }
+        top = sorted(dists.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+        for rk, (i, d) in enumerate(top, 1):
+            want[(q, rk)] = (i, float(d))
+    assert len(out) == 30
+    for r in out:
+        wi, wd = want[(r.q_id, r.rank_pos)]
+        assert r.vec_id == wi, (r.q_id, r.rank_pos, r.vec_id, wi)
+        assert abs(r.adc_dist - round(wd, 6)) < 1e-9

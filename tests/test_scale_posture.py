@@ -427,6 +427,11 @@ BNLJ_ALLOWED = {
     "events_did_analysis": "broadcast side = 1-row midpoint-epoch threshold",
     "search_ndcg_report": "re-uses the exact baseline (broadcast 5-query side, same pattern as sim_ann_recall_report)",
     "events_session_gap_sensitivity": "broadcast side = 1-row session-start counts crossed into the 3-row gap spine",
+    "stat_mcnemar_test": "broadcast side = 1-row midpoint-epoch threshold (same pattern as events_did_analysis)",
+    "feature_woe_iv": "broadcast side = 1-row global event/non-event totals crossed into the 10-band frame",
+    "negative_sampling_plan": "broadcast side = 1-row total-weight scalar crossed into the bounded draw range",
+    "dq_contract_validation": "broadcast side = 1-row orphan count crossed into the 1-row checked-count frame",
+    "sim_pq_adc_topk": "broadcast sides = 96-row ADC distance tables and the 32-row codebook (same training broadcast as emb_pq_codebook)",
 }
 
 
