@@ -3323,3 +3323,98 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ivc", 6).alias("iv_contrib"),
         F.round(F.sum("ivc").over(Window.partitionBy()), 6).alias("iv_total"),
     )
+
+
+# Q = 12/(k(k+1)) · ΣRsum²/n − 3n(k+1), with srq = ΣRsum²/n precomputed
+_FR_QSTAT = "((12.0 / (k * (k + 1.0))) * srq - 3.0 * n_blocks * (k + 1.0))"
+
+
+@register(
+    "stat_friedman_test",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS blk,
+               o_orderpriority AS trt,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS v
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+          AND o_totalprice IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT blk, trt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY blk ORDER BY v ASC, trt ASC)
+                    AS DOUBLE) AS r
+        FROM cells
+    ),
+    per_trt AS (
+        SELECT trt, CAST(COUNT(*) AS DOUBLE) AS n_blocks, SUM(r) AS rsum
+        FROM rk GROUP BY trt
+    ),
+    tot AS (
+        SELECT CAST(MAX(n_blocks) AS DOUBLE) AS n_blocks,
+               CAST(COUNT(*) AS DOUBLE) AS k,
+               SUM(rsum * rsum) / MAX(n_blocks) AS srq
+        FROM per_trt
+    )
+    SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(k AS BIGINT) AS n_treatments,
+           ROUND({_FR_QSTAT}, 6) AS q_stat,
+           CAST({_FR_QSTAT} > 9.487729 AS INT) AS is_significant
+    FROM tot
+    """,
+)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the five order priorities differ in mean
+    order value CONSISTENTLY across months?  Blocks = order months (the
+    repeated measure), treatments = priorities; each month ranks its five
+    priority means and Q = 12n/(k(k+1))·Σ_j R_j²/n − 3n(k+1) compares the
+    rank sums against χ²(k−1) (crit 9.487729 at k=5, α=0.05) — the
+    nonparametric repeated-measures ANOVA that `stat_anova_oneway`'s
+    independence assumption can't cover.
+
+    Cell means ride exact DECIMAL sums and are 6-rounded BEFORE ranking,
+    so the rank assignment (value, then treatment tie-break) is identical
+    across engines; continuous means make true rank ties measure-zero.
+    Scale posture: one scan → |months × priorities| cells; every window
+    runs on ≤ k rows per block."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(
+            F.month("o_orderdate").cast("int").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(24,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("v")
+        )
+    )
+    w = Window.partitionBy("blk").orderBy(F.asc("v"), F.asc("trt"))
+    rk = cells.select(
+        "blk", "trt", F.row_number().over(w).cast("double").alias("r")
+    )
+    per_trt = rk.groupBy("trt").agg(
+        F.count("*").cast("double").alias("n_blocks"), F.sum("r").alias("rsum")
+    )
+    tot = per_trt.agg(
+        F.max("n_blocks").cast("double").alias("n_blocks"),
+        F.count("*").cast("double").alias("k"),
+        (F.sum(F.col("rsum") * F.col("rsum")) / F.max("n_blocks")).alias("srq"),
+    )
+    return tot.selectExpr(
+        "CAST(n_blocks AS BIGINT) AS n_blocks",
+        "CAST(k AS BIGINT) AS n_treatments",
+        f"ROUND({_FR_QSTAT}, 6) AS q_stat",
+        f"CAST({_FR_QSTAT} > 9.487729 AS INT) AS is_significant",
+    )

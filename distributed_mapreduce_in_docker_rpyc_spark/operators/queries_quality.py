@@ -1286,3 +1286,66 @@ def dq_contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.rule_id", "r.rule", "r.n_checked", "r.n_violations")
+
+
+# Deterministic inverse-CDF Laplace noise: u strictly inside (0,1) from a
+# 32-bit md5 fraction, noise = -(1/eps)·sign(u-1/2)·ln(1-2|u-1/2|).
+_DP_EPS = "1.0"
+_DP_NOISE = (
+    f"(-(1.0 / {_DP_EPS}) * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5)))"
+)
+
+
+@register(
+    "dp_noised_count_report",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents
+        WHERE source IS NOT NULL GROUP BY source
+    ),
+    u AS (
+        SELECT source, n_docs,
+               (CAST(CAST('0x' || substr(md5('dp:' || source), 1, 8) AS BIGINT)
+                     AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        FROM per
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon,
+           ROUND({_DP_NOISE}, 6) AS noise,
+           ROUND(n_docs + {_DP_NOISE}, 6) AS noised_count
+    FROM u
+    """,
+)
+def dp_noised_count_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release plan for per-source document counts:
+    each count (sensitivity 1) gets Laplace(1/ε) noise at ε = 1.0 via the
+    inverse CDF — the one-query ε-DP count release every data-sharing
+    agreement starts from.  The noise here is DETERMINISTIC (inverse CDF
+    of a 32-bit md5 fraction keyed by 'dp:'+source, offset by half an ulp
+    so u ∈ (0,1) strictly and ln never sees 0) — which makes the release
+    auditable and the oracle replayable; a production deployment swaps the
+    md5 fraction for a CSPRNG draw and keeps everything else: the
+    sensitivity-1 count query, the ε accounting columns, the noise shape.
+
+    Scale posture: one map-side-combined count per source, then a pure
+    per-row expression; output is |sources| rows."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    u = per.selectExpr(
+        "source",
+        "n_docs",
+        "(CAST(conv(substr(md5(concat('dp:', source)), 1, 8), 16, 10) AS DOUBLE)"
+        " + 0.5) / 4294967296.0 AS u",
+    )
+    return u.selectExpr(
+        "source",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        f"CAST({_DP_EPS} AS DOUBLE) AS epsilon",
+        f"ROUND({_DP_NOISE}, 6) AS noise",
+        f"ROUND(n_docs + {_DP_NOISE}, 6) AS noised_count",
+    )

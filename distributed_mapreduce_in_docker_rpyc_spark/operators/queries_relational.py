@@ -2750,3 +2750,116 @@ def customer_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share",
         f"ROUND({_GINI_EXPR}, 6) AS gini",
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Synchronous label propagation unrolled to a fixed 4 rounds (same
+    fixed-iteration discipline as `_cc_oracle`): each node takes the MODE
+    of its neighbors' labels, ties broken by the smaller label."""
+    labs = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        labs.append(
+            f""",
+    lab{i} AS MATERIALIZED (
+        SELECT w, lbl FROM (
+            SELECT w, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY w
+                                      ORDER BY c DESC, lbl ASC) AS rnk
+            FROM (
+                SELECT s.src AS w, l.lbl, COUNT(*) AS c
+                FROM sym s JOIN lab{i - 1} l ON l.w = s.dst
+                GROUP BY s.src, l.lbl
+            )
+        ) WHERE rnk = 1
+    )"""
+        )
+    return f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS w1, b.l_partkey AS w2
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS MATERIALIZED (
+        SELECT w1 AS src, w2 AS dst FROM edges
+        UNION ALL
+        SELECT w2 AS src, w1 AS dst FROM edges
+    ),
+    lab0 AS MATERIALIZED (SELECT DISTINCT src AS w, src AS lbl FROM sym)
+    {"".join(labs)}
+    SELECT lbl AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(w) AS BIGINT) AS sum_parts
+    FROM lab{_LPA_ROUNDS} GROUP BY lbl
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph (same ≥2-order
+    edge set as `graph_connected_components`) by synchronous label
+    propagation (Raghavan et al. 2007): every node starts with its own
+    key and each round adopts the MODE of its neighbors' labels, ties to
+    the smaller label — so densely connected clusters agree on a label
+    long before a component-wide minimum could propagate, splitting the
+    giant component into communities where min-label CC cannot.  Output:
+    one row per community with size and exact member-key checksum.
+
+    Determinism: the mode is integer counts with a total tie order
+    (count DESC, label ASC); the SYNCHRONOUS schedule (all updates from
+    the previous round's labels) avoids the update-order dependence that
+    makes asynchronous LPA non-reproducible.  Fixed 4 rounds — LPA is
+    used as a bounded-round refinement, not run to its (oscillation-prone)
+    fixpoint; the oracle unrolls the identical 4 rounds.
+
+    Shape at 100 TB: per round one equi-join (labels ⨝ edges on uniform
+    dst) + one (node, label) count + one per-node top-1 window over that
+    node's distinct neighbor labels (bounded by degree) — all uniform-key
+    shuffles, same posture as CC's rounds."""
+    from pyspark.sql import Window
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("w1"), F.col("b.l_partkey").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("w1", "w2")
+    )
+    sym = (
+        edges.selectExpr("w1 AS src", "w2 AS dst")
+        .union(edges.selectExpr("w2 AS src", "w1 AS dst"))
+        .persist()
+    )
+    lab = sym.select(F.col("src").alias("w")).distinct().select(
+        "w", F.col("w").alias("lbl")
+    )
+    w_top = Window.partitionBy("w").orderBy(F.desc("c"), F.asc("lbl"))
+    for i in range(_LPA_ROUNDS):
+        lab = (
+            sym.join(lab.selectExpr("w AS dst", "lbl"), "dst")
+            .groupBy(F.col("src").alias("w"), "lbl")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rnk", F.row_number().over(w_top))
+            .filter(F.col("rnk") == 1)
+            .select("w", "lbl")
+        )
+        if i % 4 == 3:
+            lab = lab.localCheckpoint(eager=True)
+    return lab.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("w").cast("bigint").alias("sum_parts"),
+    )

@@ -115,6 +115,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "negative_sampling_plan",
     "dq_contract_validation",
     "sim_pq_adc_topk",
+    "stat_friedman_test",
+    "dp_noised_count_report",
+    "graph_label_propagation",
     # (4) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6-checked rows (freshest, last in line)

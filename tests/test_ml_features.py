@@ -2140,3 +2140,95 @@ def test_contract_validation_ground_truth(spark, sf_dir):
     pairs = [(r.l_orderkey, r.l_linenumber) for r in li]
     assert rows[7].n_violations == len(pairs) - len(set(pairs))
     assert set(rows) == set(range(1, 8))
+
+
+def test_friedman_ground_truth(spark, sf_dir):
+    """Friedman Q recomputed from scratch: month × priority cell means,
+    within-month ranks, the closed-form statistic."""
+    from collections import defaultdict
+
+    out = QUERIES["stat_friedman_test"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    cells = defaultdict(lambda: [0.0, 0])
+    for r in o:
+        if (
+            r.o_orderdate is not None
+            and r.o_orderpriority is not None
+            and r.o_totalprice is not None
+        ):
+            key = (r.o_orderdate.month, r.o_orderpriority)
+            cells[key][0] += r.o_totalprice
+            cells[key][1] += 1
+    blocks = sorted({b for b, _ in cells})
+    trts = sorted({t for _, t in cells})
+    n, k = len(blocks), len(trts)
+    rsum = {t: 0.0 for t in trts}
+    for b in blocks:
+        vals = sorted(
+            (round(cells[(b, t)][0] / cells[(b, t)][1], 6), t) for t in trts
+        )
+        for i, (_, t) in enumerate(vals, 1):
+            rsum[t] += i
+    srq = sum(v * v for v in rsum.values()) / n
+    q = (12.0 / (k * (k + 1.0))) * srq - 3.0 * n * (k + 1.0)
+    assert row.n_blocks == n and row.n_treatments == k
+    assert abs(row.q_stat - q) < 1e-4
+    assert row.is_significant == int(q > 9.487729)
+
+
+def test_dp_noised_count_ground_truth(spark, sf_dir):
+    """The deterministic Laplace draw replayed with hashlib; the noised
+    count must be count + inverse-CDF noise exactly."""
+    import hashlib as hl
+    import math
+    from collections import Counter
+
+    rows = {r.source: r for r in QUERIES["dp_noised_count_report"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    counts = Counter(d.source for d in docs if d.source is not None)
+    assert set(rows) == set(counts)
+    for s, n in counts.items():
+        u = (int(hl.md5(f"dp:{s}".encode()).hexdigest()[:8], 16) + 0.5) / 4294967296.0
+        noise = -1.0 * math.copysign(1.0, u - 0.5) * math.log(1.0 - 2.0 * abs(u - 0.5))
+        r = rows[s]
+        assert r.n_docs == n and r.epsilon == 1.0
+        assert abs(r.noise - round(noise, 6)) < 1e-9
+        assert abs(r.noised_count - round(n + noise, 6)) < 1e-9
+
+
+def test_label_propagation_ground_truth(spark, sf_dir):
+    """4 synchronous LPA rounds replayed in plain Python over the same
+    co-purchase edge set; community histogram must match exactly."""
+    from collections import Counter, defaultdict
+
+    out = {r.community: (r.n_parts, r.sum_parts)
+           for r in QUERIES["graph_label_propagation"](spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_count = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_count[(ps[i], ps[j])] += 1
+    nbrs = defaultdict(list)
+    for (a, b), c in pair_count.items():
+        if c >= 2:
+            nbrs[a].append(b)
+            nbrs[b].append(a)
+    lab = {w: w for w in nbrs}
+    for _ in range(4):
+        new = {}
+        for w, ns in nbrs.items():
+            votes = Counter(lab[x] for x in ns)
+            new[w] = min(votes, key=lambda l: (-votes[l], l))
+        lab = new
+    want = defaultdict(lambda: [0, 0])
+    for w, l in lab.items():
+        want[l][0] += 1
+        want[l][1] += w
+    assert out == {l: (c, s) for l, (c, s) in want.items()}
