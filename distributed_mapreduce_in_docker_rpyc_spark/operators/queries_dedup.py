@@ -1086,3 +1086,76 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(CAST(n_shared AS DOUBLE) / LEAST(n_fp_a, n_fp_b), 6) AS containment",
         )
     )
+
+
+@register(
+    "dedup_survivorship_report",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, source, sha256(text) AS h
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    keepers AS (
+        SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY h
+    ),
+    keeper_src AS (
+        SELECT k.h, k.keep_id, d.source AS keep_source
+        FROM keepers k JOIN hashed d ON d.doc_id = k.keep_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id = ks.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_survivors,
+           CAST(SUM(CASE WHEN d.doc_id != ks.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(SUM(CASE WHEN d.doc_id != ks.keep_id
+                          AND ks.keep_source != d.source
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_to_other_source
+    FROM hashed d JOIN keeper_src ks ON ks.h = d.h
+    GROUP BY d.source
+    """,
+)
+def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship accounting: after exact dedup (sha-256 of text,
+    keep the smallest doc_id — the `dedup_keep_first` policy), how did
+    each SOURCE fare?  Per source: document count, survivors, removed
+    duplicates, and — the politically loaded number every multi-source
+    corpus review asks for — how many of its documents were removed in
+    favor of a keeper from a DIFFERENT source.  This is the report that
+    turns a dedup pass from a black box into a negotiable data-sourcing
+    decision.
+
+    Scale posture: one hash pass, a min-combine on the uniform 256-bit
+    key, one join back on that key to tag keepers, and a source-keyed
+    aggregate — the same shuffle shape as `dedup_exact` plus one equi-join;
+    output is |sources| rows."""
+    hashed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source", F.sha2("text", 256).alias("h"))
+    )
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    keeper_src = keepers.join(
+        hashed.selectExpr("doc_id AS keep_id", "source AS keep_source"), "keep_id"
+    )
+    return (
+        hashed.join(keeper_src, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_survivors"),
+            F.sum(F.expr("CASE WHEN doc_id != keep_id THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN doc_id != keep_id AND keep_source != source"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_lost_to_other_source"),
+        )
+    )

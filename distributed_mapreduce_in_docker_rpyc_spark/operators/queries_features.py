@@ -3418,3 +3418,83 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_FR_QSTAT}, 6) AS q_stat",
         f"CAST({_FR_QSTAT} > 9.487729 AS INT) AS is_significant",
     )
+
+
+_BT_S2 = "((sxx - (sx * sx) / n) / (n - 1.0))"
+_BT_T = (
+    "(((nn - k) * LN(ssw / (nn - k)) - sum_ln)"
+    " / (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1.0))))"
+)
+
+
+@register(
+    "stat_bartlett_test",
+    oracle=f"""
+    WITH per AS (
+        SELECT o_orderpriority AS grp, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,12)))
+                    AS DOUBLE) AS sxx
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY o_orderpriority
+    ),
+    red AS (
+        SELECT SUM(n) AS nn, CAST(COUNT(*) AS DOUBLE) AS k,
+               SUM((n - 1.0) * {_BT_S2}) AS ssw,
+               SUM((n - 1.0) * LN({_BT_S2})) AS sum_ln,
+               SUM(1.0 / (n - 1.0)) AS sum_inv
+        FROM per
+    )
+    SELECT CAST(nn AS BIGINT) AS n_orders,
+           CAST(k AS BIGINT) AS n_groups,
+           ROUND(ssw / (nn - k), 6) AS pooled_var,
+           ROUND({_BT_T}, 6) AS t_stat,
+           CAST({_BT_T} > 9.487729 AS INT) AS is_significant
+    FROM red
+    """,
+)
+def stat_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity for order value across the
+    five priorities — the parametric partner of
+    `stat_levene_brown_forsythe` (Bartlett is the more powerful test when
+    normality holds; Levene is the robust fallback), and the assumption
+    check that should precede `stat_anova_oneway`.  Compares against
+    χ²(k−1 = 4) at 9.487729.
+
+    One map-side-combined pass yields exact DECIMAL sufficient statistics
+    per group; the k-row reduce and the correction-factor algebra are
+    shared expression strings over engine-identical doubles.  Scale cost:
+    one scan, five groups, one row."""
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.filter(
+            F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum(
+                (F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    red = per.agg(
+        F.sum("n").alias("nn"),
+        F.count("*").cast("double").alias("k"),
+        F.sum(F.expr(f"(n - 1.0) * {_BT_S2}")).alias("ssw"),
+        F.sum(F.expr(f"(n - 1.0) * LN({_BT_S2})")).alias("sum_ln"),
+        F.sum(F.expr("1.0 / (n - 1.0)")).alias("sum_inv"),
+    )
+    return red.selectExpr(
+        "CAST(nn AS BIGINT) AS n_orders",
+        "CAST(k AS BIGINT) AS n_groups",
+        "ROUND(ssw / (nn - k), 6) AS pooled_var",
+        f"ROUND({_BT_T}, 6) AS t_stat",
+        f"CAST({_BT_T} > 9.487729 AS INT) AS is_significant",
+    )

@@ -2240,3 +2240,103 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dist").cast("double"), 6).alias("adc_dist"),
         )
     )
+
+
+@register(
+    "contrastive_pair_mining",
+    oracle="""
+    WITH lnorms AS (
+        SELECT vec_id, label, embedding,
+               sqrt((SELECT SUM(CAST(embedding[g.i] AS DOUBLE)
+                               * CAST(embedding[g.i] AS DOUBLE))
+                     FROM generate_series(1, 64) g(i))) AS nrm
+        FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    scored AS (
+        SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+               n.vec_id AS cand_id,
+               CASE WHEN n.label = q.label THEN 'pos' ELSE 'neg' END AS kind,
+               ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE)
+                               * CAST(n.embedding[g.i] AS DOUBLE))
+                      FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6)
+                   AS sim
+        FROM lnorms q JOIN lnorms n
+          ON q.vec_id < 3 AND n.vec_id != q.vec_id
+    ),
+    rk AS (
+        SELECT anchor_id, anchor_label, kind, cand_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id, kind
+                                  ORDER BY sim DESC, cand_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT anchor_id, CAST(anchor_label AS BIGINT) AS anchor_label, kind,
+           CAST(rnk AS BIGINT) AS rank_pos, cand_id, sim
+    FROM rk WHERE rnk <= 2
+    """,
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining for embedding-model fine-tuning:
+    for each anchor (vec_id < 3), the 2 most-similar SAME-label vectors
+    (positives) and the 2 most-similar OTHER-label vectors (hard
+    negatives — the highest-cosine wrong-label candidates, exactly the
+    pairs InfoNCE/triplet training wants because random negatives are too
+    easy to teach anything).  Output: 3 anchors × {pos, neg} × top-2 with
+    the 6-rounded cosine, ready to assemble into triplets.
+
+    Scale posture: the anchor set is a broadcast 3-row side (the vetted
+    `sim_topk_bruteforce` BNLJ pattern); the corpus is scanned once with
+    a JVM-side fold for the dot product; ranking reduces per (anchor,
+    kind) — at production query counts the same partial/final split as
+    `sim_pq_adc_topk` applies."""
+    from pyspark.sql import Window
+
+    nn = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
+    base = nn.filter(F.col("label").isNotNull()).select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "e", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cand = base.select("vec_id", "label", "e", nrm.alias("nrm"))
+    anchors = cand.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id AS anchor_id", "label AS anchor_label", "e AS qe", "nrm AS qnrm"
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("cand_id"),
+            F.when(F.col("label") == F.col("anchor_label"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("kind"),
+            F.round(dot / (F.col("qnrm") * F.col("nrm")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "kind").orderBy(
+        F.desc("sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "anchor_id",
+            F.col("anchor_label").cast("bigint").alias("anchor_label"),
+            "kind",
+            F.col("rnk").cast("bigint").alias("rank_pos"),
+            "cand_id",
+            "sim",
+        )
+    )

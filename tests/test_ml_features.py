@@ -2232,3 +2232,102 @@ def test_label_propagation_ground_truth(spark, sf_dir):
         want[l][0] += 1
         want[l][1] += w
     assert out == {l: (c, s) for l, (c, s) in want.items()}
+
+
+def test_bartlett_ground_truth(spark, sf_dir):
+    """Bartlett T recomputed from per-group sufficient statistics."""
+    import math
+    from collections import defaultdict
+
+    out = QUERIES["stat_bartlett_test"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    groups = defaultdict(list)
+    for r in o:
+        if r.o_orderpriority is not None and r.o_totalprice is not None:
+            groups[r.o_orderpriority].append(r.o_totalprice)
+    k = len(groups)
+    nn = sum(len(v) for v in groups.values())
+    ssw = sum_ln = sum_inv = 0.0
+    for v in groups.values():
+        n = len(v)
+        m = sum(v) / n
+        s2 = (sum(x * x for x in v) - n * m * m) / (n - 1)
+        ssw += (n - 1) * s2
+        sum_ln += (n - 1) * math.log(s2)
+        sum_inv += 1.0 / (n - 1)
+    sp2 = ssw / (nn - k)
+    t = ((nn - k) * math.log(sp2) - sum_ln) / (
+        1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1))
+    )
+    assert row.n_orders == nn and row.n_groups == k
+    assert abs(row.pooled_var - sp2) < max(1.0, sp2 * 1e-6)
+    assert abs(row.t_stat - t) < 1e-3
+    assert row.is_significant == int(t > 9.487729)
+
+
+def test_dedup_survivorship_ground_truth(spark, sf_dir):
+    """Keeper policy and cross-source loss accounting replayed in Python."""
+    import hashlib as hl
+    from collections import defaultdict
+
+    rows = {r.source: r for r in QUERIES["dedup_survivorship_report"](spark, sf_dir).collect()}
+    docs = [
+        d
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if d.text is not None and d.source is not None
+    ]
+    keeper = {}
+    for d in docs:
+        h = hl.sha256(d.text.encode()).hexdigest()
+        if h not in keeper or d.doc_id < keeper[h][0]:
+            keeper[h] = (d.doc_id, d.source)
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for d in docs:
+        h = hl.sha256(d.text.encode()).hexdigest()
+        kid, ksrc = keeper[h]
+        w = want[d.source]
+        w[0] += 1
+        if d.doc_id == kid:
+            w[1] += 1
+        else:
+            w[2] += 1
+            if ksrc != d.source:
+                w[3] += 1
+    assert set(rows) == set(want)
+    for s, (nd, ns, nr, nl) in want.items():
+        r = rows[s]
+        assert (r.n_docs, r.n_survivors, r.n_removed, r.n_lost_to_other_source) == (
+            nd, ns, nr, nl
+        )
+
+
+def test_contrastive_pairs_ground_truth(spark, sf_dir):
+    """Hard-negative/positive mining recomputed with NumPy cosines."""
+    import numpy as np
+
+    out = QUERIES["contrastive_pair_mining"](spark, sf_dir).collect()
+    emb = {
+        r.vec_id: (int(r.label), np.asarray(r.embedding, dtype=np.float64))
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        if r.embedding is not None and r.label is not None
+    }
+    want = {}
+    for q in [i for i in emb if i < 3]:
+        ql, qv = emb[q]
+        qn = np.linalg.norm(qv)
+        cands = {"pos": [], "neg": []}
+        for i, (l, v) in emb.items():
+            if i == q:
+                continue
+            sim = round(float(qv @ v / (qn * np.linalg.norm(v))), 6)
+            cands["pos" if l == ql else "neg"].append((-sim, i))
+        for kind, lst in cands.items():
+            for rk, (nsim, i) in enumerate(sorted(lst)[:2], 1):
+                want[(q, kind, rk)] = (i, -nsim, ql)
+    assert len(out) == len(want)
+    for r in out:
+        wi, ws, wl = want[(r.anchor_id, r.kind, r.rank_pos)]
+        assert r.cand_id == wi and r.anchor_label == wl
+        assert abs(r.sim - ws) < 2e-6
