@@ -1791,3 +1791,239 @@ def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+_ATTR_ITERS = 12
+
+
+def _attr_oracle() -> str:
+    """Unrolled 12-step absorption iteration for the full chain and every
+    removal chain JOINTLY (chain is a key column, so one CTE chain serves
+    all 5 chains).  Same DECIMAL(38,12)-quantized mass sums as
+    `_markov_oracle`, so every iterate is bit-identical cross-engine."""
+    steps = []
+    prev = "at0"
+    for i in range(1, _ATTR_ITERS + 1):
+        steps.append(
+            f"""
+    at{i} AS (
+        SELECT p.chain, p.dst AS s,
+               CAST(SUM(CAST({prev}.pi * p.pv AS DECIMAL(38,12))) AS DOUBLE) AS pi
+        FROM {prev} JOIN pra p ON p.chain = {prev}.chain AND p.src = {prev}.s
+        GROUP BY p.chain, p.dst
+    )"""
+        )
+        prev = f"at{i}"
+    return (
+        """
+    WITH chseq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS nxt,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+        WHERE event_type IS NOT NULL AND event_type != 'purchase'
+          AND user_id IS NOT NULL
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    bi AS (
+        SELECT event_type AS src, nxt AS dst FROM chseq WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT 'START', event_type FROM chseq WHERE rn = 1
+        UNION ALL
+        SELECT c.event_type,
+               CASE WHEN v.user_id IS NULL THEN 'NULL' ELSE 'CONV' END
+        FROM chseq c LEFT JOIN conv v ON v.user_id = c.user_id
+        WHERE c.rn = c.n
+    ),
+    cnts AS (SELECT src, dst, COUNT(*) AS cnt FROM bi GROUP BY src, dst),
+    tot AS (SELECT src, SUM(cnt) AS n FROM cnts GROUP BY src),
+    pr0 AS (
+        SELECT c.src, c.dst, CAST(c.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS pv
+        FROM cnts c JOIN tot t ON t.src = c.src
+    ),
+    chans AS (SELECT DISTINCT src AS ch FROM pr0 WHERE src != 'START'),
+    prs AS (
+        SELECT 'full' AS chain, src, dst, SUM(pv) AS pv
+        FROM pr0 GROUP BY src, dst
+        UNION ALL
+        SELECT 'rm:' || c.ch AS chain, p.src,
+               CASE WHEN p.dst = c.ch THEN 'NULL' ELSE p.dst END AS dst,
+               SUM(p.pv) AS pv
+        FROM pr0 p JOIN chans c ON p.src != c.ch
+        GROUP BY 1, 2, 3
+    ),
+    pra AS (
+        SELECT chain, src, dst, pv FROM prs
+        UNION ALL
+        SELECT DISTINCT chain, v.s, v.s, 1.0
+        FROM prs, (VALUES ('CONV'), ('NULL')) v(s)
+    ),
+    at0 AS (SELECT DISTINCT chain, 'START' AS s, 1.0 AS pi FROM prs),"""
+        + ",".join(steps)
+        + f"""
+    ,
+    fin AS (
+        SELECT chain, pi FROM at{_ATTR_ITERS} WHERE s = 'CONV'
+    ),
+    eff AS (
+        SELECT substr(f.chain, 4) AS channel,
+               fl.p_full AS p_full, f.pi AS p_rm,
+               ROUND(1.0 - f.pi / fl.p_full, 9) AS eff9
+        FROM fin f, (SELECT pi AS p_full FROM fin WHERE chain = 'full') fl
+        WHERE f.chain != 'full'
+    )
+    SELECT channel,
+           ROUND(p_full, 6) AS p_conv_full,
+           ROUND(p_rm, 6) AS p_conv_removed,
+           ROUND(eff9, 6) AS removal_effect,
+           ROUND(eff9 / SUM(eff9) OVER (), 6) AS attribution_share
+    FROM eff
+    """
+    )
+
+
+@register("events_markov_attribution", oracle=_attr_oracle())
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution: user journeys are
+    the per-user channel sequences (all non-purchase event types, ordered
+    by ts with event_id tie-break), START-prefixed and terminated in CONV
+    (the user ever purchased) or NULL; first-order transition probabilities
+    feed an absorbing chain, and each channel's credit is its REMOVAL
+    EFFECT — 1 − P(conv | channel's inbound edges redirected to NULL) /
+    P(conv) — normalized into attribution shares (Anderl et al. 2014; the
+    standard upgrade from the heuristic `events_attribution_credit`
+    last/first/linear rules to credits the journey data itself implies).
+
+    Absorption probabilities use a fixed 12-step iteration (mass starts at
+    START, CONV/NULL are self-loop absorbing), all five chains — full +
+    one per removed channel — advancing JOINTLY as one (chain, state)
+    keyed frame.  Each step's mass sums are DECIMAL(38,12)-quantized (the
+    `events_markov_stationary` trick), so every iterate, both conversion
+    probabilities, and the final shares are bit-identical cross-engine.
+
+    Scale posture: the heavy work — journey bigram counting — is one
+    window pass + one aggregate over events; everything after lives on
+    K²-bounded transition rows (K = event-type vocabulary ≈ 5).  The
+    12 per-step collects move ≤ (K+3)×5 rows each — constant driver
+    state, same discipline as the stationary query's 8 collects."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ch = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    seq = ch.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("is_conv", F.lit(1))
+    )
+    bi = (
+        seq.filter(F.col("nxt").isNotNull())
+        .select(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .unionByName(
+            seq.filter(F.col("rn") == 1).select(
+                F.lit("START").alias("src"), F.col("event_type").alias("dst")
+            )
+        )
+        .unionByName(
+            seq.filter(F.col("rn") == F.col("n"))
+            .join(conv, "user_id", "left")
+            .select(
+                F.col("event_type").alias("src"),
+                F.when(F.col("is_conv").isNull(), F.lit("NULL"))
+                .otherwise(F.lit("CONV"))
+                .alias("dst"),
+            )
+        )
+    )
+    cnts = bi.groupBy("src", "dst").agg(F.count("*").alias("cnt"))
+    tot = cnts.groupBy("src").agg(F.sum("cnt").alias("n"))
+    pr0 = (
+        cnts.join(tot, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("pv"),
+        )
+        .persist()
+    )
+    channels = sorted(
+        r.src for r in pr0.select("src").distinct().collect() if r.src != "START"
+    )  # K-bounded event-type vocabulary (~4), documented constant driver state
+    chains = ["full"] + [f"rm:{c}" for c in channels]
+    prs = pr0.select(F.lit("full").alias("chain"), "src", "dst", "pv")
+    for c in channels:
+        prs = prs.unionByName(
+            pr0.filter(F.col("src") != c)
+            .select(
+                F.lit(f"rm:{c}").alias("chain"),
+                "src",
+                F.when(F.col("dst") == c, F.lit("NULL"))
+                .otherwise(F.col("dst"))
+                .alias("dst"),
+                "pv",
+            )
+            .groupBy("chain", "src", "dst")
+            .agg(F.sum("pv").alias("pv"))
+        )
+    loops = spark.createDataFrame(
+        [(cn, s, s, 1.0) for cn in chains for s in ("CONV", "NULL")],
+        "chain string, src string, dst string, pv double",
+    )
+    pra = prs.unionByName(loops).persist()
+    pi = {(cn, "START"): 1.0 for cn in chains}
+    for _ in range(_ATTR_ITERS):
+        pi_df = spark.createDataFrame(
+            [(cn, s, p) for (cn, s), p in pi.items()],
+            "chain string, s string, pi double",
+        )
+        rows = (
+            pra.join(
+                F.broadcast(pi_df),
+                (pra.chain == pi_df.chain) & (pra.src == pi_df.s),
+            )
+            .groupBy(pra.chain, "dst")
+            .agg(
+                F.sum((F.col("pi") * F.col("pv")).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("pi_new")
+            )
+            .collect()
+        )
+        pi = {(r.chain, r.dst): r.pi_new for r in rows}
+    p_full = pi.get(("full", "CONV"), 0.0)
+    out = spark.createDataFrame(
+        [(c, p_full, pi.get((f"rm:{c}", "CONV"), 0.0)) for c in channels],
+        "channel string, p_full double, p_rm double",
+    )
+    from pyspark.sql import Window as W2
+
+    eff = out.select(
+        "channel",
+        "p_full",
+        "p_rm",
+        F.expr("ROUND(1.0 - p_rm / p_full, 9)").alias("eff9"),
+    )
+    return eff.select(
+        "channel",
+        F.round("p_full", 6).alias("p_conv_full"),
+        F.round("p_rm", 6).alias("p_conv_removed"),
+        F.round("eff9", 6).alias("removal_effect"),
+        F.round(
+            F.col("eff9") / F.sum("eff9").over(W2.partitionBy()), 6
+        ).alias("attribution_share"),
+    )

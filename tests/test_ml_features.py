@@ -2331,3 +2331,66 @@ def test_contrastive_pairs_ground_truth(spark, sf_dir):
         wi, ws, wl = want[(r.anchor_id, r.kind, r.rank_pos)]
         assert r.cand_id == wi and r.anchor_label == wl
         assert abs(r.sim - ws) < 2e-6
+
+
+def test_markov_attribution_ground_truth(spark, sf_dir):
+    """Journeys, transition matrix, 12-step absorption for the full and
+    every removal chain replayed in plain Python; removal effects and
+    shares must match within float-replay tolerance."""
+    from collections import Counter, defaultdict
+
+    out = {r.channel: r for r in QUERIES["events_markov_attribution"](spark, sf_dir).collect()}
+    ev = [
+        r
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        if r.event_type is not None and r.user_id is not None
+    ]
+    by_user = defaultdict(list)
+    purchasers = set()
+    for r in ev:
+        if r.event_type == "purchase":
+            purchasers.add(r.user_id)
+        else:
+            by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    bi = Counter()
+    for u, lst in by_user.items():
+        lst.sort()
+        types = [t for _, _, t in lst]
+        bi[("START", types[0])] += 1
+        for a, b in zip(types, types[1:]):
+            bi[(a, b)] += 1
+        bi[(types[-1], "CONV" if u in purchasers else "NULL")] += 1
+    tot = Counter()
+    for (s, _), c in bi.items():
+        tot[s] += c
+    pr = {(s, d): c / tot[s] for (s, d), c in bi.items()}
+    channels = sorted({s for s, _ in pr if s != "START"})
+
+    def pconv(removed=None):
+        trans = defaultdict(dict)
+        for (s, d), p in pr.items():
+            if removed is not None and s == removed:
+                continue
+            d2 = "NULL" if d == removed else d
+            trans[s][d2] = trans[s].get(d2, 0.0) + p
+        for a in ("CONV", "NULL"):
+            trans[a] = {a: 1.0}
+        pi = {"START": 1.0}
+        for _ in range(12):
+            nxt = defaultdict(float)
+            for s, mass in pi.items():
+                for d, p in trans.get(s, {}).items():
+                    nxt[d] += mass * p
+            pi = dict(nxt)
+        return pi.get("CONV", 0.0)
+
+    full = pconv()
+    effs = {c: round(1.0 - pconv(c) / full, 9) for c in channels}
+    se = sum(effs.values())
+    assert set(out) == set(channels)
+    for c in channels:
+        r = out[c]
+        assert abs(r.p_conv_full - round(full, 6)) < 1e-5
+        assert abs(r.p_conv_removed - round(pconv(c), 6)) < 1e-5
+        assert abs(r.removal_effect - round(effs[c], 6)) < 1e-5
+        assert abs(r.attribution_share - round(effs[c] / se, 6)) < 1e-5
