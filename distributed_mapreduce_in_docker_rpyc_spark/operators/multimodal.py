@@ -624,3 +624,76 @@ def gradient_energies(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(per_batch, schema=GRAD_SCHEMA)
+
+
+CONST_SCHEMA = "doc_id long, n_frames long, n_peaks long, n_pairs long, fp_checksum long"
+CONST_MAX_DELTA = 8  # max frame distance between paired peaks
+CONST_FANOUT = 2  # each anchor pairs with the next 1..2 peaks
+CONST_MOD = 251  # energy quantizer for the packed pair hash
+
+
+def constellation_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "wav"
+) -> DataFrame:
+    """Shazam-style constellation fingerprint (Wang 2003) over the decoded
+    8-bit PCM stream: frame energies (256-sample frames, exact integers),
+    PEAKS = frames strictly louder than both neighbors (missing neighbor
+    counts as -1, so boundary frames can peak), and PAIR HASHES — each
+    anchor peak paired with its next 1..2 peaks within 8 frames, packed as
+    ((e1 % 251)·251 + e2 % 251)·64 + Δframe.  The per-document report
+    (frame/peak/pair counts + the exact integer checksum of all pair
+    hashes) is what a fingerprint index ingests per track.
+
+    All-integer arithmetic end-to-end, so the report hash-checks against a
+    SQL replay from the raw bytes.  Bytes never leave the Arrow batch —
+    one output row per document, shuffle-free."""
+    import numpy as np
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in ("doc_id", "n_frames", "n_peaks", "n_pairs", "fp_checksum")}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                wav_decode(data)
+                import struct
+
+                pos, samples = 12, b""
+                while pos + 8 <= len(data):
+                    cid, csize = struct.unpack_from("<4sI", data, pos)
+                    if cid == b"data":
+                        samples = data[pos + 8 : pos + 8 + csize]
+                    pos += 8 + csize + (csize % 2)
+                arr = np.frombuffer(samples, dtype=np.uint8).astype(np.int64) - 128
+                sq = arr * arr
+                n_frames = max(
+                    (len(arr) + ENERGY_FRAME_SAMPLES - 1) // ENERGY_FRAME_SAMPLES, 1
+                )
+                frames = [
+                    int(sq[i * ENERGY_FRAME_SAMPLES : (i + 1) * ENERGY_FRAME_SAMPLES].sum())
+                    for i in range(n_frames)
+                ]
+                peaks = [
+                    (i, e)
+                    for i, e in enumerate(frames)
+                    if e > (frames[i - 1] if i > 0 else -1)
+                    and e > (frames[i + 1] if i + 1 < n_frames else -1)
+                ]
+                n_pairs = checksum = 0
+                for a in range(len(peaks)):
+                    for b in range(a + 1, min(a + 1 + CONST_FANOUT, len(peaks))):
+                        (i1, e1), (i2, e2) = peaks[a], peaks[b]
+                        if i2 - i1 <= CONST_MAX_DELTA:
+                            n_pairs += 1
+                            checksum += (
+                                (e1 % CONST_MOD) * CONST_MOD + (e2 % CONST_MOD)
+                            ) * 64 + (i2 - i1)
+                out["doc_id"].append(int(did))
+                out["n_frames"].append(n_frames)
+                out["n_peaks"].append(len(peaks))
+                out["n_pairs"].append(n_pairs)
+                out["fp_checksum"].append(checksum)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(per_batch, schema=CONST_SCHEMA)

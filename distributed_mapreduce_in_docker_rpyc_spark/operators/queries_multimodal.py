@@ -563,3 +563,76 @@ def multimodal_bmp_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     image, shuffle-free (the oracle's per-byte unnest is its own cost)."""
     docs = load_table(spark, sf_dir, "documents")
     return mm.gradient_energies(mm.attach_bmp_payload(docs))
+
+
+@register(
+    "multimodal_audio_constellation",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0 THEN '00'
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents
+    ),
+    samples AS (
+        SELECT r.doc_id, g.j // 256 AS frame_idx,
+               (strpos('0123456789ABCDEF', substr(r.hx, 2 * g.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(r.hx, 2 * g.j + 2, 1)) - 1) - 128 AS v
+        FROM raw r, unnest(generate_series(0, length(r.hx) // 2 - 1)) AS g(j)
+    ),
+    frames AS (
+        SELECT doc_id, frame_idx, SUM(v * v) AS energy
+        FROM samples GROUP BY doc_id, frame_idx
+    ),
+    nb AS (
+        SELECT doc_id, frame_idx, energy,
+               COALESCE(LAG(energy) OVER w, -1) AS ep,
+               COALESCE(LEAD(energy) OVER w, -1) AS en
+        FROM frames
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    peaks AS (
+        SELECT doc_id, frame_idx, energy,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS rk
+        FROM nb WHERE energy > ep AND energy > en
+    ),
+    prs AS (
+        SELECT a.doc_id,
+               ((a.energy % 251) * 251 + (b.energy % 251)) * 64
+                 + (b.frame_idx - a.frame_idx) AS h
+        FROM peaks a JOIN peaks b
+          ON b.doc_id = a.doc_id AND b.rk - a.rk IN (1, 2)
+         AND b.frame_idx - a.frame_idx <= 8
+    ),
+    fr AS (SELECT doc_id, COUNT(*) AS n_frames FROM frames GROUP BY doc_id),
+    pk AS (SELECT doc_id, COUNT(*) AS n_peaks FROM peaks GROUP BY doc_id),
+    pp AS (
+        SELECT doc_id, COUNT(*) AS n_pairs, SUM(h) AS fp FROM prs GROUP BY doc_id
+    )
+    SELECT fr.doc_id,
+           CAST(fr.n_frames AS BIGINT) AS n_frames,
+           CAST(COALESCE(pk.n_peaks, 0) AS BIGINT) AS n_peaks,
+           CAST(COALESCE(pp.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(pp.fp, 0) AS BIGINT) AS fp_checksum
+    FROM fr
+    LEFT JOIN pk ON pk.doc_id = fr.doc_id
+    LEFT JOIN pp ON pp.doc_id = fr.doc_id
+    """,
+)
+def multimodal_audio_constellation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprinting constellation (the Shazam peak-pair scheme,
+    Wang 2003) over every document's WAV payload: local-maximum energy
+    frames become constellation peaks, each anchor pairs with its next
+    1..2 peaks within 8 frames, and the packed (quantized-energy,
+    quantized-energy, Δframe) hashes are the landmarks a fingerprint
+    index stores.  Per document: frame/peak/pair counts and the exact
+    integer checksum over all landmark hashes — the track-level summary a
+    dedup-by-audio or content-ID pipeline ingests.
+
+    All-integer end to end (energies are exact squared-deviation sums;
+    the hash is modular arithmetic), so the whole fingerprint hash-checks
+    against the oracle's per-byte SQL replay.  Scale posture: identical to
+    `multimodal_wav_energy` — the PCM stream never becomes rows; each
+    Arrow batch emits one row per document, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.constellation_fingerprints(mm.attach_wav_payload(docs))

@@ -73,3 +73,42 @@ def test_multimodal_query_survives_tricky_text(spark, tricky_sf_dir, name):
     registry.load_all()
     df = registry.QUERIES[name](spark, tricky_sf_dir)
     compare(df, registry.ORACLES[name], tricky_sf_dir)
+
+
+def test_audio_constellation_ground_truth(spark, sf_dir):
+    """Peaks and landmark hashes replayed in plain Python from the raw
+    text bytes (the synthesized PCM source)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["multimodal_audio_constellation"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for d in docs:
+        data = (d.text or "").encode("utf-8") or b"\x00"
+        arr = [b - 128 for b in data]
+        n_frames = max((len(arr) + 255) // 256, 1)
+        frames = [
+            sum(x * x for x in arr[i * 256 : (i + 1) * 256]) for i in range(n_frames)
+        ]
+        peaks = [
+            (i, e)
+            for i, e in enumerate(frames)
+            if e > (frames[i - 1] if i > 0 else -1)
+            and e > (frames[i + 1] if i + 1 < n_frames else -1)
+        ]
+        n_pairs = fp = 0
+        for a in range(len(peaks)):
+            for b in range(a + 1, min(a + 3, len(peaks))):
+                (i1, e1), (i2, e2) = peaks[a], peaks[b]
+                if i2 - i1 <= 8:
+                    n_pairs += 1
+                    fp += ((e1 % 251) * 251 + (e2 % 251)) * 64 + (i2 - i1)
+        r = rows[d.doc_id]
+        assert r.n_frames == n_frames
+        assert r.n_peaks == len(peaks)
+        assert r.n_pairs == n_pairs
+        assert r.fp_checksum == fp
+    assert set(rows) == {d.doc_id for d in docs}
