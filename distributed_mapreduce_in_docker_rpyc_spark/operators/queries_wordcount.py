@@ -894,3 +894,70 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame([tuple(row[f.name] for f in schema)], schema)
     shutil.rmtree(out, ignore_errors=True)
     return res
+
+
+@register(
+    "jsonl_gzip_roundtrip",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_files,
+           CAST(0 AS BIGINT) AS dev_n_good,
+           CAST(0 AS BIGINT) AS dev_sum_doc_id,
+           CAST(0 AS BIGINT) AS dev_text_bytes,
+           CAST(0 AS BIGINT) AS dev_n_null_text
+    """,
+)
+def jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-compressed JSONL round-trip — the form LLM corpora actually
+    take in object storage (.json.gz shards).  The first 200 documents are
+    written through Spark's distributed JSON writer with
+    ``compression=gzip`` into 4 shards, read back with a pinned schema
+    (the codec is detected from the extension — no config on the read
+    path, exactly how a consumer sees the data), and the proof emits the
+    same self-canceling DEVIATION columns as `jsonl_roundtrip`: zeros
+    prove the compressed hop is lossless, the absolute n_files = 4 pins
+    the shard layout (repartition(4) → one gzip member per task).
+
+    Scale posture: gzip shards are NOT splittable — at 100 TB each shard
+    is one read task regardless of size, which is exactly why the writer
+    side must control shard count/size (this proof's repartition is that
+    control); write and read are shuffle-free beyond it."""
+
+    def build() -> DataFrame:
+        import os
+        import shutil
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text", "lang", "source")
+        )
+        out = _work_dir("jsonlgz")
+        docs.repartition(4).write.mode("overwrite").option(
+            "compression", "gzip"
+        ).json(out)
+        n_files = sum(
+            1 for f in os.listdir(out) if f.startswith("part-") and f.endswith(".gz")
+        )
+        back = _materialized(
+            spark.read.schema("doc_id long, text string, lang string, source string")
+            .json(out)
+            .withColumn("side", F.lit(1))
+        )
+        src = docs.withColumn("side", F.lit(-1))
+        side = F.col("side")
+        txt_bytes = F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+        res = _materialized(
+            back.unionByName(src).agg(
+                F.lit(n_files).cast("bigint").alias("n_files"),
+                F.sum(side).cast("bigint").alias("dev_n_good"),
+                F.sum(side * F.col("doc_id")).alias("dev_sum_doc_id"),
+                F.sum(side * txt_bytes).alias("dev_text_bytes"),
+                F.sum(F.when(F.col("text").isNull(), side).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("dev_n_null_text"),
+            )
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        return res
+
+    return _shared(spark, ("jsonl_gzip_proof", sf_dir), build)

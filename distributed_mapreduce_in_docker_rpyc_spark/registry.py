@@ -123,6 +123,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "contrastive_pair_mining",
     "events_markov_attribution",
     "multimodal_audio_constellation",
+    "jsonl_gzip_roundtrip",
     # (4) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6-checked rows (freshest, last in line)

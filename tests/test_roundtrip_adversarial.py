@@ -176,3 +176,14 @@ def test_source_agreement_queries_match_duckdb_on_adversarial_content(spark, adv
         res = con.execute(ORACLES[name])
         want = dict(zip([d[0] for d in res.description], res.fetchone()))
         assert got == want, (name, got, want)
+
+
+def test_jsonl_gzip_deviation_proof_is_zero_on_adversarial_content(spark, adv_dir):
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_wordcount import (
+        jsonl_gzip_roundtrip,
+    )
+
+    row = _one(jsonl_gzip_roundtrip(spark, adv_dir))
+    assert row["n_files"] == 4
+    devs = {k: v for k, v in row.items() if k.startswith("dev_")}
+    assert devs == {k: 0 for k in devs}, devs
