@@ -3498,3 +3498,94 @@ def stat_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_BT_T}, 6) AS t_stat",
         f"CAST({_BT_T} > 9.487729 AS INT) AS is_significant",
     )
+
+
+_ES_SP = (
+    "sqrt((((n1 - 1.0) * " + _WT_V1 + ") + ((n2 - 1.0) * " + _WT_V2 + "))"
+    " / (n1 + n2 - 2.0))"
+)
+_ES_D = f"(({_WT_M1} - {_WT_M2}) / NULLIF({_ES_SP}, 0.0))"
+_ES_J = "(1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))"
+_ES_GLASS = f"(({_WT_M1} - {_WT_M2}) / NULLIF(sqrt({_WT_V2}), 0.0))"
+
+
+@register(
+    "stat_effect_sizes_report",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS grp,
+               o_totalprice AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          AND o_totalprice IS NOT NULL
+    ),
+    per AS (
+        SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        FROM obs GROUP BY grp
+    ),
+    piv AS (
+        SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n1,
+               MAX(CASE WHEN grp = 0 THEN sx END) AS sx1,
+               MAX(CASE WHEN grp = 0 THEN sxx END) AS sxx1,
+               MAX(CASE WHEN grp = 1 THEN n END) AS n2,
+               MAX(CASE WHEN grp = 1 THEN sx END) AS sx2,
+               MAX(CASE WHEN grp = 1 THEN sxx END) AS sxx2
+        FROM per
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_building,
+           CAST(n2 AS BIGINT) AS n_machinery,
+           ROUND({_WT_M1} - {_WT_M2}, 6) AS mean_diff,
+           ROUND({_ES_SP}, 6) AS pooled_sd,
+           ROUND({_ES_D}, 6) AS cohens_d,
+           ROUND({_ES_J} * {_ES_D}, 6) AS hedges_g,
+           ROUND({_ES_GLASS}, 6) AS glass_delta
+    FROM piv
+    """,
+)
+def stat_effect_sizes_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the BUILDING-vs-MACHINERY order-value
+    comparison — the MAGNITUDE report that must accompany
+    `stat_welch_ttest`'s significance verdict (with these sample sizes
+    everything is 'significant'; d/g/Δ say whether anyone should care):
+    Cohen's d on the pooled SD, Hedges' g (the small-sample J correction),
+    and Glass's Δ (control-group SD — MACHINERY as control), all from the
+    same exact-DECIMAL sufficient statistics and shared expression strings
+    as the Welch pivot.  Scale cost: one scan, two groups, one row."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("o_totalprice").isNotNull()
+        )
+        .selectExpr(
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS grp",
+            "o_totalprice AS v",
+        )
+    )
+    per = obs.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("v").cast("decimal(24,6)")).cast("double").alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    piv = per.agg(
+        *[
+            F.max(F.when(F.col("grp") == g, F.col(col))).alias(f"{col}{g + 1}")
+            for g in (0, 1)
+            for col in ("n", "sx", "sxx")
+        ]
+    )
+    return piv.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_building",
+        "CAST(n2 AS BIGINT) AS n_machinery",
+        f"ROUND({_WT_M1} - {_WT_M2}, 6) AS mean_diff",
+        f"ROUND({_ES_SP}, 6) AS pooled_sd",
+        f"ROUND({_ES_D}, 6) AS cohens_d",
+        f"ROUND({_ES_J} * {_ES_D}, 6) AS hedges_g",
+        f"ROUND({_ES_GLASS}, 6) AS glass_delta",
+    )

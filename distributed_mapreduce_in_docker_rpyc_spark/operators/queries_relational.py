@@ -2863,3 +2863,170 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_parts"),
         F.sum("w").cast("bigint").alias("sum_parts"),
     )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    WITH diff AS (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM diff GROUP BY custkey
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — BAG-semantics difference (multiplicities subtract and
+    clamp at zero, per SQL:2003), the set-op the DISTINCT-semantics
+    `setop_except` cannot express: customers keep one surviving row per
+    open order NOT offset by a finalized order.  The result is reported as
+    (key, multiplicity) so the bag, not just its support, is hash-checked.
+
+    Spark compiles ``exceptAll`` to the standard sum-of-signed-counts
+    rewrite (+1/−1 tag, aggregate, generate surviving multiplicities) —
+    one uniform-key shuffle, no join; at 100 TB it costs exactly one
+    aggregation over the union."""
+    o = load_table(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    fin_k = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        open_k.exceptAll(fin_k)
+        .groupBy("custkey")
+        .agg(F.count("*").cast("bigint").alias("multiplicity"))
+    )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    WITH matched AS (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM matched GROUP BY custkey
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — BAG-semantics intersection (multiplicity = MIN of
+    the two sides' counts): how many of each customer's open orders are
+    matched one-for-one by finalized orders.  Completes the set-op family
+    (`setop_union`/`intersect`/`except` are DISTINCT-semantics) with both
+    SQL:2003 bag forms; (key, multiplicity) output hash-checks the bag.
+
+    Same single-aggregation shape as `setop_except_all` — one shuffle on
+    the uniform key, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    fin_k = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        open_k.intersectAll(fin_k)
+        .groupBy("custkey")
+        .agg(F.count("*").cast("bigint").alias("multiplicity"))
+    )
+
+
+@register(
+    "mv_incremental_join_delta",
+    oracle="""
+    SELECT CAST(o.o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6))) AS DOUBLE)
+               AS revenue,
+           CAST(0 AS BIGINT) AS dev_n_rows,
+           CAST(0.0 AS DOUBLE) AS dev_revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY CAST(o.o_orderdate AS DATE)
+    """,
+)
+def mv_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view by the delta rule
+    Δ(A ⨝ B) = ΔA ⨝ B ∪ A_old ⨝ ΔB  (with A = A_old ∪ ΔA, B = B_old ∪ ΔB;
+    the ΔA ⨝ ΔB term lands inside ΔA ⨝ B since B is the NEW generation) —
+    the algebra every streaming/materialized-view engine applies so a new
+    partition never forces re-joining history.  Here the last loaded month
+    is the delta on BOTH inputs (orders and lineitem); the view is daily
+    join revenue.  The output carries the incrementally-maintained values
+    AND their deviations from a direct full recompute done in the same
+    session — the oracle pins the full recompute and deviation zeros, so
+    the hash certifies the delta algebra itself.
+
+    Scale posture: the delta terms join month-sized inputs against the
+    base on the uniform order key; the merge is a partial-aggregate union
+    (sum/count partials combine associatively).  At 100 TB the base side
+    is NEVER rescanned for ΔA ⨝ B beyond the join probe — exactly the
+    point of the rewrite."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("day")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    cut = o.agg(F.max(F.trunc("day", "month")).alias("m")).collect()[0].m
+    o_old, o_new = o.filter(F.col("day") < F.lit(cut)), o.filter(
+        F.col("day") >= F.lit(cut)
+    )
+    li_keys = li.join(o.select("o_orderkey", "day"), li.l_orderkey == o.o_orderkey)
+    li_old = li_keys.filter(F.col("day") < F.lit(cut)).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    li_new = li_keys.filter(F.col("day") >= F.lit(cut)).select(
+        "l_orderkey", "l_extendedprice"
+    )
+
+    def rollup(orders_df: DataFrame, items_df: DataFrame) -> DataFrame:
+        return (
+            orders_df.join(items_df, orders_df.o_orderkey == items_df.l_orderkey)
+            .groupBy("day")
+            .agg(
+                F.count("*").alias("pn"),
+                F.sum(F.col("l_extendedprice").cast("decimal(24,6)")).alias("ps"),
+            )
+        )
+
+    # base view + the two delta terms; partials merge by day
+    base = rollup(o_old, li_old)
+    d1 = rollup(o_new, li_old.unionByName(li_new))  # ΔA ⨝ B (B = new generation)
+    d2 = rollup(o_old, li_new)  # A_old ⨝ ΔB
+    inc = (
+        base.unionByName(d1)
+        .unionByName(d2)
+        .groupBy("day")
+        .agg(F.sum("pn").alias("n_inc"), F.sum("ps").alias("s_inc"))
+    )
+    full = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_full"),
+            F.sum(F.col("l_extendedprice").cast("decimal(24,6)")).alias("s_full"),
+        )
+    )
+    return (
+        inc.join(full, "day", "full")
+        .select(
+            "day",
+            F.coalesce("n_inc", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.col("s_inc").cast("double"), F.lit(0.0)).alias("revenue"),
+            (F.coalesce("n_inc", F.lit(0)) - F.coalesce("n_full", F.lit(0)))
+            .cast("bigint")
+            .alias("dev_n_rows"),
+            (
+                F.coalesce(F.col("s_inc"), F.lit(0).cast("decimal(24,6)"))
+                - F.coalesce(F.col("s_full"), F.lit(0).cast("decimal(24,6)"))
+            )
+            .cast("double")
+            .alias("dev_revenue"),
+        )
+    )

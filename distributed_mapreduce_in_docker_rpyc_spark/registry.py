@@ -124,6 +124,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_markov_attribution",
     "multimodal_audio_constellation",
     "jsonl_gzip_roundtrip",
+    "setop_except_all",
+    "setop_intersect_all",
+    "mv_incremental_join_delta",
+    "stat_effect_sizes_report",
     # (4) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6-checked rows (freshest, last in line)

@@ -158,3 +158,96 @@ def test_salted_join_left_anti_parity_and_outer_rejected(spark, sf_dir):
     for how in ("right", "full", "full_outer"):
         with pytest.raises(ValueError, match="preserving"):
             salted_join(cust, o, on="k", how=how)
+
+
+def test_bag_setops_ground_truth(spark, sf_dir):
+    """EXCEPT ALL / INTERSECT ALL multiplicities recomputed with Counters."""
+    from collections import Counter
+
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    open_c = Counter(r.o_custkey for r in o if r.o_orderstatus == "O")
+    fin_c = Counter(r.o_custkey for r in o if r.o_orderstatus == "F")
+    want_exc = {k: v - fin_c.get(k, 0) for k, v in open_c.items() if v > fin_c.get(k, 0)}
+    want_int = {
+        k: min(v, fin_c[k]) for k, v in open_c.items() if k in fin_c and min(v, fin_c[k]) > 0
+    }
+    got_exc = {
+        r.custkey: r.multiplicity
+        for r in QUERIES["setop_except_all"](spark, sf_dir).collect()
+    }
+    got_int = {
+        r.custkey: r.multiplicity
+        for r in QUERIES["setop_intersect_all"](spark, sf_dir).collect()
+    }
+    assert got_exc == want_exc
+    assert got_int == want_int
+
+
+def test_mv_join_delta_matches_full_recompute(spark, sf_dir):
+    """The incrementally-maintained join view must carry zero deviations
+    and its values must equal a plain Python full recompute."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["mv_incremental_join_delta"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dev_n_rows == 0 and r.dev_revenue == 0.0
+    o = {
+        r.o_orderkey: r.o_orderdate
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    want = defaultdict(lambda: [0, Decimal(0)])
+    for r in li:
+        day = o.get(r.l_orderkey)
+        if day is not None:
+            d = day.date() if hasattr(day, "date") else day
+            want[d][0] += 1
+            want[d][1] += Decimal(str(round(r.l_extendedprice, 6)))
+    got = {r.day: (r.n_rows, r.revenue) for r in rows}
+    assert set(got) == set(want)
+    for d, (n, s) in want.items():
+        assert got[d][0] == n
+        assert abs(got[d][1] - float(s)) < 1e-6
+
+
+def test_effect_sizes_ground_truth(spark, sf_dir):
+    """d / g / Glass recomputed from raw rows."""
+    import math
+
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["stat_effect_sizes_report"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    c = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    g0, g1 = [], []
+    for r in o:
+        seg = c.get(r.o_custkey)
+        if seg in ("BUILDING", "MACHINERY") and r.o_totalprice is not None:
+            (g0 if seg == "BUILDING" else g1).append(r.o_totalprice)
+    n1, n2 = len(g0), len(g1)
+    m1, m2 = sum(g0) / n1, sum(g1) / n2
+    v1 = (sum(x * x for x in g0) - n1 * m1 * m1) / (n1 - 1)
+    v2 = (sum(x * x for x in g1) - n2 * m2 * m2) / (n2 - 1)
+    sp = math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    d = (m1 - m2) / sp
+    j = 1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)
+    assert row.n_building == n1 and row.n_machinery == n2
+    assert abs(row.mean_diff - (m1 - m2)) < 1e-3
+    assert abs(row.pooled_sd - sp) < max(1e-3, sp * 1e-6)
+    assert abs(row.cohens_d - d) < 1e-5
+    assert abs(row.hedges_g - j * d) < 1e-5
+    assert abs(row.glass_delta - (m1 - m2) / math.sqrt(v2)) < 1e-5
