@@ -3326,7 +3326,10 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Q = 12/(k(k+1)) · ΣRsum²/n − 3n(k+1), with srq = ΣRsum²/n precomputed
-_FR_QSTAT = "((12.0 / (k * (k + 1.0))) * srq - 3.0 * n_blocks * (k + 1.0))"
+# (NULLIF keeps the empty-input reduce NULL instead of dividing by zero)
+_FR_QSTAT = (
+    "((12.0 / NULLIF(k * (k + 1.0), 0.0)) * srq - 3.0 * n_blocks * (k + 1.0))"
+)
 
 
 @register(

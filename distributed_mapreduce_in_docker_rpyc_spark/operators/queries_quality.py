@@ -1349,3 +1349,111 @@ def dp_noised_count_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_DP_NOISE}, 6) AS noise",
         f"ROUND(n_docs + {_DP_NOISE}, 6) AS noised_count",
     )
+
+
+# Shared Morton/Z-order expression: interleave the low 16 bits of the two
+# keys (partkey on odd bit positions, suppkey on even), identical syntax in
+# Spark SQL and DuckDB.
+_Z_EXPR = " + ".join(
+    f"(((l_partkey >> {b}) & 1) << {2 * b + 1}) + (((l_suppkey >> {b}) & 1) << {2 * b})"
+    for b in range(16)
+)
+_Z_BANDS = 64  # range-relative: band = floor(z * 64 / (zmax + 1))
+_Z_PRED = 127  # the hot-range predicate: l_partkey <= 127
+
+
+@register(
+    "storage_zorder_cluster",
+    oracle=f"""
+    WITH zv AS (
+        SELECT l_partkey, l_suppkey, ({_Z_EXPR}) AS z
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    zm AS (SELECT MAX(z) AS zmax FROM zv),
+    z AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(FLOOR(CAST(zv.z AS DOUBLE) * {_Z_BANDS}.0
+                          / (zm.zmax + 1.0)) AS BIGINT) AS band
+        FROM zv, zm
+    ),
+    per AS (
+        SELECT band, COUNT(*) AS n_rows,
+               MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
+               MIN(l_suppkey) AS min_suppkey, MAX(l_suppkey) AS max_suppkey
+        FROM z GROUP BY band
+    )
+    SELECT band, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(min_partkey AS BIGINT) AS min_partkey,
+           CAST(max_partkey AS BIGINT) AS max_partkey,
+           CAST(min_suppkey AS BIGINT) AS min_suppkey,
+           CAST(max_suppkey AS BIGINT) AS max_suppkey,
+           CAST(min_partkey > {_Z_PRED} AS INT) AS prunable,
+           ROUND(CAST(SUM(CASE WHEN min_partkey > {_Z_PRED} THEN n_rows ELSE 0 END)
+                      OVER () AS DOUBLE)
+                 / SUM(n_rows) OVER (), 6) AS frac_rows_skipped
+    FROM per
+    """,
+)
+def storage_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering report — the multi-dimensional layout
+    trick behind Delta/Iceberg OPTIMIZE ZORDER: interleaving the bits of
+    (l_partkey, l_suppkey) gives a 1-D sort key under which fixed-width
+    key ranges stay clustered in BOTH dimensions, so per-file min/max
+    stats can prune scans for predicates on either column.  Each 32-bit
+    z-value band (z >> 26, 64 bands) stands in for a data file; the report
+    carries the band's row count and both columns' min/max (exactly the
+    footer stats a format would persist) plus, for the hot-range predicate
+    l_partkey <= 127, the prunable flag and the fleet-wide fraction of
+    rows a min/max-pruning reader would skip — the number an OPTIMIZE
+    job's before/after report shows.
+
+    Determinism: pure integer bit arithmetic for z (the identical
+    expression string runs in both engines); the band split is
+    range-RELATIVE — floor(z·64/(zmax+1)) — so the report keeps 64 bands
+    at every scale factor instead of collapsing when the key domain is
+    narrower than a fixed bit shift; the skip fraction is a ratio of
+    exact integer sums.  Scale posture: banding is a MAP-SIDE expression
+    against a broadcast 1-row zmax (never a global sort — a real rewrite
+    would range-partition by z); windows run over the 64 band rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    zv = li.filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    ).selectExpr("l_partkey", "l_suppkey", f"({_Z_EXPR}) AS z")
+    zm = zv.agg(F.max("z").alias("zmax"))
+    z = zv.crossJoin(F.broadcast(zm)).selectExpr(
+        "l_partkey",
+        "l_suppkey",
+        f"CAST(FLOOR(CAST(z AS DOUBLE) * {_Z_BANDS}.0 / (zmax + 1.0)) AS BIGINT)"
+        " AS band",
+    )
+    per = z.groupBy("band").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("min_partkey"),
+        F.max("l_partkey").alias("max_partkey"),
+        F.min("l_suppkey").alias("min_suppkey"),
+        F.max("l_suppkey").alias("max_suppkey"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "band",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("min_partkey").cast("bigint").alias("min_partkey"),
+        F.col("max_partkey").cast("bigint").alias("max_partkey"),
+        F.col("min_suppkey").cast("bigint").alias("min_suppkey"),
+        F.col("max_suppkey").cast("bigint").alias("max_suppkey"),
+        (F.col("min_partkey") > _Z_PRED).cast("int").alias("prunable"),
+        F.round(
+            F.sum(
+                F.when(F.col("min_partkey") > _Z_PRED, F.col("n_rows")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .over(w)
+            .cast("double")
+            / F.sum("n_rows").over(w),
+            6,
+        ).alias("frac_rows_skipped"),
+    )

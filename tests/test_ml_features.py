@@ -2394,3 +2394,47 @@ def test_markov_attribution_ground_truth(spark, sf_dir):
         assert abs(r.p_conv_removed - round(pconv(c), 6)) < 1e-5
         assert abs(r.removal_effect - round(effs[c], 6)) < 1e-5
         assert abs(r.attribution_share - round(effs[c] / se, 6)) < 1e-5
+
+
+def test_zorder_cluster_ground_truth(spark, sf_dir):
+    """Morton interleave, banding, footer stats and the skip fraction
+    replayed in plain Python."""
+    from collections import defaultdict
+
+    rows = {r.band: r for r in QUERIES["storage_zorder_cluster"](spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+
+    def zval(p, s):
+        z = 0
+        for b in range(16):
+            z += (((p >> b) & 1) << (2 * b + 1)) + (((s >> b) & 1) << (2 * b))
+        return z
+
+    import math
+
+    zs = [
+        (zval(r.l_partkey, r.l_suppkey), r.l_partkey, r.l_suppkey)
+        for r in li
+        if r.l_partkey is not None and r.l_suppkey is not None
+    ]
+    zmax = max(z for z, _, _ in zs)
+    bands = defaultdict(list)
+    for z, p, s in zs:
+        bands[math.floor(z * 64.0 / (zmax + 1.0))].append((p, s))
+    total = sum(len(v) for v in bands.values())
+    skipped = sum(
+        len(v) for v in bands.values() if min(p for p, _ in v) > 127
+    )
+    assert set(rows) == set(bands)
+    for b, v in bands.items():
+        r = rows[b]
+        ps = [p for p, _ in v]
+        ss = [s for _, s in v]
+        assert r.n_rows == len(v)
+        assert (r.min_partkey, r.max_partkey) == (min(ps), max(ps))
+        assert (r.min_suppkey, r.max_suppkey) == (min(ss), max(ss))
+        assert r.prunable == int(min(ps) > 127)
+        assert abs(r.frac_rows_skipped - round(skipped / total, 6)) < 1e-9
+    # the whole point of z-order: SOME band must be prunable for the
+    # partkey hot-range even though the table is not sorted by partkey
+    assert any(r.prunable for r in rows.values())

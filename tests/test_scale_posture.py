@@ -433,6 +433,7 @@ BNLJ_ALLOWED = {
     "dq_contract_validation": "broadcast side = 1-row orphan count crossed into the 1-row checked-count frame",
     "sim_pq_adc_topk": "broadcast sides = 96-row ADC distance tables and the 32-row codebook (same training broadcast as emb_pq_codebook)",
     "contrastive_pair_mining": "broadcast side = 3 anchor vectors (same pattern as sim_topk_bruteforce)",
+    "storage_zorder_cluster": "broadcast side = 1-row global zmax (range-relative band split)",
 }
 
 
