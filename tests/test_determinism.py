@@ -67,6 +67,12 @@ RISK_SET = [
     "vocab_oov_rate",
     "asof_nearest_purchase",
     "graph_link_prediction",
+    # round-7 second-wave additions with rank/top-N/mode/argmax shapes
+    "sim_pq_adc_topk",
+    "contrastive_pair_mining",
+    "negative_sampling_plan",
+    "graph_label_propagation",
+    "preference_pair_builder",
 ]
 
 
