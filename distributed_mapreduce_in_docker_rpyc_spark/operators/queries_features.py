@@ -3592,3 +3592,190 @@ def stat_effect_sizes_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_ES_J} * {_ES_D}, 6) AS hedges_g",
         f"ROUND({_ES_GLASS}, 6) AS glass_delta",
     )
+
+
+# Unbiased pass@k (Chen et al. 2021, Codex): 1 − C(n−c,k)/C(n,k), with the
+# binomial ratio unrolled to k=5 double factors so the identical expression
+# runs in both engines; the n−c<k branch is the C(n−c,k)=0 case.
+_PK_K = 5
+_PK_FAIL = " * ".join(
+    f"((CAST(n - c AS DOUBLE) - {i}) / (CAST(n AS DOUBLE) - {i}))"
+    for i in range(_PK_K)
+)
+_PK_PASS = f"(CASE WHEN n - c < {_PK_K} THEN 1.0 ELSE 1.0 - ({_PK_FAIL}) END)"
+
+
+@register(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH per AS (
+        SELECT o_custkey,
+               COUNT(*) AS n,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= {_PK_K}
+    ),
+    scored AS (
+        SELECT CAST(CAST(c AS DOUBLE) / n AS DECIMAL(18,12)) AS p1,
+               CAST({_PK_PASS} AS DECIMAL(18,12)) AS pk
+        FROM per
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_problems,
+           ROUND(CAST(SUM(p1) AS DOUBLE) / COUNT(*), 6) AS avg_pass_at_1,
+           ROUND(CAST(SUM(pk) AS DOUBLE) / COUNT(*), 6) AS avg_pass_at_5
+    FROM scored
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al. 2021) — THE
+    code-generation eval metric: per problem with n samples and c
+    successes, pass@k = 1 − C(n−c,k)/C(n,k), averaged over problems.
+    Customers stand in for problems (orders = attempts, status 'F' =
+    success, k = 5; problems with fewer than k attempts are excluded, as
+    the estimator requires).  The binomial ratio is unrolled to five
+    shared-expression factors — no factorials, no overflow — and each
+    problem's estimate is DECIMAL(18,12)-quantized before the average, so
+    the mean is addition-order-free and bit-identical cross-engine.
+
+    Scale posture: one count aggregate on the uniform problem key, a
+    per-row closed form, one global reduce — the eval over a billion
+    sampled generations is exactly this shape."""
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.filter(F.col("o_custkey").isNotNull() & F.col("o_orderstatus").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")).alias(
+                "c"
+            ),
+        )
+        .filter(F.col("n") >= _PK_K)
+    )
+    scored = per.selectExpr(
+        "CAST(CAST(c AS DOUBLE) / n AS DECIMAL(18,12)) AS p1",
+        f"CAST({_PK_PASS} AS DECIMAL(18,12)) AS pk",
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_problems"),
+        F.round(F.sum("p1").cast("double") / F.count("*"), 6).alias("avg_pass_at_1"),
+        F.round(F.sum("pk").cast("double") / F.count("*"), 6).alias("avg_pass_at_5"),
+    )
+
+
+@register(
+    "forecast_mase_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS y
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    idx AS (
+        SELECT day, y,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               COUNT(*) OVER () AS nd
+        FROM daily
+    ),
+    marked AS (
+        SELECT day, y, rn, CASE WHEN rn * 5 <= nd * 4 THEN 1 ELSE 0 END AS is_train
+        FROM idx
+    ),
+    scale AS (
+        SELECT AVG(ABS(a.y - b.y)) AS s
+        FROM marked a JOIN marked b ON b.day = a.day - 7
+        WHERE a.is_train = 1 AND b.is_train = 1
+    ),
+    tr AS (SELECT AVG(y) AS mu FROM marked WHERE is_train = 1),
+    sn AS (
+        SELECT AVG(ABS(a.y - b.y)) AS mae, COUNT(*) AS n_test
+        FROM marked a JOIN marked b ON b.day = a.day - 7
+        WHERE a.is_train = 0
+    ),
+    gm AS (
+        SELECT AVG(ABS(a.y - tr.mu)) AS mae, COUNT(*) AS n_test
+        FROM marked a, tr WHERE a.is_train = 0
+    )
+    SELECT 'seasonal_naive_7d' AS method,
+           CAST(sn.n_test AS BIGINT) AS n_test,
+           ROUND(sn.mae, 6) AS mae,
+           ROUND(sn.mae / scale.s, 6) AS mase
+    FROM sn, scale
+    UNION ALL
+    SELECT 'train_mean', CAST(gm.n_test AS BIGINT), ROUND(gm.mae, 6),
+           ROUND(gm.mae / scale.s, 6)
+    FROM gm, scale
+    """,
+)
+def forecast_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE backtest (Hyndman & Koehler 2006) of two forecasters on daily
+    revenue: seasonal-naive (predict the value 7 days earlier) and the
+    train-mean baseline, scored on the last 20% of days against the
+    scale-free MASE denominator — the in-sample mean absolute 7-day
+    seasonal difference.  MASE < 1 beats the naive scale; it is THE
+    cross-series-comparable forecast error, completing the forecast shelf
+    next to `forecast_pinball_loss`'s quantile loss.
+
+    The 80/20 split is positional on the ordered day spine (rn·5 ≤ nd·4 —
+    integer arithmetic, no float threshold); forecasts join calendar
+    day−7, so test days without a 7-day-back observation are excluded
+    identically in both engines.  Daily sums ride DECIMAL; the three MAE
+    reduces are day-count-sized.  Scale posture: one scan to the daily
+    grain, then everything is O(days)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    idx = daily.select(
+        "day",
+        "y",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("nd"),
+    )
+    marked = idx.select(
+        "day", "y", (F.col("rn") * 5 <= F.col("nd") * 4).cast("int").alias("is_train")
+    ).persist()
+    lag7 = marked.selectExpr("day AS bday", "y AS by")
+    pairs = marked.join(lag7, F.expr("bday = day - INTERVAL '7' DAY"))
+    scale = (
+        pairs.filter("is_train = 1 AND by IS NOT NULL")
+        .agg(F.avg(F.abs(F.col("y") - F.col("by"))).alias("s"))
+    )
+    sn = pairs.filter("is_train = 0").agg(
+        F.avg(F.abs(F.col("y") - F.col("by"))).alias("mae"),
+        F.count("*").alias("n_test"),
+    )
+    tr = marked.filter("is_train = 1").agg(F.avg("y").alias("mu"))
+    gm = (
+        marked.filter("is_train = 0")
+        .crossJoin(F.broadcast(tr))
+        .agg(
+            F.avg(F.abs(F.col("y") - F.col("mu"))).alias("mae"),
+            F.count("*").alias("n_test"),
+        )
+    )
+    out_sn = sn.crossJoin(F.broadcast(scale)).select(
+        F.lit("seasonal_naive_7d").alias("method"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.round("mae", 6).alias("mae"),
+        F.round(F.col("mae") / F.col("s"), 6).alias("mase"),
+    )
+    out_gm = gm.crossJoin(F.broadcast(scale)).select(
+        F.lit("train_mean").alias("method"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.round("mae", 6).alias("mae"),
+        F.round(F.col("mae") / F.col("s"), 6).alias("mase"),
+    )
+    return out_sn.unionByName(out_gm)

@@ -129,6 +129,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mv_incremental_join_delta",
     "stat_effect_sizes_report",
     "storage_zorder_cluster",
+    "eval_pass_at_k",
+    "forecast_mase_backtest",
     # (4) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6-checked rows (freshest, last in line)

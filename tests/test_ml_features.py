@@ -2438,3 +2438,61 @@ def test_zorder_cluster_ground_truth(spark, sf_dir):
     # the whole point of z-order: SOME band must be prunable for the
     # partkey hot-range even though the table is not sorted by partkey
     assert any(r.prunable for r in rows.values())
+
+
+def test_pass_at_k_ground_truth(spark, sf_dir):
+    """Unbiased pass@k recomputed with exact integer combinatorics
+    (math.comb) — the unrolled-ratio form must agree."""
+    from collections import defaultdict
+    from math import comb
+
+    out = QUERIES["eval_pass_at_k"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in o:
+        if r.o_custkey is not None and r.o_orderstatus is not None:
+            per[r.o_custkey][0] += 1
+            per[r.o_custkey][1] += 1 if r.o_orderstatus == "F" else 0
+    probs1, probs5 = [], []
+    for n, c in per.values():
+        if n >= 5:
+            probs1.append(c / n)
+            probs5.append(1.0 - comb(n - c, 5) / comb(n, 5) if n - c >= 5 else 1.0)
+    assert row.n_problems == len(probs5)
+    assert abs(row.avg_pass_at_1 - sum(probs1) / len(probs1)) < 1e-6
+    assert abs(row.avg_pass_at_5 - sum(probs5) / len(probs5)) < 1e-6
+    assert 0.0 <= row.avg_pass_at_1 <= row.avg_pass_at_5 <= 1.0
+
+
+def test_mase_backtest_ground_truth(spark, sf_dir):
+    """The 80/20 split, both forecasters and the MASE scale replayed in
+    plain Python on the daily series."""
+    from collections import defaultdict
+    import datetime
+
+    rows = {r.method: r for r in QUERIES["forecast_mase_backtest"](spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    daily = defaultdict(float)
+    for r in o:
+        if r.o_orderdate is not None and r.o_totalprice is not None:
+            daily[r.o_orderdate.date()] += round(r.o_totalprice, 6)
+    days = sorted(daily)
+    nd = len(days)
+    train = {d for i, d in enumerate(days, 1) if i * 5 <= nd * 4}
+    test = [d for d in days if d not in train]
+    wk = datetime.timedelta(days=7)
+    scale_diffs = [
+        abs(daily[d] - daily[d - wk]) for d in train if d - wk in daily and d - wk in train
+    ]
+    s = sum(scale_diffs) / len(scale_diffs)
+    sn_err = [abs(daily[d] - daily[d - wk]) for d in test if d - wk in daily]
+    mu = sum(daily[d] for d in train) / len(train)
+    gm_err = [abs(daily[d] - mu) for d in test]
+    r1, r2 = rows["seasonal_naive_7d"], rows["train_mean"]
+    assert r1.n_test == len(sn_err) and r2.n_test == len(gm_err)
+    assert abs(r1.mae - sum(sn_err) / len(sn_err)) < 1e-3
+    assert abs(r2.mae - sum(gm_err) / len(gm_err)) < 1e-3
+    assert abs(r1.mase - (sum(sn_err) / len(sn_err)) / s) < 1e-5
+    assert abs(r2.mase - (sum(gm_err) / len(gm_err)) / s) < 1e-5

@@ -434,6 +434,7 @@ BNLJ_ALLOWED = {
     "sim_pq_adc_topk": "broadcast sides = 96-row ADC distance tables and the 32-row codebook (same training broadcast as emb_pq_codebook)",
     "contrastive_pair_mining": "broadcast side = 3 anchor vectors (same pattern as sim_topk_bruteforce)",
     "storage_zorder_cluster": "broadcast side = 1-row global zmax (range-relative band split)",
+    "forecast_mase_backtest": "broadcast sides = 1-row train mean and 1-row MASE scale crossed into day-count-sized reduces",
 }
 
 
