@@ -36,6 +36,11 @@ SHOWN = [
     "join_null_safe",
     "bucketed_join_colocated",
     "asof_nearest_purchase",
+    # round-7 second wave: the ADC scan (broadcast table lookups + two-stage
+    # rank), the bucketed interval join, and the map-side Morton banding
+    "sim_pq_adc_topk",
+    "negative_sampling_plan",
+    "storage_zorder_cluster",
 ]
 
 
