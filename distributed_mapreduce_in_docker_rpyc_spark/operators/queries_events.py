@@ -2027,3 +2027,97 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("eff9") / F.sum("eff9").over(W2.partitionBy()), 6
         ).alias("attribution_share"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH chseq AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+        WHERE event_type IS NOT NULL AND event_type != 'purchase'
+          AND user_id IS NOT NULL
+    ),
+    paths AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM chseq WHERE rn <= 8 GROUP BY user_id
+    ),
+    conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    per AS (
+        SELECT p.path, COUNT(*) AS n_users,
+               SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS n_converted
+        FROM paths p LEFT JOIN conv c ON c.user_id = p.user_id
+        GROUP BY p.path
+    ),
+    rk AS (
+        SELECT path, n_users, n_converted,
+               ROW_NUMBER() OVER (ORDER BY n_users DESC, path ASC) AS rnk
+        FROM per
+    )
+    SELECT CAST(rnk AS BIGINT) AS rank_pos, path,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_converted AS BIGINT) AS n_converted,
+           ROUND(CAST(n_converted AS DOUBLE) / n_users, 6) AS conv_rate
+    FROM rk WHERE rnk <= 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey paths with conversion rates: each user's first
+    8 channel events (ordered by ts, event_id tie-break) join into a
+    'view>click>…' path string, grouped with purchase-conversion counts —
+    the path-analysis table behind every Sankey/flow dashboard, and the
+    raw material `events_markov_attribution` abstracts into transitions.
+
+    Determinism: the path string aggregates in the explicit rn order on
+    both engines (array_sort on the (rn, type) struct Spark-side,
+    string_agg ORDER BY in the oracle); ranking ties break on the path
+    string.  Scale posture: one user-partition window pass, a user-keyed
+    aggregate, and a TakeOrdered top-20 (the rank window runs on the 20
+    survivors, never the full path inventory)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chseq = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 8)
+    )
+    paths = chseq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("is_conv", F.lit(1))
+    )
+    per = (
+        paths.join(conv, "user_id", "left")
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("is_conv", F.lit(0))).alias("n_converted"),
+        )
+    )
+    top = per.orderBy(F.desc("n_users"), F.asc("path")).limit(20)
+    w_rank = Window.orderBy(F.desc("n_users"), F.asc("path"))
+    return top.select(
+        F.row_number().over(w_rank).cast("bigint").alias("rank_pos"),
+        "path",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        F.round(F.col("n_converted").cast("double") / F.col("n_users"), 6).alias(
+            "conv_rate"
+        ),
+    )

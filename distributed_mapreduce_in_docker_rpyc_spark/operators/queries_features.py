@@ -3779,3 +3779,115 @@ def forecast_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mae") / F.col("s"), 6).alias("mase"),
     )
     return out_sn.unionByName(out_gm)
+
+
+# SPRT constants: H0 p=0.18 vs H1 p=0.22 urgent-order share, alpha=beta=0.05
+# explicit DOUBLE casts: a bare 0.22/0.18 is DECIMAL division in DuckDB
+# (scale-limited quotient), which would skew every LLR term
+_SPRT_W1 = "LN(CAST(0.22 AS DOUBLE) / CAST(0.18 AS DOUBLE))"
+_SPRT_W0 = "LN(CAST(0.78 AS DOUBLE) / CAST(0.82 AS DOUBLE))"
+_SPRT_A = "LN(19.0)"  # accept H1 at/above
+_SPRT_B = "LN(1.0 / 19.0)"  # accept H0 at/below
+
+
+@register(
+    "stat_sprt_sequential",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS u
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    cum AS (
+        SELECT day, n, u,
+               SUM(u * ({_SPRT_W1}) + (n - u) * ({_SPRT_W0}))
+                   OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS llr
+        FROM daily
+    ),
+    hit AS (
+        SELECT MIN(day) AS dday
+        FROM cum WHERE llr >= ({_SPRT_A}) OR llr <= ({_SPRT_B})
+    ),
+    fin AS (
+        SELECT (SELECT COUNT(*) FROM cum) AS n_days,
+               (SELECT llr FROM cum ORDER BY day DESC LIMIT 1) AS llr_final,
+               h.dday,
+               (SELECT llr FROM cum WHERE day = h.dday) AS llr_at
+        FROM hit h
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CASE WHEN dday IS NULL THEN 'continue'
+                WHEN llr_at >= ({_SPRT_A}) THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           dday AS decision_day,
+           ROUND(llr_at, 6) AS llr_at_decision,
+           ROUND(llr_final, 6) AS llr_final
+    FROM fin
+    """,
+)
+def stat_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test replayed over the order
+    calendar: is the urgent-order share 0.18 (H0) or 0.22 (H1)?  Each
+    day's counts add u·ln(p1/p0) + (n−u)·ln(q1/q0) to the running
+    log-likelihood ratio; the test stops the FIRST day the LLR crosses
+    ln 19 (accept H1) or −ln 19 (accept H0) at α = β = 0.05 — the
+    always-valid sequential monitoring every experiment dashboard needs
+    instead of fixed-horizon peeking.  Output: total days, the decision,
+    the decision day, and the LLR at decision and at end-of-data.
+
+    Determinism: daily terms are integer counts times two shared ln
+    constants; the cumulative window accumulates in day order on both
+    engines, so every prefix LLR is bit-identical.  Scale posture: one
+    scan to the daily grain; everything after is O(days) with one ordered
+    window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            F.col("o_orderdate").isNotNull() & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.expr("CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END")
+            ).alias("u"),
+        )
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "day",
+        F.sum(F.expr(f"u * ({_SPRT_W1}) + (n - u) * ({_SPRT_W0})"))
+        .over(w_cum)
+        .alias("llr"),
+    ).persist()
+    hit = cum.filter(
+        F.expr(f"llr >= ({_SPRT_A}) OR llr <= ({_SPRT_B})")
+    ).agg(F.min("day").alias("dday"))
+    n_days = cum.agg(F.count("*").alias("n_days"))
+    llr_final = cum.orderBy(F.desc("day")).limit(1).select(
+        F.col("llr").alias("llr_final")
+    )
+    at = (
+        hit.join(cum, F.col("day") == F.col("dday"), "left")
+        .select("dday", F.col("llr").alias("llr_at"))
+    )
+    return (
+        n_days.crossJoin(F.broadcast(llr_final))
+        .crossJoin(F.broadcast(at))
+        .selectExpr(
+            "CAST(n_days AS BIGINT) AS n_days",
+            f"CASE WHEN dday IS NULL THEN 'continue'"
+            f" WHEN llr_at >= ({_SPRT_A}) THEN 'accept_h1'"
+            f" ELSE 'accept_h0' END AS decision",
+            "dday AS decision_day",
+            "ROUND(llr_at, 6) AS llr_at_decision",
+            "ROUND(llr_final, 6) AS llr_final",
+        )
+    )

@@ -131,6 +131,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "storage_zorder_cluster",
     "eval_pass_at_k",
     "forecast_mase_backtest",
+    "events_top_paths",
+    "stat_sprt_sequential",
     # (4) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6-checked rows (freshest, last in line)

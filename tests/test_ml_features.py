@@ -2496,3 +2496,69 @@ def test_mase_backtest_ground_truth(spark, sf_dir):
     assert abs(r2.mae - sum(gm_err) / len(gm_err)) < 1e-3
     assert abs(r1.mase - (sum(sn_err) / len(sn_err)) / s) < 1e-5
     assert abs(r2.mase - (sum(gm_err) / len(gm_err)) / s) < 1e-5
+
+
+def test_top_paths_ground_truth(spark, sf_dir):
+    """Path strings, conversion counts and the top-20 ranking replayed in
+    plain Python."""
+    from collections import defaultdict
+
+    out = {r.rank_pos: r for r in QUERIES["events_top_paths"](spark, sf_dir).collect()}
+    ev = [
+        r
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        if r.event_type is not None and r.user_id is not None
+    ]
+    by_user = defaultdict(list)
+    purchasers = set()
+    for r in ev:
+        if r.event_type == "purchase":
+            purchasers.add(r.user_id)
+        else:
+            by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    per = defaultdict(lambda: [0, 0])
+    for u, lst in by_user.items():
+        lst.sort()
+        path = ">".join(t for _, _, t in lst[:8])
+        per[path][0] += 1
+        per[path][1] += 1 if u in purchasers else 0
+    ranked = sorted(per.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    assert len(out) == min(20, len(per))
+    for rk, (path, (n, c)) in enumerate(ranked, 1):
+        r = out[rk]
+        assert r.path == path and r.n_users == n and r.n_converted == c
+        assert abs(r.conv_rate - round(c / n, 6)) < 1e-9
+
+
+def test_sprt_ground_truth(spark, sf_dir):
+    """The day-by-day LLR walk and the first boundary crossing replayed
+    in plain Python."""
+    import math
+    from collections import defaultdict
+
+    out = QUERIES["stat_sprt_sequential"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    daily = defaultdict(lambda: [0, 0])
+    for r in o:
+        if r.o_orderdate is not None and r.o_orderpriority is not None:
+            d = daily[r.o_orderdate.date()]
+            d[0] += 1
+            d[1] += 1 if r.o_orderpriority == "1-URGENT" else 0
+    w1, w0 = math.log(0.22 / 0.18), math.log(0.78 / 0.82)
+    a, b = math.log(19.0), math.log(1 / 19.0)
+    llr, hit_day, hit_llr = 0.0, None, None
+    for day in sorted(daily):
+        n, u = daily[day]
+        llr += u * w1 + (n - u) * w0
+        if hit_day is None and (llr >= a or llr <= b):
+            hit_day, hit_llr = day, llr
+    assert row.n_days == len(daily)
+    assert abs(row.llr_final - llr) < 1e-4
+    if hit_day is None:
+        assert row.decision == "continue" and row.decision_day is None
+    else:
+        assert row.decision_day == hit_day
+        assert row.decision == ("accept_h1" if hit_llr >= a else "accept_h0")
+        assert abs(row.llr_at_decision - hit_llr) < 1e-4

@@ -435,6 +435,7 @@ BNLJ_ALLOWED = {
     "contrastive_pair_mining": "broadcast side = 3 anchor vectors (same pattern as sim_topk_bruteforce)",
     "storage_zorder_cluster": "broadcast side = 1-row global zmax (range-relative band split)",
     "forecast_mase_backtest": "broadcast sides = 1-row train mean and 1-row MASE scale crossed into day-count-sized reduces",
+    "stat_sprt_sequential": "broadcast sides = 1-row final-LLR and 1-row decision-day frames crossed into the 1-row day count",
 }
 
 
