@@ -3891,3 +3891,103 @@ def stat_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(llr_final, 6) AS llr_final",
         )
     )
+
+
+# two-sided alpha = 0.05 and power = 0.80: z_{0.975} and z_{0.80}
+_PW_ZA = "1.959964"
+_PW_ZB = "0.841621"
+
+
+@register(
+    "stat_power_mde_report",
+    oracle=f"""
+    WITH obs AS (
+        SELECT user_id % 2 AS arm,
+               CAST(ROUND(value, 6) AS DECIMAL(24,6)) AS v
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND user_id IS NOT NULL
+    ),
+    per AS (
+        SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(v) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        FROM obs GROUP BY arm
+    ),
+    piv AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n2,
+               MAX(CASE WHEN arm = 0 THEN (sxx - sx * sx / n) / (n - 1.0) END)
+                   AS v1,
+               MAX(CASE WHEN arm = 1 THEN (sxx - sx * sx / n) / (n - 1.0) END)
+                   AS v2,
+               MAX(CASE WHEN arm = 0 THEN sx / n END) AS m1
+        FROM per
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_control,
+           CAST(n2 AS BIGINT) AS n_treat,
+           ROUND(sqrt(v1 / n1 + v2 / n2), 6) AS se,
+           ROUND(({_PW_ZA} + {_PW_ZB}) * sqrt(v1 / n1 + v2 / n2), 6)
+               AS mde_abs,
+           ROUND(({_PW_ZA} + {_PW_ZB}) * sqrt(v1 / n1 + v2 / n2) / m1, 6)
+               AS mde_rel,
+           ROUND(2.0 * ({_PW_ZA} + {_PW_ZB}) * ({_PW_ZA} + {_PW_ZB})
+                 * ((v1 + v2) / 2.0)
+                 / (0.05 * m1 * 0.05 * m1), 2) AS n_per_arm_for_5pct
+    FROM piv
+    """,
+)
+def stat_power_mde_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning from the data itself: with the current
+    even/odd-user split of purchase values (the `events_did_analysis`
+    cohorts), what's the minimum detectable effect at α = 0.05 two-sided
+    and 80% power — absolute, and relative to the control mean — and how
+    many users per arm would a 5%-lift experiment need
+    (n = 2(z_α+z_β)²·σ̄²/Δ²)?  This is the sizing table every launch
+    review asks for BEFORE the A/B test `ab_test_conversion` evaluates
+    after the fact.
+
+    Sufficient statistics ride the exact-DECIMAL pattern of the Welch
+    family; the z constants are shared literals.  Scale cost: one scan,
+    two arms, one row."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.round("value", 6).cast("decimal(24,6)").alias("v"),
+        )
+    )
+    per = ev.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    piv = per.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n2"),
+        F.max(
+            F.when(F.col("arm") == 0, F.expr("(sxx - sx * sx / n) / (n - 1.0)"))
+        ).alias("v1"),
+        F.max(
+            F.when(F.col("arm") == 1, F.expr("(sxx - sx * sx / n) / (n - 1.0)"))
+        ).alias("v2"),
+        F.max(F.when(F.col("arm") == 0, F.expr("sx / n"))).alias("m1"),
+    )
+    return piv.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_control",
+        "CAST(n2 AS BIGINT) AS n_treat",
+        "ROUND(sqrt(v1 / n1 + v2 / n2), 6) AS se",
+        f"ROUND(({_PW_ZA} + {_PW_ZB}) * sqrt(v1 / n1 + v2 / n2), 6) AS mde_abs",
+        f"ROUND(({_PW_ZA} + {_PW_ZB}) * sqrt(v1 / n1 + v2 / n2) / m1, 6)"
+        " AS mde_rel",
+        f"ROUND(2.0 * ({_PW_ZA} + {_PW_ZB}) * ({_PW_ZA} + {_PW_ZB})"
+        " * ((v1 + v2) / 2.0) / (0.05 * m1 * 0.05 * m1), 2)"
+        " AS n_per_arm_for_5pct",
+    )

@@ -2562,3 +2562,30 @@ def test_sprt_ground_truth(spark, sf_dir):
         assert row.decision_day == hit_day
         assert row.decision == ("accept_h1" if hit_llr >= a else "accept_h0")
         assert abs(row.llr_at_decision - hit_llr) < 1e-4
+
+
+def test_power_mde_ground_truth(spark, sf_dir):
+    """MDE and per-arm sizing recomputed from raw purchase values."""
+    import math
+
+    out = QUERIES["stat_power_mde_report"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    arms = {0: [], 1: []}
+    for r in ev:
+        if r.event_type == "purchase" and r.value is not None and r.user_id is not None:
+            arms[r.user_id % 2].append(round(r.value, 6))
+    n1, n2 = len(arms[0]), len(arms[1])
+    m1 = sum(arms[0]) / n1
+    v1 = (sum(x * x for x in arms[0]) - n1 * m1 * m1) / (n1 - 1)
+    m2 = sum(arms[1]) / n2
+    v2 = (sum(x * x for x in arms[1]) - n2 * m2 * m2) / (n2 - 1)
+    se = math.sqrt(v1 / n1 + v2 / n2)
+    z = 1.959964 + 0.841621
+    assert row.n_control == n1 and row.n_treat == n2
+    assert abs(row.se - se) < 1e-4
+    assert abs(row.mde_abs - z * se) < 1e-3
+    assert abs(row.mde_rel - z * se / m1) < 1e-5
+    want_n = 2 * z * z * ((v1 + v2) / 2) / (0.05 * m1) ** 2
+    assert abs(row.n_per_arm_for_5pct - want_n) < max(0.02, want_n * 1e-5)
