@@ -2121,3 +2121,70 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_rate"
         ),
     )
+
+
+@register(
+    "events_stickiness_dau_mau",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               date_trunc('month', CAST(ts AS DATE)) AS month,
+               user_id
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    dau AS (
+        SELECT month, day, COUNT(DISTINCT user_id) AS dau
+        FROM d GROUP BY month, day
+    ),
+    mau AS (
+        SELECT month, COUNT(DISTINCT user_id) AS mau FROM d GROUP BY month
+    )
+    SELECT CAST(mau.month AS DATE) AS month,
+           CAST(mau.mau AS BIGINT) AS mau,
+           CAST(SUM(dau.dau) AS BIGINT) AS sum_dau,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(dau.dau) AS DOUBLE) / COUNT(*) / mau.mau, 6)
+               AS stickiness
+    FROM mau JOIN dau ON dau.month = mau.month
+    GROUP BY mau.month, mau.mau
+    """,
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — avg daily active users over monthly
+    active users, THE engagement ratio on every product dashboard
+    (`events_active_users_7d` tracks the rolling window; this is the
+    calendar-month management metric).  Row per month: MAU, summed DAU,
+    day count, and stickiness = (ΣDAU/days)/MAU.
+
+    Two exact distinct-count aggregates on (month, day, user) /
+    (month, user) uniform keys and one month-keyed join — at 100 TB the
+    distincts are the cost and both partial-aggregate cleanly; swap in
+    `hll_portable_daily`'s sketch when approximate is acceptable."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    d = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.trunc(F.col("ts").cast("date"), "month").alias("month"),
+        "user_id",
+    )
+    dau = d.groupBy("month", "day").agg(F.countDistinct("user_id").alias("dau"))
+    mau = d.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        mau.join(dau, "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.sum("dau").cast("bigint").alias("sum_dau"),
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(
+                F.sum("dau").cast("double") / F.count("*") / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+        .select(
+            F.col("month").cast("date").alias("month"),
+            F.col("mau").cast("bigint").alias("mau"),
+            "sum_dau",
+            "n_days",
+            "stickiness",
+        )
+    )

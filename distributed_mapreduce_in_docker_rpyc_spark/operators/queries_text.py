@@ -4069,3 +4069,73 @@ def negative_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_drawn", F.lit(0)).cast("bigint").alias("n_drawn"),
         )
     )
+
+
+@register(
+    "text_repetition_report",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS t
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               t[g.i] || ' ' || t[g.i + 1] || ' ' || t[g.i + 2] AS gram
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3
+    ),
+    per AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM tri GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_trigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS max_repeat,
+           ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 6) AS repeated_frac,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 2 >= SUM(c) AS INT)
+               AS is_degenerate
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document trigram repetition — the degenerate-text detector
+    (boilerplate loops, keyword stuffing, decoding pathologies) that
+    complements the cross-document `c4_line_dedup` and the line-level
+    rules in `text_quality_rules_report`: per document, total/distinct
+    trigram counts, the most-repeated trigram's count, the fraction of
+    trigram mass in repeated trigrams, and the ≥50%-repeated degeneracy
+    flag the Gopher rules drop documents on.  Documents under 3 tokens
+    have no trigram row, matching the oracle's WHERE.
+
+    Token-linear: one explode to (doc, trigram) with a map-side-combined
+    count on the uniform composite key, then a doc-keyed reduce — no
+    joins; the integer ×2 comparison keeps the flag float-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id",
+        "regexp_extract_all(lower(COALESCE(text, '')), \"[a-z']+\", 0) AS t",
+    ).filter(F.size("t") >= 3)
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat(t[i - 1], ' ', t[i], ' ', t[i + 1]))"
+            )
+        ).alias("gram"),
+    )
+    per = tri.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_trigrams"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("max_repeat"),
+        F.round(
+            F.sum(F.expr("CASE WHEN c > 1 THEN c ELSE 0 END")).cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("repeated_frac"),
+        (F.sum(F.expr("CASE WHEN c > 1 THEN c ELSE 0 END")) * 2 >= F.sum("c"))
+        .cast("int")
+        .alias("is_degenerate"),
+    )

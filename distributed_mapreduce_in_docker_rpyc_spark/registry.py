@@ -134,6 +134,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_top_paths",
     "stat_sprt_sequential",
     "stat_power_mde_report",
+    "text_repetition_report",
+    "events_stickiness_dau_mau",
     # (4) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6-checked rows (freshest, last in line)

@@ -1391,3 +1391,32 @@ def test_pq_adc_topk_matches_numpy_replay(spark, sf_dir):
         wi, wd = want[(r.q_id, r.rank_pos)]
         assert r.vec_id == wi, (r.q_id, r.rank_pos, r.vec_id, wi)
         assert abs(r.adc_dist - round(wd, 6)) < 1e-9
+
+
+def test_repetition_report_ground_truth(spark, sf_dir):
+    """Trigram repetition stats replayed in plain Python."""
+    import re
+    from collections import Counter
+
+    rows = {r.doc_id: r for r in QUERIES["text_repetition_report"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tok_re = re.compile(r"[a-z']+")
+    seen = set()
+    for d in docs:
+        toks = tok_re.findall((d.text or "").lower())
+        if len(toks) < 3:
+            assert d.doc_id not in rows
+            continue
+        seen.add(d.doc_id)
+        grams = Counter(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+        tot = sum(grams.values())
+        rep = sum(c for c in grams.values() if c > 1)
+        r = rows[d.doc_id]
+        assert r.n_trigrams == tot
+        assert r.n_distinct == len(grams)
+        assert r.max_repeat == max(grams.values())
+        assert abs(r.repeated_frac - round(rep / tot, 6)) < 1e-9
+        assert r.is_degenerate == int(rep * 2 >= tot)
+    assert set(rows) == seen

@@ -2589,3 +2589,29 @@ def test_power_mde_ground_truth(spark, sf_dir):
     assert abs(row.mde_rel - z * se / m1) < 1e-5
     want_n = 2 * z * z * ((v1 + v2) / 2) / (0.05 * m1) ** 2
     assert abs(row.n_per_arm_for_5pct - want_n) < max(0.02, want_n * 1e-5)
+
+
+def test_stickiness_ground_truth(spark, sf_dir):
+    """DAU/MAU per month replayed with set arithmetic."""
+    from collections import defaultdict
+
+    rows = {r.month: r for r in QUERIES["events_stickiness_dau_mau"](spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily = defaultdict(set)
+    monthly = defaultdict(set)
+    for r in ev:
+        if r.ts is not None and r.user_id is not None:
+            day = r.ts.date()
+            m = day.replace(day=1)
+            daily[(m, day)].add(r.user_id)
+            monthly[m].add(r.user_id)
+    per_month = defaultdict(lambda: [0, 0])
+    for (m, _), users in daily.items():
+        per_month[m][0] += len(users)
+        per_month[m][1] += 1
+    assert set(rows) == set(monthly)
+    for m, (sum_dau, n_days) in per_month.items():
+        r = rows[m]
+        mau = len(monthly[m])
+        assert r.mau == mau and r.sum_dau == sum_dau and r.n_days == n_days
+        assert abs(r.stickiness - round(sum_dau / n_days / mau, 6)) < 1e-9
