@@ -4139,3 +4139,103 @@ def text_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_degenerate"),
     )
+
+
+@register(
+    "corpus_importance_resample",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang,
+               (CAST(CAST('0x' || substr(md5('ir:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        FROM documents WHERE lang IS NOT NULL
+    ),
+    nat AS (
+        SELECT lang, COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM base) AS p_nat,
+               (1.0 / (SELECT COUNT(DISTINCT lang) FROM base)) AS p_tgt
+        FROM base GROUP BY lang
+    ),
+    wts AS (
+        SELECT lang, n, p_nat, p_tgt, p_tgt / p_nat AS w,
+               MAX(p_tgt / p_nat) OVER () AS wmax
+        FROM nat
+    )
+    SELECT b.lang,
+           CAST(w.n AS BIGINT) AS n_docs,
+           ROUND(w.p_nat, 6) AS p_nat,
+           ROUND(w.p_tgt, 6) AS p_tgt,
+           ROUND(w.w / w.wmax, 6) AS accept_rate,
+           CAST(SUM(CASE WHEN b.u < w.w / w.wmax THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_accepted
+    FROM base b JOIN wts w ON w.lang = b.lang
+    GROUP BY b.lang, w.n, w.p_nat, w.p_tgt, w.w, w.wmax
+    """,
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling to a TARGET language distribution (uniform
+    over observed languages) by deterministic rejection: each document
+    draws u = md5('ir:'doc_id) and survives iff u < w(lang)/w_max with
+    w = p_target/p_natural — the standard rebalancing step between
+    `corpus_temperature_mixture` (which only PLANS shares) and the
+    sampled corpus itself, keeping the majority language's acceptance at
+    w/w_max < 1 while the rarest language passes whole.  Row per
+    language: natural/target shares, acceptance rate, and the realized
+    accepted count the plan's consumer audits against expectation.
+
+    Determinism: per-document md5 fractions (offset half an ulp, never
+    0), weights are ratios of exact counts; every document's accept
+    decision replays bit-for-bit in both engines.  Scale posture: one
+    count aggregate, a |langs|-row broadcast weight table joined back on
+    the language key, one accept-count reduce — token-free and
+    join-light at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    base = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "(CAST(conv(substr(md5(concat('ir:', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS DOUBLE) + 0.5) / 4294967296.0 AS u",
+    )
+    tot = base.agg(
+        F.count("*").alias("n_tot"), F.countDistinct("lang").alias("n_langs")
+    )
+    nat = (
+        base.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "lang",
+            "n",
+            "CAST(n AS DOUBLE) / n_tot AS p_nat",
+            # CAST: Spark types a bare 1.0 literal as DECIMAL(2,1), which
+            # would carry decimal typing through every downstream ratio
+            "CAST(1.0 AS DOUBLE) / n_langs AS p_tgt",
+        )
+    )
+    from pyspark.sql import Window
+
+    wts = nat.select(
+        "lang",
+        "n",
+        "p_nat",
+        "p_tgt",
+        (F.col("p_tgt") / F.col("p_nat")).alias("w"),
+    ).withColumn("wmax", F.max("w").over(Window.partitionBy()))
+    return (
+        base.join(F.broadcast(wts), "lang")
+        .groupBy("lang", "n", "p_nat", "p_tgt", "w", "wmax")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN u < w / wmax THEN 1 ELSE 0 END")
+            ).cast("bigint").alias("n_accepted")
+        )
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round("p_nat", 6).alias("p_nat"),
+            F.round("p_tgt", 6).alias("p_tgt"),
+            F.round(F.col("w") / F.col("wmax"), 6).alias("accept_rate"),
+            "n_accepted",
+        )
+    )

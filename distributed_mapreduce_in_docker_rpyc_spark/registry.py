@@ -136,6 +136,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stat_power_mde_report",
     "text_repetition_report",
     "events_stickiness_dau_mau",
+    "corpus_importance_resample",
     # (4) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6-checked rows (freshest, last in line)

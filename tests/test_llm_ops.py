@@ -1420,3 +1420,36 @@ def test_repetition_report_ground_truth(spark, sf_dir):
         assert abs(r.repeated_frac - round(rep / tot, 6)) < 1e-9
         assert r.is_degenerate == int(rep * 2 >= tot)
     assert set(rows) == seen
+
+
+def test_importance_resample_ground_truth(spark, sf_dir):
+    """Weights and every accept decision replayed with hashlib."""
+    import hashlib as hl
+    from collections import Counter, defaultdict
+
+    rows = {r.lang: r for r in QUERIES["corpus_importance_resample"](spark, sf_dir).collect()}
+    docs = [
+        d
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if d.lang is not None
+    ]
+    counts = Counter(d.lang for d in docs)
+    n_tot, n_langs = len(docs), len(counts)
+    w = {l: (1.0 / n_langs) / (c / n_tot) for l, c in counts.items()}
+    wmax = max(w.values())
+    accepted = defaultdict(int)
+    for d in docs:
+        u = (int(hl.md5(f"ir:{d.doc_id}".encode()).hexdigest()[:8], 16) + 0.5) / 4294967296.0
+        if u < w[d.lang] / wmax:
+            accepted[d.lang] += 1
+    assert set(rows) == set(counts)
+    for l, c in counts.items():
+        r = rows[l]
+        assert r.n_docs == c
+        assert abs(r.p_nat - round(c / n_tot, 6)) < 1e-9
+        assert abs(r.p_tgt - round(1.0 / n_langs, 6)) < 1e-9
+        assert abs(r.accept_rate - round(w[l] / wmax, 6)) < 1e-9
+        assert r.n_accepted == accepted[l]
+    # the rarest language must pass whole (its weight IS wmax)
+    rare = min(counts, key=lambda l: (counts[l], l))
+    assert rows[rare].accept_rate == 1.0

@@ -436,6 +436,7 @@ BNLJ_ALLOWED = {
     "storage_zorder_cluster": "broadcast side = 1-row global zmax (range-relative band split)",
     "forecast_mase_backtest": "broadcast sides = 1-row train mean and 1-row MASE scale crossed into day-count-sized reduces",
     "stat_sprt_sequential": "broadcast sides = 1-row final-LLR and 1-row decision-day frames crossed into the 1-row day count",
+    "corpus_importance_resample": "broadcast side = 1-row corpus totals crossed into the |langs|-row weight table",
 }
 
 
