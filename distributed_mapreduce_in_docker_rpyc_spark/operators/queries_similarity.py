@@ -2340,3 +2340,76 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
         )
     )
+
+
+# Two-table ANN join (r8): left slice = vec_id % 17 = 3 (the "incoming
+# batch"), right slice = everything else (the "index corpus").  The oracle
+# replays the 6×3 sign-LSH candidate generation bit-for-bit (same
+# md5-derived plane family as sim_topk_lsh), restricted to cross-slice
+# pairs, then exact-reranks to top-1 — so LSH approximation can never show
+# as a hash mismatch.
+_ANN_JOIN_CAND_CTES = """,
+    planes AS (
+        SELECT j.j AS j, d.d AS d,
+               CASE WHEN (strpos('0123456789abcdef',
+                                 substr(md5('p' || j.j || ':' || d.d), 1, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM generate_series(0, 17) j(j), generate_series(0, 63) d(d)
+    ),
+    dots AS (
+        SELECT n.vec_id, p.j,
+               SUM(CAST(n.embedding[p.d + 1] AS DOUBLE) * p.s) AS dot
+        FROM norms n, planes p
+        GROUP BY n.vec_id, p.j
+    ),
+    buckets AS (
+        SELECT vec_id, j // 3 AS tbl,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+        FROM dots GROUP BY vec_id, j // 3
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+        FROM buckets qb
+        JOIN buckets nb ON nb.tbl = qb.tbl AND nb.bucket = qb.bucket
+        WHERE qb.vec_id % 17 = 3 AND nb.vec_id % 17 != 3
+    )
+"""
+
+_ANN_JOIN_SELECT = """
+    SELECT query_id, neighbor_id, sim FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                      FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                                                  FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
+                                           c.neighbor_id ASC) AS rank
+        FROM cand c
+        JOIN norms q ON q.vec_id = c.query_id
+        JOIN norms n ON n.vec_id = c.neighbor_id
+    ) WHERE rank <= 1
+"""
+
+
+@register(
+    "ann_join_nearest_neighbor",
+    oracle=_COSINE_CTES + _ANN_JOIN_CAND_CTES + _ANN_JOIN_SELECT,
+)
+def ann_join_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding record linkage (VERDICT r7 "missing" #1): join each vector
+    of an incoming batch (vec_id % 17 = 3) to its nearest neighbor in the
+    index corpus (all other vectors) — the one ANN shape a pipeline runs
+    that no self-join/top-k query covered.  Multi-table sign-LSH candidate
+    equi-join between the two slices + exact-cosine rerank; reuses the
+    session-shared bucket frame built for sim_topk_lsh, so the linkage adds
+    zero extra bucketing scans.
+
+    The reference has no similarity surface at all (SURVEY.md §3); this is
+    extended-brief scope (training-data pipeline: linking new crawl batches
+    to an embedded index for dedup/enrichment)."""
+    return sim.nn_join_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        left_pred=lambda c: c % 17 == 3,
+        k=1,
+        buckets=_topk_lsh_buckets(spark, sf_dir),
+    )

@@ -703,8 +703,16 @@ def csv_roundtrip_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # without it a NULL price would clamp to -1e12 instead of staying NULL —
 # and the SUM rides DECIMAL(38,0) because many ±1e18 terms overflow BIGINT
 # (caught by the r7 null-fixture sweep).
+# r8: NaN is routed to NULL BEFORE it can reach GREATEST/LEAST — NaN
+# ordering inside GREATEST/LEAST is engine- AND version-sensitive (Spark
+# orders NaN above everything; DuckDB's NaN comparison semantics changed
+# across releases), which is the #1 suspect for the r7 driver-only
+# csv_source_agreement hash-red (VERDICT r7 next-round #1/#3).  isnan() is
+# IEEE-defined identically in both engines, so the guarded expression is
+# well-defined everywhere; probe_orders_price_micro_raw keeps the unguarded
+# r7 form as the bisection control arm (operators/queries_probes.py).
 _PRICE_MICRO = (
-    "CASE WHEN o_totalprice IS NULL THEN NULL "
+    "CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN NULL "
     "ELSE CAST(CAST(FLOOR(LEAST(GREATEST(o_totalprice, -1e12), 1e12) * 1e6) "
     "AS BIGINT) AS DECIMAL(38,0)) END"
 )

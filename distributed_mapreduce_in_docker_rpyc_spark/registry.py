@@ -36,81 +36,55 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The round driver verifies 50 queries per round in registration order.
-# Round-7 budget, implementing VERDICT r6 "Next round" #1-#3 verbatim (no
+# Round-8 budget, implementing VERDICT r7 "Next round" #1-#3 verbatim (no
 # hand-maintained slot arithmetic here — `scripts/verify_driver.py --strict`
 # recomputes where the 50-slot line falls; trust it, not this comment):
-#   section 1 — the r4/r5/r6 hash-red round-trips, reformulated as
-#               self-canceling deviation proofs, + their diagnostic siblings
-#               + one engine-agreement sibling per format.
-#   section 2 — the 18 round-6 builds that have NEVER had a driver row.
-#   section 3 — queries BUILT in round 7, never driver-checked (appended as
-#               the round adds operators; overflow queues for r8).
-#   section 4 — remaining greens, stalest first: r1-era relational, then
-#               r5-checked, then r6-checked (freshest last).
+#   section 1 — the engine-agreement BISECTION probes (queries_probes.py):
+#               the r7 reds fold 5-6 properties into one hash, so each red
+#               carried ~1 bit; these 20 single-property / single-bucket
+#               probes make the r8 booleans name property × keyspace-slice.
+#   section 2 — the 4 r7 hash-reds themselves (csv_source_agreement now
+#               NaN-guarded, dataset_fingerprint_report reworked to hash
+#               text bytes — VERDICT r7 #3; jsonl/compaction agreement kept
+#               verbatim as the control arm).
+#   section 3 — the 26 round-7 builds that have NEVER had a driver row
+#               (all judge-verified green locally in the r7 session).
+#   section 4 — (below the 50-line, stalest-first for r9): the 2-rounds-
+#               stale §2 wordcount family, queries BUILT in round 8 as they
+#               land, then the remaining greens freshest-last as before.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (1) the r4/r5/r6 hash-red round-trips, reformulated in r7 as
-    #     self-canceling DEVIATION proofs (read-back minus source inside
-    #     one Spark session, oracle pins literal zeros — VERDICT r6
-    #     next-round #1) + their diagnostic siblings + one NEW
-    #     engine-agreement sibling per format (source-only aggregates, no
-    #     filesystem) that separately detects Spark-vs-DuckDB content
-    #     disagreement on driver-regenerated fixtures.
-    "jsonl_roundtrip",
-    "jsonl_roundtrip_text_bytes",
-    "jsonl_roundtrip_corrupt",
-    "jsonl_roundtrip_ids",
+    # (1) bisection probes — documents (the jsonl/compaction agreement reds
+    #     + the text half of dataset_fingerprint_report)...
+    "probe_docs_counts",
+    "probe_docs_distincts",
+    "probe_docs_meta_bytes",
+    "probe_docs_text_bytes_b0",
+    "probe_docs_text_bytes_b1",
+    "probe_docs_text_bytes_b2",
+    "probe_docs_text_bytes_b3",
+    "probe_docs_text_bytes_b4",
+    "probe_docs_text_bytes_b5",
+    "probe_docs_text_bytes_b6",
+    "probe_docs_text_bytes_b7",
+    "probe_docs_astral",
+    "probe_docs_controls",
+    "probe_docs_replacement_char",
+    "probe_docs_len_vs_nchars",
+    #     ...and orders (the csv_source_agreement red)
+    "probe_orders_base",
+    "probe_orders_dates",
+    "probe_orders_priorities",
+    "probe_orders_price_micro",
+    "probe_orders_price_micro_raw",
+    # (2) the r7 hash-reds: two reworked for robustness, two verbatim
+    #     controls (VERDICT r7 next-round #1/#3)
     "jsonl_source_agreement",
-    "csv_roundtrip",
-    "csv_roundtrip_price",
-    "csv_roundtrip_dates",
-    "csv_roundtrip_corrupt",
     "csv_source_agreement",
-    "compaction_roundtrip",
-    "compaction_roundtrip_text_bytes",
-    "compaction_roundtrip_counts",
-    "compaction_roundtrip_files",
     "compaction_source_agreement",
-    # (2) built in round 6, never driver-checked (VERDICT r6 next-round #3:
-    #     all 18 locally green, 8 re-verified by the judge; the three r6
-    #     builds that DID get r6 rows — hll_daily_distinct_error,
-    #     approx_percentile_error, stat_kruskal_wallis — moved to the
-    #     freshest tail of section 5)
-    "stat_levene_brown_forsythe",
-    "stat_jarque_bera",
-    "stat_cohens_kappa",
-    "dq_t_closeness",
-    "histogram_quantile_portable",
-    "events_poisson_rate_test",
-    "mlm_masking_plan",
-    "preference_pair_builder",
-    "join_cardinality_estimate",
-    "sim_mmr_diversify",
-    "emb_pq_codebook",
-    "stat_fleiss_kappa",
-    "dq_column_entropy",
-    "events_cohort_ltv",
-    "dq_outlier_iqr_report",
-    "dq_freshness_lag_report",
-    "forecast_pinball_loss",
-    "stat_permutation_test",
-    # (3) built in round 7 — never driver-checked (appended as built)
-    "text_pii_report",
-    "text_pii_totals",
-    "bpe_second_merge_round",
-    "text_quality_rules_report",
-    "decontam_eval_report",
-    "search_ndcg_report",
     "dataset_fingerprint_report",
-    "xml_roundtrip",
-    "emb_centroid_drift_report",
-    "stat_bh_fdr_report",
-    "events_did_analysis",
-    "dq_uniqueness_profile",
-    "events_session_gap_sensitivity",
-    "stat_tost_equivalence",
-    "stat_mcnemar_test",
-    "stat_cochran_armitage",
-    "feature_woe_iv",
+    # (3) built in round 7, never driver-checked — all 26 judge-verified
+    #     green under the driver-identical harness in the r7 session
+    #     (VERDICT r7 next-round #2)
     "span_corruption_plan",
     "negative_sampling_plan",
     "dq_contract_validation",
@@ -137,9 +111,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_repetition_report",
     "events_stickiness_dau_mau",
     "corpus_importance_resample",
-    # (4) remaining greens, stalest first: the r1-era relational family
+    # ---- the 50-slot line falls here (20 + 4 + 26) ----
+    # (4) below-the-line, stalest first for r9: the §2 wordcount family
+    #     (2 rounds stale — VERDICT r7 next-round #2 asked these cycled;
+    #     the probe budget consumed the slots, so they head the r9 window)
+    "wordcount_top20",
+    "wordcount_full",
+    "wordcount_rdd_core",
+    "ingest_zip_wordcount",
+    # (5) built in round 8 — never driver-checked (appended as built)
+    "ann_join_nearest_neighbor",
+    "bpe_train_k_merges",
+    "dataset_snapshot_diff",
+    # (6) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
-    #     the r6-checked rows (freshest, last in line)
+    #     the r6- and r7-checked rows (freshest, last in line)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority_check",
@@ -259,17 +245,63 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stat_chisq_independence",
     "stat_anova_oneway",
     "lineitem_weighted_median",
-    # r1-era names re-checked in the r6 window
-    "wordcount_top20",
-    "wordcount_full",
-    "wordcount_rdd_core",
+    # r1-era names re-checked in the r6 window (the wordcount family moved
+    # up to section 4 — 2 rounds stale, heads the r9 window)
     "inverted_index_stats",
-    "ingest_zip_wordcount",
     "ziptext_datasource_scan",
-    # r6 builds that landed their first driver row in r6 (slots 48-50)
+    # r6 builds that landed their first driver row in r6
     "hll_daily_distinct_error",
     "approx_percentile_error",
     "stat_kruskal_wallis",
+    # r7-checked greens (freshest): the filesystem round-trip deviation
+    # proofs (all 12 driver-green in r07) and the r7 window's first-row
+    # greens
+    "jsonl_roundtrip",
+    "jsonl_roundtrip_text_bytes",
+    "jsonl_roundtrip_corrupt",
+    "jsonl_roundtrip_ids",
+    "csv_roundtrip",
+    "csv_roundtrip_price",
+    "csv_roundtrip_dates",
+    "csv_roundtrip_corrupt",
+    "compaction_roundtrip",
+    "compaction_roundtrip_text_bytes",
+    "compaction_roundtrip_counts",
+    "compaction_roundtrip_files",
+    "stat_levene_brown_forsythe",
+    "stat_jarque_bera",
+    "stat_cohens_kappa",
+    "dq_t_closeness",
+    "histogram_quantile_portable",
+    "events_poisson_rate_test",
+    "mlm_masking_plan",
+    "preference_pair_builder",
+    "join_cardinality_estimate",
+    "sim_mmr_diversify",
+    "emb_pq_codebook",
+    "stat_fleiss_kappa",
+    "dq_column_entropy",
+    "events_cohort_ltv",
+    "dq_outlier_iqr_report",
+    "dq_freshness_lag_report",
+    "forecast_pinball_loss",
+    "stat_permutation_test",
+    "text_pii_report",
+    "text_pii_totals",
+    "bpe_second_merge_round",
+    "text_quality_rules_report",
+    "decontam_eval_report",
+    "search_ndcg_report",
+    "xml_roundtrip",
+    "emb_centroid_drift_report",
+    "stat_bh_fdr_report",
+    "events_did_analysis",
+    "dq_uniqueness_profile",
+    "events_session_gap_sensitivity",
+    "stat_tost_equivalence",
+    "stat_mcnemar_test",
+    "stat_cochran_armitage",
+    "feature_woe_iv",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file
@@ -305,6 +337,7 @@ def load_all() -> None:
         "queries_wordcount",
         "queries_relational",
         "queries_features",
+        "queries_probes",
     ):
         try:
             __import__(f"distributed_mapreduce_in_docker_rpyc_spark.operators.{mod}")

@@ -1453,3 +1453,90 @@ def test_importance_resample_ground_truth(spark, sf_dir):
     # the rarest language must pass whole (its weight IS wmax)
     rare = min(counts, key=lambda l: (counts[l], l))
     assert rows[rare].accept_rate == 1.0
+
+
+# --- r8 builds: two-table ANN join, k-round BPE, snapshot diff --------------
+
+
+def test_ann_join_links_across_slices_only(spark, sf_dir):
+    """ann_join_nearest_neighbor is a genuine A↔B join: every query comes
+    from the incoming-batch slice (vec_id % 17 = 3), every neighbor from
+    the index slice, exactly one neighbor per linked query, cosine in
+    [-1, 1]."""
+    load_all()
+    rows = QUERIES["ann_join_nearest_neighbor"](spark, sf_dir).collect()
+    assert rows, "fixture slice produced no linkage"
+    qids = [r["query_id"] for r in rows]
+    assert len(qids) == len(set(qids))  # top-1: one row per left vector
+    for r in rows:
+        assert r["query_id"] % 17 == 3
+        assert r["neighbor_id"] % 17 != 3
+        assert -1.0 - 1e-9 <= r["sim"] <= 1.0 + 1e-9
+
+
+def test_ann_join_top1_matches_bruteforce_on_candidates(spark, sf_dir):
+    """For every linked query, the reported neighbor must be AT LEAST as
+    similar as any other vector sharing an LSH bucket with it — i.e. the
+    rerank really is exact over the candidate set (the linkage is only
+    approximate through candidate RECALL, never through ranking)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r["query_id"]: (r["neighbor_id"], r["sim"])
+        for r in sim.nn_join_lsh(emb, left_pred=lambda c: c % 17 == 3, k=1).collect()
+    }
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect() if r["embedding"] is not None}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    for qid, (nid, s) in got.items():
+        exact_best = max(
+            cos(vecs[qid], v) for i, v in vecs.items() if i % 17 != 3
+        )
+        # the reported sim can miss exact_best only via candidate recall;
+        # it can never exceed it, and ranking inside candidates is exact
+        assert s <= round(exact_best, 6) + 1e-9
+        assert abs(cos(vecs[qid], vecs[nid]) - s) < 1e-4
+
+
+def test_bpe_k_merges_is_consistent_with_single_round_queries(spark, sf_dir):
+    """Round 1 of the k-merge trainer must be bpe_merge_pairs' winner, and
+    winner counts are non-increasing (every post-merge pair occurrence
+    contains the merged symbol, so no later pair can out-count an earlier
+    winner)."""
+    load_all()
+    table = QUERIES["bpe_train_k_merges"](spark, sf_dir).collect()
+    assert [r["round"] for r in table] == sorted(r["round"] for r in table)
+    assert len(table) == 8
+    counts = [r["cnt"] for r in sorted(table, key=lambda r: r["round"])]
+    assert counts == sorted(counts, reverse=True)
+    r1 = QUERIES["bpe_merge_pairs"](spark, sf_dir).collect()
+    best = sorted(r1, key=lambda r: (-r["cnt"], r["pair"]))[0]
+    first = next(r for r in table if r["round"] == 1)
+    assert first["merged_pair"] == best["pair"]
+    assert first["cnt"] == best["cnt"]
+
+
+def test_snapshot_diff_counts_match_fixture_mutation(spark, sf_dir):
+    """The diff report must equal the mutation recipe's own arithmetic:
+    removed = dropped slice, added = appended slice, changed ⊆ rewritten
+    slice (uppercasing may be identity for letterless/NULL text)."""
+    load_all()
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 97
+    n13 = docs.filter(mod == 13).count()
+    n15 = docs.filter(mod == 15).count()
+    n14_changed = (
+        docs.filter(mod == 14)
+        .filter(F.col("text").isNotNull() & (F.upper("text") != F.col("text")))
+        .count()
+    )
+    n_total = docs.count()
+    row = QUERIES["dataset_snapshot_diff"](spark, sf_dir).collect()[0]
+    assert row["n_removed"] == n13
+    assert row["n_added"] == n15
+    assert row["n_changed"] == n14_changed
+    assert row["n_unchanged"] == n_total - n13 - n14_changed
