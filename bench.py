@@ -89,7 +89,15 @@ def main() -> None:
     # (VERDICT r3 #4: 2x spread between best and worst run at reps=3; an r4
     # calibration run measured minhash spreads of 3.8-9.9 s on identical
     # plans under noisy-neighbor load).
-    extra = {"sim_topk_bruteforce": 2, "sim_topk_lsh": 2, "dedup_minhash_lsh": 2}
+    # q21 joined the extra-reps set in r8: its r7 median moved 1.14x vs r6
+    # (inside the documented noise band) — VERDICT r7 next-round #8 asks for
+    # a confirming re-measure under the high-variance protocol.
+    extra = {
+        "sim_topk_bruteforce": 2,
+        "sim_topk_lsh": 2,
+        "dedup_minhash_lsh": 2,
+        "q21_waiting_orders": 2,
+    }
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for pass_i in range(reps + max(extra.values(), default=0)):
         for name in HEADLINE:

@@ -4260,6 +4260,63 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 8
 
 
+def _bpe_vocab(spark: SparkSession, sf_dir: str):
+    """Session-shared (word, count) vocabulary frame — feeds round-1 pair
+    counting, the k-round trainer, and corpus encoding."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import shared_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shared_df(
+        spark,
+        ("bpe_vocab", sf_dir),
+        lambda: docs.select(F.explode(tokenize_column("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c")),
+    )
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
+    """The k collected BPE winners [(round, compressed pair, count)] —
+    memoized per session so fit (bpe_train_k_merges) and encode
+    (bpe_encode_corpus) share ONE training run.  Each round: pair count over
+    the compressed vocabulary (partial-agg), one single-row bounded collect
+    of the winner, one codegen replace."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import shared
+
+    vocab = _bpe_vocab(spark, sf_dir)
+
+    def train() -> list[tuple[int, str, int]]:
+        merges: list[tuple[int, str, int]] = []
+        state = vocab.select(F.col("word").alias("s"), "c")
+        for i in range(1, _BPE_K + 1):
+            pairs = state.filter(F.length("s") >= 2).select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("s") - 1),
+                        lambda ix: F.col("s").substr(ix, F.lit(2)),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.sum("c").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            merges.append((i, top[0]["pair"], int(top[0]["cnt"])))
+            state = state.select(
+                F.replace("s", F.lit(top[0]["pair"]), F.lit(chr(i))).alias("s"), "c"
+            )
+        return merges
+
+    return shared(spark, ("bpe_k_merges", sf_dir, _BPE_K), train)
+
+
+
 def _bpe_k_oracle(k: int = _BPE_K) -> str:
     """Chained-CTE DuckDB replay of k BPE merge rounds: w0 = the tokenized
     vocabulary; round i picks top-1 adjacent pair of w{i-1} (count DESC,
@@ -4317,46 +4374,7 @@ def bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescan; each round is a partial-agg pair count (map-side combine) plus
     codegen string replace.  The k single-row collects are training state,
     identical in kind to Lloyd-round centroid collects."""
-    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import shared, shared_df
-
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = shared_df(
-        spark,
-        ("bpe_vocab", sf_dir),
-        lambda: docs.select(F.explode(tokenize_column("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("c")),
-    )
-
-    def train() -> list[tuple[int, str, int]]:
-        merges: list[tuple[int, str, int]] = []  # (round, compressed winner, cnt)
-        state = vocab.select(F.col("word").alias("s"), "c")
-        for i in range(1, _BPE_K + 1):
-            pairs = state.filter(F.length("s") >= 2).select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("s") - 1),
-                        lambda ix: F.col("s").substr(ix, F.lit(2)),
-                    )
-                ).alias("pair"),
-                "c",
-            )
-            top = (
-                pairs.groupBy("pair")
-                .agg(F.sum("c").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("pair"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            merges.append((i, top[0]["pair"], int(top[0]["cnt"])))
-            state = state.select(
-                F.replace("s", F.lit(top[0]["pair"]), F.lit(chr(i))).alias("s"), "c"
-            )
-        return merges
-
-    merges = shared(spark, ("bpe_k_merges", sf_dir, _BPE_K), train)
+    merges = _bpe_merges(spark, sf_dir)
     if not merges:
         return spark.createDataFrame([], "round int, merged_pair string, cnt bigint")
     # expand compressed winners to base characters (unwind sentinels j<i)
@@ -4367,3 +4385,243 @@ def bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair = pair.replace(chr(j), compressed[j])
         out.append((i, pair, cnt))
     return spark.createDataFrame(out, "round int, merged_pair string, cnt bigint")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus filter funnel (r8): the composed training-data pipeline —
+# each stage applies a real filter from this repo's quality family
+# CUMULATIVELY and reports survivors, so one query answers "where does my
+# corpus go when I run the standard cleaning stack?".  Stage predicates are
+# shared SQL strings (both engines verbatim); the dedup stage is keep-first
+# by md5(text) — the exact_dedup contract.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_NONEMPTY = "(text IS NOT NULL AND length(trim(text)) > 0)"
+_FUNNEL_LANG = "(lang = 'en')"
+_FUNNEL_WORDS = "(n_words BETWEEN 10 AND 5000)"
+_FUNNEL_SYMBOL = (
+    "((CAST(n_hash + n_ellipsis AS DOUBLE) / greatest(n_words, 1)) <= 0.1)"
+)
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, lang,
+               len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+'))
+                   AS n_words,
+               length(COALESCE(text, ''))
+                 - length(replace(COALESCE(text, ''), '#', '')) AS n_hash,
+               (length(COALESCE(text, ''))
+                 - length(replace(COALESCE(text, ''), '...', ''))) / 3
+                   AS n_ellipsis
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, text,
+               CASE WHEN {_FUNNEL_NONEMPTY} THEN 1 ELSE 0 END AS f1,
+               CASE WHEN {_FUNNEL_LANG} THEN 1 ELSE 0 END AS f2,
+               CASE WHEN {_FUNNEL_WORDS} THEN 1 ELSE 0 END AS f3,
+               CASE WHEN {_FUNNEL_SYMBOL} THEN 1 ELSE 0 END AS f4
+        FROM base
+    ),
+    surv AS (
+        SELECT doc_id, text,
+               f1, f1 * f2 AS s2, f1 * f2 * f3 AS s3,
+               f1 * f2 * f3 * f4 AS s4
+        FROM flags
+    ),
+    dedup AS (
+        SELECT s4,
+               CASE WHEN s4 = 1 AND ROW_NUMBER() OVER (
+                        PARTITION BY s4, md5(COALESCE(text, chr(1)))
+                        ORDER BY doc_id ASC) = 1
+                    THEN 1 ELSE 0 END AS s5,
+               f1, s2, s3
+        FROM surv
+    )
+    SELECT stage, stage_name, n_surviving FROM (
+        SELECT 0 AS stage, 'all' AS stage_name, COUNT(*) AS n_surviving FROM dedup
+        UNION ALL
+        SELECT 1, 'nonempty_text', CAST(SUM(f1) AS BIGINT) FROM dedup
+        UNION ALL
+        SELECT 2, 'lang_en', CAST(SUM(s2) AS BIGINT) FROM dedup
+        UNION ALL
+        SELECT 3, 'word_count_10_5000', CAST(SUM(s3) AS BIGINT) FROM dedup
+        UNION ALL
+        SELECT 4, 'symbol_ratio', CAST(SUM(s4) AS BIGINT) FROM dedup
+        UNION ALL
+        SELECT 5, 'exact_dedup_keep_first', CAST(SUM(s5) AS BIGINT) FROM dedup
+    )
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning stack as ONE query — survivors after each
+    cumulative stage of the standard training-data pipeline: non-empty text
+    → language gate → Gopher word-count window → C4 symbol-ratio rule →
+    exact dedup (keep-first by md5 of the body).  This is the report a
+    pipeline owner reads before touching any knob: which stage eats the
+    corpus.
+
+    Scale posture: every stage predicate is a per-row codegen expression
+    over ONE scan; the only shuffle is the dedup stage's hash partition on
+    md5(text) (uniform key), and the output is 6 rows.  Composing the
+    stages as flag products (not chained DataFrames) keeps it a single
+    aggregation pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        "text",
+        "lang",
+        "size(regexp_extract_all(lower(COALESCE(text, '')), \"[a-z']+\", 0))"
+        " AS n_words",
+        "length(COALESCE(text, ''))"
+        " - length(replace(COALESCE(text, ''), '#', '')) AS n_hash",
+        "CAST((length(COALESCE(text, ''))"
+        " - length(replace(COALESCE(text, ''), '...', ''))) / 3 AS BIGINT)"
+        " AS n_ellipsis",
+    )
+    flags = base.selectExpr(
+        "doc_id",
+        "text",
+        f"CASE WHEN {_FUNNEL_NONEMPTY} THEN 1 ELSE 0 END AS f1",
+        f"CASE WHEN {_FUNNEL_LANG} THEN 1 ELSE 0 END AS f2",
+        f"CASE WHEN {_FUNNEL_WORDS} THEN 1 ELSE 0 END AS f3",
+        f"CASE WHEN {_FUNNEL_SYMBOL} THEN 1 ELSE 0 END AS f4",
+    ).selectExpr(
+        "doc_id",
+        "text",
+        "f1",
+        "f1 * f2 AS s2",
+        "f1 * f2 * f3 AS s3",
+        "f1 * f2 * f3 * f4 AS s4",
+    )
+    w = Window.partitionBy(
+        "s4", F.expr("md5(COALESCE(text, '\x01'))")
+    ).orderBy(F.asc("doc_id"))
+    dedup = flags.select(
+        "f1",
+        "s2",
+        "s3",
+        "s4",
+        F.when(
+            (F.col("s4") == 1) & (F.row_number().over(w) == 1), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("s5"),
+    )
+    totals = dedup.agg(
+        F.count("*").alias("n0"),
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("s2").cast("bigint").alias("n2"),
+        F.sum("s3").cast("bigint").alias("n3"),
+        F.sum("s4").cast("bigint").alias("n4"),
+        F.sum("s5").cast("bigint").alias("n5"),
+    )
+    stages = [
+        (0, "all", "n0"),
+        (1, "nonempty_text", "n1"),
+        (2, "lang_en", "n2"),
+        (3, "word_count_10_5000", "n3"),
+        (4, "symbol_ratio", "n4"),
+        (5, "exact_dedup_keep_first", "n5"),
+    ]
+    rows = [
+        totals.selectExpr(
+            f"{i} AS stage", f"'{name}' AS stage_name", f"{col} AS n_surviving"
+        )
+        for i, name, col in stages
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_encode_oracle(k: int = _BPE_K) -> str:
+    """DuckDB replay of k BPE merges CARRYING the original word, then
+    per-source corpus encoding stats from the word → symbol-count map."""
+    parts = [
+        """
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents
+    ),
+    w0 AS (SELECT word, word AS s, COUNT(*) AS c FROM toks GROUP BY word)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""",
+    p{i} AS (
+        SELECT substr(s, i, 2) AS pair, SUM(c) AS cnt
+        FROM (SELECT s, c, unnest(generate_series(1, length(s) - 1)) AS i
+              FROM {prev} WHERE length(s) >= 2)
+        GROUP BY pair
+    ),
+    t{i} AS (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    w{i} AS (
+        SELECT word, replace(s, (SELECT pair FROM t{i}), chr({i})) AS s, c
+        FROM {prev}
+    )"""
+        )
+    parts.append(
+        f""",
+    wmap AS (SELECT word, length(s) AS ntok FROM w{k}),
+    doc_toks AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT d.source AS source,
+           COUNT(*) AS n_words,
+           CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(m.ntok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(length(d.word)) AS DOUBLE)
+                 / greatest(SUM(m.ntok), 1), 6) AS chars_per_token
+    FROM doc_toks d JOIN wmap m ON m.word = d.word
+    GROUP BY d.source"""
+    )
+    return "".join(parts)
+
+
+@register("bpe_encode_corpus", oracle=_bpe_encode_oracle())
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained 8-merge BPE model to the whole corpus — the encode
+    half of tokenizer training (``bpe_train_k_merges`` is the fit half):
+    per source, word/char/token totals and the chars-per-token compression
+    the merge table achieves.  This is the number a tokenizer owner tracks
+    per corpus slice (a slice whose compression drops is out-of-domain for
+    the vocabulary).
+
+    Engine shape: the k collected winners replay onto the DISTINCT-word
+    frame (chained codegen replaces — vocabulary-sized, Heaps-law
+    sublinear), producing a word → symbol-count map that broadcast-joins
+    back to the token stream; stats are one map-side-combinable aggregate
+    per source.  Reuses the memoized training run (same session memo key as
+    bpe_train_k_merges), so fit+encode in one session trains once."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _bpe_vocab(spark, sf_dir)
+    merges = _bpe_merges(spark, sf_dir)
+    s = F.col("word")
+    for i, pair, _ in merges:
+        s = F.replace(s, F.lit(pair), F.lit(chr(i)))
+    wmap = vocab.select("word", F.length(s).alias("ntok"))
+    doc_toks = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(tokenize_column("text")).alias("word")
+    )
+    return (
+        doc_toks.join(wmap, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.length("word")).cast("double")
+                / F.greatest(F.sum("ntok"), F.lit(1)),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )

@@ -123,6 +123,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_join_nearest_neighbor",
     "bpe_train_k_merges",
     "dataset_snapshot_diff",
+    "graph_pagerank",
+    "corpus_filter_funnel",
+    "bpe_encode_corpus",
     # (6) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6- and r7-checked rows (freshest, last in line)

@@ -1540,3 +1540,39 @@ def test_snapshot_diff_counts_match_fixture_mutation(spark, sf_dir):
     assert row["n_added"] == n15
     assert row["n_changed"] == n14_changed
     assert row["n_unchanged"] == n_total - n13 - n14_changed
+
+
+def test_filter_funnel_is_monotone_and_anchored(spark, sf_dir):
+    """Funnel survivors must be non-increasing stage over stage, and stage
+    0 must equal the raw document count (no silent pre-filter)."""
+    load_all()
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        QUERIES["corpus_filter_funnel"](spark, sf_dir).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert rows[0]["stage_name"] == "all"
+    assert rows[0]["n_surviving"] == docs.count()
+    survs = [r["n_surviving"] for r in rows]
+    assert survs == sorted(survs, reverse=True), survs
+
+
+def test_bpe_encode_compression_bounds(spark, sf_dir):
+    """Every merged token covers >= 1 char, so n_tokens <= n_chars and
+    chars_per_token >= 1; the per-source word totals must add up to the
+    corpus token count (the encode pass drops nothing)."""
+    load_all()
+    rows = QUERIES["bpe_encode_corpus"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] <= r["n_chars"]
+        assert r["chars_per_token"] >= 1.0
+    docs = load_table(spark, sf_dir, "documents")
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.text import tokenize_column
+
+    n_total = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(tokenize_column("text")).alias("w"))
+        .count()
+    )
+    assert sum(r["n_words"] for r in rows) == n_total

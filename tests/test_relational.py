@@ -251,3 +251,48 @@ def test_effect_sizes_ground_truth(spark, sf_dir):
     assert abs(row.cohens_d - d) < 1e-5
     assert abs(row.hedges_g - j * d) < 1e-5
     assert abs(row.glass_delta - (m1 - m2) / math.sqrt(v2)) < 1e-5
+
+
+def test_pagerank_mass_conservation_and_convergence(spark, sf_dir):
+    """PageRank invariants the oracle hash can't see: (a) total rank mass
+    is 1 (symmetric graph, no dangling nodes, so the damped walk conserves
+    probability); (b) ranks are positive; (c) one EXTRA power iteration
+    moves no node by more than 0.85^8 of the initial spread — the fixed
+    8-round budget really is at/near the fixpoint for this graph."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_relational import (
+        _PR_ROUNDS,
+        _PR_TERM,
+        _copurchase_sym,
+        graph_pagerank,
+    )
+    from pyspark.sql import functions as F
+
+    pr = graph_pagerank(spark, sf_dir)
+    rows = pr.collect()
+    assert rows, "empty graph on fixture"
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+    assert all(r["pagerank"] > 0 for r in rows)
+
+    # run one extra round by hand and compare
+    sym = _copurchase_sym(spark, sf_dir)
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = float(deg.count())
+    cur = pr.select(F.col("part").alias("v"), F.col("pagerank").alias("pr"))
+    nxt = (
+        sym.join(deg, "src")
+        .join(cur, F.col("src") == F.col("v"))
+        .select("dst", F.expr(_PR_TERM).alias("term"))
+        .groupBy(F.col("dst").alias("v2"))
+        .agg(F.sum("term").alias("s"))
+        .select(
+            "v2",
+            (F.lit(0.15 / n) + F.lit(0.85) * F.col("s").cast("double")).alias("pr2"),
+        )
+    )
+    delta = (
+        cur.join(nxt, cur["v"] == nxt["v2"])
+        .agg(F.max(F.abs(F.col("pr2") - F.col("pr"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert delta < 0.85**_PR_ROUNDS, (delta, _PR_ROUNDS)
