@@ -2188,3 +2188,87 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness",
         )
     )
+
+
+@register(
+    "ab_uplift_by_segment",
+    oracle="""
+    WITH users AS (
+        SELECT user_id,
+               CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 2 AS BIGINT) AS variant,
+               max(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT u.user_id, u.variant, u.conv, c.c_mktsegment AS segment
+        FROM users u JOIN customer c ON c.c_custkey = u.user_id
+    ),
+    per AS (
+        SELECT segment,
+               count(*) FILTER (WHERE variant = 1) AS n_treat,
+               count(*) FILTER (WHERE variant = 0) AS n_ctrl,
+               CAST(COALESCE(sum(conv) FILTER (WHERE variant = 1), 0) AS BIGINT)
+                   AS conv_treat,
+               CAST(COALESCE(sum(conv) FILTER (WHERE variant = 0), 0) AS BIGINT)
+                   AS conv_ctrl
+        FROM seg GROUP BY segment
+    )
+    SELECT segment, n_treat, n_ctrl, conv_treat, conv_ctrl,
+           round((CAST(conv_treat AS DOUBLE) / greatest(n_treat, 1))
+                 - (CAST(conv_ctrl AS DOUBLE) / greatest(n_ctrl, 1)), 6)
+               AS uplift
+    FROM per
+    """,
+)
+def ab_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effect readout: the same deterministic md5
+    50/50 split as ``ab_test_conversion``, but conversion uplift
+    (treatment rate − control rate) broken out by the user's market
+    segment via the customer dimension — the first question after a flat
+    A/B readout is "who did it work for?".
+
+    Scale posture: per-user conditional aggregate on the uniform user key,
+    one broadcast-able dimension join, O(segments) output rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    variant = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    users = ev.groupBy("user_id", variant.alias("variant")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    seg = users.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        "user_id",
+    )
+    per = seg.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_treat"),
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_ctrl"),
+        F.coalesce(F.sum(F.when(F.col("variant") == 1, F.col("conv"))), F.lit(0))
+        .cast("bigint")
+        .alias("conv_treat"),
+        F.coalesce(F.sum(F.when(F.col("variant") == 0, F.col("conv"))), F.lit(0))
+        .cast("bigint")
+        .alias("conv_ctrl"),
+    )
+    return per.select(
+        "segment",
+        "n_treat",
+        "n_ctrl",
+        "conv_treat",
+        "conv_ctrl",
+        F.round(
+            (F.col("conv_treat").cast("double") / F.greatest(F.col("n_treat"), F.lit(1)))
+            - (F.col("conv_ctrl").cast("double") / F.greatest(F.col("n_ctrl"), F.lit(1))),
+            6,
+        ).alias("uplift"),
+    )

@@ -2413,3 +2413,81 @@ def ann_join_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=1,
         buckets=_topk_lsh_buckets(spark, sf_dir),
     )
+
+
+@register(
+    "sim_ann_join_recall_report",
+    oracle=_COSINE_CTES
+    + _ANN_JOIN_CAND_CTES
+    + f""",
+    lsh AS ({_ANN_JOIN_SELECT}),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                                       FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
+                                n.vec_id ASC) AS rank
+            FROM norms q JOIN norms n
+              ON q.vec_id % 17 = 3 AND n.vec_id % 17 != 3
+        ) WHERE rank = 1
+    )
+    SELECT (SELECT COUNT(*) FROM brute) AS n_queries,
+           (SELECT COUNT(*) FROM lsh) AS n_linked,
+           (SELECT COUNT(*) FROM brute b
+             JOIN lsh l ON l.query_id = b.query_id
+                       AND l.neighbor_id = b.neighbor_id) AS n_correct,
+           ROUND((SELECT COUNT(*) FROM brute b
+                   JOIN lsh l ON l.query_id = b.query_id
+                             AND l.neighbor_id = b.neighbor_id)
+                 / CAST((SELECT COUNT(*) FROM brute) AS DOUBLE), 6)
+               AS recall_at_1
+    """,
+)
+def sim_ann_join_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@1 of ``ann_join_nearest_neighbor`` against the exact
+    cross-slice nearest neighbor — the number that certifies the linkage
+    operator's LSH parameterization (6 tables × 3 planes) on this corpus,
+    exactly as ``sim_lsh_recall`` certifies the self-join top-k.  The exact
+    side broadcasts the small incoming-batch slice against the index (the
+    allowlisted tiny-broadcast BNLJ recall pattern); the approximate side
+    reuses the session-shared bucket frame."""
+    from pyspark.sql import Window
+
+    emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
+    qv = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    nv = emb.filter(F.col("vec_id") % 17 != 3).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
+    )
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    brute = (
+        F.broadcast(qv)
+        .crossJoin(nv)
+        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("exact_id"))
+    )
+    lsh = sim.nn_join_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        left_pred=lambda c: c % 17 == 3,
+        k=1,
+        buckets=_topk_lsh_buckets(spark, sf_dir),
+    ).select("query_id", F.col("neighbor_id").alias("lsh_id"))
+    joined = brute.join(lsh, "query_id", "left")
+    return joined.agg(
+        F.count("*").alias("n_queries"),
+        F.count("lsh_id").alias("n_linked"),
+        F.count(F.when(F.col("lsh_id") == F.col("exact_id"), 1)).alias("n_correct"),
+        F.round(
+            F.count(F.when(F.col("lsh_id") == F.col("exact_id"), 1))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("recall_at_1"),
+    )

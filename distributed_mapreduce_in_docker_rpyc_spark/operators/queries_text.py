@@ -4625,3 +4625,76 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+@register(
+    "corpus_curriculum_plan",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z'']+')) AS n_words,
+               list_sum(list_transform(regexp_extract_all(lower(text), '[a-z'']+'),
+                                       x -> length(x))) AS word_chars
+        FROM documents WHERE text IS NOT NULL
+    ),
+    scored AS (
+        SELECT doc_id, n_words,
+               CAST(word_chars AS DOUBLE) / n_words AS difficulty
+        FROM base WHERE n_words >= 1
+    ),
+    phased AS (
+        SELECT doc_id, n_words, difficulty,
+               CASE WHEN difficulty < 4.0 THEN 1
+                    WHEN difficulty < 5.0 THEN 2
+                    WHEN difficulty < 6.0 THEN 3
+                    ELSE 4 END AS phase
+        FROM scored
+    )
+    SELECT phase,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           ROUND(MIN(difficulty), 6) AS min_difficulty,
+           ROUND(MAX(difficulty), 6) AS max_difficulty
+    FROM phased GROUP BY phase
+    """,
+)
+def corpus_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase plan: order training data easy→hard by a
+    mean-word-length difficulty proxy and report the four phase buckets a
+    trainer would schedule (Bengio et al. 2009's curriculum shape, with
+    the fixed-threshold banding a 100 TB pipeline actually uses — per-row
+    band assignment, NO global sort or ntile; the thresholds are the
+    knob, the plan is one scan + a 4-group aggregate).
+
+    The difficulty double divides two exact integers (correctly-rounded
+    IEEE division, bit-identical cross-engine), so band edges classify
+    identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = tokenize_column("text")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("word_chars"),
+    ).filter(F.col("n_words") >= 1)
+    scored = base.select(
+        "doc_id",
+        "n_words",
+        (F.col("word_chars").cast("double") / F.col("n_words")).alias("difficulty"),
+    )
+    phased = scored.withColumn(
+        "phase",
+        F.when(F.col("difficulty") < 4.0, 1)
+        .when(F.col("difficulty") < 5.0, 2)
+        .when(F.col("difficulty") < 6.0, 3)
+        .otherwise(4),
+    )
+    return phased.groupBy("phase").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.round(F.min("difficulty"), 6).alias("min_difficulty"),
+        F.round(F.max("difficulty"), 6).alias("max_difficulty"),
+    )

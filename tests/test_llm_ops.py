@@ -1576,3 +1576,37 @@ def test_bpe_encode_compression_bounds(spark, sf_dir):
         .count()
     )
     assert sum(r["n_words"] for r in rows) == n_total
+
+
+def test_curriculum_phases_partition_corpus(spark, sf_dir):
+    """Curriculum phases must partition the tokenizable corpus (every doc
+    with >= 1 word lands in exactly one phase) with band edges in order."""
+    load_all()
+    rows = sorted(
+        QUERIES["corpus_curriculum_plan"](spark, sf_dir).collect(),
+        key=lambda r: r["phase"],
+    )
+    assert rows
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.text import tokenize_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_eligible = (
+        docs.filter(F.col("text").isNotNull())
+        .filter(F.size(tokenize_column("text")) >= 1)
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_eligible
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_difficulty"] <= b["min_difficulty"] + 1e-9
+
+
+def test_uplift_segments_cover_testable_users(spark, sf_dir):
+    """Per-segment arm sizes must add up to the users that joined the
+    customer dimension, and uplift must equal the arm-rate difference."""
+    load_all()
+    rows = QUERIES["ab_uplift_by_segment"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        t_rate = r["conv_treat"] / max(r["n_treat"], 1)
+        c_rate = r["conv_ctrl"] / max(r["n_ctrl"], 1)
+        assert abs(r["uplift"] - round(t_rate - c_rate, 6)) < 1e-9
