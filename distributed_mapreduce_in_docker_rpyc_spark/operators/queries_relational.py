@@ -3081,8 +3081,12 @@ def _pagerank_oracle() -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 8 fixed power iterations) over the part
     co-purchase graph — "which parts sit at the center of the buying
-    network": the third member of the graph family (components partition
-    it, label propagation finds communities, PageRank ranks within them).
+    network": completes the co-purchase graph family (components partition
+    it, label propagation finds communities, k-core trims it, PageRank
+    ranks within it).  The sibling ``pagerank_word_graph`` runs WEIGHTED
+    PageRank on the word co-occurrence digraph with a top-20 report; this
+    one is unweighted on the shared symmetric part graph and returns the
+    FULL rank vector under the exact-decimal reduction contract.
     The classic iterative MapReduce benchmark, expressed Spark-first: each
     iteration is one equi-join of the rank frame to the shared symmetric
     edge list plus a map-side-combinable SUM per destination.

@@ -2491,3 +2491,80 @@ def sim_ann_join_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_1"),
     )
+
+
+# IVF record-linkage CTEs: the same md5-seeded Lloyd index build as
+# _ivf_ctes, with the probe set = the incoming-batch slice (vec_id % 17 = 3)
+# and candidates restricted to index-side vectors (% 17 != 3), rank <= 1.
+_IVF_JOIN_CTES = f""",
+    ivfseeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster, embedding
+        FROM (
+            SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, embedding
+            FROM embeddings
+            ORDER BY h, vec_id
+            LIMIT 16
+        )
+    ),
+    ivfc0 AS (
+        SELECT cluster, g.i AS d, ROUND(CAST(embedding[g.i] AS DOUBLE), 6) AS c
+        FROM ivfseeds, generate_series(1, 64) g(i)
+    ),
+    ivfa1 AS ({_ivf_assign_subquery("ivfc0")}),
+    {_ivf_update_cte("ivfc1", "ivfc0", "ivfa1")},
+    ivfa2 AS ({_ivf_assign_subquery("ivfc1")}),
+    {_ivf_update_cte("ivfc2", "ivfc1", "ivfa2")},
+    ivfafin AS ({_ivf_assign_subquery("ivfc2")}),
+    ivfprobes AS (
+        SELECT vec_id AS query_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cluster ASC) AS rnk
+            FROM (
+                SELECT e.vec_id, c.cluster,
+                       ROUND(SUM((CAST(e.embedding[c.d] AS DOUBLE) - c.c)
+                               * (CAST(e.embedding[c.d] AS DOUBLE) - c.c)), 6) AS d2
+                FROM embeddings e CROSS JOIN ivfc2 c
+                WHERE e.vec_id % 17 = 3
+                GROUP BY e.vec_id, c.cluster
+            )
+        ) WHERE rnk <= 4
+    )
+"""
+
+_IVF_JOIN_SELECT = """
+    SELECT query_id, neighbor_id, sim FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                      FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                  ORDER BY ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                                                  FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
+                                           a.vec_id ASC) AS rank
+        FROM ivfprobes p
+        JOIN ivfafin a ON a.cluster = p.cluster AND a.vec_id % 17 != 3
+        JOIN norms q ON q.vec_id = p.query_id
+        JOIN norms n ON n.vec_id = a.vec_id
+    ) WHERE rank <= 1
+"""
+
+
+@register(
+    "ann_join_ivf",
+    oracle=_COSINE_CTES + _IVF_JOIN_CTES + _IVF_JOIN_SELECT,
+)
+def ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF variant of ``ann_join_nearest_neighbor`` — the LINEAR-candidates
+    scale path for record linkage (SCALING.md round 8): each incoming-batch
+    vector probes its 4 nearest of 16 deterministic coarse cells and reranks
+    only the index vectors assigned there, so the probed corpus fraction is
+    n_probe/n_centroids at ANY scale and the scale knob (centroid count,
+    ~√N) lives in the index, not the query.  Shares the session-memoized
+    md5-seeded Lloyd index with sim_topk_ivf; the oracle replays index
+    build, probe choice, and rerank bit-for-bit."""
+    return sim.nn_join_ivf(
+        load_table(spark, sf_dir, "embeddings"),
+        left_pred=lambda c: c % 17 == 3,
+        k=1,
+        index=_ivf(spark, sf_dir),
+    )

@@ -727,3 +727,67 @@ def nn_join_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def nn_join_ivf(
+    emb: DataFrame,
+    left_pred,
+    k: int = 1,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF variant of :func:`nn_join_lsh` — the LINEAR-candidates scale path
+    for embedding record linkage: every incoming-batch vector probes its
+    ``n_probe`` nearest coarse cells and reranks only the index vectors
+    assigned there, so the probed fraction is ``n_probe / n_centroids`` of
+    the corpus REGARDLESS of scale, and the scale knob (centroid count,
+    sized ~√N like every production IVF codebook) lives in the INDEX, not
+    the query.  Complements the sign-LSH join, whose candidate volume at a
+    fixed plane count is Θ(N²/2^k) (see the measured frontier in
+    ``nn_join_lsh``'s docstring / SCALING.md round 8).
+
+    Same determinism contract as ``topk_ivf``: md5-seeded Lloyd index, every
+    ranking input rounded to 6 places, so the SQL oracle replays index
+    build, probe choice, and rerank bit-for-bit."""
+    assigned, centroids = (
+        index if index is not None else ivf_index(emb, n_centroids, id_col, vec_col)
+    )
+    q = assigned.filter(left_pred(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cluster"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn(
+            "d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_qv").cast("array<double>"),
+                        "centroid",
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "_qv", "cluster")
+    )
+    n = assigned.filter(~left_pred(F.col(id_col))).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"), "cluster"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        n.join(F.broadcast(probes), "cluster")
+        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -129,6 +129,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_join_recall_report",
     "ab_uplift_by_segment",
     "corpus_curriculum_plan",
+    "ann_join_ivf",
     # (6) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6- and r7-checked rows (freshest, last in line)

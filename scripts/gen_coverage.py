@@ -22,6 +22,8 @@ FAMILY = {
     "queries_multimodal": "Multimodal columns",
     "queries_quality": "Data quality / privacy audits",
     "queries_sketches": "Sketch aggregates",
+    "queries_features": "Feature engineering / statistics / ML",
+    "queries_probes": "Engine-agreement bisection probes (r8 diagnostics)",
 }
 
 

@@ -41,6 +41,13 @@ SHOWN = [
     "sim_pq_adc_topk",
     "negative_sampling_plan",
     "storage_zorder_cluster",
+    # round 8: the two record-linkage joins (bucketed LSH A↔B equi-join vs
+    # IVF probe join), the banded two-level cumulative replacing the global
+    # distinct-grid window, and the single-scan flag-product funnel
+    "ann_join_nearest_neighbor",
+    "ann_join_ivf",
+    "stat_mannwhitney_u",
+    "corpus_filter_funnel",
 ]
 
 

