@@ -232,7 +232,10 @@ _char_class_probe(
     oracle="""
     SELECT COUNT(*) FILTER (WHERE length(text) <> n_chars) AS n_mismatch_rows,
            CAST(COALESCE(SUM(length(text) - n_chars), 0) AS BIGINT)
-             AS sum_len_delta
+             AS sum_len_delta,
+           COUNT(*) FILTER (WHERE strlen(text)
+                              <> octet_length(encode(text)))
+             AS n_reencode_mismatch
     FROM documents
     """,
 )
@@ -243,7 +246,18 @@ def probe_docs_len_vs_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``UTF8String.numChars``, DuckDB's ``length`` and Python's ``len`` all
     count codepoints, so any nonzero here names a codepoint-counting or
     read-level content divergence directly — and DISAGREEMENT between the
-    two engines' deltas names which engine re-encoded the content."""
+    two engines' deltas names which engine re-encoded the content.
+
+    ``n_reencode_mismatch`` is the Spark-INTERNAL ill-formed-bytes
+    detector (no engine agreement on content needed): Spark's
+    ``octet_length(text)`` measures the RAW stored bytes while
+    ``encode(text, 'utf-8')`` round-trips through java.lang.String, which
+    substitutes U+FFFD for ill-formed sequences — so any row whose stored
+    bytes are not valid UTF-8 changes length under re-encode.  DuckDB's
+    ``encode`` is an identity on its (scan-validated) varchars, so the
+    oracle column is structurally 0; Spark counting >0 while DuckDB
+    errors-or-zeros is a one-bit proof that the driver fixture carries
+    invalid UTF-8 that only the JVM path tolerates-and-rewrites."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.agg(
         F.count(
@@ -252,6 +266,13 @@ def probe_docs_len_vs_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.sum(F.length(F.col("text")) - F.col("n_chars")), F.lit(0)
         ).alias("sum_len_delta"),
+        F.count(
+            F.when(
+                F.octet_length(F.col("text"))
+                != F.length(F.encode(F.col("text"), "UTF-8")),
+                F.lit(1),
+            )
+        ).alias("n_reencode_mismatch"),
     )
 
 

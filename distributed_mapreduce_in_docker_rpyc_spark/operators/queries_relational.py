@@ -3107,6 +3107,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
     symd = sym.join(deg, "src").persist()
     n = float(deg.count())
+    if n == 0:
+        # degenerate/empty graph: no nodes, no ranks (matches the oracle's
+        # empty pr8 CTE; guards the 0.15/n division on empty fixtures)
+        return spark.createDataFrame([], "part long, pagerank double")
     base = 0.15 / n
     pr = deg.select(F.col("src").alias("v"), F.lit(1.0 / n).alias("pr"))
     for i in range(_PR_ROUNDS):

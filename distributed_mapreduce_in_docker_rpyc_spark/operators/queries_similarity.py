@@ -2440,7 +2440,7 @@ def ann_join_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((SELECT COUNT(*) FROM brute b
                    JOIN lsh l ON l.query_id = b.query_id
                              AND l.neighbor_id = b.neighbor_id)
-                 / CAST((SELECT COUNT(*) FROM brute) AS DOUBLE), 6)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM brute), 0) AS DOUBLE), 6)
                AS recall_at_1
     """,
 )
@@ -2487,7 +2487,9 @@ def sim_ann_join_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("lsh_id") == F.col("exact_id"), 1)).alias("n_correct"),
         F.round(
             F.count(F.when(F.col("lsh_id") == F.col("exact_id"), 1))
-            / F.count("*").cast("double"),
+            # NULLIF: empty query slice → NULL recall, not an ANSI-mode
+            # divide-by-zero (caught by the fleet empty-input sweep)
+            / F.nullif(F.count("*").cast("double"), F.lit(0.0)),
             6,
         ).alias("recall_at_1"),
     )
