@@ -2272,3 +2272,71 @@ def ab_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("uplift"),
     )
+
+
+@register(
+    "events_bandit_ucb",
+    oracle="""
+    WITH arms AS (
+        SELECT event_type AS arm,
+               COUNT(*) AS n_pulls,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS reward_sum
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(n_pulls) AS DOUBLE) AS big_n FROM arms),
+    scored AS (
+        SELECT arm, n_pulls,
+               ROUND(reward_sum / n_pulls, 6) AS mean_reward,
+               ROUND((reward_sum / n_pulls)
+                     + sqrt((2.0 * ln(big_n)) / n_pulls), 6) AS ucb_score
+        FROM arms, tot
+    )
+    SELECT arm, CAST(n_pulls AS BIGINT) AS n_pulls, mean_reward, ucb_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY ucb_score DESC, arm ASC) = 1
+                AS INT) AS is_chosen
+    FROM scored
+    """,
+)
+def events_bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit allocation readout (Auer et al. 2002) over the event
+    log, arms = event types, reward = the event value: per arm the pull
+    count, exact mean reward (decimal-quantized sum / count), the
+    upper-confidence score mean + sqrt(2·ln N / n), and which arm the
+    policy pulls next — the deterministic counterpart to Thompson sampling
+    that an experimentation platform can actually replay and audit.
+
+    Scale posture: one conditional aggregate on the low-cardinality arm
+    key (map-side combined), a 1-row total crossed back in, O(arms)
+    output.  Scores are rounded to 6 places BEFORE the argmax ranking so
+    the chosen arm is engine-portable (same discipline as the TF-IDF
+    ranking); the reward sum rides DECIMAL(24,6) so the mean is exact
+    under any partitioning."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arms = ev.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count("*").alias("n_pulls"),
+        F.sum(F.expr("CAST(value AS DECIMAL(24,6))"))
+        .cast("double")
+        .alias("reward_sum"),
+    )
+    tot = arms.agg(F.sum("n_pulls").cast("double").alias("big_n"))
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_pulls",
+        F.round(F.col("reward_sum") / F.col("n_pulls"), 6).alias("mean_reward"),
+        F.round(
+            (F.col("reward_sum") / F.col("n_pulls"))
+            + F.sqrt((F.lit(2.0) * F.log(F.col("big_n"))) / F.col("n_pulls")),
+            6,
+        ).alias("ucb_score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("ucb_score"), F.asc("arm"))
+    return scored.select(
+        "arm",
+        F.col("n_pulls").cast("bigint").alias("n_pulls"),
+        "mean_reward",
+        "ucb_score",
+        (F.row_number().over(w) == 1).cast("int").alias("is_chosen"),
+    )

@@ -130,6 +130,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ab_uplift_by_segment",
     "corpus_curriculum_plan",
     "ann_join_ivf",
+    "events_bandit_ucb",
     # (6) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6- and r7-checked rows (freshest, last in line)
