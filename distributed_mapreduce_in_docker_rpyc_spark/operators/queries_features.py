@@ -4055,3 +4055,91 @@ def stat_power_mde_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * ((v1 + v2) / 2.0) / (0.05 * m1 * 0.05 * m1), 2)"
         " AS n_per_arm_for_5pct",
     )
+
+
+# --- Ridge regression (r8): L2-regularized normal equations -------------------
+#
+# (X'X + λI')β = X'y with the intercept unpenalized (the standard form): the
+# 3×3 system matrix is the OLS one with λ added to the two feature-diagonal
+# entries — textually, every s11/s22 occurrence in the Cramer determinants
+# IS a system-matrix entry (the data vector contributes s1y/s2y/sy only), so
+# the ridge determinants are a pure string substitution on _LR_DETS, shared
+# verbatim by both engines like everything else in this family.
+_RIDGE_LAMBDA = "100.0"
+_RIDGE_DETS = {
+    k: v.replace("s11", f"(s11 + {_RIDGE_LAMBDA})").replace(
+        "s22", f"(s22 + {_RIDGE_LAMBDA})"
+    )
+    for k, v in _LR_DETS.items()
+}
+_RIDGE_BETAS = {
+    "b0": f"(({_RIDGE_DETS['det0']}) / ({_RIDGE_DETS['det']}))",
+    "b1": f"(({_RIDGE_DETS['det1']}) / ({_RIDGE_DETS['det']}))",
+    "b2": f"(({_RIDGE_DETS['det2']}) / ({_RIDGE_DETS['det']}))",
+}
+_RIDGE_R2 = (
+    f"1 - (syy - ({_RIDGE_BETAS['b0']}*sy + {_RIDGE_BETAS['b1']}*s1y"
+    f" + {_RIDGE_BETAS['b2']}*s2y)) / (syy - sy*sy/n)"
+)
+
+
+@register(
+    "linreg_ridge",
+    oracle=f"""
+    WITH obs AS (
+        SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL
+    ),
+    stats AS (SELECT {_LR_SUMS} FROM obs)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           {_RIDGE_LAMBDA} AS ridge_lambda,
+           ROUND({_RIDGE_BETAS['b0']}, 6) AS intercept,
+           ROUND({_RIDGE_BETAS['b1']}, 6) AS coef_quantity,
+           ROUND({_RIDGE_BETAS['b2']}, 6) AS coef_discount,
+           ROUND({_RIDGE_R2}, 6) AS train_r2,
+           ROUND(ABS({_LR_BETAS['b1']}) - ABS({_RIDGE_BETAS['b1']}), 6)
+             AS shrinkage_quantity,
+           ROUND(ABS({_LR_BETAS['b2']}) - ABS({_RIDGE_BETAS['b2']}), 6)
+             AS shrinkage_discount
+    FROM stats
+    """,
+)
+def linreg_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge (L2-regularized) regression via the same one-pass sufficient
+    statistics as ``linreg_normal_equations`` — the regularized fit a
+    pipeline reaches for when OLS coefficients blow up on collinear
+    features: (X'X + λI')β = X'y with the intercept unpenalized, λ = 100,
+    solved by Cramer on the one-row moment frame.  Reports the ridge
+    coefficients, train R², and per-feature |coef| shrinkage vs the OLS
+    solution (both solves share the SAME ten exact moment sums, so the
+    comparison costs nothing extra).
+
+    Scale posture: identical to OLS — one map-side-combined aggregate of
+    ten DECIMAL-exact moments; the solve is driver-free expression algebra
+    on a 1-row frame.  Regularization changes the MODEL, not the plan."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .selectExpr("l_quantity AS x1", "l_discount AS x2", "l_extendedprice AS y")
+    )
+    stats = li.groupBy().agg(
+        *[F.expr(part.strip()) for part in _split_agg_exprs(_LR_SUMS)]
+    )
+    return stats.selectExpr(
+        "CAST(n AS BIGINT) AS n_obs",
+        f"{_RIDGE_LAMBDA} AS ridge_lambda",
+        f"ROUND({_RIDGE_BETAS['b0']}, 6) AS intercept",
+        f"ROUND({_RIDGE_BETAS['b1']}, 6) AS coef_quantity",
+        f"ROUND({_RIDGE_BETAS['b2']}, 6) AS coef_discount",
+        f"ROUND({_RIDGE_R2}, 6) AS train_r2",
+        f"ROUND(ABS({_LR_BETAS['b1']}) - ABS({_RIDGE_BETAS['b1']}), 6)"
+        " AS shrinkage_quantity",
+        f"ROUND(ABS({_LR_BETAS['b2']}) - ABS({_RIDGE_BETAS['b2']}), 6)"
+        " AS shrinkage_discount",
+    )

@@ -131,6 +131,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_curriculum_plan",
     "ann_join_ivf",
     "events_bandit_ucb",
+    "linreg_ridge",
     # (6) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6- and r7-checked rows (freshest, last in line)
