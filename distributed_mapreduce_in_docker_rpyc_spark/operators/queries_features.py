@@ -4143,3 +4143,130 @@ def linreg_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND(ABS({_LR_BETAS['b2']}) - ABS({_RIDGE_BETAS['b2']}), 6)"
         " AS shrinkage_discount",
     )
+
+
+# --- Dunn's post-hoc test (r8): which groups differ, after Kruskal-Wallis ----
+#
+# Shared z expression over the pooled-rank means: for groups a, b
+#   z = (mean_rank_a - mean_rank_b)
+#       / sqrt( (n(n+1)/12 - tiesum/(12(n-1))) * (1/n_a + 1/n_b) )
+# (Dunn 1964 with the tie correction).  Bonferroni-adjusted two-sided
+# critical value at family alpha 0.05 over C(5,2)=10 comparisons:
+# z_{alpha/(2m)} = z_{0.0025} = 2.807034.
+_DUNN_Z = (
+    "((ma - mb) / sqrt(((((n * (n + 1.0)) / 12.0)"
+    " - (tiesum / (12.0 * (n - 1.0))))) * ((1.0 / na) + (1.0 / nb))))"
+)
+_DUNN_ZCRIT = "2.807034"
+
+
+@register(
+    "stat_dunn_posthoc",
+    oracle=f"""
+    WITH obs AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS v
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    pv AS (SELECT v, COUNT(*) AS t FROM obs GROUP BY v),
+    rk AS (
+        SELECT v, t,
+               (CAST(SUM(t) OVER (ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS DOUBLE)
+                - t) + ((t + 1.0) / 2.0) AS r
+        FROM pv
+    ),
+    gv AS (SELECT grp, v, COUNT(*) AS tg FROM obs GROUP BY grp, v),
+    gr AS (
+        SELECT g.grp,
+               CAST(SUM(g.tg) AS DOUBLE) AS ng,
+               CAST(SUM(CAST(g.tg * rk.r AS DECIMAL(38,1))) AS DOUBLE) AS rg
+        FROM gv g JOIN rk ON rk.v = g.v
+        GROUP BY g.grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(ng) AS DOUBLE) AS n,
+               (SELECT CAST(SUM(t * t * t - t) AS DOUBLE) FROM pv) AS tiesum
+        FROM gr
+    ),
+    pairs AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               a.ng AS na, b.ng AS nb,
+               (a.rg / a.ng) AS ma, (b.rg / b.ng) AS mb,
+               t.n AS n, t.tiesum AS tiesum
+        FROM gr a JOIN gr b ON a.grp < b.grp, tot t
+    )
+    SELECT grp_a, grp_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma, 6) AS mean_rank_a,
+           ROUND(mb, 6) AS mean_rank_b,
+           ROUND({_DUNN_Z}, 6) AS z,
+           CAST(ABS(ROUND({_DUNN_Z}, 6)) > {_DUNN_ZCRIT} AS INT)
+               AS reject_bonferroni
+    FROM pairs
+    """,
+)
+def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons (Dunn 1964, tie-corrected) —
+    the question a significant ``stat_kruskal_wallis`` H immediately
+    raises: WHICH priorities differ?  One z per priority pair from the
+    pooled-rank means, with the Bonferroni-adjusted decision at family
+    alpha 0.05 over the C(5,2)=10 comparisons.
+
+    Distributed shape: the pooled average ranks come from the r8 banded
+    two-level cumulative (``_banded_cum`` — no single-partition frame),
+    group rank-sums ride exact DECIMAL(38,1), and the pairwise stage is a
+    self-join of the k-row group frame: O(k²) rows of driver-free algebra,
+    constant in corpus size.  The z algebra is a shared expression string,
+    bit-identical cross-engine; z is rounded to 6 places BEFORE the
+    critical-value comparison so the reject bit is engine-portable."""
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .selectExpr("o_orderpriority AS grp", "o_totalprice AS v")
+    )
+    pv = obs.groupBy("v").agg(F.count("*").alias("t"))
+    rk = _banded_cum(pv, "v", ("t",), band_width=10000.0).select(
+        "v",
+        "t",
+        (
+            (F.col("cum_t").cast("double") - F.col("t")) + (F.col("t") + 1.0) / 2.0
+        ).alias("r"),
+    )
+    gv = obs.groupBy("grp", "v").agg(F.count("*").alias("tg"))
+    # Persisted: the k-row group frame feeds BOTH self-join sides and the
+    # totals — without reuse the whole rank pipeline evaluates three times
+    # (same no-cross-DAG-dedup finding as _banded_cum / operators/dedup.py).
+    gr = (
+        gv.join(rk.select("v", "r"), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("tg").cast("double").alias("ng"),
+            F.sum(F.expr("CAST(tg * r AS DECIMAL(38,1))")).cast("double").alias("rg"),
+        )
+        .persist()
+    )
+    ties = pv.agg(F.sum(F.expr("t * t * t - t")).cast("double").alias("tiesum"))
+    tot = gr.agg(F.sum("ng").alias("n")).crossJoin(F.broadcast(ties))
+    a = gr.selectExpr("grp AS grp_a", "ng AS na", "(rg / ng) AS ma")
+    b = gr.selectExpr("grp AS grp_b", "ng AS nb", "(rg / ng) AS mb")
+    # broadcast the k-row side so the non-equi pair join plans the
+    # allowlisted tiny-broadcast BNLJ, never a CartesianProduct
+    pairs = (
+        a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return pairs.selectExpr(
+        "grp_a",
+        "grp_b",
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        "ROUND(ma, 6) AS mean_rank_a",
+        "ROUND(mb, 6) AS mean_rank_b",
+        f"ROUND({_DUNN_Z}, 6) AS z",
+        f"CAST(ABS(ROUND({_DUNN_Z}, 6)) > {_DUNN_ZCRIT} AS INT)"
+        " AS reject_bonferroni",
+    )

@@ -132,6 +132,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_join_ivf",
     "events_bandit_ucb",
     "linreg_ridge",
+    "stat_dunn_posthoc",
     # (6) remaining greens, stalest first: the r1-era relational family
     #     (no driver contact since r1/r2), then the r5-checked rows, then
     #     the r6- and r7-checked rows (freshest, last in line)

@@ -402,6 +402,7 @@ BNLJ_ALLOWED = {
     "sim_ann_join_recall_report": "recall report re-uses the exact cross-slice baseline (broadcast incoming-batch slice)",
     "ann_join_ivf": "broadcast side = 16 deterministic Lloyd centroids (constant in corpus size, same pattern as sim_topk_ivf)",
     "events_bandit_ucb": "broadcast side = 1-row total pull count crossed into the O(arms) frame",
+    "stat_dunn_posthoc": "pairwise stage self-joins the k-row group frame (k = 5 priorities) + 1-row totals cross",
     "knn_label_vote": "broadcast side = constant 50-vector held-out probe set (same pattern as sim_topk_bruteforce)",
     "bloom_filter_probe": "broadcast sides = 3-row hash-index spine and two 1-row count frames; the bit set itself is a bounded-65536-row broadcast equi-join",
     "tfidf_cosine_pairs": "broadcast side = 1-row corpus count (idf quantization input)",
