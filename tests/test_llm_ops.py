@@ -1522,18 +1522,17 @@ def test_bpe_k_merges_is_consistent_with_single_round_queries(spark, sf_dir):
 
 def test_snapshot_diff_counts_match_fixture_mutation(spark, sf_dir):
     """The diff report must equal the mutation recipe's own arithmetic:
-    removed = dropped slice, added = appended slice, changed ⊆ rewritten
-    slice (uppercasing may be identity for letterless/NULL text)."""
+    removed = dropped slice, added = appended slice, changed = the ENTIRE
+    rewritten slice (r9: the mutation is a literal '|mut' marker append,
+    which changes every selected row unconditionally — the old upper()
+    mutation was identity on caseless text AND engine-dependent on
+    non-ASCII, per ADVICE r8)."""
     load_all()
     docs = load_table(spark, sf_dir, "documents")
     mod = F.col("doc_id") % 97
     n13 = docs.filter(mod == 13).count()
     n15 = docs.filter(mod == 15).count()
-    n14_changed = (
-        docs.filter(mod == 14)
-        .filter(F.col("text").isNotNull() & (F.upper("text") != F.col("text")))
-        .count()
-    )
+    n14_changed = docs.filter(mod == 14).count()
     n_total = docs.count()
     row = QUERIES["dataset_snapshot_diff"](spark, sf_dir).collect()[0]
     assert row["n_removed"] == n13

@@ -47,7 +47,7 @@ PROBE_NAMES = [
     "probe_orders_dates",
     "probe_orders_priorities",
     "probe_orders_price_micro",
-    "probe_orders_price_micro_raw",
+    "probe_orders_price_micro_bigint",
 ]
 
 AGREEMENT_NAMES = [

@@ -296,3 +296,48 @@ def test_pagerank_mass_conservation_and_convergence(spark, sf_dir):
         .collect()[0]["d"]
     )
     assert delta < 0.85**_PR_ROUNDS, (delta, _PR_ROUNDS)
+
+
+def test_pagerank_dangling_redistribution(spark, sf_dir):
+    """The general dangling-mass PageRank (r9) keeps total rank mass at 1
+    ON A GRAPH THAT ACTUALLY HAS DANGLING NODES — the invariant the leaky
+    0.15-floor variant violates.  Asserts (a) the word digraph fixture
+    really contains out-degree-0 nodes (else the test proves nothing),
+    (b) Σpr = 1 after 8 rounds, (c) all ranks positive."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.text import tokenize_column
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import (
+        graph_pagerank_dangling,
+    )
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.regexp_extract_all(
+            F.array_join(toks, " "), F.lit(r"(?<![a-z'])(?=([a-z']+ [a-z']+))"), 1
+        ),
+    ).otherwise(F.array())
+    edges = (
+        docs.select(F.explode(bigrams).alias("b"))
+        .select(
+            F.split_part("b", F.lit(" "), F.lit(1)).alias("src"),
+            F.split_part("b", F.lit(" "), F.lit(2)).alias("dst"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 5)
+    )
+    srcs = edges.select("src").distinct()
+    dsts = edges.select(F.col("dst").alias("src")).distinct()
+    n_dangling = dsts.join(srcs, "src", "left_anti").count()
+    assert n_dangling > 0, "fixture word digraph has no dangling nodes"
+
+    rows = graph_pagerank_dangling(spark, sf_dir).collect()
+    assert rows, "empty graph on fixture"
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+    assert all(r["pagerank"] > 0 for r in rows)

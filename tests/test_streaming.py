@@ -603,3 +603,48 @@ def test_left_outer_join_null_rows_respect_state_cutoff(spark, sf_dir):
     nulls = [r for r in rows if r.click_id is None]
     assert nulls and all(r.purchase_ts < cutoff for r in nulls)
     assert matched.isdisjoint({r.purchase_id for r in nulls})
+
+
+def test_ann_index_maintenance_stream_equals_batch(spark, sf_dir):
+    """Stream ≡ batch for the r9 ANN index-maintenance loop: after the
+    availableNow replay, the persisted bucket frame must equal the one-shot
+    batch bucket build over the FULL corpus (every index vector from init +
+    every streamed vector upserted, none lost/duplicated), and the links
+    must satisfy the arrival-order contract (a query only ever links to the
+    index slice or to earlier-batch vectors — never its own or later
+    batches)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as sim
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    links = QUERIES["stream_ann_index_maintenance"](spark, sf_dir).collect()
+
+    # the query's scratch root is memo-free, so rebuild the expected frame
+    emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
+    expected = {
+        (r.vec_id, r.tbl, r.bucket)
+        for r in sim.lsh_bucket_tables_np(emb).collect()
+    }
+    # locate the bucket frame the streaming job just wrote (newest annmaint dir)
+    import glob
+    import os
+    import tempfile
+
+    roots = sorted(
+        glob.glob(os.path.join(tempfile.gettempdir(), "sg-work-annmaint-*")),
+        key=os.path.getmtime,
+    )
+    assert roots, "streaming job left no work dir"
+    frame = spark.read.parquet(os.path.join(roots[-1], "bucket_frame"))
+    got = {(r.vec_id, r.tbl, r.bucket) for r in frame.collect()}
+    assert got == expected
+
+    # arrival-order contract on the links
+    assert links, "no links produced"
+    for r in links:
+        assert r.query_id % 17 == 3
+        if r.neighbor_id % 17 == 3:  # linked to a streamed vector
+            assert r.neighbor_id % 3 < r.query_id % 3, (
+                r.query_id,
+                r.neighbor_id,
+            )
