@@ -1617,3 +1617,158 @@ def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_unchanged"),
     )
+
+
+# --- Incremental fingerprint maintenance (r9) --------------------------------
+#
+# The point of dataset_fingerprint_report's ORDER-INDEPENDENT commutative
+# sum is that it can be maintained from DELTAS: for any mutation batch,
+# fp(new) = fp(old) − Σh(removed) − Σh(changed_old) + Σh(changed_new)
+# + Σh(added) — no rescan of the unchanged 100 TB.  This query applies the
+# snapshot-diff mutation recipe (drop %97=13, '|mut'-append %97=14, append
+# %97=15 under shifted ids) and emits the incrementally-maintained
+# fingerprint PLUS its deviation from a direct full recompute done in the
+# same session (the house deviation-proof pattern: the hash certifies the
+# delta algebra itself, the recompute arm exists only for the proof).
+
+_FP56_DUCK_BASE = (
+    "CAST(('0x' || substr(md5("
+    "CAST(doc_id AS VARCHAR) || '|' || md5(COALESCE(text, chr(1))) || '|' || "
+    "COALESCE(lang, chr(1)) || '|' || COALESCE(source, chr(1)) || '|' || "
+    "COALESCE(CAST(n_chars AS VARCHAR), chr(1))), 1, 14)) AS BIGINT)"
+)
+_FP56_DUCK_MUT = _FP56_DUCK_BASE.replace(
+    "md5(COALESCE(text, chr(1)))", "md5(COALESCE(text, '') || '|mut')"
+)
+_FP56_DUCK_SHIFT = _FP56_DUCK_BASE.replace(
+    "CAST(doc_id AS VARCHAR)", "CAST(doc_id + 10000000 AS VARCHAR)"
+)
+_FP56_SPARK_BASE = (
+    "CAST(conv(substr(md5("
+    "CAST(doc_id AS STRING) || '|' || md5(encode(COALESCE(text, '\x01'), 'utf-8')) || '|' || "
+    "COALESCE(lang, '\x01') || '|' || COALESCE(source, '\x01') || '|' || "
+    "COALESCE(CAST(n_chars AS STRING), '\x01')), 1, 14), 16, 10) AS BIGINT)"
+)
+_FP56_SPARK_MUT = _FP56_SPARK_BASE.replace(
+    "md5(encode(COALESCE(text, '\x01'), 'utf-8'))",
+    "md5(encode(COALESCE(text, '') || '|mut', 'utf-8'))",
+)
+_FP56_SPARK_SHIFT = _FP56_SPARK_BASE.replace(
+    "CAST(doc_id AS STRING)", "CAST(doc_id + 10000000 AS STRING)"
+)
+
+
+@register(
+    "dataset_fingerprint_incremental",
+    oracle=f"""
+    WITH fp_base AS (
+        SELECT COUNT(*) AS n,
+               COALESCE(SUM(CAST({_FP56_DUCK_BASE} AS DECIMAL(38,0))), 0) AS f
+        FROM documents
+    ),
+    delta AS (
+        SELECT
+            COALESCE(SUM(CASE WHEN doc_id % 97 IN (13, 14)
+                 THEN CAST({_FP56_DUCK_BASE} AS DECIMAL(38,0)) END), 0) AS leaving,
+            COALESCE(SUM(CASE WHEN doc_id % 97 = 14
+                 THEN CAST({_FP56_DUCK_MUT} AS DECIMAL(38,0)) END), 0) AS changed_new,
+            COALESCE(SUM(CASE WHEN doc_id % 97 = 15
+                 THEN CAST({_FP56_DUCK_SHIFT} AS DECIMAL(38,0)) END), 0) AS added,
+            COUNT(*) FILTER (WHERE doc_id % 97 = 13) AS n_removed,
+            COUNT(*) FILTER (WHERE doc_id % 97 = 15) AS n_added
+        FROM documents WHERE doc_id % 97 IN (13, 14, 15)
+    ),
+    fp_direct AS (
+        SELECT COALESCE(SUM(CAST(h AS DECIMAL(38,0))), 0) AS f FROM (
+            SELECT {_FP56_DUCK_BASE} AS h FROM documents
+            WHERE doc_id % 97 != 13 AND doc_id % 97 != 14
+            UNION ALL
+            SELECT {_FP56_DUCK_MUT} FROM documents WHERE doc_id % 97 = 14
+            UNION ALL
+            SELECT {_FP56_DUCK_SHIFT} FROM documents WHERE doc_id % 97 = 15
+        )
+    )
+    SELECT CAST(b.n - d.n_removed + d.n_added AS BIGINT) AS n_rows_snap2,
+           CAST(b.f - d.leaving + d.changed_new + d.added AS VARCHAR)
+               AS fingerprint_incremental,
+           CAST((b.f - d.leaving + d.changed_new + d.added) - r.f AS BIGINT)
+               AS dev_vs_recompute
+    FROM fp_base b, delta d, fp_direct r
+    """,
+)
+def dataset_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fingerprint maintenance (r9): the new snapshot's
+    content fingerprint computed WITHOUT rescanning unchanged rows —
+    fp(new) = fp(old) − Σh(removed ∪ changed-old) + Σh(changed-new ∪
+    added), valid because the fingerprint is an exact commutative
+    DECIMAL(38,0) sum of per-row 56-bit hashes (the design reason
+    ``dataset_fingerprint_report`` rejected order-sensitive digests).  The
+    mutation is the ``dataset_snapshot_diff`` recipe, so the three queries
+    compose: the report detects drift, the diff names the rows, this
+    maintains the version stamp at delta cost.  Emits the incremental
+    fingerprint (VARCHAR digits — the r9 hash-stable rendering) and its
+    deviation from a direct full recompute done in the same session; the
+    driver hash pins deviation ZERO, certifying the delta algebra.
+
+    Scale posture: in production only the delta slices are scanned (here
+    one pushed-filter scan of %97 ∈ {{13,14,15}} plus the base fingerprint,
+    which a real pipeline already has stored); the recompute arm exists
+    only for the proof.  All sums are map-side-combinable exact decimals."""
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 97
+    dec = "decimal(38,0)"
+    fp_base = docs.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.expr(_FP56_SPARK_BASE).cast(dec)), F.lit(0).cast(dec)
+        ).alias("f"),
+    )
+    sl = docs.filter(mod.isin(13, 14, 15))
+    delta = sl.agg(
+        F.coalesce(
+            F.sum(
+                F.when(mod.isin(13, 14), F.expr(_FP56_SPARK_BASE).cast(dec))
+            ),
+            F.lit(0).cast(dec),
+        ).alias("leaving"),
+        F.coalesce(
+            F.sum(F.when(mod == 14, F.expr(_FP56_SPARK_MUT).cast(dec))),
+            F.lit(0).cast(dec),
+        ).alias("changed_new"),
+        F.coalesce(
+            F.sum(F.when(mod == 15, F.expr(_FP56_SPARK_SHIFT).cast(dec))),
+            F.lit(0).cast(dec),
+        ).alias("added"),
+        F.count(F.when(mod == 13, 1)).alias("n_removed"),
+        F.count(F.when(mod == 15, 1)).alias("n_added"),
+    )
+    direct_rows = (
+        docs.filter((mod != 13) & (mod != 14))
+        .select(F.expr(_FP56_SPARK_BASE).alias("h"))
+        .unionByName(docs.filter(mod == 14).select(F.expr(_FP56_SPARK_MUT).alias("h")))
+        .unionByName(
+            docs.filter(mod == 15).select(F.expr(_FP56_SPARK_SHIFT).alias("h"))
+        )
+    )
+    fp_direct = direct_rows.agg(
+        F.coalesce(F.sum(F.col("h").cast(dec)), F.lit(0).cast(dec)).alias("rf")
+    )
+    return (
+        fp_base.crossJoin(F.broadcast(delta))
+        .crossJoin(F.broadcast(fp_direct))
+        .select(
+            (F.col("n") - F.col("n_removed") + F.col("n_added"))
+            .cast("bigint")
+            .alias("n_rows_snap2"),
+            (F.col("f") - F.col("leaving") + F.col("changed_new") + F.col("added"))
+            .cast(dec)
+            .cast("string")
+            .alias("fingerprint_incremental"),
+            (
+                (F.col("f") - F.col("leaving") + F.col("changed_new") + F.col("added"))
+                - F.col("rf")
+            )
+            .cast("bigint")
+            .alias("dev_vs_recompute"),
+        )
+    )

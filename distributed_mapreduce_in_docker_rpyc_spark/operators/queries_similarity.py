@@ -2591,9 +2591,7 @@ def ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # superset (j ≤ 239, i.e. k ≤ 40 — beyond any conceivable replay scale) and
 # filtered to the 6·k planes in play; no SQL comments in oracle strings
 # (registration collapses whitespace, so `--` would comment out the rest).
-_ANN_AUTO_K_ORACLE = (
-    _COSINE_CTES
-    + """,
+_ANN_AUTO_K_CTES = """,
     params AS MATERIALIZED (
         SELECT GREATEST(1, (SELECT MIN(p.p) FROM generate_series(0, 40) p(p)
                             WHERE POWER(2, p.p) >= CEIL(c.cnt / 16.0))) AS k
@@ -2627,8 +2625,8 @@ _ANN_AUTO_K_ORACLE = (
         WHERE qb.vec_id % 17 = 3 AND nb.vec_id % 17 != 3
     )
 """
-    + _ANN_JOIN_SELECT
-)
+
+_ANN_AUTO_K_ORACLE = _COSINE_CTES + _ANN_AUTO_K_CTES + _ANN_JOIN_SELECT
 
 
 @register("ann_join_auto_k", oracle=_ANN_AUTO_K_ORACLE)
@@ -2665,4 +2663,86 @@ def ann_join_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_pred=lambda c: c % 17 == 3,
         k=1,
         buckets=buckets,
+    )
+
+
+@register(
+    "sim_auto_k_recall_report",
+    oracle=_COSINE_CTES
+    + _ANN_AUTO_K_CTES
+    + f""",
+    lsh AS ({_ANN_JOIN_SELECT}),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                                       FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
+                                n.vec_id ASC) AS rank
+            FROM norms q JOIN norms n
+              ON q.vec_id % 17 = 3 AND n.vec_id % 17 != 3
+        ) WHERE rank = 1
+    )
+    SELECT (SELECT GREATEST(1, (SELECT MIN(p.p) FROM generate_series(0, 40) p(p)
+                                WHERE POWER(2, p.p) >= CEIL(c.cnt / 16.0)))
+            FROM (SELECT COUNT(*) AS cnt FROM norms
+                  WHERE vec_id % 17 != 3 AND embedding IS NOT NULL) c)
+               AS k_auto,
+           (SELECT COUNT(*) FROM brute) AS n_queries,
+           (SELECT COUNT(*) FROM lsh) AS n_linked,
+           (SELECT COUNT(*) FROM brute b
+             JOIN lsh l ON l.query_id = b.query_id
+                       AND l.neighbor_id = b.neighbor_id) AS n_correct,
+           ROUND((SELECT COUNT(*) FROM brute b
+                   JOIN lsh l ON l.query_id = b.query_id
+                             AND l.neighbor_id = b.neighbor_id)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM brute), 0) AS DOUBLE), 6)
+               AS recall_at_1
+    """,
+)
+def sim_auto_k_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@1 of ``ann_join_auto_k`` against the exact
+    cross-slice nearest neighbor, plus the k the auto-sizer picked — the
+    number that makes the auto-k/fixed-k tradeoff COMPARABLE round over
+    round next to ``sim_ann_join_recall_report`` (fixed 6×3): the driver's
+    correctness history then tracks both ends of the candidates-vs-recall
+    frontier as the fixture is regenerated.  Exact side = the allowlisted
+    tiny-broadcast BNLJ recall pattern; approximate side rebuilds the
+    auto-k buckets (one matmul scan)."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
+
+    emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
+    n_index = emb.filter(F.col("vec_id") % 17 != 3).count()
+    k_auto = sim.auto_planes_per_table(n_index)
+    qv = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    nv = emb.filter(F.col("vec_id") % 17 != 3).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    brute = (
+        F.broadcast(qv)
+        .crossJoin(nv)
+        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("exact_id"))
+    )
+    lsh = ann_join_auto_k(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("lsh_id")
+    )
+    joined = brute.join(lsh, "query_id", "left")
+    return joined.agg(
+        F.lit(k_auto).cast("bigint").alias("k_auto"),
+        F.count("*").alias("n_queries"),
+        F.count("lsh_id").alias("n_linked"),
+        F.count(F.when(F.col("lsh_id") == F.col("exact_id"), 1)).alias("n_correct"),
+        F.round(
+            F.count(F.when(F.col("lsh_id") == F.col("exact_id"), 1))
+            / F.nullif(F.count("*").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall_at_1"),
     )

@@ -90,6 +90,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_pagerank_dangling",
     "stream_ann_index_maintenance",
     "ann_join_auto_k",
+    "sim_auto_k_recall_report",
+    "dataset_fingerprint_incremental",
     # ---- the 50-slot line falls around here; scripts/verify_driver.py
     # ---- --strict recomputes it, trust that not this comment ----
     # (5) remaining greens, stalest first (unchanged relative order: the

@@ -48,6 +48,11 @@ SHOWN = [
     "ann_join_ivf",
     "stat_mannwhitney_u",
     "corpus_filter_funnel",
+    # round 9: the auto-sized LSH join (the log2(|R|/B) rule at plan-build
+    # time) and the delta-cost fingerprint maintenance (one pushed-filter
+    # scan of the mutation slices + map-side-combinable decimal sums)
+    "ann_join_auto_k",
+    "dataset_fingerprint_incremental",
 ]
 
 

@@ -41,6 +41,12 @@ def _canon(df):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated query names (r9: sweep just the round's new "
+        "builds between the periodic full-fleet runs)",
+    )
     args = ap.parse_args()
 
     from distributed_mapreduce_in_docker_rpyc_spark import registry
@@ -59,9 +65,12 @@ def main() -> int:
                 f"TO '{shuffled}/{f}' (FORMAT PARQUET)"
             )
 
+    only = {s for s in args.only.split(",") if s}
     diffs, errors, n_ok = {}, {}, 0
     try:
         for name, fn in registry.QUERIES.items():
+            if only and name not in only:
+                continue
             try:
                 if _canon(fn(spark, args.sf_dir)) != _canon(fn(spark, shuffled)):
                     diffs[name] = "result depends on input row order"
@@ -74,7 +83,7 @@ def main() -> int:
     finally:
         shutil.rmtree(shuffled, ignore_errors=True)
 
-    total = len(registry.QUERIES)
+    total = len(only) if only else len(registry.QUERIES)
     print(f"\n{n_ok}/{total} input-order invariant; {len(diffs)} diffs, {len(errors)} errors")
     return 1 if (diffs or errors) else 0
 

@@ -2,6 +2,13 @@
 round driver does — entry(spark) smoke at sf0.001, then every queries() entry
 at sf0.01 hash-compared against oracle_sql() via DuckDB.
 
+r9: the comparison is DTYPE-FAITHFUL (VERDICT r8 next-round #4) — in
+addition to the value compare, every oracle result is ALSO fetched through
+DuckDB's pandas path and its per-column dtype classes are checked against
+the Spark schema, because that is the dimension the driver's value-hash
+sees and Python ``==`` does not (the r6-r8 reds were equal values under
+divergent dtypes).  Local green therefore implies driver green again.
+
 Usage: python scripts/verify_driver.py [--sf-dir DIR] [--only name1,name2]
 Exit 0 = all green; prints one line per query.
 """

@@ -400,6 +400,8 @@ BNLJ_ALLOWED = {
     "bootstrap_mean_ci": "broadcast sides = 1-row center/spread/base scalar aggregates (three crossJoins)",
     "stat_ks_test": "broadcast side = 1-row group totals (n1, n2) crossed into the distinct-value grid",
     "sim_ann_join_recall_report": "recall report re-uses the exact cross-slice baseline (broadcast incoming-batch slice)",
+    "sim_auto_k_recall_report": "auto-k recall report re-uses the exact cross-slice baseline (broadcast incoming-batch slice)",
+    "dataset_fingerprint_incremental": "broadcast sides = two 1-row aggregate frames (delta sums and recompute arm) crossed into the 1-row base frame",
     "ann_join_ivf": "broadcast side = 16 deterministic Lloyd centroids (constant in corpus size, same pattern as sim_topk_ivf)",
     "events_bandit_ucb": "broadcast side = 1-row total pull count crossed into the O(arms) frame",
     "stat_dunn_posthoc": "pairwise stage self-joins the k-row group frame (k = 5 priorities) + 1-row totals cross",
