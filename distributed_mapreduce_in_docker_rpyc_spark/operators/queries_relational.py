@@ -3086,7 +3086,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks within it).  The sibling ``pagerank_word_graph`` runs WEIGHTED
     PageRank on the word co-occurrence digraph with a top-20 report; this
     one is unweighted on the shared symmetric part graph and returns the
-    FULL rank vector under the exact-decimal reduction contract.
+    FULL rank vector under the exact-decimal reduction contract.  The
+    GENERAL directed form with dangling-mass redistribution is
+    ``graph_pagerank_dangling`` (queries_text.py, r9) — this symmetric
+    graph needs no dangling term because every node has out-edges by
+    construction.
     The classic iterative MapReduce benchmark, expressed Spark-first: each
     iteration is one equi-join of the rank frame to the shared symmetric
     edge list plus a map-side-combinable SUM per destination.

@@ -4874,3 +4874,166 @@ def corpus_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("difficulty"), 6).alias("min_difficulty"),
         F.round(F.max("difficulty"), 6).alias("max_difficulty"),
     )
+
+
+# --- Sequence packing plan (r9) ----------------------------------------------
+#
+# The last mile of a pretraining data pipeline: documents are concatenated
+# in a deterministic order and chunked into fixed-length context windows
+# ("concat-and-chunk" packing).  The plan is fully determined by each
+# document's token count and its EXCLUSIVE running total in corpus order —
+# a cumulative sum, which at scale must NOT be a global single-partition
+# window: the Spark side rides the banded two-level cumulative
+# (_banded_cum, the r8 rank-machinery rewrite), bit-identical to the
+# oracle's plain window because token counts are integers under one total
+# order.  (At extreme scales the band-offset frame recurses with the same
+# trick; one level is a 4096x reduction.)
+_PACK_CTX = 2048
+
+
+@register(
+    "pack_sequences_plan",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               COALESCE(len(regexp_extract_all(lower(text), '[a-z'']+')), 0) AS nt
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, nt,
+               COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM d
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE nt = 0) AS n_empty_docs,
+           CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS total_tokens,
+           CAST((COALESCE(SUM(nt), 0) + {_PACK_CTX - 1}) // {_PACK_CTX}
+                AS BIGINT) AS n_sequences,
+           COUNT(*) FILTER (WHERE nt > 0
+               AND cb // {_PACK_CTX} != (cb + nt - 1) // {_PACK_CTX})
+               AS n_split_docs,
+           ROUND(CAST(COALESCE(SUM(nt), 0) AS DOUBLE) / NULLIF(
+               CAST((COALESCE(SUM(nt), 0) + {_PACK_CTX - 1}) // {_PACK_CTX}
+                    AS BIGINT) * CAST({_PACK_CTX} AS DOUBLE), 0), 6)
+               AS fill_ratio
+    FROM c
+    """,
+)
+def pack_sequences_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing accounting (r9): documents in
+    ``doc_id`` order are concatenated and cut into {ctx}-token context
+    windows — the report a pretraining dataloader needs before an epoch:
+    how many sequences the corpus packs into, the fill ratio of the last
+    partial window amortized over all of them, and how many documents
+    straddle a window boundary (the rows a boundary-aware loss mask has to
+    handle).  A document's window span is a pure function of its token
+    count and its EXCLUSIVE prefix total, so the whole plan is one
+    tokenize scan + one cumulative sum + one aggregate.
+
+    Scale posture: the cumulative rides ``_banded_cum`` (doc_id bands of
+    4096, within-band distributed windows + a band-offset frame 4096x
+    smaller) — no global single-partition window; everything else is a
+    map-side-combinable aggregate.  The oracle uses the plain SQL window,
+    bit-identical on integer counts under the same total order.
+
+    Reference provenance: none — the reference tokenizes for counting only
+    (``worker/worker.py:7-37``); packing is extended-brief scope.""".replace(
+        "{ctx}", str(_PACK_CTX)
+    )
+    from .queries_features import _banded_cum
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.coalesce(F.size(tokenize_column("text")), F.lit(0))
+        .cast("long")
+        .alias("nt"),
+    )
+    c = _banded_cum(d, "doc_id", ("nt",), 4096.0).select(
+        "doc_id", "nt", (F.col("cum_nt") - F.col("nt")).alias("cb")
+    )
+    ctx = _PACK_CTX
+    return c.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("nt") == 0, 1)).alias("n_empty_docs"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias("total_tokens"),
+        F.expr(f"CAST((COALESCE(SUM(nt), 0) + {ctx - 1}) div {ctx} AS BIGINT)").alias(
+            "n_sequences"
+        ),
+        F.count(
+            F.when(
+                (F.col("nt") > 0)
+                & (F.expr(f"cb div {ctx}") != F.expr(f"(cb + nt - 1) div {ctx}")),
+                1,
+            )
+        ).alias("n_split_docs"),
+        F.expr(
+            f"ROUND(CAST(COALESCE(SUM(nt), 0) AS DOUBLE) / NULLIF("
+            f"CAST((COALESCE(SUM(nt), 0) + {ctx - 1}) div {ctx} AS BIGINT)"
+            f" * CAST({ctx} AS DOUBLE), 0), 6)"
+        ).alias("fill_ratio"),
+    )
+
+
+@register(
+    "dataloader_shard_plan",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               COALESCE(len(regexp_extract_all(lower(text), '[a-z'']+')), 0)
+                   AS nt,
+               CAST(('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                     1, 8)) AS BIGINT) % 16 AS shard
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS shard_tokens,
+           ROUND(CAST(SUM(nt) AS DOUBLE) * 16.0 / NULLIF(
+               (SELECT CAST(SUM(nt) AS DOUBLE) FROM d), 0), 6) AS load_factor
+    FROM d GROUP BY shard
+    """,
+)
+def dataloader_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shard assignment balance (r9): every document is
+    hashed to one of 16 dataloader shards by an epoch-salted md5 (so each
+    epoch reshuffles deterministically and resumably — the same
+    md5-threshold idiom as the masking/sampling plans), and the report
+    gives per-shard document counts, token totals, and the load factor
+    (shard tokens x n_shards / corpus tokens — 1.0 = perfectly balanced).
+    This is the check a distributed training job runs before an epoch: a
+    hot shard (load factor >> 1) stalls every sync step at the slowest
+    loader, the dataloader equivalent of shuffle skew.
+
+    Scale posture: one tokenize scan + one 16-group aggregate on a uniform
+    md5 key; the corpus-total divisor rides a scalar subquery (Spark: a
+    broadcast 1-row frame), no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.coalesce(F.size(tokenize_column("text")), F.lit(0))
+        .cast("long")
+        .alias("nt"),
+        (
+            F.expr(
+                "CAST(conv(substr(md5('epoch0:' || CAST(doc_id AS STRING)),"
+                " 1, 8), 16, 10) AS BIGINT)"
+            )
+            % 16
+        ).alias("shard"),
+    )
+    per = d.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("shard_tokens")
+    )
+    total = d.agg(F.sum("nt").cast("double").alias("_tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_docs",
+        F.col("shard_tokens").cast("bigint").alias("shard_tokens"),
+        F.round(
+            F.col("shard_tokens").cast("double")
+            * 16.0
+            / F.nullif(F.col("_tot"), F.lit(0.0)),
+            6,
+        ).alias("load_factor"),
+    )

