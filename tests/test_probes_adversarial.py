@@ -43,6 +43,7 @@ PROBE_NAMES = [
     "probe_docs_controls",
     "probe_docs_replacement_char",
     "probe_docs_len_vs_nchars",
+    "probe_docs_case_mapping",
     "probe_orders_base",
     "probe_orders_dates",
     "probe_orders_priorities",
@@ -186,3 +187,48 @@ def test_price_census_counts_edge_values(spark, probe_adv_dir):
     assert row["n_neginf_price"] == 1
     assert row["n_null_price"] >= 1
     assert row["n_extreme_price"] >= 2  # 9.9e14 and -8.8e13? (-8.8e13 > 1e12 abs)
+
+
+def test_case_mapping_probe_detects_engine_divergence(spark, tmp_path):
+    """The r9 case-mapping probe must actually DIVERGE between engines on
+    case-divergent codepoints — that divergence is its attribution signal
+    (a red on this probe names Unicode case mapping as the cause of any
+    simultaneous red on the lower()-tokenizing text queries).  U+0130
+    ('İ') lowercases to 2 codepoints under the JVM's full case mapping but
+    1 under DuckDB's utf8proc simple mapping; 'ß' uppercases to 'SS' (2)
+    vs 'ẞ' (1); 'ﬁ' uppercases to 'FI' (2) vs itself (1).  On the clean
+    fixture the probe AGREES (see PROBE_NAMES above) — this test pins that
+    it fires when the content class appears."""
+    import duckdb
+
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    root = str(tmp_path)
+    rows = [
+        (1, "İstanbul", "tr", "case", 8),  # İstanbul — lower grows on JVM
+        (2, "straße", "de", "case", 6),  # straße — upper grows on JVM
+        (3, "ﬁnance", "en", "case", 7),  # ﬁnance — upper grows on JVM
+        (4, "plain ascii", "en", "case", 11),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{root}/documents.parquet")
+
+    got = QUERIES["probe_docs_case_mapping"](spark, root).collect()[0].asDict()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{root}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(ORACLES["probe_docs_case_mapping"])
+    want = dict(zip([d[0] for d in res.description], res.fetchone()))
+
+    # JVM full mapping: lower('İstanbul') adds a combining dot (1 row
+    # differs); upper grows 'straße' and 'ﬁnance' (2 rows differ).
+    assert got["n_lower_len_diff"] == 1, got
+    assert got["n_upper_len_diff"] >= 2, got
+    # utf8proc simple mapping: every per-codepoint map preserves length.
+    assert want["n_lower_len_diff"] == 0, want
+    assert want["n_upper_len_diff"] == 0, want
+    assert got != want  # the attribution signal itself
