@@ -5037,3 +5037,93 @@ def dataloader_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("load_factor"),
     )
+
+
+@register(
+    "pack_sequences_manifest",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               COALESCE(len(regexp_extract_all(lower(text), '[a-z'']+')), 0)
+                   AS nt
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, nt,
+               COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM d WHERE nt > 0
+    ),
+    expanded AS (
+        SELECT c.doc_id, c.nt, c.cb, s.seq_id
+        FROM c, unnest(generate_series(
+                    CAST(c.cb // {_PACK_CTX} AS BIGINT),
+                    CAST((c.cb + c.nt - 1) // {_PACK_CTX} AS BIGINT)))
+                 AS s(seq_id)
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE cb >= seq_id * {_PACK_CTX}
+               AND cb + nt <= (seq_id + 1) * {_PACK_CTX}) AS n_whole_docs,
+           CAST(SUM(LEAST((seq_id + 1) * {_PACK_CTX}, cb + nt)
+                    - GREATEST(seq_id * {_PACK_CTX}, cb)) AS BIGINT)
+               AS n_tokens
+    FROM expanded GROUP BY seq_id
+    """,
+)
+def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-per-sequence packing manifest (r9): the companion to
+    ``pack_sequences_plan`` that materializes WHICH context window gets
+    what — per 2048-token sequence, how many documents contribute, how
+    many sit wholly inside it, and its filled token count (= 2048
+    everywhere except the final partial window).  This is the actual
+    work order a dataloader executes, and as a driver query it
+    hash-checks the ENTIRE doc→window mapping, not just the plan's
+    corpus-level arithmetic.
+
+    Shape: tokenize scan → banded cumulative (no global single-partition
+    window) → each document explodes into its covered window range (size
+    1 + ⌊nt/CTX⌋ — almost always 1-2 rows) → one aggregate shuffled on
+    the uniform dense seq_id.  At 100 TB the manifest is
+    total_tokens/2048 rows — 6 orders smaller than the corpus —
+    partitioned and written alongside the packed dataset."""
+    from .queries_features import _banded_cum
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.coalesce(F.size(tokenize_column("text")), F.lit(0))
+        .cast("long")
+        .alias("nt"),
+    )
+    c = (
+        _banded_cum(d, "doc_id", ("nt",), 4096.0)
+        .select("doc_id", "nt", (F.col("cum_nt") - F.col("nt")).alias("cb"))
+        .filter(F.col("nt") > 0)
+    )
+    ctx = _PACK_CTX
+    expanded = c.select(
+        "nt",
+        "cb",
+        F.explode(
+            F.sequence(
+                F.expr(f"cb div {ctx}"), F.expr(f"(cb + nt - 1) div {ctx}")
+            )
+        ).alias("seq_id"),
+    )
+    return expanded.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.count(
+            F.when(
+                (F.col("cb") >= F.col("seq_id") * ctx)
+                & (F.col("cb") + F.col("nt") <= (F.col("seq_id") + 1) * ctx),
+                1,
+            )
+        ).alias("n_whole_docs"),
+        F.sum(
+            F.least((F.col("seq_id") + 1) * ctx, F.col("cb") + F.col("nt"))
+            - F.greatest(F.col("seq_id") * ctx, F.col("cb"))
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).select(F.col("seq_id").cast("bigint").alias("seq_id"), "n_docs", "n_whole_docs", "n_tokens")

@@ -93,6 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_auto_k_recall_report",
     "dataset_fingerprint_incremental",
     "pack_sequences_plan",
+    "pack_sequences_manifest",
     "dataloader_shard_plan",
     # ---- the 50-slot line falls around here; scripts/verify_driver.py
     # ---- --strict recomputes it, trust that not this comment ----

@@ -1659,3 +1659,23 @@ def test_dataloader_shard_plan_partitions_corpus(spark, sf_dir):
     total = sum(r["shard_tokens"] for r in rows)
     assert total > 0
     assert abs(sum(r["load_factor"] for r in rows) - 16.0) < 1e-3
+
+
+def test_pack_manifest_consistent_with_plan(spark, sf_dir):
+    """The row-per-sequence manifest must tie out to the 1-row plan: same
+    sequence count, token totals equal, every window full except possibly
+    the last, and whole docs never exceed contributing docs."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import _PACK_CTX
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    plan = QUERIES["pack_sequences_plan"](spark, sf_dir).collect()[0]
+    manifest = QUERIES["pack_sequences_manifest"](spark, sf_dir).collect()
+    assert len(manifest) == plan["n_sequences"]
+    assert sum(r["n_tokens"] for r in manifest) == plan["total_tokens"]
+    last = max(r["seq_id"] for r in manifest)
+    for r in manifest:
+        assert 0 < r["n_tokens"] <= _PACK_CTX
+        if r["seq_id"] != last:
+            assert r["n_tokens"] == _PACK_CTX
+        assert 0 <= r["n_whole_docs"] <= r["n_docs"]
