@@ -73,6 +73,13 @@ RISK_SET = [
     "negative_sampling_plan",
     "graph_label_propagation",
     "preference_pair_builder",
+    # round-8/9 additions with rank/top-1 tie-break shapes (row_number over
+    # rounded sims, ties broken by neighbor id; packing manifest depends on
+    # the doc_id total order)
+    "ann_join_nearest_neighbor",
+    "ann_join_ivf",
+    "ann_join_auto_k",
+    "pack_sequences_manifest",
 ]
 
 
