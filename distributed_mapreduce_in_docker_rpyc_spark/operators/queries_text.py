@@ -5127,3 +5127,68 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     ).select(F.col("seq_id").cast("bigint").alias("seq_id"), "n_docs", "n_whole_docs", "n_tokens")
+
+
+@register(
+    "batch_padding_plan",
+    oracle="""
+    WITH d AS (
+        SELECT COALESCE(len(regexp_extract_all(lower(text), '[a-z'']+')), 0)
+                   AS nt
+        FROM documents
+    ),
+    b AS (
+        SELECT nt,
+               CAST(POWER(2, CEIL(LOG2(GREATEST(nt, 16)))) AS BIGINT)
+                   AS bucket_len
+        FROM d WHERE nt > 0
+    )
+    SELECT bucket_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket_len AS BIGINT) AS padded_tokens,
+           ROUND(CAST(SUM(nt) AS DOUBLE)
+                 / (COUNT(*) * CAST(bucket_len AS DOUBLE)), 6) AS fill_ratio,
+           CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches
+    FROM b GROUP BY bucket_len
+    """,
+)
+def batch_padding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching accounting (r9) — the padding-based
+    counterpart to ``pack_sequences_plan`` for workloads that cannot
+    concatenate documents (SFT / reward-model training, where examples
+    must stay intact): each non-empty document goes to the power-of-two
+    length bucket covering its token count (floor 16), and per bucket the
+    report gives real vs padded token volume, the fill ratio (padding
+    efficiency — the reason dataloaders length-bucket at all), and the
+    batch count at batch size 32.  Comparing Σ padded_tokens here against
+    ``pack_sequences_plan``'s n_sequences × 2048 is exactly the
+    pack-vs-pad compute tradeoff a training team evaluates.
+
+    Bucket boundaries are exact powers of two, so LOG2/POWER round-trip
+    exactly in IEEE double in both engines (no float boundary risk —
+    verified by the oracle hash).  One tokenize scan + one ≤~12-group
+    aggregate; token-linear, map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.coalesce(F.size(tokenize_column("text")), F.lit(0))
+        .cast("long")
+        .alias("nt")
+    ).filter(F.col("nt") > 0)
+    b = d.select(
+        "nt",
+        F.expr("CAST(POWER(2, CEIL(LOG2(GREATEST(nt, 16)))) AS BIGINT)").alias(
+            "bucket_len"
+        ),
+    )
+    return b.groupBy("bucket_len").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("real_tokens"),
+        (F.count("*") * F.col("bucket_len")).cast("bigint").alias("padded_tokens"),
+        F.round(
+            F.sum("nt").cast("double")
+            / (F.count("*") * F.col("bucket_len").cast("double")),
+            6,
+        ).alias("fill_ratio"),
+        F.expr("CAST((COUNT(*) + 31) div 32 AS BIGINT)").alias("n_batches"),
+    )

@@ -95,6 +95,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pack_sequences_plan",
     "pack_sequences_manifest",
     "dataloader_shard_plan",
+    "batch_padding_plan",
     # ---- the 50-slot line falls around here; scripts/verify_driver.py
     # ---- --strict recomputes it, trust that not this comment ----
     # (5) remaining greens, stalest first (unchanged relative order: the

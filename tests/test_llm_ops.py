@@ -1679,3 +1679,22 @@ def test_pack_manifest_consistent_with_plan(spark, sf_dir):
         if r["seq_id"] != last:
             assert r["n_tokens"] == _PACK_CTX
         assert 0 <= r["n_whole_docs"] <= r["n_docs"]
+
+
+def test_batch_padding_plan_ties_out_to_packing(spark, sf_dir):
+    """Padding-plan invariants: buckets are powers of two covering their
+    docs, per-bucket fill in (0, 1], and the real-token total equals the
+    pack plan's (same tokenizer, same non-empty docs) — the two reports
+    describe the same corpus under the two batching strategies."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["batch_padding_plan"](spark, sf_dir).collect()
+    plan = QUERIES["pack_sequences_plan"](spark, sf_dir).collect()[0]
+    assert sum(r["real_tokens"] for r in rows) == plan["total_tokens"]
+    assert sum(r["n_docs"] for r in rows) == plan["n_docs"] - plan["n_empty_docs"]
+    for r in rows:
+        assert r["bucket_len"] >= 16 and (r["bucket_len"] & (r["bucket_len"] - 1)) == 0
+        assert r["real_tokens"] <= r["padded_tokens"] == r["n_docs"] * r["bucket_len"]
+        assert 0 < r["fill_ratio"] <= 1
+        assert r["n_batches"] == -(-r["n_docs"] // 32)
