@@ -4922,7 +4922,7 @@ _PACK_CTX = 2048
 )
 def pack_sequences_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing accounting (r9): documents in
-    ``doc_id`` order are concatenated and cut into {ctx}-token context
+    ``doc_id`` order are concatenated and cut into 2048-token context
     windows — the report a pretraining dataloader needs before an epoch:
     how many sequences the corpus packs into, the fill ratio of the last
     partial window amortized over all of them, and how many documents
@@ -4938,9 +4938,7 @@ def pack_sequences_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical on integer counts under the same total order.
 
     Reference provenance: none — the reference tokenizes for counting only
-    (``worker/worker.py:7-37``); packing is extended-brief scope.""".replace(
-        "{ctx}", str(_PACK_CTX)
-    )
+    (``worker/worker.py:7-37``); packing is extended-brief scope."""
     from .queries_features import _banded_cum
 
     docs = load_table(spark, sf_dir, "documents")
