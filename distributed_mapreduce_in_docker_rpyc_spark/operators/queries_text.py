@@ -5137,7 +5137,7 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
         SELECT nt,
-               CAST(POWER(2, CEIL(LOG2(GREATEST(nt, 16)))) AS BIGINT)
+               (CAST(1 AS BIGINT) << length(bin(GREATEST(nt, 16) - 1)))
                    AS bucket_len
         FROM d WHERE nt > 0
     )
@@ -5163,10 +5163,16 @@ def batch_padding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pack_sequences_plan``'s n_sequences × 2048 is exactly the
     pack-vs-pad compute tradeoff a training team evaluates.
 
-    Bucket boundaries are exact powers of two, so LOG2/POWER round-trip
-    exactly in IEEE double in both engines (no float boundary risk —
-    verified by the oracle hash).  One tokenize scan + one ≤~12-group
-    aggregate; token-linear, map-side combinable."""
+    The bucket rule is PURE INTEGER arithmetic on both sides — bucket_len
+    = 1 << bit_length(max(nt,16) - 1), expressed as a shift by the binary
+    string length of GREATEST(nt,16)-1 (ADVICE r9: the previous
+    CEIL(LOG2(...)) form was NOT engine-portable at exact powers of two ≥
+    2^29, because Spark's LOG2 is ln(x)/ln(2) and CEIL(LOG2(2^29)) lands
+    30 there while DuckDB's correctly-rounded log2 lands 29).  Both
+    engines' ``bin()`` renders integers without leading zeros, so the
+    shift amount is bit_length exactly; no float boundary exists at ANY
+    nt.  One tokenize scan + one ≤~12-group aggregate; token-linear,
+    map-side combinable."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         F.coalesce(F.size(tokenize_column("text")), F.lit(0))
@@ -5175,9 +5181,9 @@ def batch_padding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("nt") > 0)
     b = d.select(
         "nt",
-        F.expr("CAST(POWER(2, CEIL(LOG2(GREATEST(nt, 16)))) AS BIGINT)").alias(
-            "bucket_len"
-        ),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), length(bin(GREATEST(nt, 16) - 1)))"
+        ).alias("bucket_len"),
     )
     return b.groupBy("bucket_len").agg(
         F.count("*").alias("n_docs"),

@@ -36,85 +36,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The round driver verifies 50 queries per round in registration order.
-# Round-9 budget, implementing VERDICT r8 "Next round" #1/#2/#5 verbatim
-# (no hand-maintained slot arithmetic here — `scripts/verify_driver.py
-# --strict` recomputes where the 50-slot line falls; trust it, not the
-# section comments below).  The r8 verdict SOLVED the three-round red
-# mystery (a driver-hash dtype artifact, not engine disagreement), so the
-# r9 window leads with the recast sextet + the typing canaries that close
-# the question empirically, then drains the never-checked r8 builds.
+# Round-10 budget, implementing VERDICT r9 "Next round" #1 verbatim: the
+# spent diagnostic probes (typing canaries, price-micro, case-mapping, r8
+# bisection family) drop below the line — their questions are closed and
+# the permanent guards are tests/test_output_typing.py + the dtype-faithful
+# scripts/verify_driver.py — and the window goes to (a) the round-10 new
+# builds, then (b) every remaining green ordered STALEST-FIRST by its
+# latest driver correctness row (regenerated from CORRECTNESS_r01-r09; the
+# within-round order is the round file's row order).  `scripts/
+# verify_driver.py --strict` recomputes where the 50-slot line falls;
+# trust it, not the section comments.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (1) the r6-r8 hash-red sextet, re-registered with dtype-proof output
-    #     typing (VERDICT r8 next-round #1 — the reds correlated 6/6 with
-    #     HUGEINT/DECIMAL(38,0) oracle outputs that DuckDB's pandas path
-    #     renders float64; every final aggregate now lands BIGINT/VARCHAR),
-    #     plus the two fixture-free typing canaries that measure the driver
-    #     hash's dtype sensitivity directly (#2; EXPECTED RED if the dtype
-    #     theory holds — red canaries + green sextet CONFIRM the r8 root
-    #     cause) and the case-mapping attribution probe (ADVICE r8) that
-    #     guards the lower()-tokenizing text queries below.
-    "jsonl_source_agreement",
-    "csv_source_agreement",
-    "compaction_source_agreement",
-    "dataset_fingerprint_report",
-    "probe_orders_price_micro",
-    "probe_orders_price_micro_bigint",
-    "probe_hash_typing_hugeint",
-    "probe_hash_typing_decimal38",
-    "probe_docs_case_mapping",
-    # (2) built in round 8, never driver-checked — all 13 judge-verified
-    #     green under the driver-identical harness in the r8 session
-    #     (VERDICT r8 next-round #5); dataset_snapshot_diff and linreg_ridge
-    #     carry their r9 pre-first-row fixes (engine-proof mutation marker,
-    #     DOUBLE lambda literal + corrected ridge R²).
-    "ann_join_nearest_neighbor",
-    "ann_join_ivf",
-    "sim_ann_join_recall_report",
-    "bpe_train_k_merges",
-    "bpe_encode_corpus",
-    "graph_pagerank",
-    "corpus_filter_funnel",
-    "corpus_curriculum_plan",
-    "dataset_snapshot_diff",
-    "ab_uplift_by_segment",
-    "events_bandit_ucb",
-    "linreg_ridge",
-    "stat_dunn_posthoc",
-    # (3) the §2 wordcount family — 3 rounds driver-stale (VERDICT r8
-    #     operator table note).
-    "wordcount_top20",
-    "wordcount_full",
-    "wordcount_rdd_core",
-    "ingest_zip_wordcount",
-    # (4) built in round 9 — never driver-checked (inserted as they land).
-    "graph_pagerank_dangling",
-    "stream_ann_index_maintenance",
-    "ann_join_auto_k",
-    "sim_auto_k_recall_report",
-    "dataset_fingerprint_incremental",
-    "pack_sequences_plan",
-    "pack_sequences_manifest",
-    "dataloader_shard_plan",
-    "batch_padding_plan",
-    # ---- the 50-slot line falls around here; scripts/verify_driver.py
-    # ---- --strict recomputes it, trust that not this comment ----
-    # (5) remaining greens, stalest first (unchanged relative order: the
-    #     r1-era relational family, then r5/r6/r7-checked rows).
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority_check",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue_share",
-    "q18_large_volume_customers",
-    "filter_project_pushdown",
-    "join_broadcast_dim",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "agg_distinct",
+    # (0) round-10 new builds - never driver-checked (inserted as they land).
+# --- latest driver row: r1 (27 queries) ---
     "agg_stats",
     "rollup_agg",
     "cube_agg",
@@ -142,6 +76,149 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q17_small_quantity_revenue",
     "q19_disjunctive_predicates",
+# --- latest driver row: r2 (43 queries) ---
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_keep_first",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_containment",
+    "sim_cosine_pairs",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "emb_outliers_by_label",
+    "text_stats",
+    "text_langid",
+    "text_token_count_bpe",
+    "text_fingerprint",
+    "text_bigram_freq",
+    "text_quality_score",
+    "text_langid_confusion",
+    "corpus_split",
+    "corpus_mixture_plan",
+    "corpus_stratified_sample",
+    "corpus_packing_plan",
+    "text_tfidf_top_terms",
+    "text_pii_scrub",
+    "udtf_sentence_split",
+    "text_collocations_pmi",
+    "word_cooc_triangles",
+    "zipf_law_fit",
+    "text_gopher_quality",
+    "decontam_ngram_overlap",
+    "text_bm25_search",
+    "corpus_pipeline_report",
+    "corpus_weighted_sample",
+    "events_tumbling_hourly",
+    "events_sliding_10m_5m",
+    "events_sessionize",
+    "events_json_extract",
+    "events_top_users",
+    "window_range_frame_rolling",
+    "events_cohort_retention",
+# --- latest driver row: r3 (47 queries) ---
+    "label_centroids",
+    "emb_quantize_int8",
+    "stream_tumbling_hourly",
+    "stream_sliding_10m_5m",
+    "stream_stateful_user_totals",
+    "stream_session_windows",
+    "stream_static_join_segments",
+    "stream_dedup_pairs",
+    "stream_stream_join_attribution",
+    "stream_dedup_against_corpus",
+    "dq_orders_report",
+    "dq_referential_integrity",
+    "dq_join_key_skew",
+    "dq_k_anonymity",
+    "heavy_hitters_verified",
+    "cms_word_estimates",
+    "stat_corr_matrix",
+    "multimodal_meta",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "asof_purchase_click",
+    "interval_join_error_window",
+    "events_funnel",
+    "events_hourly_anomaly",
+    "events_variant_props",
+    "events_transition_matrix",
+    "events_active_users_7d",
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    "q20_potential_promotion",
+    "q21_waiting_orders",
+    "orders_monthly_growth",
+    "supplier_pareto",
+    "part_price_histogram",
+    "customer_rfm_segments",
+    "scd2_priority_history",
+    "cdc_snapshot_diff",
+    "winsorized_prices",
+    "order_item_quantities",
+    "basket_part_pairs",
+    "fuzzy_supplier_pairs",
+    "date_spine_daily_revenue",
+    "mv_incremental_daily_revenue",
+    "udf_scalar_pandas_net_price",
+    "udaf_weighted_avg_pandas",
+    "cogrouped_order_fill_pandas",
+# --- latest driver row: r4 (49 queries) ---
+    "jsondict_roundtrip",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "text_unigram_logprob",
+    "bpe_merge_pairs",
+    "sim_lsh_recall",
+    "pagerank_word_graph",
+    "sim_topk_vectorized",
+    "sim_quantized_recall",
+    "grouped_zscore_pandas",
+    "q12_priority_by_flag",
+    "sim_topk_ivf",
+    "sim_ann_recall_report",
+    "bfs_word_distances",
+    "corpus_shuffle_shards",
+    "stream_cep_funnel",
+    "ts_interpolate_daily",
+    "analyze_table_stats",
+    "hybrid_search_rrf",
+    "corpus_temperature_mixture",
+    "quantile_binning",
+    "c4_line_dedup",
+    "dedup_substring_coverage",
+    "emb_gram_matrix",
+    "recursive_cte_inventory",
+    "stream_watermark_finalize",
+    "text_length_outliers_mad",
+    "join_null_safe",
+    "corpus_chunk_windows",
+    "feature_hashing_trick",
+    "target_encode_brand",
+    "target_encode_kfold",
+    "ab_test_conversion",
+    "stream_upsert_user_state",
+    "multimodal_phash",
+    "multimodal_phash_pairs",
+    "emb_whiten_diag",
+    "text_byte_entropy",
+    "linreg_normal_equations",
+    "token_label_mi",
+    "unpivot_order_metrics",
+    "naive_bayes_langid",
+    "kmv_daily_distinct",
+    "skyline_parts",
+    "linreg_by_returnflag",
+    "dedup_prefix_filter",
+    "dedup_sorted_neighborhood",
+    "logreg_gradient_descent",
+    "graph_kcore_parts",
+# --- latest driver row: r5 (47 queries) ---
     "kmv_weekly_merge",
     "basket_association_rules",
     "events_sequence_loglik",
@@ -189,6 +266,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_portable_daily",
     "bradley_terry_strength",
     "logreg_calibration_bins",
+# --- latest driver row: r6 (34 queries) ---
     "logreg_roc_auc",
     "logreg_threshold_sweep",
     "graph_connected_components",
@@ -223,6 +301,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_daily_distinct_error",
     "approx_percentile_error",
     "stat_kruskal_wallis",
+# --- latest driver row: r7 (46 queries) ---
     "jsonl_roundtrip",
     "jsonl_roundtrip_text_bytes",
     "jsonl_roundtrip_corrupt",
@@ -269,8 +348,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stat_mcnemar_test",
     "stat_cochran_armitage",
     "feature_woe_iv",
-    # (5b) the 26 rows first-checked (green) in the r8 window — freshest
-    #      greens, so they queue behind everything above.
+# --- latest driver row: r8 (26 queries) ---
     "span_corruption_plan",
     "negative_sampling_plan",
     "dq_contract_validation",
@@ -297,9 +375,53 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_repetition_report",
     "events_stickiness_dau_mau",
     "corpus_importance_resample",
-    # (6) the r8 one-shot bisection probes, demoted to the tail (VERDICT r8
-    #     next-round #5: they did their job — all green, content agreement
-    #     proven byte-for-byte — and each would cost a window slot).
+# --- latest driver row: r9 (45 queries) ---
+    "jsonl_source_agreement",
+    "csv_source_agreement",
+    "compaction_source_agreement",
+    "dataset_fingerprint_report",
+    "ann_join_nearest_neighbor",
+    "ann_join_ivf",
+    "sim_ann_join_recall_report",
+    "bpe_train_k_merges",
+    "bpe_encode_corpus",
+    "graph_pagerank",
+    "corpus_filter_funnel",
+    "corpus_curriculum_plan",
+    "dataset_snapshot_diff",
+    "ab_uplift_by_segment",
+    "events_bandit_ucb",
+    "linreg_ridge",
+    "stat_dunn_posthoc",
+    "wordcount_top20",
+    "wordcount_full",
+    "wordcount_rdd_core",
+    "ingest_zip_wordcount",
+    "graph_pagerank_dangling",
+    "stream_ann_index_maintenance",
+    "ann_join_auto_k",
+    "sim_auto_k_recall_report",
+    "dataset_fingerprint_incremental",
+    "pack_sequences_plan",
+    "pack_sequences_manifest",
+    "dataloader_shard_plan",
+    "batch_padding_plan",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "filter_project_pushdown",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "agg_distinct",
+# --- spent diagnostics (23) ---
     "probe_docs_counts",
     "probe_docs_distincts",
     "probe_docs_meta_bytes",
@@ -318,6 +440,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "probe_orders_base",
     "probe_orders_dates",
     "probe_orders_priorities",
+    "probe_orders_price_micro",
+    "probe_orders_price_micro_bigint",
+    "probe_docs_case_mapping",
+    "probe_hash_typing_hugeint",
+    "probe_hash_typing_decimal38",
 )
 
 # Permanently rows-only reports (no SQL-replayable oracle by design: file
@@ -328,6 +455,101 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # the error bound as integer columns (VERDICT r5 next-round #5).
 DRIVER_DEMOTE: tuple[str, ...] = (
     "storage_file_report",
+)
+
+# Queries whose BUILDER executes real Spark work before returning the
+# DataFrame — streaming jobs run to completion (awaitTermination inside the
+# build), scratch datasets written and read back, or iterative training
+# loops with bounded per-round collects.  Plan-only consumers (the output
+# typing lint, plan fingerprinting when it wants to stay cheap) use this to
+# skip the Spark-side build: for these names "build the lazy frame and read
+# .schema" is neither lazy nor side-effect-free (ADVICE r9).  Execution-
+# level checks (scripts/verify_driver.py, the driver itself) still cover
+# every one of them dtype-faithfully — membership here trades only LINT
+# coverage, never correctness coverage.  Curated by family; erring on
+# inclusion is safe for the same reason.
+EAGER: frozenset[str] = frozenset(
+    {
+        # structured-streaming jobs: the builder starts a query, drives it
+        # to completion, and returns the sink/readback frame
+        "stream_tumbling_hourly",
+        "stream_sliding_10m_5m",
+        "stream_stateful_user_totals",
+        "stream_session_windows",
+        "stream_static_join_segments",
+        "stream_dedup_pairs",
+        "stream_stream_join_attribution",
+        "stream_dedup_against_corpus",
+        "stream_cep_funnel",
+        "stream_watermark_finalize",
+        "stream_upsert_user_state",
+        "stream_join_left_outer",
+        "stream_wordcount_totals",
+        "stream_ann_index_maintenance",
+        # filesystem round-trips: write scratch, read back, compare
+        "jsonl_roundtrip",
+        "jsonl_roundtrip_text_bytes",
+        "jsonl_roundtrip_corrupt",
+        "jsonl_roundtrip_ids",
+        "jsonl_gzip_roundtrip",
+        "jsonl_source_agreement",
+        "csv_roundtrip",
+        "csv_roundtrip_price",
+        "csv_roundtrip_dates",
+        "csv_roundtrip_corrupt",
+        "csv_source_agreement",
+        "compaction_roundtrip",
+        "compaction_roundtrip_text_bytes",
+        "compaction_roundtrip_counts",
+        "compaction_roundtrip_files",
+        "compaction_source_agreement",
+        "xml_roundtrip",
+        "orc_roundtrip",
+        "jsondict_roundtrip",
+        "partitioned_write_pruning",
+        "bucketed_join_colocated",
+        "storage_zorder_cluster",
+        "storage_file_report",
+        "ziptext_datasource_scan",
+        "ingest_zip_wordcount",
+        "pack_sequences_write",
+        # iterative algorithms / trainers: per-round bounded collects or
+        # counts at plan-build time (loop depth is data-dependent)
+        "graph_pagerank",
+        "graph_pagerank_dangling",
+        "graph_connected_components",
+        "graph_kcore_parts",
+        "graph_label_propagation",
+        "pagerank_word_graph",
+        "bfs_word_distances",
+        "dedup_clusters",
+        "dedup_cluster_keep_best",
+        "events_markov_stationary",
+        "events_markov_attribution",
+        "logreg_gradient_descent",
+        "logreg_calibration_bins",
+        "logreg_roc_auc",
+        "logreg_threshold_sweep",
+        "emb_pca_power_iteration",
+        "emb_pq_codebook",
+        "sim_mmr_diversify",
+        "sim_topk_ivf",
+        "sim_ann_recall_report",
+        "sim_quantized_recall",
+        "ann_join_ivf",
+        "ann_join_auto_k",
+        "ann_join_auto_k_multiprobe",
+        "sim_auto_k_recall_report",
+        "sim_multiprobe_recall_report",
+        "bpe_train_k_merges",
+        "bpe_encode_corpus",
+        "bpe_second_merge_round",
+        "bradley_terry_strength",
+        "naive_bayes_langid",
+        "heavy_hitters_verified",
+        "text_tfidf_top_terms",
+        "dq_completeness_matrix",
+    }
 )
 
 

@@ -53,6 +53,16 @@ def main() -> int:
     from distributed_mapreduce_in_docker_rpyc_spark.session import get_spark
 
     registry.load_all()
+
+    only = {s for s in args.only.split(",") if s}
+    # A typo'd --only name must not make the sweep vacuously green
+    # (ADVICE r9): unknown names are a hard error before any work happens,
+    # not a silent skip that prints '0/1 invariant' and exits 0.
+    unknown = sorted(only - set(registry.QUERIES))
+    if unknown:
+        print(f"ERROR: --only names not registered: {unknown}")
+        return 1
+
     spark = get_spark("sweep-determinism")
 
     shuffled = tempfile.mkdtemp(prefix="sg-shuffled-")
@@ -65,7 +75,6 @@ def main() -> int:
                 f"TO '{shuffled}/{f}' (FORMAT PARQUET)"
             )
 
-    only = {s for s in args.only.split(",") if s}
     diffs, errors, n_ok = {}, {}, 0
     try:
         for name, fn in registry.QUERIES.items():

@@ -105,23 +105,41 @@ def oracle_col_class(series) -> str:
     return "other"
 
 
-def dtype_mismatches(o_df, s_schema) -> list[str]:
+def dtype_mismatches(o_df, s_schema) -> tuple[list[str], list[str]]:
     """Column-level dtype divergences the driver's hash would flag.
 
-    Returns human-readable findings; empty = dtype-safe.  Column order on
-    both sides is by sorted name, matching the driver's canonicalization.
+    Returns ``(findings, notes)``: findings empty = dtype-safe; notes are
+    printed (not failed) so accepted ambiguities stay visible.  Column
+    order on both sides is by sorted name, matching the driver's
+    canonicalization.
     """
-    findings = []
+    findings: list[str] = []
+    notes: list[str] = []
     s_types = {f.name: spark_col_class(f.dataType) for f in s_schema.fields}
     for col in sorted(o_df.columns):
         o_cls = oracle_col_class(o_df[col])
         s_cls = s_types.get(col)
         if s_cls is None or o_cls == "any":
             continue
+        if o_cls == "float_nullable" and s_cls == "int":
+            # Verified (ADVICE r9): the driver canonicalizes BOTH sides
+            # through `pd.DataFrame(rows)`, and a Spark bigint column that
+            # CONTAINS a NULL converts to float64+NaN exactly like DuckDB's
+            # nullable-int fallback — equal values (incl. NULL positions)
+            # therefore land float64 on both sides and hash green; when the
+            # NULL positions differ, the VALUE compare below reds the query
+            # regardless of dtypes.  Accepted, but printed so the pairing
+            # never passes silently.
+            notes.append(
+                f"column {col!r}: oracle NaN-carrying float64 accepted "
+                f"against spark int (both sides render float64+NaN in the "
+                "driver's pandas canonicalization)"
+            )
+            continue
         ok = (
             o_cls == s_cls
             or (o_cls == "float" and s_cls == "float")
-            or (o_cls == "float_nullable" and s_cls in ("float", "int"))
+            or (o_cls == "float_nullable" and s_cls == "float")
             # Spark DecimalType collects as Decimal objects while DuckDB's
             # pandas path renders EVERY decimal as float64 — never safe:
             # a decimal on either side is only green when the other side
@@ -132,7 +150,7 @@ def dtype_mismatches(o_df, s_schema) -> list[str]:
             findings.append(
                 f"column {col!r}: oracle(pandas)={o_cls} vs spark={s_cls}"
             )
-    return findings
+    return findings, notes
 
 
 def norm_rows(rows, cols):
@@ -230,7 +248,9 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: oracle raised {type(ex).__name__}: {ex}")
             continue
-        dtype_bad = dtype_mismatches(o_pdf, sdf.schema)
+        dtype_bad, dtype_notes = dtype_mismatches(o_pdf, sdf.schema)
+        for note in dtype_notes:
+            print(f"NOTE  {name}: {note}")
         if dtype_bad:
             if name in TYPING_CANARIES:
                 print(

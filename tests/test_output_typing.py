@@ -8,10 +8,16 @@ dtypes, red hash.  The r8 type audit proved a perfect 6/6 correlation
 (exactly the six reds were exactly the six oracles whose final column lands
 HUGEINT/DECIMAL(38,0)).
 
-This lint converts that three-round hunt into a compile-time check over the
-WHOLE fleet: every oracle's output types (via DuckDB ``DESCRIBE`` — planner
-only, no execution) and every Spark query's output schema (lazy DataFrame
-build at sf0.001) must land in the hash-stable set:
+This lint converts that three-round hunt into a cheap fleet-wide check:
+every oracle's output types (via DuckDB ``DESCRIBE`` — planner only, no
+execution) and every LAZY Spark query's output schema (DataFrame build at
+sf0.001; for most queries that's plan-only plus parquet footer reads) must
+land in the hash-stable set.  Queries in ``registry.EAGER`` — whose builder
+RUNS streaming jobs, writes scratch, or trains iteratively (ADVICE r9: for
+those, "build and read .schema" is neither fast nor side-effect-free) —
+skip the Spark-side build here; their oracle side still gets the
+spark-independent HUGEINT check, and scripts/verify_driver.py covers them
+dtype-faithfully at execution time.  The hash-stable rules:
 
   * oracle HUGEINT                      → always flagged (pandas float64 vs
     Spark int64/Decimal — the proven red signature)
@@ -104,13 +110,17 @@ def test_fleet_output_types_are_hash_stable(spark, duck):
         if name in TYPING_CANARIES:
             continue
         per_query: list[str] = []
-        # Spark side: build the lazy plan, read the schema.
-        try:
-            schema = fn(spark, SRC).schema
-        except Exception as exc:  # noqa: BLE001 — other sweeps assert execution
-            findings[name] = [f"spark build raised {type(exc).__name__}: {exc}"]
-            continue
-        s_classes = {f.name: _spark_class(f.dataType) for f in schema.fields}
+        # Spark side: build the lazy plan, read the schema — skipped for
+        # EAGER builders (streaming jobs / scratch writes / training loops
+        # would actually run here; verify_driver checks those at execution).
+        s_classes: dict[str, str] = {}
+        if name not in registry.EAGER:
+            try:
+                schema = fn(spark, SRC).schema
+            except Exception as exc:  # noqa: BLE001 — other sweeps assert execution
+                findings[name] = [f"spark build raised {type(exc).__name__}: {exc}"]
+                continue
+            s_classes = {f.name: _spark_class(f.dataType) for f in schema.fields}
         for col, cls in s_classes.items():
             if cls == "decimal":
                 per_query.append(
@@ -130,7 +140,7 @@ def test_fleet_output_types_are_hash_stable(spark, duck):
                         f"vs spark {s_cls}) — wrap in CAST(... AS BIGINT) "
                         "or render VARCHAR"
                     )
-                elif o_cls == "decimal" and s_cls != "float":
+                elif o_cls == "decimal" and s_cls is not None and s_cls != "float":
                     per_query.append(
                         f"oracle column {col!r} is {duck_type} (pandas "
                         f"float64) vs spark {s_cls} — cast both sides to a "
@@ -171,3 +181,37 @@ def test_canaries_do_violate_the_lint(spark, duck):
     assert s_hug.fields[0].dataType.typeName() in ("long", "bigint")
     s_dec = registry.QUERIES["probe_hash_typing_decimal38"](spark, SRC).schema
     assert s_dec.fields[0].dataType.typeName().startswith("decimal")
+
+
+def test_canary_dtype_sensitivity_through_pandas_path(spark, duck):
+    """The canaries' driver-slot measurement, re-homed here at zero driver
+    cost (VERDICT r9 next-round #4): bind each canary oracle through
+    DuckDB's ACTUAL pandas conversion — the dtypes the driver hashes — and
+    assert the divergent pair materializes end-to-end:
+
+      * HUGEINT and DECIMAL(38,0) oracle outputs both arrive float64 in
+        pandas (the r6-r8 red signature),
+      * while the matching Spark columns collect as int64 / object-Decimal.
+
+    If a DuckDB upgrade ever changes the pandas rendering (e.g. nullable
+    Int64 for HUGEINT), this fails and the lint's flagging rules — and the
+    driver-red theory they encode — need re-verifying.  This keeps the
+    canaries' signal alive after their demotion below the driver's 50-slot
+    window (they answered their question in r9: red exactly as predicted)."""
+    import decimal
+
+    import pandas as pd
+
+    registry.load_all()
+    hug_pdf = duck.execute(registry.ORACLES["probe_hash_typing_hugeint"]).df()
+    dec_pdf = duck.execute(registry.ORACLES["probe_hash_typing_decimal38"]).df()
+    assert hug_pdf.dtypes.iloc[0].kind == "f", hug_pdf.dtypes
+    assert dec_pdf.dtypes.iloc[0].kind == "f", dec_pdf.dtypes
+    # Spark side, through the same pd.DataFrame(rows) canonicalization the
+    # driver applies: int64 for the bigint, object-Decimal for the decimal.
+    hug_rows = registry.QUERIES["probe_hash_typing_hugeint"](spark, SRC).collect()
+    s_hug = pd.DataFrame([tuple(r) for r in hug_rows])
+    assert s_hug.dtypes.iloc[0].kind in "iu", s_hug.dtypes
+    dec_rows = registry.QUERIES["probe_hash_typing_decimal38"](spark, SRC).collect()
+    s_dec = pd.DataFrame([tuple(r) for r in dec_rows])
+    assert isinstance(s_dec.iloc[0, 0], decimal.Decimal), s_dec.dtypes
