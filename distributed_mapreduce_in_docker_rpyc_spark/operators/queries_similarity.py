@@ -2591,7 +2591,45 @@ def ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # superset (j ≤ 239, i.e. k ≤ 40 — beyond any conceivable replay scale) and
 # filtered to the 6·k planes in play; no SQL comments in oracle strings
 # (registration collapses whitespace, so `--` would comment out the rest).
-_ANN_AUTO_K_CTES = """,
+def _ann_auto_k_ctes(multiprobe: bool = False) -> str:
+    """Auto-k bucket + candidate CTEs, optionally with the Hamming-1
+    multiprobe family on the query side (r10): qprobes = each query bucket
+    UNION ALL its k single-bit flips (the flip index rides the same
+    bounded-superset generate_series trick as the plane family — constant
+    bound 39, filtered to i < k), and the candidate join probes qprobes
+    against the unexpanded index buckets.  Bit-for-bit the same expansion
+    as ``similarity.hamming1_probes``."""
+    if multiprobe:
+        cand = """,
+    qprobes AS (
+        SELECT vec_id, tbl, bucket FROM buckets WHERE vec_id % 17 = 3
+        UNION ALL
+        SELECT b.vec_id, b.tbl,
+               substr(b.bucket, 1, f.i) ||
+               (CASE WHEN substr(b.bucket, f.i + 1, 1) = '1'
+                     THEN '0' ELSE '1' END) ||
+               substr(b.bucket, f.i + 2) AS bucket
+        FROM buckets b, generate_series(0, 39) f(i)
+        WHERE b.vec_id % 17 = 3 AND f.i < (SELECT k FROM params)
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+        FROM qprobes qb
+        JOIN buckets nb ON nb.tbl = qb.tbl AND nb.bucket = qb.bucket
+        WHERE nb.vec_id % 17 != 3
+    )
+"""
+    else:
+        cand = """,
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+        FROM buckets qb
+        JOIN buckets nb ON nb.tbl = qb.tbl AND nb.bucket = qb.bucket
+        WHERE qb.vec_id % 17 = 3 AND nb.vec_id % 17 != 3
+    )
+"""
+    return (
+        """,
     params AS MATERIALIZED (
         SELECT GREATEST(1, (SELECT MIN(p.p) FROM generate_series(0, 40) p(p)
                             WHERE POWER(2, p.p) >= CEIL(c.cnt / 16.0))) AS k
@@ -2617,14 +2655,13 @@ _ANN_AUTO_K_CTES = """,
         SELECT vec_id, j // (SELECT k FROM params) AS tbl,
                string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
         FROM dots GROUP BY vec_id, j // (SELECT k FROM params)
-    ),
-    cand AS (
-        SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
-        FROM buckets qb
-        JOIN buckets nb ON nb.tbl = qb.tbl AND nb.bucket = qb.bucket
-        WHERE qb.vec_id % 17 = 3 AND nb.vec_id % 17 != 3
+    )"""
+        + cand
     )
-"""
+
+
+_ANN_AUTO_K_CTES = _ann_auto_k_ctes(multiprobe=False)
+_ANN_AUTO_K_MP_CTES = _ann_auto_k_ctes(multiprobe=True)
 
 _ANN_AUTO_K_ORACLE = _COSINE_CTES + _ANN_AUTO_K_CTES + _ANN_JOIN_SELECT
 
@@ -2745,4 +2782,171 @@ def sim_auto_k_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.count("*").cast("double"), F.lit(0.0)),
             6,
         ).alias("recall_at_1"),
+    )
+
+
+@register(
+    "ann_join_auto_k_multiprobe",
+    oracle=_COSINE_CTES + _ANN_AUTO_K_MP_CTES + _ANN_JOIN_SELECT,
+)
+def ann_join_auto_k_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_join_auto_k`` + Hamming-1 multiprobe (r10, VERDICT r9
+    next-round #2 — the one open end on the ANN frontier): each query
+    probes its own bucket PLUS its k single-bit flips in every table
+    (``similarity.hamming1_probes``), recovering the recall that auto-k's
+    occupancy-16 sizing costs on this adversarially-uniform fixture while
+    the candidate bound grows only by the (1+k) probe factor — i.e. BOTH
+    sides of the candidates-vs-recall frontier now hold across decades:
+    candidates stay Θ(L·k·B) = O(log corpus) per query, recall recovers
+    toward the fixed-6×3 join's level (measured per decade in SCALING.md
+    r10, next to the plain auto-k rows).
+
+    The probe expansion is per-row string codegen on the (tiny) query
+    slice only — the index side stays unexpanded, so index scan cost and
+    bucket-frame reuse are identical to the plain auto-k join; the
+    candidate equi-join shape is unchanged.  The oracle unrolls the same
+    flip family via a bounded generate_series filtered to i < k, with k
+    recomputed in SQL from the index count (same integer rule — re-sizing
+    can never break correctness).
+
+    One bounded collect: the 1-value index count (plan-build input)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = sim.non_null_vectors(emb, "embedding")
+    n_index = nn.filter(F.col("vec_id") % 17 != 3).count()
+    k = sim.auto_planes_per_table(n_index)
+    buckets = sim.lsh_bucket_tables_np(
+        emb, n_tables=sim.N_TABLES, planes_per_table=k
+    )
+    return sim.nn_join_lsh(
+        emb,
+        left_pred=lambda c: c % 17 == 3,
+        k=1,
+        buckets=buckets,
+        probe_hamming1=k,
+    )
+
+
+@register(
+    "sim_multiprobe_recall_report",
+    oracle=_COSINE_CTES
+    + _ANN_AUTO_K_MP_CTES
+    + f""",
+    lsh AS ({_ANN_JOIN_SELECT}),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                                       FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
+                                n.vec_id ASC) AS rank
+            FROM norms q JOIN norms n
+              ON q.vec_id % 17 = 3 AND n.vec_id % 17 != 3
+        ) WHERE rank = 1
+    )
+    SELECT (SELECT k FROM params) AS k_auto,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM brute) AS n_queries,
+           (SELECT COUNT(*) FROM lsh) AS n_linked,
+           (SELECT COUNT(*) FROM brute b
+             JOIN lsh l ON l.query_id = b.query_id
+                       AND l.neighbor_id = b.neighbor_id) AS n_correct,
+           ROUND((SELECT COUNT(*) FROM brute b
+                   JOIN lsh l ON l.query_id = b.query_id
+                             AND l.neighbor_id = b.neighbor_id)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM brute), 0) AS DOUBLE), 6)
+               AS recall_at_1
+    """,
+)
+def sim_multiprobe_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@1 AND total candidate count of
+    ``ann_join_auto_k_multiprobe`` against the exact cross-slice nearest
+    neighbor — the report that certifies multiprobe holds BOTH frontier
+    axes at once: read next to ``sim_auto_k_recall_report`` (same k, no
+    probes) and ``sim_ann_join_recall_report`` (fixed 6×3), the driver's
+    correctness history now tracks recall and candidate volume for all
+    three parameterizations every time the fixture regenerates.
+    n_candidates is the distinct (query, neighbor) pair count actually
+    reranked — the cost axis the probe factor is supposed to bound.
+    Exact side = the allowlisted tiny-broadcast BNLJ recall pattern."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
+
+    emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
+    n_index = emb.filter(F.col("vec_id") % 17 != 3).count()
+    k_auto = sim.auto_planes_per_table(n_index)
+    buckets = sim.lsh_bucket_tables_np(
+        load_table(spark, sf_dir, "embeddings"),
+        n_tables=sim.N_TABLES,
+        planes_per_table=k_auto,
+    ).persist()
+    # candidate count: replay the probe expansion + equi-join (same frame
+    # the linkage reranks — distinct pairs, the reranked volume)
+    qp = sim.hamming1_probes(
+        buckets.filter(F.col("vec_id") % 17 == 3), k_auto
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tbl").alias("_qt"),
+        F.col("bucket").alias("_qb"),
+    )
+    nb = buckets.filter(F.col("vec_id") % 17 != 3).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("tbl").alias("_nt"),
+        F.col("bucket").alias("_nb"),
+    )
+    cand = (
+        nb.join(
+            F.broadcast(qp),
+            (F.col("_qt") == F.col("_nt")) & (F.col("_qb") == F.col("_nb")),
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    nv = emb.filter(F.col("vec_id") % 17 != 3).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    brute = (
+        F.broadcast(qv)
+        .crossJoin(nv)
+        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("exact_id"))
+    )
+    lsh = sim.nn_join_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        left_pred=lambda c: c % 17 == 3,
+        k=1,
+        buckets=buckets,
+        probe_hamming1=k_auto,
+    ).select("query_id", F.col("neighbor_id").alias("lsh_id"))
+    n_cand = cand.groupBy().count().select(F.col("count").alias("_nc"))
+    joined = brute.join(lsh, "query_id", "left")
+    return (
+        joined.agg(
+            F.lit(k_auto).cast("bigint").alias("k_auto"),
+            F.count("*").alias("n_queries"),
+            F.count("lsh_id").alias("n_linked"),
+            F.count(F.when(F.col("lsh_id") == F.col("exact_id"), 1)).alias(
+                "n_correct"
+            ),
+            F.round(
+                F.count(F.when(F.col("lsh_id") == F.col("exact_id"), 1))
+                / F.nullif(F.count("*").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("recall_at_1"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "k_auto",
+            F.col("_nc").cast("bigint").alias("n_candidates"),
+            "n_queries",
+            "n_linked",
+            "n_correct",
+            "recall_at_1",
+        )
     )

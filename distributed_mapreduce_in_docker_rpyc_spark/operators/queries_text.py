@@ -5127,6 +5127,337 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("seq_id").cast("bigint").alias("seq_id"), "n_docs", "n_whole_docs", "n_tokens")
 
 
+_PACK_SHARDS = 16
+_PACK_MAX_RECORDS_PER_FILE = 4096
+
+
+def _packed_windows(docs: DataFrame) -> DataFrame:
+    """The packed dataset itself (r10): one row per 2048-token context
+    window — ``(seq_id, shard_id, segments, n_tokens)`` where ``segments``
+    is the window-offset-ordered list of document slices
+    ``(win_off, doc_id, tok_start, tok_len)`` that fill it.  This is the
+    executable form of ``pack_sequences_manifest``: the manifest counts
+    what lands in each window, this frame says exactly WHICH tokens of
+    WHICH document land WHERE, which is all a dataloader needs to emit
+    the window without re-deriving the global concatenation.
+
+    Same scale posture as the manifest: banded cumulative (no global
+    single-partition window), explode into the per-doc window range
+    (1 + ⌊nt/CTX⌋ rows), one aggregate shuffled on the dense seq_id.
+    ``sort_array`` makes the collect_list order deterministic (win_off is
+    unique within a window)."""
+    from .queries_features import _banded_cum
+
+    ctx = _PACK_CTX
+    d = docs.select(
+        "doc_id",
+        F.coalesce(F.size(tokenize_column("text")), F.lit(0))
+        .cast("long")
+        .alias("nt"),
+    )
+    c = (
+        _banded_cum(d, "doc_id", ("nt",), 4096.0)
+        .select("doc_id", "nt", (F.col("cum_nt") - F.col("nt")).alias("cb"))
+        .filter(F.col("nt") > 0)
+    )
+    seg = c.select(
+        "doc_id",
+        "nt",
+        "cb",
+        F.explode(
+            F.sequence(
+                F.expr(f"cb div {ctx}"), F.expr(f"(cb + nt - 1) div {ctx}")
+            )
+        ).alias("seq_id"),
+    ).select(
+        "doc_id",
+        "seq_id",
+        F.greatest(F.col("seq_id") * ctx - F.col("cb"), F.lit(0).cast("long")).alias(
+            "tok_start"
+        ),
+        (
+            F.least((F.col("seq_id") + 1) * ctx, F.col("cb") + F.col("nt"))
+            - F.greatest(F.col("seq_id") * ctx, F.col("cb"))
+        ).alias("tok_len"),
+        F.greatest(F.col("cb") - F.col("seq_id") * ctx, F.lit(0).cast("long")).alias(
+            "win_off"
+        ),
+    )
+    return (
+        seg.groupBy("seq_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("win_off").cast("long").alias("win_off"),
+                        F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col("tok_start").cast("long").alias("tok_start"),
+                        F.col("tok_len").cast("long").alias("tok_len"),
+                    )
+                )
+            ).alias("segments"),
+            F.sum("tok_len").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("seq_id").cast("long").alias("seq_id"),
+            (F.col("seq_id") % _PACK_SHARDS).cast("int").alias("shard_id"),
+            "segments",
+            "n_tokens",
+        )
+    )
+
+
+def write_packed_windows(
+    win: DataFrame,
+    path: str,
+    max_records_per_file: int = _PACK_MAX_RECORDS_PER_FILE,
+) -> None:
+    """Shard-balanced parquet sink for the packed-window dataset:
+    hive-partitioned by ``shard_id`` (the dataloader's unit of work — each
+    loader rank opens exactly its own directory), range-repartitioned on
+    (shard_id, seq_id) so every task writes contiguous window runs into
+    few files, and ``maxRecordsPerFile`` bounding individual file size so
+    a 100 TB epoch's windows land in uniformly-sized, seekable parquet
+    files instead of one file per shard.  Asserted on the actual emitted
+    layout in tests/test_llm_ops.py, the way partitioned_write_pruning
+    asserts PartitionFilters."""
+    (
+        win.repartitionByRange(_PACK_SHARDS, "shard_id", "seq_id")
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
+@register(
+    "pack_sequences_write",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               COALESCE(len(regexp_extract_all(lower(text), '[a-z'']+')), 0)
+                   AS nt
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, nt,
+               COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM d WHERE nt > 0
+    ),
+    seg AS (
+        SELECT c.doc_id, s.seq_id,
+               GREATEST(s.seq_id * {_PACK_CTX} - c.cb, 0) AS tok_start,
+               LEAST((s.seq_id + 1) * {_PACK_CTX}, c.cb + c.nt)
+                   - GREATEST(s.seq_id * {_PACK_CTX}, c.cb) AS tok_len,
+               GREATEST(c.cb - s.seq_id * {_PACK_CTX}, 0) AS win_off
+        FROM c, unnest(generate_series(
+                    CAST(c.cb // {_PACK_CTX} AS BIGINT),
+                    CAST((c.cb + c.nt - 1) // {_PACK_CTX} AS BIGINT)))
+                 AS s(seq_id)
+    )
+    SELECT CAST(seq_id % {_PACK_SHARDS} AS BIGINT) AS shard_id,
+           COUNT(DISTINCT seq_id) AS n_windows,
+           COUNT(*) AS n_segments,
+           CAST(SUM(tok_len) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id * 1000003 + win_off * 4099 + tok_start * 31
+                    + tok_len) AS BIGINT) AS content_checksum
+    FROM seg GROUP BY 1
+    """,
+)
+def pack_sequences_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed dataset round-trip (r10, VERDICT r9 next-round
+    #3 — the last dataloader-prep step): build the window frame
+    (``_packed_windows``), WRITE it as the shard-balanced parquet layout a
+    training job consumes (``write_packed_windows``: hive dirs per shard +
+    range-partitioned files capped by maxRecordsPerFile), read the emitted
+    files back, and report per shard — window/segment counts, token
+    totals, and a checksum over EVERY segment field (doc_id, window
+    offset, slice start, slice length).  The oracle recomputes the
+    identical numbers from ``documents`` directly, so a green row proves
+    the full doc→window→file→readback pipeline preserves the packing
+    bit-for-bit; the file LAYOUT contract (dirs, file record caps) is
+    asserted separately in tests/test_llm_ops.py on a corpus big enough
+    to populate every shard.
+
+    Result is eagerly materialized (bounded: ≤ {_PACK_SHARDS} rows) with
+    the scratch dir deleted — the r6 hermetic round-trip contract
+    (``_compaction_proof``)."""
+    import shutil
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import (
+        materialized,
+        work_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    win = _packed_windows(docs)
+    root = work_dir("packwrite")
+    path = f"{root}/packed_windows"
+    write_packed_windows(win, path)
+    # explicit schema: an all-empty corpus writes no part files, and the
+    # sink contract should still round-trip to an empty report
+    back = spark.read.schema(win.schema).parquet(path)
+    seg = back.select(
+        "seq_id", "shard_id", F.explode("segments").alias("s")
+    )
+    res = materialized(
+        seg.groupBy("shard_id")
+        .agg(
+            F.countDistinct("seq_id").alias("n_windows"),
+            F.count("*").alias("n_segments"),
+            F.sum("s.tok_len").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("s.doc_id") * 1000003
+                + F.col("s.win_off") * 4099
+                + F.col("s.tok_start") * 31
+                + F.col("s.tok_len")
+            )
+            .cast("bigint")
+            .alias("content_checksum"),
+        )
+        .select(
+            F.col("shard_id").cast("bigint").alias("shard_id"),
+            "n_windows",
+            "n_segments",
+            "n_tokens",
+            "content_checksum",
+        )
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+@register(
+    "pack_windows_content_readback",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z'']+') AS toks,
+               COALESCE(len(regexp_extract_all(lower(text), '[a-z'']+')), 0)
+                   AS nt
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, nt,
+               COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM d WHERE nt > 0
+    ),
+    seg AS (
+        SELECT c.doc_id, s.seq_id,
+               GREATEST(s.seq_id * {_PACK_CTX} - c.cb, 0) AS tok_start,
+               LEAST((s.seq_id + 1) * {_PACK_CTX}, c.cb + c.nt)
+                   - GREATEST(s.seq_id * {_PACK_CTX}, c.cb) AS tok_len,
+               GREATEST(c.cb - s.seq_id * {_PACK_CTX}, 0) AS win_off,
+               c.toks
+        FROM c, unnest(generate_series(
+                    CAST(c.cb // {_PACK_CTX} AS BIGINT),
+                    CAST((c.cb + c.nt - 1) // {_PACK_CTX} AS BIGINT)))
+                 AS s(seq_id)
+    ),
+    pieces AS (
+        SELECT seq_id, win_off, tok_len,
+               array_to_string(
+                   list_slice(toks, tok_start + 1, tok_start + tok_len),
+                   ' ') AS piece
+        FROM seg
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(seq_id % {_PACK_SHARDS} AS BIGINT) AS shard_id,
+           CAST(SUM(tok_len) AS BIGINT) AS n_tokens,
+           md5(string_agg(piece, ' ' ORDER BY win_off)) AS window_md5
+    FROM pieces GROUP BY seq_id
+    """,
+)
+def pack_windows_content_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window CONTENT round-trip (r10): write the packed dataset
+    (``write_packed_windows``), read the emitted files back, resolve each
+    window's segment list against the documents' token streams, and emit
+    per window the md5 of its ACTUAL token content (tokens of every slice,
+    window order) — the strongest possible proof that the packing is
+    executable: the oracle rebuilds every window's token string straight
+    from ``documents`` with the same slice arithmetic, so a green row
+    means a dataloader consuming the written files emits byte-identical
+    2048-token windows to the specification.  Complements
+    ``pack_sequences_write`` (layout + segment-metadata checksum) with the
+    content axis.
+
+    Shape: the segment resolve is an equi-join on doc_id (windows side
+    carries only slice coordinates, so the big token arrays move ONCE),
+    ``slice()`` is per-row codegen, and the window assembly re-aggregates
+    on the dense seq_id — at 100 TB this is exactly the dataloader's own
+    read pattern (shard dir → doc gather → slice → concat), run as one
+    verification query.  Output is manifest-sized (one row per window)."""
+    import shutil
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import (
+        materialized,
+        work_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    win = _packed_windows(docs)
+    root = work_dir("packread")
+    path = f"{root}/packed_windows"
+    write_packed_windows(win, path)
+    back = spark.read.schema(win.schema).parquet(path)
+    seg = back.select(
+        "seq_id", "shard_id", F.explode("segments").alias("s")
+    ).select(
+        "seq_id",
+        "shard_id",
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.win_off").alias("win_off"),
+        F.col("s.tok_start").alias("tok_start"),
+        F.col("s.tok_len").alias("tok_len"),
+    )
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokenize_column("text").alias("toks")
+    )
+    pieces = seg.join(toks, "doc_id").select(
+        "seq_id",
+        "shard_id",
+        "win_off",
+        "tok_len",
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                (F.col("tok_start") + 1).cast("int"),
+                F.col("tok_len").cast("int"),
+            ),
+            " ",
+        ).alias("piece"),
+    )
+    res = materialized(
+        pieces.groupBy("seq_id", "shard_id")
+        .agg(
+            F.sum("tok_len").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("win_off", "piece"))
+                            ),
+                            lambda x: x["piece"],
+                        ),
+                        " ",
+                    ),
+                    "UTF-8",
+                )
+            ).alias("window_md5"),
+        )
+        .select(
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            F.col("shard_id").cast("bigint").alias("shard_id"),
+            "n_tokens",
+            "window_md5",
+        )
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
 @register(
     "batch_padding_plan",
     oracle="""

@@ -670,6 +670,39 @@ def dequantized(
     )
 
 
+def hamming1_probes(
+    buckets: DataFrame, planes_per_table: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Expand each (id, tbl, bucket) row into ``1 + planes_per_table`` probe
+    rows: the bucket itself plus every single-bit flip of its k-bit sign
+    string — Hamming-1 multiprobe (Lv et al., VLDB 2007: the neighbors an
+    LSH bucket misses land overwhelmingly in buckets differing by ONE
+    plane's sign, because a near-duplicate pair flips each plane
+    independently with small probability 1-θ/π).
+
+    Probing the flip family recovers most of the recall a larger k costs
+    WITHOUT lowering k (bigger k = smaller buckets = fewer candidates);
+    the candidate bound grows only by the factor (1+k) — still
+    Θ(L·k·B) per query under auto-k's occupancy-B sizing, i.e.
+    O(log(corpus)) instead of the linear growth a recall-equivalent
+    fixed-k join admits.  Pure per-row string expressions (codegen, no
+    shuffle, no UDF); the downstream (tbl, bucket) equi-join is unchanged."""
+    flips = [F.col("bucket")]
+    for i in range(planes_per_table):
+        flips.append(
+            F.concat(
+                F.substring("bucket", 1, i),
+                F.when(F.substring("bucket", i + 1, 1) == "1", F.lit("0")).otherwise(
+                    F.lit("1")
+                ),
+                F.substring("bucket", i + 2, planes_per_table),
+            )
+        )
+    return buckets.select(
+        id_col, "tbl", F.explode(F.array(*flips)).alias("bucket")
+    )
+
+
 def nn_join_lsh(
     emb: DataFrame,
     left_pred,
@@ -677,6 +710,7 @@ def nn_join_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     buckets: DataFrame | None = None,
+    probe_hamming1: int | None = None,
 ) -> DataFrame:
     """Two-table ANN join (embedding record linkage, VERDICT r7 "missing"
     #1): for every row of the LEFT slice (``left_pred`` true), its top-k
@@ -705,13 +739,22 @@ def nn_join_lsh(
     10.5k candidates/query (sf1); 6×8 → 520 cands/query but recall 0.23
     at sf0.01; 6×8 + Hamming-1 multiprobe → 0.63/0.72 at ~4k/query.
     The registered fixture parameterization keeps the default 6×3 for
-    recall; clustered production embeddings tolerate far higher k."""
+    recall; clustered production embeddings tolerate far higher k.
+
+    ``probe_hamming1``: when set (to the bucket bit-width), the QUERY side
+    probes its own bucket plus each Hamming-1 flip per table (see
+    :func:`hamming1_probes`) — the multiprobe companion to auto-k sizing
+    that holds recall AND candidate volume across decades instead of
+    trading one for the other (SCALING.md round 10)."""
     bucketed = (
         buckets
         if buckets is not None
         else lsh_bucket_tables_np(emb, id_col=id_col, vec_col=vec_col).persist()
     )
-    lb = bucketed.filter(left_pred(F.col(id_col))).select(
+    qside = bucketed.filter(left_pred(F.col(id_col)))
+    if probe_hamming1 is not None:
+        qside = hamming1_probes(qside, probe_hamming1, id_col=id_col)
+    lb = qside.select(
         F.col(id_col).alias("query_id"),
         F.col("tbl").alias("_qt"),
         F.col("bucket").alias("_qb"),

@@ -48,6 +48,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # trust it, not the section comments.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (0) round-10 new builds - never driver-checked (inserted as they land).
+    "ann_join_auto_k_multiprobe",
+    "sim_multiprobe_recall_report",
+    "pack_sequences_write",
+    "pack_windows_content_readback",
 # --- latest driver row: r1 (27 queries) ---
     "agg_stats",
     "rollup_agg",
@@ -513,6 +517,8 @@ EAGER: frozenset[str] = frozenset(
         "ziptext_datasource_scan",
         "ingest_zip_wordcount",
         "pack_sequences_write",
+        "pack_windows_content_readback",
+    "pack_windows_content_readback",
         # iterative algorithms / trainers: per-round bounded collects or
         # counts at plan-build time (loop depth is data-dependent)
         "graph_pagerank",

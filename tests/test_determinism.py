@@ -80,6 +80,12 @@ RISK_SET = [
     "ann_join_ivf",
     "ann_join_auto_k",
     "pack_sequences_manifest",
+    # round-10 additions: multiprobe inherits the top-1 tie-break shape;
+    # the packed writer's segment lists depend on the doc_id total order
+    # and sort_array'd collect_list
+    "ann_join_auto_k_multiprobe",
+    "pack_sequences_write",
+    "pack_windows_content_readback",
 ]
 
 

