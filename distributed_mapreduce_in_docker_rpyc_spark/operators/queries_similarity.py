@@ -2591,15 +2591,52 @@ def ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # superset (j ≤ 239, i.e. k ≤ 40 — beyond any conceivable replay scale) and
 # filtered to the 6·k planes in play; no SQL comments in oracle strings
 # (registration collapses whitespace, so `--` would comment out the rest).
-def _ann_auto_k_ctes(multiprobe: bool = False) -> str:
-    """Auto-k bucket + candidate CTEs, optionally with the Hamming-1
-    multiprobe family on the query side (r10): qprobes = each query bucket
-    UNION ALL its k single-bit flips (the flip index rides the same
-    bounded-superset generate_series trick as the plane family — constant
-    bound 39, filtered to i < k), and the candidate join probes qprobes
-    against the unexpanded index buckets.  Bit-for-bit the same expansion
-    as ``similarity.hamming1_probes``."""
-    if multiprobe:
+def _ann_auto_k_ctes(multiprobe: bool = False, directed_probes: int = 0) -> str:
+    """Auto-k bucket + candidate CTEs, optionally with a probe family on
+    the query side (r10):
+
+    * ``multiprobe`` — blind Hamming-1: qprobes = each query bucket UNION
+      ALL its k single-bit flips (the flip index rides the same
+      bounded-superset generate_series trick as the plane family —
+      constant bound 39, filtered to i < k).  Bit-for-bit the same
+      expansion as ``similarity.hamming1_probes``.
+    * ``directed_probes=T`` — query-directed: only the T flips whose plane
+      margin |dot| is smallest, ranked by ROW_NUMBER OVER (ORDER BY
+      ROUND(ABS(dot), 6), j) — bit-for-bit the quantize+tie-break contract
+      of ``similarity.lsh_directed_probes_np``; the bit position within
+      the bucket string is j % k (string_agg orders by j).
+
+    Either way the candidate join probes qprobes against the unexpanded
+    index buckets."""
+    if directed_probes:
+        cand = f""",
+    qprobes AS (
+        SELECT vec_id, tbl, bucket FROM buckets WHERE vec_id % 17 = 3
+        UNION ALL
+        SELECT b.vec_id, b.tbl,
+               substr(b.bucket, 1, f.p) ||
+               (CASE WHEN substr(b.bucket, f.p + 1, 1) = '1'
+                     THEN '0' ELSE '1' END) ||
+               substr(b.bucket, f.p + 2) AS bucket
+        FROM buckets b
+        JOIN (
+            SELECT vec_id, j // (SELECT k FROM params) AS tbl,
+                   CAST(j % (SELECT k FROM params) AS INT) AS p,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, j // (SELECT k FROM params)
+                       ORDER BY ROUND(ABS(dot), 6), j) AS rnk
+            FROM dots
+        ) f ON f.vec_id = b.vec_id AND f.tbl = b.tbl
+        WHERE b.vec_id % 17 = 3 AND f.rnk <= {directed_probes}
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+        FROM qprobes qb
+        JOIN buckets nb ON nb.tbl = qb.tbl AND nb.bucket = qb.bucket
+        WHERE nb.vec_id % 17 != 3
+    )
+"""
+    elif multiprobe:
         cand = """,
     qprobes AS (
         SELECT vec_id, tbl, bucket FROM buckets WHERE vec_id % 17 = 3
@@ -2662,6 +2699,7 @@ def _ann_auto_k_ctes(multiprobe: bool = False) -> str:
 
 _ANN_AUTO_K_CTES = _ann_auto_k_ctes(multiprobe=False)
 _ANN_AUTO_K_MP_CTES = _ann_auto_k_ctes(multiprobe=True)
+_ANN_AUTO_K_DP_CTES = _ann_auto_k_ctes(directed_probes=2)
 
 _ANN_AUTO_K_ORACLE = _COSINE_CTES + _ANN_AUTO_K_CTES + _ANN_JOIN_SELECT
 
@@ -2827,6 +2865,178 @@ def ann_join_auto_k_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_join_query_directed_probe",
+    oracle=_COSINE_CTES + _ANN_AUTO_K_DP_CTES + _ANN_JOIN_SELECT,
+)
+def ann_join_query_directed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-DIRECTED multiprobe ANN join (r10, Lv et al. VLDB 2007 §4 —
+    the production refinement of blind Hamming-1): per table, each query
+    probes its home bucket plus only the T=2 flips whose plane margin
+    |dot| is smallest (the planes it nearly crossed — where a true
+    neighbor most likely hides).  The probe BUDGET is now fixed at T
+    regardless of k, so per-query candidates are Θ(L·T·B) — constant
+    across decades even as auto-k grows k logarithmically, vs blind
+    multiprobe's (1+k) factor.  Measured next to the blind sibling in
+    SCALING.md r10: ~3/(1+k) of the candidates at comparable
+    recall-per-probe.
+
+    Cross-engine determinism: margins quantize to 6 places before the
+    probe ranking and ties break on plane index
+    (``similarity.lsh_directed_probes_np``); the oracle replays the
+    identical choice with ROW_NUMBER() OVER (ORDER BY ROUND(ABS(dot), 6),
+    j), so the probe family — like every ranking in this package — is
+    bit-replayable, not approximately-compared.
+
+    One bounded collect: the 1-value index count (plan-build input)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = sim.non_null_vectors(emb, "embedding")
+    n_index = nn.filter(F.col("vec_id") % 17 != 3).count()
+    k = sim.auto_planes_per_table(n_index)
+    buckets = sim.lsh_bucket_tables_np(
+        emb, n_tables=sim.N_TABLES, planes_per_table=k
+    )
+    qprobes = sim.lsh_directed_probes_np(
+        nn.filter(F.col("vec_id") % 17 == 3),
+        n_tables=sim.N_TABLES,
+        planes_per_table=k,
+        n_probes=2,
+    )
+    return sim.nn_join_lsh(
+        emb,
+        left_pred=lambda c: c % 17 == 3,
+        k=1,
+        buckets=buckets,
+        query_probes=qprobes,
+    )
+
+
+@register(
+    "sim_directed_probe_recall_report",
+    oracle=_COSINE_CTES
+    + _ANN_AUTO_K_DP_CTES
+    + f""",
+    lsh AS ({_ANN_JOIN_SELECT}),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND((SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(n.embedding[g.i] AS DOUBLE))
+                                       FROM generate_series(1, 64) g(i)) / (q.nrm * n.nrm), 6) DESC,
+                                n.vec_id ASC) AS rank
+            FROM norms q JOIN norms n
+              ON q.vec_id % 17 = 3 AND n.vec_id % 17 != 3
+        ) WHERE rank = 1
+    )
+    SELECT (SELECT k FROM params) AS k_auto,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM brute) AS n_queries,
+           (SELECT COUNT(*) FROM lsh) AS n_linked,
+           (SELECT COUNT(*) FROM brute b
+             JOIN lsh l ON l.query_id = b.query_id
+                       AND l.neighbor_id = b.neighbor_id) AS n_correct,
+           ROUND((SELECT COUNT(*) FROM brute b
+                   JOIN lsh l ON l.query_id = b.query_id
+                             AND l.neighbor_id = b.neighbor_id)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM brute), 0) AS DOUBLE), 6)
+               AS recall_at_1
+    """,
+)
+def sim_directed_probe_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1 + distinct candidate count of
+    ``ann_join_query_directed_probe`` — the third point on the
+    probe-frontier the driver tracks every round (home-bucket auto-k /
+    blind Hamming-1 / directed T=2), making the candidates-vs-recall
+    curve a measured series instead of a design claim.  Exact side = the
+    allowlisted tiny-broadcast BNLJ recall pattern; approximate side
+    rebuilds the auto-k buckets + the directed probe family (two scans of
+    the tiny query slice, one of the corpus)."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
+
+    emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
+    n_index = emb.filter(F.col("vec_id") % 17 != 3).count()
+    k_auto = sim.auto_planes_per_table(n_index)
+    buckets = sim.lsh_bucket_tables_np(
+        load_table(spark, sf_dir, "embeddings"),
+        n_tables=sim.N_TABLES,
+        planes_per_table=k_auto,
+    ).persist()
+    qprobes = sim.lsh_directed_probes_np(
+        emb.filter(F.col("vec_id") % 17 == 3),
+        n_tables=sim.N_TABLES,
+        planes_per_table=k_auto,
+        n_probes=2,
+    ).persist()
+    qp = qprobes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tbl").alias("_qt"),
+        F.col("bucket").alias("_qb"),
+    )
+    nb = buckets.filter(F.col("vec_id") % 17 != 3).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("tbl").alias("_nt"),
+        F.col("bucket").alias("_nb"),
+    )
+    cand = (
+        nb.join(
+            F.broadcast(qp),
+            (F.col("_qt") == F.col("_nt")) & (F.col("_qb") == F.col("_nb")),
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    nv = emb.filter(F.col("vec_id") % 17 != 3).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    brute = (
+        F.broadcast(qv)
+        .crossJoin(nv)
+        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("exact_id"))
+    )
+    lsh = sim.nn_join_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        left_pred=lambda c: c % 17 == 3,
+        k=1,
+        buckets=buckets,
+        query_probes=qprobes,
+    ).select("query_id", F.col("neighbor_id").alias("lsh_id"))
+    n_cand = cand.groupBy().count().select(F.col("count").alias("_nc"))
+    joined = brute.join(lsh, "query_id", "left")
+    return (
+        joined.agg(
+            F.lit(k_auto).cast("bigint").alias("k_auto"),
+            F.count("*").alias("n_queries"),
+            F.count("lsh_id").alias("n_linked"),
+            F.count(F.when(F.col("lsh_id") == F.col("exact_id"), 1)).alias(
+                "n_correct"
+            ),
+            F.round(
+                F.count(F.when(F.col("lsh_id") == F.col("exact_id"), 1))
+                / F.nullif(F.count("*").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("recall_at_1"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "k_auto",
+            F.col("_nc").cast("bigint").alias("n_candidates"),
+            "n_queries",
+            "n_linked",
+            "n_correct",
+            "recall_at_1",
+        )
+    )
+
+
+@register(
     "sim_multiprobe_recall_report",
     oracle=_COSINE_CTES
     + _ANN_AUTO_K_MP_CTES
@@ -2948,5 +3158,160 @@ def sim_multiprobe_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_linked",
             "n_correct",
             "recall_at_1",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup scoped BY CLUSTER — k-means
+# partitions the corpus, near-duplicate pairs are searched only within each
+# cluster, and of every duplicate pair the member MORE similar to its
+# centroid is dropped (keep the outlier: it carries more marginal
+# information).  The pairwise step is an equi-join on cluster id, so the
+# quadratic term is bounded by the largest cluster, never the corpus —
+# at 100 TB n_centroids grows with the corpus (SemDeDup uses ~sqrt(N)
+# clusters) so cluster sizes, and with them the per-cluster pair counts,
+# stay constant; the fixture replay pins n_centroids=16 because the oracle
+# must rebuild the identical index.
+@register(
+    "dedup_semdedup_report",
+    oracle=_COSINE_CTES
+    + _ivf_ctes(5)
+    + """,
+    centn AS (
+        SELECT cluster, sqrt(SUM(c * c)) AS cnrm FROM ivfc2 GROUP BY cluster
+    ),
+    csim AS (
+        SELECT a.vec_id, a.cluster,
+               ROUND(SUM(CAST(n.embedding[c.d] AS DOUBLE) * c.c)
+                     / (n.nrm * cn.cnrm), 6) AS cent_sim
+        FROM ivfafin a
+        JOIN norms n ON n.vec_id = a.vec_id AND n.embedding IS NOT NULL
+        JOIN ivfc2 c ON c.cluster = a.cluster
+        JOIN centn cn ON cn.cluster = a.cluster
+        GROUP BY a.vec_id, a.cluster, n.nrm, cn.cnrm
+    ),
+    duppairs AS (
+        SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb
+        FROM ivfafin a
+        JOIN ivfafin b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id AND na.embedding IS NOT NULL
+        JOIN norms nb ON nb.vec_id = b.vec_id AND nb.embedding IS NOT NULL
+        WHERE ROUND((SELECT SUM(CAST(na.embedding[g.i] AS DOUBLE)
+                                * CAST(nb.embedding[g.i] AS DOUBLE))
+                     FROM generate_series(1, 64) g(i))
+                    / (na.nrm * nb.nrm), 6) >= 0.4
+    ),
+    losers AS (
+        SELECT DISTINCT p.cluster,
+               CASE WHEN ca.cent_sim > cb.cent_sim
+                         OR (ca.cent_sim = cb.cent_sim AND p.va > p.vb)
+                    THEN p.va ELSE p.vb END AS dropped_id
+        FROM duppairs p
+        JOIN csim ca ON ca.vec_id = p.va
+        JOIN csim cb ON cb.vec_id = p.vb
+    ),
+    perpair AS (
+        SELECT cluster, COUNT(*) AS n_dup_pairs FROM duppairs GROUP BY cluster
+    ),
+    perdrop AS (
+        SELECT cluster, COUNT(*) AS n_dropped FROM losers GROUP BY cluster
+    )
+    SELECT CAST(m.cluster AS BIGINT) AS cluster,
+           COUNT(*) AS n_members,
+           CAST(COALESCE(MAX(pp.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(MAX(pd.n_dropped), 0) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COALESCE(MAX(pd.n_dropped), 0) AS BIGINT) AS n_kept,
+           ROUND(COALESCE(MAX(pd.n_dropped), 0)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS drop_frac
+    FROM csim m
+    LEFT JOIN perpair pp ON pp.cluster = m.cluster
+    LEFT JOIN perdrop pd ON pd.cluster = m.cluster
+    GROUP BY m.cluster
+    """,
+)
+def dedup_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) per-cluster pruning report: the
+    embedding corpus is partitioned by the deterministic 16-cell IVF
+    k-means (`similarity.ivf_index` — md5-seeded Lloyd, every comparison
+    6-place-rounded so DuckDB rebuilds the identical index), duplicate
+    pairs are pairs WITHIN a cluster at cosine >= 0.4, and each pair drops
+    the member MORE similar to its cluster centroid (the redundant one;
+    ties break on the larger vec_id) — keep-the-outlier, the paper's
+    keep rule.  Output: one row per cluster with member/pair/drop/keep
+    counts and the drop fraction.
+
+    Differs from `dedup_embedding_cosine` (the global sign-LSH pair list)
+    exactly as SemDeDup differs from pairwise near-dedup: the cluster
+    scope makes the quadratic term a per-cluster quantity, and the
+    centroid-similarity keep rule is a semantic survivorship policy
+    rather than a pair list.
+
+    Scale posture: the pairwise step is an equi-join on cluster id — at
+    100 TB grow n_centroids ~ sqrt(N) (the paper's setting) so cluster
+    sizes are bounded and per-cluster pair work is constant; centroids
+    stay broadcastable; the rest is two bounded aggregates.  One bounded
+    collect: the 16 x 64 centroid table (`ivf_index`'s documented
+    footprint).  Reference provenance: none — the reference has no vector
+    surface (SURVEY.md §2.2); extended-brief scope."""
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
+
+    assigned, cent = _ivf(spark, sf_dir)
+    csim = (
+        assigned.join(F.broadcast(cent), "cluster")
+        .withColumn(
+            "cent_sim", F.round(cosine_similarity_col("embedding", "centroid"), 6)
+        )
+        .select("vec_id", "cluster", "cent_sim")
+    )
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("va"), F.col("embedding").alias("_av")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("vb"), F.col("embedding").alias("_bv")
+    )
+    duppairs = (
+        a.join(b, "cluster")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("sim", F.round(cosine_similarity_col("_av", "_bv"), 6))
+        .filter(F.col("sim") >= 0.4)
+        .select("cluster", "va", "vb")
+    )
+    ca = csim.select(F.col("vec_id").alias("va"), F.col("cent_sim").alias("_ca"))
+    cb = csim.select(F.col("vec_id").alias("vb"), F.col("cent_sim").alias("_cb"))
+    losers = (
+        duppairs.join(ca, "va")
+        .join(cb, "vb")
+        .select(
+            "cluster",
+            F.when(
+                (F.col("_ca") > F.col("_cb"))
+                | ((F.col("_ca") == F.col("_cb")) & (F.col("va") > F.col("vb"))),
+                F.col("va"),
+            )
+            .otherwise(F.col("vb"))
+            .alias("dropped_id"),
+        )
+        .distinct()
+    )
+    perpair = duppairs.groupBy("cluster").agg(F.count("*").alias("n_dup_pairs"))
+    perdrop = losers.groupBy("cluster").agg(F.count("*").alias("n_dropped"))
+    members = csim.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return (
+        members.join(perpair, "cluster", "left")
+        .join(perdrop, "cluster", "left")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(
+                F.coalesce("n_dropped", F.lit(0))
+                / F.col("n_members").cast("double"),
+                6,
+            ).alias("drop_frac"),
         )
     )

@@ -5527,3 +5527,130 @@ def batch_padding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_ratio"),
         F.expr("CAST((COUNT(*) + 31) div 32 AS BIGINT)").alias("n_batches"),
     )
+
+
+@register(
+    "pack_attention_mask_plan",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               COALESCE(len(regexp_extract_all(lower(text), '[a-z'']+')), 0)
+                   AS nt
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, nt,
+               COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM d WHERE nt > 0
+    ),
+    seg AS (
+        SELECT c.doc_id, s.seq_id, c.cb,
+               LEAST((s.seq_id + 1) * {_PACK_CTX}, c.cb + c.nt)
+                   - GREATEST(s.seq_id * {_PACK_CTX}, c.cb) AS tok_len
+        FROM c, unnest(generate_series(
+                    CAST(c.cb // {_PACK_CTX} AS BIGINT),
+                    CAST((c.cb + c.nt - 1) // {_PACK_CTX} AS BIGINT)))
+                 AS s(seq_id)
+    ),
+    perwin AS (
+        SELECT seq_id,
+               COUNT(*) AS m,
+               SUM(tok_len) AS wn,
+               SUM(tok_len * (tok_len + 1) / 2) AS block_pairs,
+               SUM(CASE WHEN cb < seq_id * {_PACK_CTX}
+                        THEN tok_len ELSE 0 END) AS cont_toks
+        FROM seg GROUP BY seq_id
+    )
+    SELECT COUNT(*) AS n_windows,
+           COUNT(*) FILTER (WHERE m > 1) AS n_multi_doc_windows,
+           CAST(SUM(m) - COUNT(*) AS BIGINT) AS n_boundaries,
+           CAST(SUM(wn * (wn + 1) / 2) AS BIGINT) AS causal_pairs,
+           CAST(SUM(block_pairs) AS BIGINT) AS block_diag_pairs,
+           ROUND(1.0 - SUM(block_pairs)
+                 / CAST(NULLIF(SUM(wn * (wn + 1) / 2), 0) AS DOUBLE), 6)
+               AS cross_doc_attn_frac,
+           CAST(SUM(cont_toks) AS BIGINT) AS continuation_tokens
+    FROM perwin
+    """,
+)
+def pack_attention_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary attention accounting for the packed dataset (r10):
+    with concat-and-chunk packing, a causal-attention window mixes
+    documents, and the trainer must choose between full-window attention
+    (cheap, leaks cross-document context) and block-diagonal
+    document-masked attention (Llama-3-style).  This report prices that
+    choice from the manifest alone: per corpus, the window count, windows
+    holding >1 document, document boundaries inside windows, the causal
+    attention-pair count with and without the document mask (n·(n+1)/2
+    per window vs Σ len·(len+1)/2 per segment — both pure integer sums),
+    the fraction of attention pairs the mask removes, and the tokens
+    belonging to CONTINUATION segments (documents cut by an earlier
+    window boundary — the tokens whose context the pack truncated, the
+    usual loss-mask candidates).
+
+    Same scan shape as ``pack_sequences_manifest``: one tokenize scan →
+    banded cumulative (no global single-partition window) → per-document
+    window-range explode (~1 extra row per split doc) → one seq_id
+    aggregate → one 1-row corpus aggregate.  Integer arithmetic end to
+    end except the final fraction, so the oracle is bit-identical.
+
+    Reference provenance: none — the reference tokenizes for counting
+    only (``worker/worker.py:7-37``); extended-brief scope."""
+    from .queries_features import _banded_cum
+
+    docs = load_table(spark, sf_dir, "documents")
+    ctx = _PACK_CTX
+    d = docs.select(
+        "doc_id",
+        F.coalesce(F.size(tokenize_column("text")), F.lit(0))
+        .cast("long")
+        .alias("nt"),
+    )
+    c = (
+        _banded_cum(d, "doc_id", ("nt",), 4096.0)
+        .select("doc_id", "nt", (F.col("cum_nt") - F.col("nt")).alias("cb"))
+        .filter(F.col("nt") > 0)
+    )
+    seg = c.select(
+        "cb",
+        "nt",
+        F.explode(
+            F.sequence(
+                F.expr(f"cb div {ctx}"), F.expr(f"(cb + nt - 1) div {ctx}")
+            )
+        ).alias("seq_id"),
+    ).select(
+        "cb",
+        "seq_id",
+        (
+            F.least((F.col("seq_id") + 1) * ctx, F.col("cb") + F.col("nt"))
+            - F.greatest(F.col("seq_id") * ctx, F.col("cb"))
+        ).alias("tok_len"),
+    )
+    perwin = seg.groupBy("seq_id").agg(
+        F.count("*").alias("m"),
+        F.sum("tok_len").alias("wn"),
+        F.sum(F.expr("tok_len * (tok_len + 1) div 2")).alias("block_pairs"),
+        F.sum(
+            F.when(F.col("cb") < F.col("seq_id") * ctx, F.col("tok_len")).otherwise(
+                F.lit(0)
+            )
+        ).alias("cont_toks"),
+    )
+    return perwin.agg(
+        F.count("*").alias("n_windows"),
+        F.count(F.when(F.col("m") > 1, 1)).alias("n_multi_doc_windows"),
+        (F.sum("m") - F.count("*")).cast("bigint").alias("n_boundaries"),
+        F.sum(F.expr("wn * (wn + 1) div 2")).cast("bigint").alias("causal_pairs"),
+        F.sum("block_pairs").cast("bigint").alias("block_diag_pairs"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("block_pairs")
+            / F.nullif(
+                F.sum(F.expr("wn * (wn + 1) div 2")).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("cross_doc_attn_frac"),
+        F.sum("cont_toks").cast("bigint").alias("continuation_tokens"),
+    )

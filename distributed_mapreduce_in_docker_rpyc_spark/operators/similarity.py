@@ -670,6 +670,86 @@ def dequantized(
     )
 
 
+def lsh_directed_probes_np(
+    emb: DataFrame,
+    n_tables: int = N_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """QUERY-DIRECTED multiprobe (Lv et al., VLDB 2007, §4): per (vector,
+    table), emit the home bucket plus the ``n_probes`` single-bit flips
+    whose plane margin |dot| is SMALLEST — the planes the vector sits
+    closest to, i.e. the flips a true neighbor is most likely to land
+    behind.  Against blind Hamming-1 (all k flips) this fixes the probe
+    budget at T per table regardless of k, so the candidate bound is
+    Θ(L·T·B) per query — CONSTANT in corpus size under auto-k's
+    occupancy-B rule, while blind multiprobe's (1+k) factor still grows
+    logarithmically.
+
+    Determinism contract (the cross-engine replay rule every ranking in
+    this package follows): margins are quantized to 6 places before the
+    argsort and ties break on plane index, so the DuckDB oracle reproduces
+    the probe CHOICE bit-for-bit with ROW_NUMBER() OVER (ORDER BY
+    ROUND(ABS(dot), 6), j).  Same Arrow/NumPy physical path as
+    ``lsh_bucket_tables_np``: one matmul per batch, O(batch × P) memory,
+    L·(1+T) small rows out per vector."""
+    import numpy as np
+
+    emb = non_null_vectors(emb, vec_col)
+    k = planes_per_table
+    t_probes = min(n_probes, k)
+    n_planes = n_tables * k
+    signs = np.array([hyperplane(p) for p in range(n_planes)], dtype=np.float64)
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dots = mat @ signs.T  # (B, P)
+            bits = np.where(dots >= 0, "1", "0")
+            nb = len(ids)
+            out_ids, out_tbl, out_bucket = [], [], []
+            for t in range(n_tables):
+                d_t = dots[:, t * k : (t + 1) * k]
+                b_t = bits[:, t * k : (t + 1) * k]
+
+                def joined(b):
+                    s = b[:, 0]
+                    for j in range(1, k):
+                        s = np.char.add(s, b[:, j])
+                    return s
+
+                home = joined(b_t)
+                out_ids.append(ids)
+                out_tbl.append(np.full(nb, t, dtype=np.int32))
+                out_bucket.append(home)
+                # stable argsort on the quantized margins == (round6, j)
+                order = np.argsort(np.round(np.abs(d_t), 6), axis=1, kind="stable")
+                for r in range(t_probes):
+                    pos = order[:, r]
+                    flipped = b_t.copy()
+                    cur = flipped[np.arange(nb), pos]
+                    flipped[np.arange(nb), pos] = np.where(cur == "1", "0", "1")
+                    out_ids.append(ids)
+                    out_tbl.append(np.full(nb, t, dtype=np.int32))
+                    out_bucket.append(joined(flipped))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "tbl": np.concatenate(out_tbl),
+                    "bucket": np.concatenate(out_bucket),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        per_batch, schema=f"{id_col} long, tbl int, bucket string"
+    )
+
+
 def hamming1_probes(
     buckets: DataFrame, planes_per_table: int, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -711,6 +791,7 @@ def nn_join_lsh(
     vec_col: str = "embedding",
     buckets: DataFrame | None = None,
     probe_hamming1: int | None = None,
+    query_probes: DataFrame | None = None,
 ) -> DataFrame:
     """Two-table ANN join (embedding record linkage, VERDICT r7 "missing"
     #1): for every row of the LEFT slice (``left_pred`` true), its top-k
@@ -745,15 +826,23 @@ def nn_join_lsh(
     probes its own bucket plus each Hamming-1 flip per table (see
     :func:`hamming1_probes`) — the multiprobe companion to auto-k sizing
     that holds recall AND candidate volume across decades instead of
-    trading one for the other (SCALING.md round 10)."""
+    trading one for the other (SCALING.md round 10).
+
+    ``query_probes``: a prebuilt (id, tbl, bucket) PROBE frame for the
+    query side (e.g. :func:`lsh_directed_probes_np`'s margin-directed
+    family) — replaces the query slice of ``buckets`` entirely; the index
+    side still joins from the unexpanded bucket frame."""
     bucketed = (
         buckets
         if buckets is not None
         else lsh_bucket_tables_np(emb, id_col=id_col, vec_col=vec_col).persist()
     )
-    qside = bucketed.filter(left_pred(F.col(id_col)))
-    if probe_hamming1 is not None:
-        qside = hamming1_probes(qside, probe_hamming1, id_col=id_col)
+    if query_probes is not None:
+        qside = query_probes
+    else:
+        qside = bucketed.filter(left_pred(F.col(id_col)))
+        if probe_hamming1 is not None:
+            qside = hamming1_probes(qside, probe_hamming1, id_col=id_col)
     lb = qside.select(
         F.col(id_col).alias("query_id"),
         F.col("tbl").alias("_qt"),

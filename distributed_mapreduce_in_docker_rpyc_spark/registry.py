@@ -50,8 +50,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (0) round-10 new builds - never driver-checked (inserted as they land).
     "ann_join_auto_k_multiprobe",
     "sim_multiprobe_recall_report",
+    "ann_join_query_directed_probe",
+    "sim_directed_probe_recall_report",
     "pack_sequences_write",
     "pack_windows_content_readback",
+    "dedup_semdedup_report",
+    "pack_attention_mask_plan",
 # --- latest driver row: r1 (27 queries) ---
     "agg_stats",
     "rollup_agg",
@@ -518,7 +522,6 @@ EAGER: frozenset[str] = frozenset(
         "ingest_zip_wordcount",
         "pack_sequences_write",
         "pack_windows_content_readback",
-    "pack_windows_content_readback",
         # iterative algorithms / trainers: per-round bounded collects or
         # counts at plan-build time (loop depth is data-dependent)
         "graph_pagerank",
@@ -542,11 +545,15 @@ EAGER: frozenset[str] = frozenset(
         "sim_topk_ivf",
         "sim_ann_recall_report",
         "sim_quantized_recall",
+        "sim_kmeans_report",
+        "dedup_semdedup_report",
         "ann_join_ivf",
         "ann_join_auto_k",
         "ann_join_auto_k_multiprobe",
         "sim_auto_k_recall_report",
         "sim_multiprobe_recall_report",
+        "ann_join_query_directed_probe",
+        "sim_directed_probe_recall_report",
         "bpe_train_k_merges",
         "bpe_encode_corpus",
         "bpe_second_merge_round",

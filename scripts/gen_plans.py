@@ -53,6 +53,18 @@ SHOWN = [
     # scan of the mutation slices + map-side-combinable decimal sums)
     "ann_join_auto_k",
     "dataset_fingerprint_incremental",
+    # round 10: the probe-expanded linkage joins (query-side flip family,
+    # index side and candidate equi-join unchanged — blind Hamming-1 vs
+    # margin-directed T=2) and the packed-window content verification
+    # (doc_id equi-join moving each token array once + per-row slice)
+    "ann_join_auto_k_multiprobe",
+    "ann_join_query_directed_probe",
+    "pack_windows_content_readback",
+    # round 10 second wave: SemDeDup's cluster-scoped pairwise (the
+    # quadratic term bounded by the largest cluster, centroids broadcast)
+    # and the attention-mask pricing (manifest-shaped scan, two aggregates)
+    "dedup_semdedup_report",
+    "pack_attention_mask_plan",
 ]
 
 

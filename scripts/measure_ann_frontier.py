@@ -29,6 +29,7 @@ def main() -> int:
     from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as sim
     from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_similarity import (
         sim_auto_k_recall_report,
+        sim_directed_probe_recall_report,
         sim_multiprobe_recall_report,
     )
     from distributed_mapreduce_in_docker_rpyc_spark.session import get_spark
@@ -48,10 +49,22 @@ def main() -> int:
         buckets = sim.lsh_bucket_tables_np(
             emb, n_tables=sim.N_TABLES, planes_per_table=k
         ).persist()
-        for label, probe in (("auto-k", None), ("auto-k + Hamming-1", k)):
-            qside = buckets.filter(F.col("vec_id") % 17 == 3)
-            if probe is not None:
-                qside = sim.hamming1_probes(qside, probe)
+        for label, probe in (
+            ("auto-k", None),
+            ("auto-k + Hamming-1", k),
+            ("auto-k + directed T=2", "directed"),
+        ):
+            if probe == "directed":
+                qside = sim.lsh_directed_probes_np(
+                    nn.filter(F.col("vec_id") % 17 == 3),
+                    n_tables=sim.N_TABLES,
+                    planes_per_table=k,
+                    n_probes=2,
+                )
+            else:
+                qside = buckets.filter(F.col("vec_id") % 17 == 3)
+                if probe is not None:
+                    qside = sim.hamming1_probes(qside, probe)
             q = qside.select(
                 F.col("vec_id").alias("query_id"),
                 F.col("tbl").alias("_qt"),
@@ -71,11 +84,12 @@ def main() -> int:
                 .distinct()
                 .count()
             )
-            report = (
-                sim_multiprobe_recall_report(spark, d)
-                if probe is not None
-                else sim_auto_k_recall_report(spark, d)
-            ).collect()[0]
+            report_fn = {
+                None: sim_auto_k_recall_report,
+                k: sim_multiprobe_recall_report,
+                "directed": sim_directed_probe_recall_report,
+            }[probe]
+            report = report_fn(spark, d).collect()[0]
             print(
                 f"| {d} | {n_index} | {k} | {label} | "
                 f"{n_cand / max(n_q, 1):.1f} | {report['recall_at_1']} |",

@@ -84,8 +84,14 @@ RISK_SET = [
     # the packed writer's segment lists depend on the doc_id total order
     # and sort_array'd collect_list
     "ann_join_auto_k_multiprobe",
+    "ann_join_query_directed_probe",
     "pack_sequences_write",
     "pack_windows_content_readback",
+    # SemDeDup's drop rule is a per-pair argmax on (rounded cent_sim, id);
+    # the attention plan depends on the doc_id total order via the packing
+    # cumulative
+    "dedup_semdedup_report",
+    "pack_attention_mask_plan",
 ]
 
 

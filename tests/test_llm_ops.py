@@ -1712,6 +1712,56 @@ def test_multiprobe_dominates_plain_auto_k(spark, sf_dir):
     assert multi["n_correct"] >= plain["n_correct"]
     assert (multi["recall_at_1"] or 0.0) >= (plain["recall_at_1"] or 0.0)
 
+    # directed T=2 probes a SUBSET of the Hamming-1 family that still
+    # contains the home bucket: candidates between plain and blind, linked
+    # count at least plain's
+    directed = QUERIES["sim_directed_probe_recall_report"](spark, sf_dir).collect()[0]
+    assert directed["k_auto"] == plain["k_auto"]
+    assert directed["n_queries"] == plain["n_queries"]
+    assert directed["n_linked"] >= plain["n_linked"]
+    assert directed["n_correct"] >= plain["n_correct"]
+    assert directed["n_candidates"] <= multi["n_candidates"]
+
+
+def test_directed_probes_pick_smallest_margin_planes(spark):
+    """lsh_directed_probes_np's probe CHOICE must equal the spec: per
+    (vector, table), flip exactly the T planes with the smallest
+    quantized |dot| (ties on plane index) — recomputed independently here
+    with the same md5 hyperplanes in plain NumPy."""
+    import numpy as np
+
+    from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as sim
+
+    rng_rows = [
+        (i, [((i * 31 + d * 7) % 13 - 6) / 6.0 for d in range(64)])
+        for i in range(1, 9)
+    ]
+    emb = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+    k, n_tables, t_probes = 4, 3, 2
+    got = sim.lsh_directed_probes_np(
+        emb, n_tables=n_tables, planes_per_table=k, n_probes=t_probes
+    ).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault((r["vec_id"], r["tbl"]), []).append(r["bucket"])
+    signs = np.array([sim.hyperplane(p) for p in range(n_tables * k)])
+    for vid, vec in rng_rows:
+        dots = np.asarray(vec) @ signs.T
+        bits = np.where(dots >= 0, "1", "0")
+        for t in range(n_tables):
+            d_t = dots[t * k : (t + 1) * k]
+            b_t = list(bits[t * k : (t + 1) * k])
+            home = "".join(b_t)
+            order = np.argsort(np.round(np.abs(d_t), 6), kind="stable")
+            expect = {home}
+            for r_i in range(t_probes):
+                fl = b_t.copy()
+                p = order[r_i]
+                fl[p] = "0" if fl[p] == "1" else "1"
+                expect.add("".join(fl))
+            assert set(by_key[(vid, t)]) == expect, (vid, t)
+            assert len(by_key[(vid, t)]) == 1 + t_probes
+
 
 def test_packed_write_layout_contract(spark, tmp_path):
     """The shard-balanced sink's FILE-LAYOUT contract, asserted on the
@@ -1795,3 +1845,42 @@ def test_batch_padding_plan_ties_out_to_packing(spark, sf_dir):
         assert r["real_tokens"] <= r["padded_tokens"] == r["n_docs"] * r["bucket_len"]
         assert 0 < r["fill_ratio"] <= 1
         assert r["n_batches"] == -(-r["n_docs"] // 32)
+
+
+def test_semdedup_keep_rule_invariants(spark, sf_dir):
+    """Structural invariants of the SemDeDup drop rule: counts reconcile,
+    and because the per-cluster minimum-(cent_sim, vec_id) member can never
+    lose a pair, every cluster keeps at least one member."""
+    load_all()
+    rows = QUERIES["dedup_semdedup_report"](spark, sf_dir).collect()
+    assert rows, "report must cover the clusters"
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    assert sum(r["n_members"] for r in rows) == emb.count()
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_members"]
+        assert 0 <= r["n_dropped"] <= r["n_dup_pairs"] or r["n_dup_pairs"] == 0
+        if r["n_members"] > 0:
+            assert r["n_kept"] >= 1, r
+        assert 0.0 <= r["drop_frac"] <= 1.0
+    # the fixture embeds genuine near-duplicates: the rule must actually
+    # fire somewhere, else the query asserts nothing
+    assert sum(r["n_dropped"] for r in rows) > 0
+
+
+def test_attention_mask_plan_reconciles_with_pack_family(spark, sf_dir):
+    """pack_attention_mask_plan must agree with the packing plan and the
+    manifest it prices: same window count, boundaries = total manifest doc
+    slices minus windows, and the document mask only ever REMOVES
+    attention pairs."""
+    load_all()
+    mask = QUERIES["pack_attention_mask_plan"](spark, sf_dir).collect()[0]
+    plan = QUERIES["pack_sequences_plan"](spark, sf_dir).collect()[0]
+    manifest = QUERIES["pack_sequences_manifest"](spark, sf_dir).collect()
+    assert mask["n_windows"] == plan["n_sequences"] == len(manifest)
+    assert mask["n_boundaries"] == sum(r["n_docs"] for r in manifest) - len(manifest)
+    assert mask["n_multi_doc_windows"] == sum(1 for r in manifest if r["n_docs"] > 1)
+    assert 0 < mask["block_diag_pairs"] <= mask["causal_pairs"]
+    assert 0.0 <= mask["cross_doc_attn_frac"] < 1.0
+    assert 0 <= mask["continuation_tokens"] <= plan["total_tokens"]

@@ -414,6 +414,7 @@ BNLJ_ALLOWED = {
     "bitmap_index_intersection": "broadcast side = 1-row direct-scan counts crossed into the 1-row bitmap counts (self-certifying output)",
     "text_bigram_lm_score": "broadcast side = 1-row vocabulary size (Laplace denominator)",
     "sim_kmeans_report": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf)",
+    "dedup_semdedup_report": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf); the pairwise step itself is a cluster-id equi-join",
     "kmv_type_intersection": "broadcast sides = three 1-row KMV estimate frames crossed into the exact counts",
     "dedup_lsh_tuning_report": "broadcast sides = per-config 1-row true-pair count frames crossed into the 1-row candidate counts",
     "text_chi2_keyness": "broadcast side = 1-row corpus-half token totals",
@@ -446,6 +447,7 @@ BNLJ_ALLOWED = {
     "stat_sprt_sequential": "broadcast sides = 1-row final-LLR and 1-row decision-day frames crossed into the 1-row day count",
     "corpus_importance_resample": "broadcast side = 1-row corpus totals crossed into the |langs|-row weight table",
     "sim_multiprobe_recall_report": "multiprobe recall report re-uses the exact cross-slice baseline (broadcast incoming-batch slice) + a 1-row candidate-count frame",
+    "sim_directed_probe_recall_report": "directed-probe recall report re-uses the exact cross-slice baseline (broadcast incoming-batch slice) + a 1-row candidate-count frame",
 }
 
 
