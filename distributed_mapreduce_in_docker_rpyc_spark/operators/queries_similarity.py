@@ -3315,3 +3315,103 @@ def dedup_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_frac"),
         )
     )
+
+
+@register(
+    "dedup_semdedup_survivors",
+    oracle=_COSINE_CTES
+    + _ivf_ctes(5)
+    + """,
+    centn AS (
+        SELECT cluster, sqrt(SUM(c * c)) AS cnrm FROM ivfc2 GROUP BY cluster
+    ),
+    csim AS (
+        SELECT a.vec_id, a.cluster,
+               ROUND(SUM(CAST(n.embedding[c.d] AS DOUBLE) * c.c)
+                     / (n.nrm * cn.cnrm), 6) AS cent_sim
+        FROM ivfafin a
+        JOIN norms n ON n.vec_id = a.vec_id AND n.embedding IS NOT NULL
+        JOIN ivfc2 c ON c.cluster = a.cluster
+        JOIN centn cn ON cn.cluster = a.cluster
+        GROUP BY a.vec_id, a.cluster, n.nrm, cn.cnrm
+    ),
+    duppairs AS (
+        SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb
+        FROM ivfafin a
+        JOIN ivfafin b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id AND na.embedding IS NOT NULL
+        JOIN norms nb ON nb.vec_id = b.vec_id AND nb.embedding IS NOT NULL
+        WHERE ROUND((SELECT SUM(CAST(na.embedding[g.i] AS DOUBLE)
+                                * CAST(nb.embedding[g.i] AS DOUBLE))
+                     FROM generate_series(1, 64) g(i))
+                    / (na.nrm * nb.nrm), 6) >= 0.4
+    ),
+    losers AS (
+        SELECT DISTINCT
+               CASE WHEN ca.cent_sim > cb.cent_sim
+                         OR (ca.cent_sim = cb.cent_sim AND p.va > p.vb)
+                    THEN p.va ELSE p.vb END AS dropped_id
+        FROM duppairs p
+        JOIN csim ca ON ca.vec_id = p.va
+        JOIN csim cb ON cb.vec_id = p.vb
+    )
+    SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster, m.cent_sim
+    FROM csim m
+    WHERE m.vec_id NOT IN (SELECT dropped_id FROM losers)
+    """,
+)
+def dedup_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONSUMABLE form of ``dedup_semdedup_report``: the actual keep
+    list — every vector that survives SemDeDup's cluster-scoped
+    keep-the-outlier rule, with its cluster and (rounded)
+    centroid-similarity.  The report certifies the accounting; this query
+    hash-checks the row-level survivor SET itself, so a pipeline
+    consuming the dedup (the way `pack_windows_content_readback` consumes
+    the packing) is verified against the oracle id-for-id.
+
+    Same plan skeleton as the report (broadcast 16-row centroid assign,
+    cluster-id equi-join pairwise, distinct losers) closed with a
+    left-anti join — survivors = members minus losers, no new shuffle
+    shape.  Scale posture identical to the report's (docstring there)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
+
+    assigned, cent = _ivf(spark, sf_dir)
+    csim = (
+        assigned.join(F.broadcast(cent), "cluster")
+        .withColumn(
+            "cent_sim", F.round(cosine_similarity_col("embedding", "centroid"), 6)
+        )
+        .select("vec_id", "cluster", "cent_sim")
+    )
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("va"), F.col("embedding").alias("_av")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("vb"), F.col("embedding").alias("_bv")
+    )
+    duppairs = (
+        a.join(b, "cluster")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("sim", F.round(cosine_similarity_col("_av", "_bv"), 6))
+        .filter(F.col("sim") >= 0.4)
+        .select("cluster", "va", "vb")
+    )
+    ca = csim.select(F.col("vec_id").alias("va"), F.col("cent_sim").alias("_ca"))
+    cb = csim.select(F.col("vec_id").alias("vb"), F.col("cent_sim").alias("_cb"))
+    losers = (
+        duppairs.join(ca, "va")
+        .join(cb, "vb")
+        .select(
+            F.when(
+                (F.col("_ca") > F.col("_cb"))
+                | ((F.col("_ca") == F.col("_cb")) & (F.col("va") > F.col("vb"))),
+                F.col("va"),
+            )
+            .otherwise(F.col("vb"))
+            .alias("dropped_id"),
+        )
+        .distinct()
+    )
+    return csim.join(
+        losers, csim["vec_id"] == losers["dropped_id"], "left_anti"
+    ).select("vec_id", F.col("cluster").cast("bigint").alias("cluster"), "cent_sim")

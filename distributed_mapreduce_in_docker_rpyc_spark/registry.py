@@ -55,6 +55,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pack_sequences_write",
     "pack_windows_content_readback",
     "dedup_semdedup_report",
+    "dedup_semdedup_survivors",
     "pack_attention_mask_plan",
 # --- latest driver row: r1 (27 queries) ---
     "agg_stats",
@@ -547,6 +548,7 @@ EAGER: frozenset[str] = frozenset(
         "sim_quantized_recall",
         "sim_kmeans_report",
         "dedup_semdedup_report",
+        "dedup_semdedup_survivors",
         "ann_join_ivf",
         "ann_join_auto_k",
         "ann_join_auto_k_multiprobe",

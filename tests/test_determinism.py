@@ -91,6 +91,7 @@ RISK_SET = [
     # the attention plan depends on the doc_id total order via the packing
     # cumulative
     "dedup_semdedup_report",
+    "dedup_semdedup_survivors",
     "pack_attention_mask_plan",
 ]
 

@@ -1884,3 +1884,21 @@ def test_attention_mask_plan_reconciles_with_pack_family(spark, sf_dir):
     assert 0 < mask["block_diag_pairs"] <= mask["causal_pairs"]
     assert 0.0 <= mask["cross_doc_attn_frac"] < 1.0
     assert 0 <= mask["continuation_tokens"] <= plan["total_tokens"]
+
+
+def test_semdedup_survivors_reconcile_with_report(spark, sf_dir):
+    """The keep list must be exactly the report's accounting: per-cluster
+    survivor counts equal n_kept, and no survivor pair can include a
+    dropped member's id twice (the list is a subset of the members)."""
+    load_all()
+    surv = QUERIES["dedup_semdedup_survivors"](spark, sf_dir).collect()
+    report = {
+        r["cluster"]: r
+        for r in QUERIES["dedup_semdedup_report"](spark, sf_dir).collect()
+    }
+    per_cluster: dict[int, int] = {}
+    for r in surv:
+        per_cluster[r["cluster"]] = per_cluster.get(r["cluster"], 0) + 1
+    for cluster, rep in report.items():
+        assert per_cluster.get(cluster, 0) == rep["n_kept"], cluster
+    assert len(surv) == len({r["vec_id"] for r in surv})

@@ -415,6 +415,7 @@ BNLJ_ALLOWED = {
     "text_bigram_lm_score": "broadcast side = 1-row vocabulary size (Laplace denominator)",
     "sim_kmeans_report": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf)",
     "dedup_semdedup_report": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf); the pairwise step itself is a cluster-id equi-join",
+    "dedup_semdedup_survivors": "broadcast side = 16 deterministic Lloyd centroids (same index as sim_topk_ivf); the pairwise step itself is a cluster-id equi-join",
     "kmv_type_intersection": "broadcast sides = three 1-row KMV estimate frames crossed into the exact counts",
     "dedup_lsh_tuning_report": "broadcast sides = per-config 1-row true-pair count frames crossed into the 1-row candidate counts",
     "text_chi2_keyness": "broadcast side = 1-row corpus-half token totals",
