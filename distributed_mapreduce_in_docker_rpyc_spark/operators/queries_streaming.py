@@ -714,3 +714,179 @@ ORACLES["stream_ann_index_maintenance"] = " ".join(
         + _ANN_JOIN_SELECT
     ).split()
 )
+
+
+@register(
+    "stream_pack_sequences",
+    oracle=None,  # assigned below — identical to pack_sequences_manifest's
+)
+def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming concat-and-chunk packing (r10): the packing manifest as a
+    CONTINUOUSLY-RUNNING ingest job — documents arrive in corpus order
+    over three micro-batches, and the job maintains the same
+    doc->window manifest ``pack_sequences_manifest`` computes in one
+    shot.  Stream ≡ batch ≡ oracle: the registered oracle IS the batch
+    manifest's SQL, so the state-store path is hash-checked against the
+    one-shot computation every driver round.
+
+    Mechanics: the feed replays ``documents`` as three contiguous
+    ``doc_id`` ranges in order (packing is defined over the corpus total
+    order, so arrival order = doc_id order is the contract — out-of-order
+    arrival would be a different operator).  Persisted state is (a) a
+    SEGMENT table keyed by ``doc_id-seq_id`` — each document's window
+    slices, upserted per batch, and (b) a CARRY table keyed by batch id
+    holding the cumulative token total after that batch.  Each
+    ``foreachBatch``: read the previous batch's carry (one bounded 1-row
+    lookup), run the batch-local banded cumulative, offset by the carry
+    to get every document's GLOBAL exclusive prefix, explode into window
+    segments, and MERGE both tables (``upsert_parquet``).  Keying the
+    carry by batch id makes a retried micro-batch idempotent — it
+    recomputes from the PREVIOUS batch's carry instead of double-counting
+    its own (exactly-once state semantics without a transaction log).
+    A window split across a batch boundary converges as its later
+    segments arrive — exactly how a continuous packing service behaves.
+
+    Scale posture: per-batch cost is the batch's tokenize scan + banded
+    cumulative + one merge shuffle on the uniform ``doc_id-seq_id`` key;
+    state grows with segments (≈ docs + splits), never rescanned; the
+    carry is O(batches) 2-long rows.  At 100 TB the segment table is
+    partitioned by seq_id range and each merge rewrites only affected
+    partitions.  Reference provenance: none — the reference has no
+    streaming surface (SURVEY.md §2.2); extended-brief scope."""
+    import glob
+    import os
+    import shutil
+
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.text import tokenize_column
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import work_dir
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.maintenance import upsert_parquet
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_features import _banded_cum
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import _PACK_CTX as CTX
+    from distributed_mapreduce_in_docker_rpyc_spark.sources.tables import load_table
+
+    root = work_dir("packstream")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    lo, span = ids["lo"], ids["hi"] - ids["lo"] + 1
+
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    prev = lo
+    for b in range(3):
+        ub = lo + (span * (b + 1)) // 3
+        stage = os.path.join(root, f"b{b}")
+        docs.filter(
+            (F.col("doc_id") >= prev) & (F.col("doc_id") < ub)
+        ).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(feed, f"b{b}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + 100 * b,) * 2)
+        prev = ub
+
+    seg_table = os.path.join(root, "segments")
+    carry_table = os.path.join(root, "carry")
+    spark.createDataFrame(
+        [], "skey string, doc_id long, seq_id long, cb long, nt long, tok_len long"
+    ).write.parquet(seg_table)
+    spark.createDataFrame([], "batch_id long, cum_after long").write.parquet(
+        carry_table
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        carry_rows = {
+            r["batch_id"]: r["cum_after"]
+            for r in s.read.parquet(carry_table).collect()
+        }
+        carry = carry_rows.get(batch_id - 1, 0)
+        d = batch_df.select(
+            "doc_id",
+            F.coalesce(F.size(tokenize_column("text")), F.lit(0))
+            .cast("long")
+            .alias("nt"),
+        )
+        c = (
+            _banded_cum(d, "doc_id", ("nt",), 4096.0)
+            .select(
+                "doc_id",
+                "nt",
+                (F.col("cum_nt") - F.col("nt") + F.lit(carry)).alias("cb"),
+            )
+            .filter(F.col("nt") > 0)
+        )
+        seg = c.select(
+            "doc_id",
+            "nt",
+            "cb",
+            F.explode(
+                F.sequence(
+                    F.expr(f"cb div {CTX}"), F.expr(f"(cb + nt - 1) div {CTX}")
+                )
+            ).alias("seq_id"),
+        ).select(
+            F.concat_ws("-", "doc_id", "seq_id").alias("skey"),
+            "doc_id",
+            "seq_id",
+            "cb",
+            "nt",
+            (
+                F.least((F.col("seq_id") + 1) * CTX, F.col("cb") + F.col("nt"))
+                - F.greatest(F.col("seq_id") * CTX, F.col("cb"))
+            ).alias("tok_len"),
+        )
+        batch_total = c.agg(F.coalesce(F.sum("nt"), F.lit(0))).collect()[0][0] or 0
+        upsert_parquet(s, seg_table, seg, "skey")
+        upsert_parquet(
+            s,
+            carry_table,
+            s.createDataFrame(
+                [(batch_id, carry + batch_total)], "batch_id long, cum_after long"
+            ),
+            "batch_id",
+        )
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    segs = spark.read.parquet(seg_table)
+    return (
+        segs.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(
+                F.when(
+                    (F.col("cb") >= F.col("seq_id") * CTX)
+                    & (F.col("cb") + F.col("nt") <= (F.col("seq_id") + 1) * CTX),
+                    1,
+                )
+            ).alias("n_whole_docs"),
+            F.sum("tok_len").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            "n_docs",
+            "n_whole_docs",
+            "n_tokens",
+        )
+    )
+
+
+# Oracle: the batch manifest's SQL verbatim — the strongest stream ≡ batch
+# statement available (the CTE lives in queries_text's registration; both
+# modules are loaded by registry.load_all before any driver use).
+from distributed_mapreduce_in_docker_rpyc_spark.operators import queries_text as _qt  # noqa: E402,F401
+from distributed_mapreduce_in_docker_rpyc_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["stream_pack_sequences"] = _ORACLES["pack_sequences_manifest"]

@@ -57,6 +57,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_semdedup_report",
     "dedup_semdedup_survivors",
     "pack_attention_mask_plan",
+    "stream_pack_sequences",
 # --- latest driver row: r1 (27 queries) ---
     "agg_stats",
     "rollup_agg",
@@ -495,6 +496,7 @@ EAGER: frozenset[str] = frozenset(
         "stream_join_left_outer",
         "stream_wordcount_totals",
         "stream_ann_index_maintenance",
+        "stream_pack_sequences",
         # filesystem round-trips: write scratch, read back, compare
         "jsonl_roundtrip",
         "jsonl_roundtrip_text_bytes",

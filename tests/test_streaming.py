@@ -648,3 +648,21 @@ def test_ann_index_maintenance_stream_equals_batch(spark, sf_dir):
                 r.query_id,
                 r.neighbor_id,
             )
+
+
+def test_stream_pack_sequences_equals_batch_manifest(spark, sf_dir):
+    """Stream ≡ batch for the streaming packing job: the manifest the
+    three-micro-batch carry/upsert path maintains must equal
+    pack_sequences_manifest's one-shot computation row for row — including
+    the windows split across micro-batch boundaries."""
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    streamed = sorted(
+        map(tuple, QUERIES["stream_pack_sequences"](spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(tuple, QUERIES["pack_sequences_manifest"](spark, sf_dir).collect())
+    )
+    assert streamed == batch
+    assert streamed, "manifest must be non-empty"
