@@ -93,6 +93,8 @@ RISK_SET = [
     "dedup_semdedup_report",
     "dedup_semdedup_survivors",
     "pack_attention_mask_plan",
+    # streaming packing inherits the manifest's total-order dependence
+    "stream_pack_sequences",
 ]
 
 

@@ -1902,3 +1902,21 @@ def test_semdedup_survivors_reconcile_with_report(spark, sf_dir):
     for cluster, rep in report.items():
         assert per_cluster.get(cluster, 0) == rep["n_kept"], cluster
     assert len(surv) == len({r["vec_id"] for r in surv})
+
+
+def test_directed_probes_clamp_to_k(spark):
+    """n_probes > k must clamp: with k=2 planes per table, T=5 emits only
+    1 home + 2 flips per (vector, table) — never a duplicate or an
+    out-of-range flip index."""
+    rows = [(i, [((i * 13 + d) % 7 - 3) / 3.0 for d in range(64)]) for i in range(1, 5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sim.lsh_directed_probes_np(
+        emb, n_tables=2, planes_per_table=2, n_probes=5
+    ).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault((r["vec_id"], r["tbl"]), []).append(r["bucket"])
+    for (vid, t), buckets in by_key.items():
+        assert len(buckets) == 3, (vid, t, buckets)
+        assert len(set(buckets)) == 3
+        assert all(len(b) == 2 for b in buckets)

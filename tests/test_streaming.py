@@ -666,3 +666,91 @@ def test_stream_pack_sequences_equals_batch_manifest(spark, sf_dir):
     )
     assert streamed == batch
     assert streamed, "manifest must be non-empty"
+
+
+def test_stream_pack_carry_is_retry_idempotent(spark, sf_dir):
+    """The exactly-once claim, exercised directly: replaying the LAST
+    micro-batch against the finished state (a retry after the carry
+    upsert landed) must leave both state tables unchanged, because the
+    batch recomputes from the PREVIOUS batch's carry and every segment
+    upsert is keyed.  A carry read of "my own latest total" instead of
+    "batch_id - 1" would double-offset every replayed document."""
+    import glob
+    import os
+    import tempfile
+
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    QUERIES["stream_pack_sequences"](spark, sf_dir).collect()
+    roots = sorted(
+        glob.glob(os.path.join(tempfile.gettempdir(), "sg-work-packstream-*")),
+        key=os.path.getmtime,
+    )
+    assert roots, "streaming job left no work dir"
+    root = roots[-1]
+    seg_before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "segments")).collect())
+    )
+    carry_before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "carry")).collect())
+    )
+    # replay batch 2 (the last feed file) through the same merge logic the
+    # job used: recompute from carry[1], upsert by key — state must not move
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.text import tokenize_column
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.maintenance import upsert_parquet
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_features import _banded_cum
+    from distributed_mapreduce_in_docker_rpyc_spark.operators.queries_text import _PACK_CTX as CTX
+
+    batch_df = spark.read.parquet(os.path.join(root, "feed", "b2.parquet"))
+    carry = {
+        r["batch_id"]: r["cum_after"]
+        for r in spark.read.parquet(os.path.join(root, "carry")).collect()
+    }[1]
+    d = batch_df.select(
+        "doc_id",
+        F.coalesce(F.size(tokenize_column("text")), F.lit(0)).cast("long").alias("nt"),
+    )
+    c = (
+        _banded_cum(d, "doc_id", ("nt",), 4096.0)
+        .select(
+            "doc_id", "nt", (F.col("cum_nt") - F.col("nt") + F.lit(carry)).alias("cb")
+        )
+        .filter(F.col("nt") > 0)
+    )
+    seg = c.select(
+        "doc_id",
+        "nt",
+        "cb",
+        F.explode(
+            F.sequence(F.expr(f"cb div {CTX}"), F.expr(f"(cb + nt - 1) div {CTX}"))
+        ).alias("seq_id"),
+    ).select(
+        F.concat_ws("-", "doc_id", "seq_id").alias("skey"),
+        "doc_id",
+        "seq_id",
+        "cb",
+        "nt",
+        (
+            F.least((F.col("seq_id") + 1) * CTX, F.col("cb") + F.col("nt"))
+            - F.greatest(F.col("seq_id") * CTX, F.col("cb"))
+        ).alias("tok_len"),
+    )
+    total = c.agg(F.coalesce(F.sum("nt"), F.lit(0))).collect()[0][0] or 0
+    upsert_parquet(spark, os.path.join(root, "segments"), seg, "skey")
+    upsert_parquet(
+        spark,
+        os.path.join(root, "carry"),
+        spark.createDataFrame([(2, carry + total)], "batch_id long, cum_after long"),
+        "batch_id",
+    )
+    seg_after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "segments")).collect())
+    )
+    carry_after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "carry")).collect())
+    )
+    assert seg_after == seg_before
+    assert carry_after == carry_before
