@@ -46,6 +46,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # within-round order is the round file's row order).  `scripts/
 # verify_driver.py --strict` recomputes where the 50-slot line falls;
 # trust it, not the section comments.
+# ROUND-11 NOTE (VERDICT r9 #6): after CORRECTNESS_r10 lands, rebuild this
+# window — rotate the nine r9 builds (graph_pagerank_dangling ...
+# batch_padding_plan) back through for their second driver row, then
+# continue the stalest-first recycling (regenerate staleness from the
+# CORRECTNESS_r01-r10 union; the r10 head below will have fresh rows).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (0) round-10 new builds - never driver-checked (inserted as they land).
     "ann_join_auto_k_multiprobe",
