@@ -37,7 +37,22 @@ def dot_col(a: Column | str, b: Column | str, dim: int | None = DEFAULT_DIM) -> 
     IEEE-double products — the same arithmetic any double-based oracle
     computes — and accumulation is sequential left-to-right (deterministic,
     order-identical between the unrolled and HOF forms).
+
+    When both operands are plain column NAMES the unrolled sum is built as
+    ONE ``F.expr`` string instead of ~5·dim Column operator calls (r10):
+    every Column op is a Py4J round-trip, and the per-call latency made
+    plan CONSTRUCTION of the cosine-heavy queries cost seconds of driver
+    time per execution (measured ~2 s per sim_topk_* build).  SQL ``x[i]``
+    is 0-based GetArrayItem and ``CAST(… AS DOUBLE) * …`` parses
+    left-associated — the identical expression tree, one JVM call.
     """
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            " + ".join(
+                f"CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{b}`[{i}] AS DOUBLE)"
+                for i in range(dim)
+            )
+        )
     ca, cb = _c(a), _c(b)
     if dim is None:
         return F.aggregate(
@@ -53,6 +68,8 @@ def dot_col(a: Column | str, b: Column | str, dim: int | None = DEFAULT_DIM) -> 
 
 def norm_col(a: Column | str, dim: int | None = DEFAULT_DIM) -> Column:
     """L2 norm of an array<numeric> column (double math, deterministic)."""
+    if dim is not None and isinstance(a, str):
+        return F.sqrt(dot_col(a, a, dim))  # one-expr fast path (see dot_col)
     ca = _c(a)
     if dim is None:
         return F.sqrt(
@@ -69,3 +86,23 @@ def cosine_similarity_col(
     """Cosine similarity; 0.0 where either vector has zero norm."""
     na, nb = norm_col(a, dim), norm_col(b, dim)
     return F.when((na > 0) & (nb > 0), dot_col(a, b, dim) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_from_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str,
+    dim: int | None = DEFAULT_DIM,
+) -> Column:
+    """Cosine similarity with PRECOMPUTED norm columns (r10, guide §2.3/§1.2
+    per-task work): ``cosine_similarity_col`` re-derives both 64-term norms
+    per PAIR, so a rerank over C candidates evaluates 3·C unrolled dots and
+    the combined whole-stage projection rode janino's 64 KB method cliff
+    (observed compile failure + interpreted fallback in the ANN-join
+    rerank).  Computing each side's norm ONCE on the (much smaller) vector
+    frames and referencing it here reduces the pair cost to one dot and
+    keeps every stage far below the codegen limit.  The norm values are the
+    identical IEEE doubles (same unrolled sum), so results are bit-equal —
+    0.0 where either norm is zero, exactly as before."""
+    cna, cnb = _c(na), _c(nb)
+    return F.when(
+        (cna > 0) & (cnb > 0), dot_col(a, b, dim) / (cna * cnb)
+    ).otherwise(F.lit(0.0))

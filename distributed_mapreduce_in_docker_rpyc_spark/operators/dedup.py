@@ -150,8 +150,16 @@ def minhash_lsh_candidates(
 
 
 def _distinct_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # r10 (guide §2.4: share one exchange): hash-repartition by doc_id
+    # BEFORE the distinct.  doc_id ⊆ (doc_id, shingle), so the distinct's
+    # EnsureRequirements is satisfied with no second exchange, and — because
+    # the frame is persisted with hashpartitioning(doc_id) — every
+    # downstream groupBy(doc_id) (minhash mins, sizes) and doc-keyed
+    # aggregation reuses the partitioning instead of re-shuffling the
+    # shingle frame once per consumer.  Same shuffle volume, same rows.
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(shingles_column(text_col)).alias("shingle"))
+        .repartition("doc_id")
         .distinct()
     )
 

@@ -105,11 +105,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    # r10 (guide §2.3): the group keys (l_orderkey, o_orderdate,
+    # o_orderpriority) are determined by l_orderkey (orders PK), so the
+    # revenue sum aggregates the filtered lineitem by orderkey BEFORE the
+    # joins — the aggregation exchange carries (orderkey, decimal) instead
+    # of the joined row, and the joins probe |orders-with-revenue| rows.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(money(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(money(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
@@ -282,16 +288,29 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: aggregate-then-having over a join (big-order scan)."""
+    """TPC-H Q18 shape: aggregate-then-having over a join (big-order scan).
+
+    r10 restructure (guide §2.3: aggregate before you shuffle/join): the
+    group key set (c_custkey, o_orderkey, o_orderdate) is functionally
+    determined by o_orderkey (orders PK), so the quantity sum aggregates
+    lineitem by l_orderkey FIRST and the HAVING filter prunes to the few
+    large orders BEFORE any join — the joins then touch |large orders|
+    rows instead of |lineitem| rows, and the aggregation exchange carries
+    (orderkey, decimal) instead of the full joined row.  Inner-join
+    semantics are preserved: pre-agg groups whose orderkey misses orders
+    (or whose order misses customer) drop at the same joins that dropped
+    their rows before."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+    per_order = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(money("l_quantity")).alias("_tq"))
         .filter(F.col("_tq") > 150)
+    )
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("c_custkey", "o_orderkey", "o_orderdate", F.col("_tq").cast("double").alias("total_qty"))
     )
 
@@ -1284,29 +1303,44 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same fact
     (multi-supplier orders where this supplier shipped last), decorrelated
-    into per-order aggregates joined back — one pass over lineitem computes
-    both existence tests."""
+    into one per-(order, supplier) aggregate + per-order window aggregates —
+    ONE pass over lineitem computes both existence tests.
+
+    r10 restructure (guide §2.4: remove shuffles outright): the r9 plan
+    scanned lineitem twice and re-derived the (order, supplier) max twice
+    (5 exchanges, 2 broadcasts); both existence tests only need the per-
+    (order, supplier) frame, so the per-order side becomes two window
+    aggregates over the SAME partitioning instead of a second scan +
+    aggregate + join back.  3 exchanges, 1 scan, 1 broadcast — and the
+    final count(*) replaces count_distinct (rows are unique per
+    (order, supplier) by construction), dropping the distinct's Expand/
+    re-shuffle pair.  Semi-join placement is unchanged-per-order (the
+    status filter is all-or-nothing per orderkey), so pushing it below the
+    aggregation cannot change any window value."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    # Per (order, supplier): my latest shipdate. Per order: #suppliers, max shipdate,
-    # #suppliers attaining the max — enough to decide both EXISTS clauses.
-    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("my_last"))
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"),
-        F.max("my_last").alias("order_last"),
-    )
-    return (
+    # Per (order, supplier): my latest shipdate — the only aggregate either
+    # existence test needs.
+    per_os = (
         li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
-        .join(per_o, "l_orderkey")
-        .filter(F.col("n_supp") > 1)  # EXISTS: another supplier on the order
-        .groupBy("l_orderkey", "l_suppkey", "order_last", "n_supp")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("my_last"))
-        # NOT EXISTS: nobody else shipped after me == I attain the order max.
-        # (If another supplier ties at the max, neither has a later shipment,
-        # so both pass — same as the SQL.)
-        .filter(F.col("my_last") == F.col("order_last"))
+    )
+    # Per order (window over the same frame): #suppliers and the order-wide
+    # latest shipdate — enough to decide both EXISTS clauses.
+    w = Window.partitionBy("l_orderkey")
+    return (
+        per_os.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("order_last", F.max("my_last").over(w))
+        # EXISTS: another supplier on the order.  NOT EXISTS: nobody else
+        # shipped after me == I attain the order max.  (If another supplier
+        # ties at the max, neither has a later shipment, so both pass —
+        # same as the SQL.)
+        .filter((F.col("n_supp") > 1) & (F.col("my_last") == F.col("order_last")))
+        # rows are unique per (l_orderkey, l_suppkey) ⇒ count(*) per
+        # supplier ≡ COUNT(DISTINCT l_orderkey)
         .groupBy("l_suppkey")
-        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .agg(F.count("*").alias("numwait"))
     )
 
 

@@ -43,6 +43,89 @@ def _topk_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _auto_k(spark: SparkSession, sf_dir: str) -> int:
+    """Session-shared auto-sized planes-per-table for the %17 ANN-join
+    fixture split (r10, guide §1/§2: the six auto-k family queries each
+    re-counted the index slice at plan-build time — one bounded count per
+    session is enough; the value is a pure function of the corpus)."""
+
+    def build() -> int:
+        emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
+        return sim.auto_planes_per_table(emb.filter(F.col("vec_id") % 17 != 3).count())
+
+    return shared(spark, ("ann_auto_k", sf_dir), build)
+
+
+def _auto_k_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared PERSISTED auto-k bucket frame (r10).  Before this,
+    every auto-k family query rebuilt the frame, and an unpersisted frame
+    passed into ``nn_join_lsh`` is scanned once per join side — 2 Arrow
+    matmul passes per query × 6 queries for identical buckets."""
+    k = _auto_k(spark, sf_dir)
+    return shared_df(
+        spark,
+        ("auto_k_buckets", sf_dir, sim.N_TABLES, k),
+        lambda: sim.lsh_bucket_tables_np(
+            load_table(spark, sf_dir, "embeddings"),
+            n_tables=sim.N_TABLES,
+            planes_per_table=k,
+        ),
+    )
+
+
+def _directed_probes(spark: SparkSession, sf_dir: str, n_probes: int = 2) -> DataFrame:
+    """Session-shared persisted query-directed probe frame (r10): identical
+    input to both the directed-probe join and its recall report."""
+    k = _auto_k(spark, sf_dir)
+    return shared_df(
+        spark,
+        ("directed_probes", sf_dir, sim.N_TABLES, k, n_probes),
+        lambda: sim.lsh_directed_probes_np(
+            sim.non_null_vectors(
+                load_table(spark, sf_dir, "embeddings"), "embedding"
+            ).filter(F.col("vec_id") % 17 == 3),
+            n_tables=sim.N_TABLES,
+            planes_per_table=k,
+            n_probes=n_probes,
+        ),
+    )
+
+
+def _ann_exact_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared persisted exact cross-slice nearest neighbor
+    ``(query_id, exact_id)`` — the brute side all four ANN-join recall
+    reports compare against (identical construction in each; r10 computes
+    it once per session).  The allowlisted tiny-broadcast BNLJ pattern."""
+
+    def build() -> DataFrame:
+        from pyspark.sql import Window
+
+        from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_from_norms, norm_col
+
+        emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
+        qv = emb.filter(F.col("vec_id") % 17 == 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv"),
+            norm_col("embedding").alias("_qn"),
+        )
+        nv = emb.filter(F.col("vec_id") % 17 != 3).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("_nv"),
+            norm_col("embedding").alias("_nn"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            F.broadcast(qv)
+            .crossJoin(nv)
+            .withColumn("sim", F.round(cosine_from_norms("_qv", "_nv", "_qn", "_nn"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") == 1)
+            .select("query_id", F.col("neighbor_id").alias("exact_id"))
+        )
+
+    return shared_df(spark, ("ann_exact_nn", sf_dir), build)
+
+
 def _ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Session-shared deterministic IVF index (md5-seeded Lloyd assignment +
     centroids — SQL-replayable, see ``similarity.ivf_index``)."""
@@ -1033,21 +1116,24 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators at all (SURVEY.md §2.2)."""
     from pyspark.sql import Window
 
-    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_from_norms, norm_col
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
 
+    # r10: norms precomputed per side (see similarity.topk_bruteforce).
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("_qv"),
+        norm_col("embedding").alias("_qn"),
     )
     train = emb.filter(F.col("vec_id") >= 50).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
         F.col("embedding").alias("_nv"),
+        norm_col("embedding").alias("_nn"),
     )
     cores = spark.sparkContext.defaultParallelism
     if train.rdd.getNumPartitions() < cores:
@@ -1055,7 +1141,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     neigh = (
         train.join(F.broadcast(q), F.lit(True))
-        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("sim", F.round(cosine_from_norms("_qv", "_nv", "_qn", "_nn"), 6))
         .withColumn("rnk", F.row_number().over(w_rank))
         .filter(F.col("rnk") <= 10)
     )
@@ -2461,29 +2547,9 @@ def sim_ann_join_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as ``sim_lsh_recall`` certifies the self-join top-k.  The exact
     side broadcasts the small incoming-batch slice against the index (the
     allowlisted tiny-broadcast BNLJ recall pattern); the approximate side
-    reuses the session-shared bucket frame."""
-    from pyspark.sql import Window
-
-    emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
-    qv = emb.filter(F.col("vec_id") % 17 == 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
-    )
-    nv = emb.filter(F.col("vec_id") % 17 != 3).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
-    )
-    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    brute = (
-        F.broadcast(qv)
-        .crossJoin(nv)
-        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .select("query_id", F.col("neighbor_id").alias("exact_id"))
-    )
+    reuses the session-shared bucket frame (and, since r10, the
+    session-shared exact-NN frame ``_ann_exact_nn``)."""
+    brute = _ann_exact_nn(spark, sf_dir)
     lsh = sim.nn_join_lsh(
         load_table(spark, sf_dir, "embeddings"),
         left_pred=lambda c: c % 17 == 3,
@@ -2725,19 +2791,12 @@ def ann_join_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     never break correctness.
 
     One bounded collect: the 1-value index count (plan-build input, like
-    the IVF centroid count)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    nn = sim.non_null_vectors(emb, "embedding")
-    n_index = nn.filter(F.col("vec_id") % 17 != 3).count()
-    k = sim.auto_planes_per_table(n_index)
-    buckets = sim.lsh_bucket_tables_np(
-        emb, n_tables=sim.N_TABLES, planes_per_table=k
-    )
+    the IVF centroid count; session-shared since r10 — ``_auto_k``)."""
     return sim.nn_join_lsh(
-        emb,
+        load_table(spark, sf_dir, "embeddings"),
         left_pred=lambda c: c % 17 == 3,
         k=1,
-        buckets=buckets,
+        buckets=_auto_k_buckets(spark, sf_dir),
     )
 
 
@@ -2782,30 +2841,11 @@ def sim_auto_k_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     round next to ``sim_ann_join_recall_report`` (fixed 6×3): the driver's
     correctness history then tracks both ends of the candidates-vs-recall
     frontier as the fixture is regenerated.  Exact side = the allowlisted
-    tiny-broadcast BNLJ recall pattern; approximate side rebuilds the
-    auto-k buckets (one matmul scan)."""
-    from pyspark.sql import Window
-
-    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
-
-    emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
-    n_index = emb.filter(F.col("vec_id") % 17 != 3).count()
-    k_auto = sim.auto_planes_per_table(n_index)
-    qv = emb.filter(F.col("vec_id") % 17 == 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
-    )
-    nv = emb.filter(F.col("vec_id") % 17 != 3).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    brute = (
-        F.broadcast(qv)
-        .crossJoin(nv)
-        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .select("query_id", F.col("neighbor_id").alias("exact_id"))
-    )
+    tiny-broadcast BNLJ recall pattern (session-shared ``_ann_exact_nn``
+    since r10); approximate side reuses the session-shared auto-k
+    buckets."""
+    k_auto = _auto_k(spark, sf_dir)
+    brute = _ann_exact_nn(spark, sf_dir)
     lsh = ann_join_auto_k(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("lsh_id")
     )
@@ -2847,20 +2887,14 @@ def ann_join_auto_k_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed in SQL from the index count (same integer rule — re-sizing
     can never break correctness).
 
-    One bounded collect: the 1-value index count (plan-build input)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    nn = sim.non_null_vectors(emb, "embedding")
-    n_index = nn.filter(F.col("vec_id") % 17 != 3).count()
-    k = sim.auto_planes_per_table(n_index)
-    buckets = sim.lsh_bucket_tables_np(
-        emb, n_tables=sim.N_TABLES, planes_per_table=k
-    )
+    One bounded collect: the 1-value index count (plan-build input;
+    session-shared since r10, as is the persisted bucket frame)."""
     return sim.nn_join_lsh(
-        emb,
+        load_table(spark, sf_dir, "embeddings"),
         left_pred=lambda c: c % 17 == 3,
         k=1,
-        buckets=buckets,
-        probe_hamming1=k,
+        buckets=_auto_k_buckets(spark, sf_dir),
+        probe_hamming1=_auto_k(spark, sf_dir),
     )
 
 
@@ -2887,26 +2921,14 @@ def ann_join_query_directed_probe(spark: SparkSession, sf_dir: str) -> DataFrame
     j), so the probe family — like every ranking in this package — is
     bit-replayable, not approximately-compared.
 
-    One bounded collect: the 1-value index count (plan-build input)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    nn = sim.non_null_vectors(emb, "embedding")
-    n_index = nn.filter(F.col("vec_id") % 17 != 3).count()
-    k = sim.auto_planes_per_table(n_index)
-    buckets = sim.lsh_bucket_tables_np(
-        emb, n_tables=sim.N_TABLES, planes_per_table=k
-    )
-    qprobes = sim.lsh_directed_probes_np(
-        nn.filter(F.col("vec_id") % 17 == 3),
-        n_tables=sim.N_TABLES,
-        planes_per_table=k,
-        n_probes=2,
-    )
+    One bounded collect: the 1-value index count (plan-build input;
+    session-shared since r10, as are the bucket and probe frames)."""
     return sim.nn_join_lsh(
-        emb,
+        load_table(spark, sf_dir, "embeddings"),
         left_pred=lambda c: c % 17 == 3,
         k=1,
-        buckets=buckets,
-        query_probes=qprobes,
+        buckets=_auto_k_buckets(spark, sf_dir),
+        query_probes=_directed_probes(spark, sf_dir),
     )
 
 
@@ -2948,26 +2970,11 @@ def sim_directed_probe_recall_report(spark: SparkSession, sf_dir: str) -> DataFr
     blind Hamming-1 / directed T=2), making the candidates-vs-recall
     curve a measured series instead of a design claim.  Exact side = the
     allowlisted tiny-broadcast BNLJ recall pattern; approximate side
-    rebuilds the auto-k buckets + the directed probe family (two scans of
-    the tiny query slice, one of the corpus)."""
-    from pyspark.sql import Window
-
-    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
-
-    emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
-    n_index = emb.filter(F.col("vec_id") % 17 != 3).count()
-    k_auto = sim.auto_planes_per_table(n_index)
-    buckets = sim.lsh_bucket_tables_np(
-        load_table(spark, sf_dir, "embeddings"),
-        n_tables=sim.N_TABLES,
-        planes_per_table=k_auto,
-    ).persist()
-    qprobes = sim.lsh_directed_probes_np(
-        emb.filter(F.col("vec_id") % 17 == 3),
-        n_tables=sim.N_TABLES,
-        planes_per_table=k_auto,
-        n_probes=2,
-    ).persist()
+    rebuilds the auto-k buckets + the directed probe family (session-shared
+    persisted frames since r10, as is the exact side ``_ann_exact_nn``)."""
+    k_auto = _auto_k(spark, sf_dir)
+    buckets = _auto_k_buckets(spark, sf_dir)
+    qprobes = _directed_probes(spark, sf_dir)
     qp = qprobes.select(
         F.col("vec_id").alias("query_id"),
         F.col("tbl").alias("_qt"),
@@ -2986,21 +2993,7 @@ def sim_directed_probe_recall_report(spark: SparkSession, sf_dir: str) -> DataFr
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = emb.filter(F.col("vec_id") % 17 == 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
-    )
-    nv = emb.filter(F.col("vec_id") % 17 != 3).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    brute = (
-        F.broadcast(qv)
-        .crossJoin(nv)
-        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .select("query_id", F.col("neighbor_id").alias("exact_id"))
-    )
+    brute = _ann_exact_nn(spark, sf_dir)
     lsh = sim.nn_join_lsh(
         load_table(spark, sf_dir, "embeddings"),
         left_pred=lambda c: c % 17 == 3,
@@ -3077,19 +3070,11 @@ def sim_multiprobe_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     three parameterizations every time the fixture regenerates.
     n_candidates is the distinct (query, neighbor) pair count actually
     reranked — the cost axis the probe factor is supposed to bound.
-    Exact side = the allowlisted tiny-broadcast BNLJ recall pattern."""
-    from pyspark.sql import Window
-
-    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
-
-    emb = sim.non_null_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
-    n_index = emb.filter(F.col("vec_id") % 17 != 3).count()
-    k_auto = sim.auto_planes_per_table(n_index)
-    buckets = sim.lsh_bucket_tables_np(
-        load_table(spark, sf_dir, "embeddings"),
-        n_tables=sim.N_TABLES,
-        planes_per_table=k_auto,
-    ).persist()
+    Exact side = the allowlisted tiny-broadcast BNLJ recall pattern
+    (session-shared ``_ann_exact_nn`` since r10, as is the persisted
+    bucket frame)."""
+    k_auto = _auto_k(spark, sf_dir)
+    buckets = _auto_k_buckets(spark, sf_dir)
     # candidate count: replay the probe expansion + equi-join (same frame
     # the linkage reranks — distinct pairs, the reranked volume)
     qp = sim.hamming1_probes(
@@ -3112,21 +3097,7 @@ def sim_multiprobe_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = emb.filter(F.col("vec_id") % 17 == 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
-    )
-    nv = emb.filter(F.col("vec_id") % 17 != 3).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    brute = (
-        F.broadcast(qv)
-        .crossJoin(nv)
-        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .select("query_id", F.col("neighbor_id").alias("exact_id"))
-    )
+    brute = _ann_exact_nn(spark, sf_dir)
     lsh = sim.nn_join_lsh(
         load_table(spark, sf_dir, "embeddings"),
         left_pred=lambda c: c % 17 == 3,
@@ -3173,6 +3144,65 @@ def sim_multiprobe_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clusters) so cluster sizes, and with them the per-cluster pair counts,
 # stay constant; the fixture replay pins n_centroids=16 because the oracle
 # must rebuild the identical index.
+def _semdedup_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Session-shared persisted ``(csim, duppairs)`` for the SemDeDup pair
+    (r10, guide §2.4/§4.2).  The report consumed csim 3× and duppairs 2×
+    (and the survivors query re-derived both) with NO materialization
+    barrier, so Catalyst inlined the unrolled 64-dim cosine into every
+    consumer of one giant projection — the combined stage blew janino's
+    64 KB method limit (3 logged codegen ERRORs per run, interpreted
+    fallback) and the verify-time cost was 216 s at sf0.01.  Persisting the
+    two narrow frames computes each cosine once, keeps every stage under
+    the codegen limit, and lets the survivors query reuse the report's
+    work in the same session."""
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_from_norms, norm_col
+
+        assigned, cent = _ivf(spark, sf_dir)
+        # norms precomputed per side (see similarity.topk_bruteforce): the
+        # centroid norm once per 16-row broadcast frame, the row norm once
+        # per row, the pair-join norms once per side.
+        cent2 = cent.withColumn("_cn", norm_col("centroid"))
+        csim = (
+            assigned.join(F.broadcast(cent2), "cluster")
+            .withColumn(
+                "cent_sim",
+                F.round(
+                    cosine_from_norms(
+                        "embedding", "centroid", norm_col("embedding"), F.col("_cn")
+                    ),
+                    6,
+                ),
+            )
+            .select("vec_id", "cluster", "cent_sim")
+            .persist()
+        )
+        a = assigned.select(
+            "cluster",
+            F.col("vec_id").alias("va"),
+            F.col("embedding").alias("_av"),
+            norm_col("embedding").alias("_an"),
+        )
+        b = assigned.select(
+            "cluster",
+            F.col("vec_id").alias("vb"),
+            F.col("embedding").alias("_bv"),
+            norm_col("embedding").alias("_bn"),
+        )
+        duppairs = (
+            a.join(b, "cluster")
+            .filter(F.col("va") < F.col("vb"))
+            .withColumn("sim", F.round(cosine_from_norms("_av", "_bv", "_an", "_bn"), 6))
+            .filter(F.col("sim") >= 0.4)
+            .select("cluster", "va", "vb")
+            .persist()
+        )
+        return csim, duppairs
+
+    return shared(spark, ("semdedup_frames", sf_dir), build)
+
+
 @register(
     "dedup_semdedup_report",
     oracle=_COSINE_CTES
@@ -3253,30 +3283,9 @@ def dedup_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay broadcastable; the rest is two bounded aggregates.  One bounded
     collect: the 16 x 64 centroid table (`ivf_index`'s documented
     footprint).  Reference provenance: none — the reference has no vector
-    surface (SURVEY.md §2.2); extended-brief scope."""
-    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
-
-    assigned, cent = _ivf(spark, sf_dir)
-    csim = (
-        assigned.join(F.broadcast(cent), "cluster")
-        .withColumn(
-            "cent_sim", F.round(cosine_similarity_col("embedding", "centroid"), 6)
-        )
-        .select("vec_id", "cluster", "cent_sim")
-    )
-    a = assigned.select(
-        "cluster", F.col("vec_id").alias("va"), F.col("embedding").alias("_av")
-    )
-    b = assigned.select(
-        "cluster", F.col("vec_id").alias("vb"), F.col("embedding").alias("_bv")
-    )
-    duppairs = (
-        a.join(b, "cluster")
-        .filter(F.col("va") < F.col("vb"))
-        .withColumn("sim", F.round(cosine_similarity_col("_av", "_bv"), 6))
-        .filter(F.col("sim") >= 0.4)
-        .select("cluster", "va", "vb")
-    )
+    surface (SURVEY.md §2.2); extended-brief scope.  csim/duppairs are
+    session-shared persisted frames since r10 (``_semdedup_frames``)."""
+    csim, duppairs = _semdedup_frames(spark, sf_dir)
     ca = csim.select(F.col("vec_id").alias("va"), F.col("cent_sim").alias("_ca"))
     cb = csim.select(F.col("vec_id").alias("vb"), F.col("cent_sim").alias("_cb"))
     losers = (
@@ -3372,30 +3381,10 @@ def dedup_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan skeleton as the report (broadcast 16-row centroid assign,
     cluster-id equi-join pairwise, distinct losers) closed with a
     left-anti join — survivors = members minus losers, no new shuffle
-    shape.  Scale posture identical to the report's (docstring there)."""
-    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
-
-    assigned, cent = _ivf(spark, sf_dir)
-    csim = (
-        assigned.join(F.broadcast(cent), "cluster")
-        .withColumn(
-            "cent_sim", F.round(cosine_similarity_col("embedding", "centroid"), 6)
-        )
-        .select("vec_id", "cluster", "cent_sim")
-    )
-    a = assigned.select(
-        "cluster", F.col("vec_id").alias("va"), F.col("embedding").alias("_av")
-    )
-    b = assigned.select(
-        "cluster", F.col("vec_id").alias("vb"), F.col("embedding").alias("_bv")
-    )
-    duppairs = (
-        a.join(b, "cluster")
-        .filter(F.col("va") < F.col("vb"))
-        .withColumn("sim", F.round(cosine_similarity_col("_av", "_bv"), 6))
-        .filter(F.col("sim") >= 0.4)
-        .select("cluster", "va", "vb")
-    )
+    shape.  Scale posture identical to the report's (docstring there).
+    csim/duppairs are session-shared persisted frames since r10
+    (``_semdedup_frames``)."""
+    csim, duppairs = _semdedup_frames(spark, sf_dir)
     ca = csim.select(F.col("vec_id").alias("va"), F.col("cent_sim").alias("_ca"))
     cb = csim.select(F.col("vec_id").alias("vb"), F.col("cent_sim").alias("_cb"))
     losers = (

@@ -602,7 +602,7 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col
+    from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_from_norms, norm_col
     from distributed_mapreduce_in_docker_rpyc_spark.operators import similarity as sim
     from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import work_dir
     from distributed_mapreduce_in_docker_rpyc_spark.operators.maintenance import upsert_parquet
@@ -650,19 +650,26 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", F.col("vec_id").alias("neighbor_id"))
             .distinct()
         )
+        # r10: norms precomputed per side (see similarity.topk_bruteforce)
         qv = batch_df.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv"),
+            norm_col("embedding").alias("_qn"),
         )
         nv = sim.non_null_vectors(
             load_table(s, sf_dir, "embeddings"), "embedding"
-        ).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv"))
+        ).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("_nv"),
+            norm_col("embedding").alias("_nn"),
+        )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("sim"), F.asc("neighbor_id")
         )
         links = (
             cand.join(F.broadcast(qv), "query_id")
             .join(nv, "neighbor_id")
-            .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+            .withColumn("sim", F.round(cosine_from_norms("_qv", "_nv", "_qn", "_nn"), 6))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 1)
             .select("query_id", "neighbor_id", "sim")
@@ -767,7 +774,11 @@ def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = work_dir("packstream")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ids = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
-    lo, span = ids["lo"], ids["hi"] - ids["lo"] + 1
+    # Empty corpus: min/max are NULL — feed three empty batches instead of
+    # crashing (the job then produces the empty manifest, same as the batch
+    # twin on empty input).
+    lo = ids["lo"] if ids["lo"] is not None else 0
+    span = (ids["hi"] - lo + 1) if ids["hi"] is not None else 1
 
     feed = os.path.join(root, "feed")
     os.makedirs(feed)

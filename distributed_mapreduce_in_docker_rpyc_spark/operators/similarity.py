@@ -30,7 +30,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_similarity_col, dot_col
+from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity_col,
+    dot_col,
+    norm_col,
+)
 
 DIM = 64
 N_PLANES = 4
@@ -223,10 +228,22 @@ def topk_bruteforce(
     from pyspark.sql import Window
 
     emb = non_null_vectors(emb, vec_col)
+    d = dim if dim else None
+    kw = {"dim": d} if d else {}
+    # r10 (guide §1.2 per-task work): precompute each side's norm ONCE on
+    # its own frame instead of re-deriving both 64-term norms per PAIR —
+    # identical IEEE values (same unrolled sum), 3× less arithmetic in the
+    # Q×N stage and the projection stays well under janino's 64 KB limit.
     q = emb.filter(F.col(id_col) < query_ids_below).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm_col(vec_col, **kw).alias("_qn"),
     )
-    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    n = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        norm_col(vec_col, **kw).alias("_nn"),
+    )
     cores = emb.sparkSession.sparkContext.defaultParallelism
     if n.rdd.getNumPartitions() < cores:
         n = n.repartition(cores)
@@ -235,10 +252,7 @@ def topk_bruteforce(
         n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "sim",
-            F.round(
-                cosine_similarity_col("_qv", "_nv", **({"dim": dim} if dim else {})),
-                6,
-            ),
+            F.round(cosine_from_norms("_qv", "_nv", "_qn", "_nn", **kw), 6),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -395,13 +409,23 @@ def topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    # r10: norms precomputed per side (see topk_bruteforce) — one dot per
+    # candidate pair instead of dot + two 64-term norms.
+    qv = emb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm_col(vec_col).alias("_qn"),
+    )
+    nv = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        norm_col(vec_col).alias("_nn"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.join(F.broadcast(qv), "query_id")
         .join(nv, "neighbor_id")
-        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("sim", F.round(cosine_from_norms("_qv", "_nv", "_qn", "_nn"), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
@@ -598,8 +622,11 @@ def topk_ivf(
     from pyspark.sql import Window
 
     assigned, centroids = index if index is not None else ivf_index(emb, n_centroids, id_col, vec_col)
+    # r10: norms precomputed per side (see topk_bruteforce).
     q = assigned.filter(F.col(id_col) < query_ids_below).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm_col(vec_col).alias("_qn"),
     )
     # Rank this query's distance to every centroid; keep the n_probe nearest.
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cluster"))
@@ -620,14 +647,19 @@ def topk_ivf(
         )
         .withColumn("prank", F.row_number().over(wq))
         .filter(F.col("prank") <= n_probe)
-        .select("query_id", "_qv", "cluster")
+        .select("query_id", "_qv", "_qn", "cluster")
     )
-    n = assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"), "cluster")
+    n = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        norm_col(vec_col).alias("_nn"),
+        "cluster",
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         n.join(F.broadcast(probes), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("sim", F.round(cosine_from_norms("_qv", "_nv", "_qn", "_nn"), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
@@ -862,17 +894,24 @@ def nn_join_lsh(
         .distinct()
     )
     emb = non_null_vectors(emb, vec_col)
+    # r10: norms precomputed per side (see topk_bruteforce) — the combined
+    # rerank stage previously blew janino's 64 KB method limit (logged
+    # codegen ERROR + interpreted fallback per execution).
     qv = emb.filter(left_pred(F.col(id_col))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm_col(vec_col).alias("_qn"),
     )
     nv = emb.filter(~left_pred(F.col(id_col))).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        norm_col(vec_col).alias("_nn"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.join(F.broadcast(qv), "query_id")
         .join(nv, "neighbor_id")
-        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("sim", F.round(cosine_from_norms("_qv", "_nv", "_qn", "_nn"), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim")
@@ -905,8 +944,11 @@ def nn_join_ivf(
     assigned, centroids = (
         index if index is not None else ivf_index(emb, n_centroids, id_col, vec_col)
     )
+    # r10: norms precomputed per side (see topk_bruteforce).
     q = assigned.filter(left_pred(F.col(id_col))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm_col(vec_col).alias("_qn"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cluster"))
     probes = (
@@ -928,15 +970,18 @@ def nn_join_ivf(
         )
         .withColumn("prank", F.row_number().over(wq))
         .filter(F.col("prank") <= n_probe)
-        .select("query_id", "_qv", "cluster")
+        .select("query_id", "_qv", "_qn", "cluster")
     )
     n = assigned.filter(~left_pred(F.col(id_col))).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"), "cluster"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        norm_col(vec_col).alias("_nn"),
+        "cluster",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         n.join(F.broadcast(probes), "cluster")
-        .withColumn("sim", F.round(cosine_similarity_col("_qv", "_nv"), 6))
+        .withColumn("sim", F.round(cosine_from_norms("_qv", "_nv", "_qn", "_nn"), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim")

@@ -28,6 +28,10 @@ def get_spark(app_name: str = "distributed_mapreduce_in_docker_rpyc_spark", *, s
 
     UTC session timezone is load-bearing: the DuckDB oracle compares timestamp
     values and DuckDB timestamps are UTC-naive.
+
+    ``SPARK_GRAFT_EXTRA_CONFS`` (``key=value;key=value``) appends arbitrary
+    build-time confs — measurement harnesses (event log), cluster posture
+    overrides.  Applied last, so it can override any default here.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
@@ -48,6 +52,10 @@ def get_spark(app_name: str = "distributed_mapreduce_in_docker_rpyc_spark", *, s
         # reader rejects; read as long and convert at load (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
