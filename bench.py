@@ -84,7 +84,15 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    # r10: default 5 → 7.  Round-10 calibration measured the SAME query at
+    # 1.37 s and 29 s within one session (multi-minute noisy-neighbor
+    # windows, invisible to /proc/stat steal), and a 5-pass median dies
+    # once 3 passes land in such a window — observed twice this round.  A
+    # 7-pass median tolerates 3 corrupted passes; the quiet-pass cost of
+    # the headline list fell ~30% this round, so the full run stays inside
+    # the driver budget.  The protocol (noop sink, per-query median, sum of
+    # medians as "value") is unchanged and comparable with BENCH_r01-r09.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7")))
     # High-variance heavy queries get extra reps so their median converges
     # (VERDICT r3 #4: 2x spread between best and worst run at reps=3; an r4
     # calibration run measured minhash spreads of 3.8-9.9 s on identical
@@ -110,6 +118,11 @@ def main() -> None:
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
+    # Auxiliary noise floor (r10): the per-query MINIMUM.  Noise on this VM
+    # only ever ADDS time, so min-of-N is the standard noise-robust compute
+    # estimate; reported NEXT TO the median (which stays the headline
+    # "value" for round-over-round comparability), never instead of it.
+    mins = {name: round(min(ts), 3) for name, ts in runs.items()}
     print(
         json.dumps(
             {
@@ -119,6 +132,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
+                "value_min": round(sum(mins.values()), 3),
+                "queries_min": mins,
                 "all_runs": {n: [round(t, 3) for t in ts] for n, ts in runs.items()},
             }
         )

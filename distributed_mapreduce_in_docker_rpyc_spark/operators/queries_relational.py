@@ -59,8 +59,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: Parquet scan with PushedFilters on l_shipdate → partial
     HashAggregate → 2-key Exchange → final HashAggregate. The partial agg is
     the reference's combiner (worker/worker.py:15-18) generalized.
+
+    r10 (guide §2.5 input skew): a small-SF lineitem parquet is ONE row
+    group, so the scan + the 6 double→decimal casts + 8 partial aggregates
+    all ran on a single core.  When the scan arrives in fewer partitions
+    than cores, round-robin it to the core count first — measured 1.33 s →
+    0.95 s median (interleaved A/B, sf0.1); the filter and column pruning
+    still push through the Repartition to the scan.  At real scale the
+    guard makes it a no-op (the same established pattern as
+    similarity.topk_bruteforce).  NOT applied to the join-heavy lineitem
+    queries (q5/q9/q18/q21): measured THERE the extra shuffle loses
+    0.3–0.4 s because their per-row map work is one light hash probe, not
+    six decimal casts.
     """
     li = _t(spark, sf_dir, "lineitem")
+    cores = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < cores:
+        li = li.repartition(cores)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
