@@ -117,20 +117,21 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real shuffle and AQE handles its sizing. Total order on
     (revenue, o_orderdate, l_orderkey) per the determinism contract.
     """
+    # r10 note: a pre-aggregate-before-join variant (the q18 restructure)
+    # was measured HERE and reverted — q3's joins are selective (BUILDING
+    # segment + both date windows), so aggregating the full ship-filtered
+    # lineitem by orderkey first processed ~6× the rows the join-first
+    # plan aggregates (interleaved A/B medians: join-first 0.47 s vs
+    # pre-agg 0.86 s at sf0.1).  Joins-then-aggregate is the right shape
+    # when the joins prune; q18 keeps the pre-agg because its joins don't.
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
-    # r10 (guide §2.3): the group keys (l_orderkey, o_orderdate,
-    # o_orderpriority) are determined by l_orderkey (orders PK), so the
-    # revenue sum aggregates the filtered lineitem by orderkey BEFORE the
-    # joins — the aggregation exchange carries (orderkey, decimal) instead
-    # of the joined row, and the joins probe |orders-with-revenue| rows.
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sum(money(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue")
-    )
     return (
-        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(money(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
