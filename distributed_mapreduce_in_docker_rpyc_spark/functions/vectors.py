@@ -45,8 +45,20 @@ def dot_col(a: Column | str, b: Column | str, dim: int | None = DEFAULT_DIM) -> 
     time per execution (measured ~2 s per sim_topk_* build).  SQL ``x[i]``
     is 0-based GetArrayItem and ``CAST(… AS DOUBLE) * …`` parses
     left-associated — the identical expression tree, one JVM call.
+
+    The fast path requires SIMPLE identifiers (r11, ADVICE r10): a name
+    with a backtick would break the quoting, and a dotted name like
+    ``t.col`` would resolve as one literal identifier under backticks —
+    both silently diverging from the ``F.col`` path.  Non-simple names fall
+    back to the Column-built form, which handles them canonically.
     """
-    if dim is not None and isinstance(a, str) and isinstance(b, str):
+    if (
+        dim is not None
+        and isinstance(a, str)
+        and isinstance(b, str)
+        and a.isidentifier()
+        and b.isidentifier()
+    ):
         return F.expr(
             " + ".join(
                 f"CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{b}`[{i}] AS DOUBLE)"

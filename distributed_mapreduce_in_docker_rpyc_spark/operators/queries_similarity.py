@@ -131,8 +131,11 @@ def _ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     centroids — SQL-replayable, see ``similarity.ivf_index``)."""
 
     def build() -> tuple[DataFrame, DataFrame]:
+        from pyspark.storagelevel import StorageLevel
+
         assigned, centroids = sim.ivf_index(load_table(spark, sf_dir, "embeddings"))
-        return assigned.persist(), centroids
+        # MEMORY_AND_DISK (r11, ADVICE r10): session-lived memoized frame.
+        return assigned.persist(StorageLevel.MEMORY_AND_DISK), centroids
 
     return shared(spark, ("ivf_index", sf_dir), build)
 
@@ -1135,9 +1138,11 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("_nv"),
         norm_col("embedding").alias("_nn"),
     )
-    cores = spark.sparkContext.defaultParallelism
-    if train.rdd.getNumPartitions() < cores:
-        train = train.repartition(cores)
+    # r11: file-size guard instead of a physical-plan .rdd probe (VERDICT
+    # r10 #1).
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import widen_small_scan
+
+    train = widen_small_scan(train)
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     neigh = (
         train.join(F.broadcast(q), F.lit(True))
@@ -3157,6 +3162,8 @@ def _semdedup_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     work in the same session."""
 
     def build() -> tuple[DataFrame, DataFrame]:
+        from pyspark.storagelevel import StorageLevel
+
         from distributed_mapreduce_in_docker_rpyc_spark.functions.vectors import cosine_from_norms, norm_col
 
         assigned, cent = _ivf(spark, sf_dir)
@@ -3176,7 +3183,7 @@ def _semdedup_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
                 ),
             )
             .select("vec_id", "cluster", "cent_sim")
-            .persist()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         a = assigned.select(
             "cluster",
@@ -3196,7 +3203,7 @@ def _semdedup_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
             .withColumn("sim", F.round(cosine_from_norms("_av", "_bv", "_an", "_bn"), 6))
             .filter(F.col("sim") >= 0.4)
             .select("cluster", "va", "vb")
-            .persist()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         return csim, duppairs
 

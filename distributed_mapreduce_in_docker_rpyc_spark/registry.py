@@ -36,75 +36,34 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The round driver verifies 50 queries per round in registration order.
-# Round-10 budget, implementing VERDICT r9 "Next round" #1 verbatim: the
-# spent diagnostic probes (typing canaries, price-micro, case-mapping, r8
-# bisection family) drop below the line — their questions are closed and
-# the permanent guards are tests/test_output_typing.py + the dtype-faithful
-# scripts/verify_driver.py — and the window goes to (a) the round-10 new
-# builds, then (b) every remaining green ordered STALEST-FIRST by its
-# latest driver correctness row (regenerated from CORRECTNESS_r01-r09; the
-# within-round order is the round file's row order).  `scripts/
-# verify_driver.py --strict` recomputes where the 50-slot line falls;
-# trust it, not the section comments.
-# ROUND-11 NOTE (VERDICT r9 #6): after CORRECTNESS_r10 lands, rebuild this
-# window — rotate the nine r9 builds (graph_pagerank_dangling ...
-# batch_padding_plan) back through for their second driver row, then
-# continue the stalest-first recycling (regenerate staleness from the
-# CORRECTNESS_r01-r10 union; the r10 head below will have fresh rows).
+# Round-11 budget, implementing VERDICT r10 "Next round" #5 / the r10
+# ROUND-11 NOTE verbatim: (a) the nine r9 builds rotate back through for
+# their second driver row, then (b) every remaining green ordered
+# STALEST-FIRST by its latest driver correctness row, regenerated from the
+# CORRECTNESS_r01-r10 union by `scripts/gen_driver_priority.py` (the
+# within-round tie-break is the round file's row order); the spent
+# diagnostic probes stay pinned below the line (questions closed since r10;
+# permanent guards: tests/test_output_typing.py + the dtype-faithful
+# scripts/verify_driver.py).  The r11 window = 9 r9-builds + all 30
+# r2-latest + the first 11 r3-latest; after CORRECTNESS_r11 no query's
+# latest row is older than r3.  `scripts/verify_driver.py --strict`
+# recomputes where the 50-slot line falls; trust it, not the comments.
+# ROUND-12 NOTE: after CORRECTNESS_r11 lands, re-run
+# scripts/gen_driver_priority.py (drop its r9-builds ROTATION_HEAD — their
+# second row will be fresh) and splice the output here; staleness then
+# naturally leads with the remaining r3-latest queries.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (0) round-10 new builds - never driver-checked (inserted as they land).
-    "ann_join_auto_k_multiprobe",
-    "sim_multiprobe_recall_report",
-    "ann_join_query_directed_probe",
-    "sim_directed_probe_recall_report",
-    "pack_sequences_write",
-    "pack_windows_content_readback",
-    "dedup_semdedup_report",
-    "dedup_semdedup_survivors",
-    "pack_attention_mask_plan",
-    "stream_pack_sequences",
-# --- latest driver row: r1 (27 queries) ---
-    "agg_stats",
-    "rollup_agg",
-    "cube_agg",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_gap",
-    "setop_union",
-    "setop_intersect",
-    "setop_except",
-    "orderby_limit_global",
-    "distinct_projection",
-    "scalar_functions",
-    "pivot_status_by_flag",
-    "scalar_subquery_above_avg",
-    "grouping_sets_sql",
-    "salted_join_revenue_by_priority",
-    "q7_volume_shipping",
-    "q9_product_type_profit",
-    "q13_customer_order_histogram",
-    "q16_supplier_part_counts",
-    "q22_global_sales_opportunity",
-    "agg_percentiles",
-    "window_analytics",
-    "q8_market_share",
-    "q11_important_stock",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-# --- latest driver row: r2 (43 queries) ---
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_keep_first",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_containment",
-    "sim_cosine_pairs",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
+# (1) rotation head: r9 builds, second driver row (ROUND-11 NOTE)
+    "graph_pagerank_dangling",
+    "stream_ann_index_maintenance",
+    "ann_join_auto_k",
+    "sim_auto_k_recall_report",
+    "dataset_fingerprint_incremental",
+    "pack_sequences_plan",
+    "pack_sequences_manifest",
+    "dataloader_shard_plan",
+    "batch_padding_plan",
+# --- latest driver row: r2 ---
     "emb_outliers_by_label",
     "text_stats",
     "text_langid",
@@ -135,7 +94,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_top_users",
     "window_range_frame_rolling",
     "events_cohort_retention",
-# --- latest driver row: r3 (47 queries) ---
+# --- latest driver row: r3 ---
     "label_centroids",
     "emb_quantize_int8",
     "stream_tumbling_hourly",
@@ -146,7 +105,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_dedup_pairs",
     "stream_stream_join_attribution",
     "stream_dedup_against_corpus",
-    "dq_orders_report",
+    "dq_orders_report",   # <-- 50-slot line
     "dq_referential_integrity",
     "dq_join_key_skew",
     "dq_k_anonymity",
@@ -183,7 +142,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "udf_scalar_pandas_net_price",
     "udaf_weighted_avg_pandas",
     "cogrouped_order_fill_pandas",
-# --- latest driver row: r4 (49 queries) ---
+# --- latest driver row: r4 ---
     "jsondict_roundtrip",
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
@@ -233,7 +192,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_sorted_neighborhood",
     "logreg_gradient_descent",
     "graph_kcore_parts",
-# --- latest driver row: r5 (47 queries) ---
+# --- latest driver row: r5 ---
     "kmv_weekly_merge",
     "basket_association_rules",
     "events_sequence_loglik",
@@ -281,7 +240,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_portable_daily",
     "bradley_terry_strength",
     "logreg_calibration_bins",
-# --- latest driver row: r6 (34 queries) ---
+# --- latest driver row: r6 ---
     "logreg_roc_auc",
     "logreg_threshold_sweep",
     "graph_connected_components",
@@ -316,7 +275,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_daily_distinct_error",
     "approx_percentile_error",
     "stat_kruskal_wallis",
-# --- latest driver row: r7 (46 queries) ---
+# --- latest driver row: r7 ---
     "jsonl_roundtrip",
     "jsonl_roundtrip_text_bytes",
     "jsonl_roundtrip_corrupt",
@@ -363,7 +322,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stat_mcnemar_test",
     "stat_cochran_armitage",
     "feature_woe_iv",
-# --- latest driver row: r8 (26 queries) ---
+# --- latest driver row: r8 ---
     "span_corruption_plan",
     "negative_sampling_plan",
     "dq_contract_validation",
@@ -390,7 +349,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_repetition_report",
     "events_stickiness_dau_mau",
     "corpus_importance_resample",
-# --- latest driver row: r9 (45 queries) ---
+# --- latest driver row: r9 ---
     "jsonl_source_agreement",
     "csv_source_agreement",
     "compaction_source_agreement",
@@ -412,15 +371,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "wordcount_full",
     "wordcount_rdd_core",
     "ingest_zip_wordcount",
-    "graph_pagerank_dangling",
-    "stream_ann_index_maintenance",
-    "ann_join_auto_k",
-    "sim_auto_k_recall_report",
-    "dataset_fingerprint_incremental",
-    "pack_sequences_plan",
-    "pack_sequences_manifest",
-    "dataloader_shard_plan",
-    "batch_padding_plan",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority_check",
@@ -436,7 +386,58 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_semi",
     "join_anti",
     "agg_distinct",
-# --- spent diagnostics (23) ---
+# --- latest driver row: r10 ---
+    "ann_join_auto_k_multiprobe",
+    "sim_multiprobe_recall_report",
+    "ann_join_query_directed_probe",
+    "sim_directed_probe_recall_report",
+    "pack_sequences_write",
+    "pack_windows_content_readback",
+    "dedup_semdedup_report",
+    "dedup_semdedup_survivors",
+    "pack_attention_mask_plan",
+    "stream_pack_sequences",
+    "agg_stats",
+    "rollup_agg",
+    "cube_agg",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_gap",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "orderby_limit_global",
+    "distinct_projection",
+    "scalar_functions",
+    "pivot_status_by_flag",
+    "scalar_subquery_above_avg",
+    "grouping_sets_sql",
+    "salted_join_revenue_by_priority",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q13_customer_order_histogram",
+    "q16_supplier_part_counts",
+    "q22_global_sales_opportunity",
+    "agg_percentiles",
+    "window_analytics",
+    "q8_market_share",
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_keep_first",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_containment",
+    "sim_cosine_pairs",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+# --- spent diagnostics (pinned last) ---
     "probe_docs_counts",
     "probe_docs_distincts",
     "probe_docs_meta_bytes",

@@ -32,6 +32,9 @@ def get_spark(app_name: str = "distributed_mapreduce_in_docker_rpyc_spark", *, s
     ``SPARK_GRAFT_EXTRA_CONFS`` (``key=value;key=value``) appends arbitrary
     build-time confs — measurement harnesses (event log), cluster posture
     overrides.  Applied last, so it can override any default here.
+    Limitations (r11, ADVICE r10): ``;`` cannot appear inside a value (it is
+    the entry separator), and an entry without ``=`` raises instead of
+    silently setting the key to an empty string.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
@@ -54,7 +57,11 @@ def get_spark(app_name: str = "distributed_mapreduce_in_docker_rpyc_spark", *, s
     )
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
     for kv in filter(None, extra.split(";")):
-        k, _, v = kv.partition("=")
+        k, sep, v = kv.partition("=")
+        if not sep or not k.strip():
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONFS entry {kv!r} is not key=value"
+            )
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

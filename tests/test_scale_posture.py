@@ -577,3 +577,40 @@ def test_bucketed_query_joins_without_exchange(spark, sf_dir):
     # sort is linear per co-located bucket, never a shuffle)
     assert "Bucketed: true" in plan, plan
     assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+
+
+def test_shared_frame_memo_stays_bounded(spark, sf_dir):
+    """VERDICT r10 #6: the session-shared persisted frames (operators/_shared)
+    must stay bounded — one memo entry per distinct (builder, params) key,
+    NOT one per query invocation — and persist at MEMORY_AND_DISK so a
+    memory-pressured session spills instead of silently recomputing.  Runs a
+    repeated mix of memo-consuming queries and asserts the memo count is
+    identical after the second pass (re-invocation adds nothing)."""
+    from distributed_mapreduce_in_docker_rpyc_spark.operators._shared import (
+        shared_df,
+        shared_frame_count,
+    )
+    from distributed_mapreduce_in_docker_rpyc_spark.registry import QUERIES, load_all
+
+    load_all()
+    names = ["sim_topk_lsh", "dedup_minhash_lsh", "sim_cosine_pairs"]
+    for name in names:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    count_after_first = shared_frame_count(spark)
+    assert count_after_first >= 1  # the mix does exercise the memo
+    for _ in range(2):
+        for name in names:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    assert shared_frame_count(spark) == count_after_first
+    # storage level: every memoized DataFrame is MEMORY_AND_DISK
+    from pyspark.sql import DataFrame
+    from pyspark.storagelevel import StorageLevel
+
+    memo = getattr(spark, "_distributed_mapreduce_in_docker_rpyc_spark_shared_memo")
+    checked = 0
+    for v in memo.values():
+        for df in v if isinstance(v, tuple) else (v,):
+            if isinstance(df, DataFrame):
+                assert df.storageLevel == StorageLevel.MEMORY_AND_DISK, df.storageLevel
+                checked += 1
+    assert checked >= 1
