@@ -128,6 +128,7 @@ def _canon(df):
     )
 
 
+@pytest.mark.slow  # full-fleet sweep (~3 min); default run deselects, see pytest.ini
 def test_risk_queries_are_input_order_invariant(spark, shuffled_sf_dir):
     registry.load_all()
     diffs = {}

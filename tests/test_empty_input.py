@@ -45,6 +45,7 @@ def empty_sf_dir(tmp_path_factory):
     return str(dst)
 
 
+@pytest.mark.slow  # full-fleet sweep (~5 min); default run deselects, see pytest.ini
 def test_every_query_survives_empty_tables(spark, empty_sf_dir):
     registry.load_all()
     failures = {}

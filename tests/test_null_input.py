@@ -59,6 +59,7 @@ def null_sf_dir(tmp_path_factory):
     return str(dst)
 
 
+@pytest.mark.slow  # full-fleet sweep (~7 min); default run deselects, see pytest.ini
 def test_every_query_survives_null_cells(spark, null_sf_dir):
     registry.load_all()
     failures = {}

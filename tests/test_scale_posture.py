@@ -4,6 +4,8 @@ Spark's own guarantees do the rest)."""
 
 from __future__ import annotations
 
+import pytest
+
 import subprocess
 import sys
 import textwrap
@@ -263,6 +265,7 @@ def test_runtime_bloom_filter_prunes_join_probe(spark, sf_dir, tmp_path):
                 conf.set(k, v)
 
 
+@pytest.mark.slow  # full-fleet sweep (~3 min); default run deselects, see pytest.ini
 def test_plan_features_match_golden(spark):
     """Fleet-wide plan-regression guard: every plan-stable query's physical
     plan features (join strategies, shuffle count, Python eval nodes,
@@ -452,6 +455,7 @@ BNLJ_ALLOWED = {
 }
 
 
+@pytest.mark.slow  # full-fleet sweep (~4 min); default run deselects, see pytest.ini
 def test_no_query_plans_cartesian_or_row_python(spark):
     """Fleet-wide plan guard: NO registered query may plan a
     CartesianProduct, a row-at-a-time Python eval (BatchEvalPython), or an
@@ -610,7 +614,9 @@ def test_shared_frame_memo_stays_bounded(spark, sf_dir):
     checked = 0
     for v in memo.values():
         for df in v if isinstance(v, tuple) else (v,):
-            if isinstance(df, DataFrame):
+            # only CACHED memo members carry the contract (tuple builders
+            # may memoize uncached companions, e.g. _ivf's tiny centroids)
+            if isinstance(df, DataFrame) and df.storageLevel != StorageLevel.NONE:
                 assert df.storageLevel == StorageLevel.MEMORY_AND_DISK, df.storageLevel
                 checked += 1
     assert checked >= 1
